@@ -1,0 +1,17 @@
+"""recsplit_spark — PySpark-native RecSplit MPHF + mergeable sketch library.
+
+A from-scratch re-expression (NOT a port) of the capabilities of
+thomasmueller/minperf on idiomatic Spark: DataFrame/Column expressions for
+hashing + bucketing, Arrow-vectorized pandas UDF kernels for the per-bucket
+split-tree construction, an associative merge into a Rice/Golomb-coded
+descriptor, plus mergeable sketch aggregations (HyperLogLog, count-min,
+Bloom, KLL, t-digest).
+"""
+
+__version__ = "0.1.0"
+
+def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspark
+    if name in ("MPHFDescriptor", "RecSplitBuilder"):
+        from . import mphf
+        return getattr(mphf, name)
+    raise AttributeError(name)

@@ -1,0 +1,201 @@
+"""Bit-level codecs in numpy: bit packing, Golomb-Rice, Elias-Fano.
+
+Reference semantics (not byte-compatible — self-consistent formats):
+  * bit order: MSB-first within the stream, like ``BitBuffer.java:122-131``;
+  * Golomb-Rice: ``q`` one-bits, a zero, then ``k`` remainder bits
+    (``BitBuffer.writeGolombRice``, ``BitBuffer.java:161-191``);
+  * Elias-Fano monotone list (``monotoneList/EliasFanoMonotoneList.java``):
+    low ``l`` bits fixed-width + high bits in unary. Decoding here expands
+    the whole list to a numpy array once (the evaluator caches it), so no
+    select structure is required (SURVEY §2.4 M6 note).
+
+Everything is vectorized; per-value Python loops appear only in the tiny
+header paths.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# vectorized variable-width bit packing
+# ---------------------------------------------------------------------------
+
+def pack_bits(values: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
+    """Pack ``values[i]`` into ``widths[i]`` bits, MSB-first, concatenated.
+
+    Returns (bytes zero-padded to a byte boundary, total_bit_length).
+    """
+    values = np.asarray(values)
+    values = values.view(np.int64) if values.dtype == np.uint64 else values.astype(np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    if len(values) == 0:
+        return b"", 0
+    total = int(widths.sum())
+    starts = np.cumsum(widths) - widths
+    # for each output bit: which value it comes from and its bit position
+    # (int64 throughout: this numpy's uint64 ufuncs hit a scalar slow path)
+    vals_rep = np.repeat(values, widths)
+    w_rep = np.repeat(widths, widths)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
+    shift = w_rep - 1 - within
+    bits = ((vals_rep >> shift) & np.int64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes(), total
+
+
+def unpack_bits(data: bytes | np.ndarray) -> np.ndarray:
+    """Expand bytes to a uint8 0/1 array, MSB-first."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, memoryview, bytearray)) else data
+    return np.unpackbits(arr)
+
+
+# ---------------------------------------------------------------------------
+# Golomb-Rice as (value, width) pair streams
+# ---------------------------------------------------------------------------
+
+class PairWriter:
+    """Accumulates (value, width) pairs; ``finish()`` packs them.
+
+    The bucket kernels emit Rice codes through this; a code whose unary
+    quotient would overflow one 64-bit pair is split into several pairs.
+    """
+
+    __slots__ = ("_vals", "_widths")
+
+    def __init__(self) -> None:
+        self._vals: list[int] = []
+        self._widths: list[int] = []
+
+    def write(self, value: int, width: int) -> None:
+        if width == 0:
+            return
+        self._vals.append(value)
+        self._widths.append(width)
+
+    def write_rice(self, value: int, k: int) -> None:
+        """Rice code: q = value >> k ones, one zero, k low bits."""
+        q = value >> k
+        while q >= 48:  # keep each pair within a uint64
+            self.write((1 << 48) - 1, 48)  # 48 one-bits
+            q -= 48
+        # q ones + terminating zero: integer (2^(q+1) - 2) over q+1 bits
+        self.write((1 << (q + 1)) - 2, q + 1)
+        if k:
+            self.write(value & ((1 << k) - 1), k)
+
+    @property
+    def bit_length(self) -> int:
+        return int(sum(self._widths))
+
+    def finish(self) -> tuple[bytes, int]:
+        return pack_bits(
+            np.array(self._vals, dtype=np.uint64),
+            np.array(self._widths, dtype=np.int64),
+        )
+
+
+class BitReader:
+    """Scalar reader over an unpacked 0/1 uint8 array (evaluator side)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, bits: np.ndarray, pos: int = 0) -> None:
+        self.bits = bits
+        self.pos = pos
+
+    def read(self, width: int) -> int:
+        if width == 0:
+            return 0
+        b = self.bits[self.pos : self.pos + width]
+        self.pos += width
+        out = 0
+        for bit in b.tolist():
+            out = (out << 1) | bit
+        return out
+
+    def read_unary(self) -> int:
+        """Number of one-bits before the next zero (consumes the zero)."""
+        bits = self.bits
+        pos = self.pos
+        nz = np.flatnonzero(bits[pos:] == 0)
+        if len(nz) == 0:
+            raise ValueError("unary run past end of stream")
+        q = int(nz[0])
+        self.pos = pos + q + 1
+        return q
+
+    def read_rice(self, k: int) -> int:
+        q = self.read_unary()
+        return (q << k) | self.read(k)
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano monotone list
+# ---------------------------------------------------------------------------
+
+_EF_HDR = struct.Struct("<QQB")  # n, universe, l
+
+
+def ef_encode(arr: np.ndarray, universe: int | None = None) -> bytes:
+    """Encode a non-decreasing uint64 array. Self-describing."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    n = len(arr)
+    if universe is None:
+        universe = int(arr[-1]) + 1 if n else 1
+    if n == 0:
+        return _EF_HDR.pack(0, universe, 0)
+    l = max(0, int(np.floor(np.log2(max(1.0, universe / n)))))
+    low_bytes = b""
+    if l:
+        lows = arr & np.uint64((1 << l) - 1)
+        low_bytes, _ = pack_bits(lows, np.full(n, l, dtype=np.int64))
+    highs = (arr >> np.uint64(l)).astype(np.int64)
+    hi_len = n + int(highs[-1]) + 1
+    hi_bits = np.zeros(hi_len, dtype=np.uint8)
+    hi_bits[highs + np.arange(n, dtype=np.int64)] = 1
+    hi_bytes = np.packbits(hi_bits).tobytes()
+    return (
+        _EF_HDR.pack(n, universe, l)
+        + struct.pack("<II", len(low_bytes), len(hi_bytes))
+        + low_bytes
+        + hi_bytes
+    )
+
+
+def ef_decode(data: bytes | memoryview) -> np.ndarray:
+    """Decode the full list to a uint64 array (vectorized)."""
+    n, universe, l = _EF_HDR.unpack_from(data, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = _EF_HDR.size
+    low_len, hi_len = struct.unpack_from("<II", data, off)
+    off += 8
+    if l:
+        low_bits = unpack_bits(bytes(data[off : off + low_len]))
+        lows = _gather_fixed(low_bits, n, l)
+    else:
+        lows = np.zeros(n, dtype=np.uint64)
+    off += low_len
+    hi_bits = unpack_bits(bytes(data[off : off + hi_len]))
+    ones = np.flatnonzero(hi_bits == 1)[:n]
+    highs = (ones - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    return (highs << np.uint64(l)) | lows
+
+
+def _gather_fixed(bits: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Read ``n`` fixed-``width`` MSB-first values from a 0/1 array."""
+    idx = np.arange(n, dtype=np.int64)[:, None] * width + np.arange(width, dtype=np.int64)[None, :]
+    chunk = bits[idx].astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (chunk << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def ef_size_bits(n: int, universe: int) -> float:
+    """Analytical size (bits) — used by space tests."""
+    if n == 0:
+        return _EF_HDR.size * 8
+    l = max(0, int(np.floor(np.log2(max(1.0, universe / n)))))
+    return n * l + n + (universe >> l) + 1

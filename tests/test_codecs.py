@@ -1,0 +1,102 @@
+"""Codec unit tests (SURVEY §5a: exact bit patterns + round-trips,
+mirroring the reference's BitCodes/MonotoneListTest strategy)."""
+
+import numpy as np
+import pytest
+
+from recsplit_spark.codecs import (
+    BitReader,
+    PairWriter,
+    ef_decode,
+    ef_encode,
+    pack_bits,
+    unpack_bits,
+)
+
+
+def _pack_slow(values, widths) -> str:
+    """Pure-python reference packer (differential oracle)."""
+    return "".join(format(v, f"0{w}b") if w else "" for v, w in zip(values, widths))
+
+
+def test_pack_bits_exact():
+    vals = np.array([0b101, 0b1, 0b0, 0b11111111], dtype=np.uint64)
+    widths = np.array([3, 1, 2, 8], dtype=np.int64)
+    data, total = pack_bits(vals, widths)
+    assert total == 14
+    bits = unpack_bits(data)[:total]
+    assert "".join(map(str, bits.tolist())) == _pack_slow(vals, widths)
+
+
+def test_pack_bits_random_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        n = int(rng.integers(1, 200))
+        widths = [int(w) for w in rng.integers(0, 64, size=n)]
+        vals = np.array(
+            [int(rng.integers(0, 1 << 32)) * int(rng.integers(0, 1 << 31)) % (1 << w) if w else 0 for w in widths],
+            dtype=np.uint64,
+        )
+        widths = np.array(widths, dtype=np.int64)
+        data, total = pack_bits(vals, widths)
+        assert total == int(widths.sum())
+        got = "".join(map(str, unpack_bits(data)[:total].tolist()))
+        assert got == _pack_slow(vals, widths)
+
+
+def test_rice_roundtrip():
+    w = PairWriter()
+    cases = [(0, 0), (1, 0), (5, 1), (15, 2), (2, 1), (100, 3), (7, 0), (1000, 4)]
+    for v, k in cases:
+        w.write_rice(v, k)
+    data, total = w.finish()
+    r = BitReader(unpack_bits(data))
+    for v, k in cases:
+        assert r.read_rice(k) == v
+    assert r.pos == total
+
+
+def test_rice_exact_pattern():
+    # rice(2, k=1): q=1 -> "10", remainder "0" -> "100" (reference
+    # BitCodes.testGolombRiceCoding pattern family, BitCodes.java:50-67)
+    w = PairWriter()
+    w.write_rice(2, 1)
+    data, total = w.finish()
+    assert total == 3
+    assert unpack_bits(data)[:3].tolist() == [1, 0, 0]
+
+
+def test_unary_reader():
+    w = PairWriter()
+    w.write(0b1110, 4)  # unary 3
+    w.write(0b0, 1)  # unary 0
+    data, _ = w.finish()
+    r = BitReader(unpack_bits(data))
+    assert r.read_unary() == 3
+    assert r.read_unary() == 0
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([5], dtype=np.uint64),
+        np.arange(100, dtype=np.uint64),
+        np.array([0, 0, 0, 7, 7, 1000], dtype=np.uint64),
+    ],
+)
+def test_ef_roundtrip_small(arr):
+    assert (ef_decode(ef_encode(arr)) == arr).all()
+
+
+def test_ef_roundtrip_random():
+    rng = np.random.default_rng(2)
+    for scale in (10, 1000, 10**9):
+        arr = np.sort(rng.integers(0, scale, size=500).astype(np.uint64))
+        assert (ef_decode(ef_encode(arr)) == arr).all()
+
+
+def test_ef_with_universe():
+    arr = np.array([1, 5, 9], dtype=np.uint64)
+    assert (ef_decode(ef_encode(arr, universe=100)) == arr).all()

@@ -1,0 +1,147 @@
+"""Kernel invariant tests (no Spark): bijection, determinism, codecs-in-tree.
+
+Mirrors the reference's canonical oracle (RandomizedTest.java:1324-1347):
+build, serialize, decode, evaluate EVERY key, assert the result is a
+permutation of [0, n).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from recsplit_spark.codecs import unpack_bits
+from recsplit_spark.hashing import mix64, node_positions
+from recsplit_spark.kernel import (
+    DuplicateSignatureError,
+    build_bucket,
+    build_buckets,
+    eval_bucket,
+)
+from recsplit_spark.settings import Settings, get_settings
+
+
+@pytest.fixture(scope="module")
+def st8():
+    return get_settings(8)
+
+
+def test_settings_parts_cover_size(st8):
+    for s in range(2000):
+        parts = st8.get_parts(s)
+        if parts:
+            assert sum(parts) == s
+            assert all(0 < a < s for a in parts)
+        else:
+            assert s <= st8.leaf_size
+
+
+def test_settings_deterministic():
+    a, b = Settings(8, initial_max=64), Settings(8, initial_max=512)
+    a.ensure(512)
+    assert a.parts == b.parts and a.rice_k == b.rice_k
+
+
+def test_leaf_probability_matches_formula(st8):
+    # p(bijection, size s) = s!/s^s  (Probability.java:241-257)
+    for s in (2, 4, 8):
+        assert st8.exp_trials[s] == pytest.approx(s**s / math.factorial(s), rel=1e-9)
+
+
+def test_expected_bits_under_target(st8):
+    # leaf 8 / bucket 128 must leave room under the 2.0 bits/key gate
+    assert st8.expected_bits_per_key(128) < 1.85
+
+
+def test_mix64_known_values():
+    # splitmix64 finalizer: bijectivity + avalanche sanity (MixTest.java:23-53)
+    x = np.arange(1000, dtype=np.uint64)
+    y = mix64(x)
+    assert len(np.unique(y)) == 1000
+    bits = np.unpackbits(y.view(np.uint8))
+    assert abs(bits.mean() - 0.5) < 0.02
+
+
+@pytest.mark.parametrize("size", [1, 2, 3, 5, 8, 9, 13, 16, 27, 64, 128, 200, 333, 700])
+def test_bucket_bijection(st8, size):
+    rng = np.random.default_rng(size)
+    sigs = rng.integers(-(2**63), 2**63, size=size, dtype=np.int64)
+    data, bit_len = build_bucket(sigs, st8)
+    assert bit_len <= 8 * len(data) < bit_len + 8
+    bits = unpack_bits(data)
+    idx = eval_bucket(bits, size, sigs, 100, st8)
+    assert sorted(idx.tolist()) == list(range(100, 100 + size))
+    # subset evaluation must agree with full evaluation
+    sub = eval_bucket(bits, size, sigs[::3], 100, st8)
+    assert (sub == idx[::3]).all()
+
+
+@pytest.mark.parametrize("leaf", [2, 4, 8, 12])
+def test_leaf_size_sweep(leaf):
+    st = get_settings(leaf)
+    rng = np.random.default_rng(leaf)
+    sigs = rng.integers(-(2**63), 2**63, size=500, dtype=np.int64)
+    data, _ = build_bucket(sigs, st)
+    idx = eval_bucket(unpack_bits(data), 500, sigs, 0, st)
+    assert sorted(idx.tolist()) == list(range(500))
+
+
+def test_multi_bucket_batch(st8):
+    rng = np.random.default_rng(42)
+    sizes = rng.integers(0, 300, size=60)
+    sizes[5] = 0  # explicit empty bucket
+    bids = np.repeat(np.arange(60, dtype=np.int64), sizes)
+    sigs = rng.integers(-(2**63), 2**63, size=int(sizes.sum()), dtype=np.int64)
+    uniq, n_keys, bit_lens, byte_lens, blob = build_buckets(bids, sigs, st8)
+    assert (n_keys == sizes[sizes > 0]).all()
+    offs = np.concatenate([[0], np.cumsum(byte_lens)])
+    pos = 0
+    for b, size in zip(range(len(uniq)), n_keys):
+        bits = unpack_bits(blob[offs[b] : offs[b + 1]])
+        seg = sigs[pos : pos + size]
+        idx = eval_bucket(bits, int(size), seg, 0, st8)
+        assert sorted(idx.tolist()) == list(range(size))
+        pos += size
+
+
+def test_build_deterministic_vs_order(st8):
+    """Same keys, shuffled input order -> identical bytes (associative
+    merge prerequisite; FIXTURES.md F5 merge-associativity oracle)."""
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(-(2**63), 2**63, size=400, dtype=np.int64)
+    d1, _ = build_bucket(sigs, st8)
+    d2, _ = build_bucket(sigs[::-1].copy(), st8)
+    assert d1 == d2
+
+
+def test_duplicate_signature_raises(st8):
+    sigs = np.array([1, 2, 3, 2], dtype=np.int64)
+    with pytest.raises(DuplicateSignatureError):
+        build_bucket(sigs, st8)
+
+
+def test_empty_input(st8):
+    uniq, n_keys, bit_lens, byte_lens, blob = build_buckets(
+        np.empty(0, np.int64), np.empty(0, np.int64), st8
+    )
+    assert len(uniq) == 0 and blob == b""
+
+
+def test_bits_per_key_space_gate(st8):
+    """Measured tree bits/key tracks the DP estimate (space regression,
+    reference SpaceEstimator pattern)."""
+    rng = np.random.default_rng(9)
+    NB, B = 200, 128
+    sigs = rng.integers(-(2**63), 2**63, size=NB * B, dtype=np.int64)
+    bids = np.repeat(np.arange(NB, dtype=np.int64), B)
+    _, _, bit_lens, byte_lens, _ = build_buckets(bids, sigs, st8)
+    bpk = byte_lens.sum() * 8 / (NB * B)
+    assert bpk < 1.85  # leaves headroom for offset/start lists under 2.0
+
+
+def test_node_positions_in_range():
+    rng = np.random.default_rng(5)
+    h = rng.integers(-(2**63), 2**63, size=1000, dtype=np.int64)
+    for n in (1, 2, 7, 256, 1 << 20):
+        p = node_positions(h, 12345, n)
+        assert p.min() >= 0 and p.max() < n
