@@ -1,0 +1,466 @@
+"""RecSplit MPHF over Spark DataFrames.
+
+Public surface (reference analogue ``RecSplitBuilder`` /
+``RecSplitEvaluator``, ``RecSplitBuilder.java:34-89``):
+
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(df, "doc_id")
+    df2  = desc.evaluate(df, "doc_id", out_col="mphf_index")
+    blob = desc.to_bytes();  desc2 = MPHFDescriptor.from_bytes(blob)
+
+Architecture (SURVEY §3.1 "Spark re-architecture"):
+
+1. **Signature + bucket** are JVM-side Column expressions — ``xxhash64(key,
+   salt)`` and a top-bits shift (``shiftrightunsigned``) — no Python touches
+   raw keys (reference bucket assignment: ``FastGenerator.java:30-36``;
+   salted hash family per the north rule).
+2. **Shuffle** ``repartitionByRange`` on bucket id + ``sortWithinPartitions``
+   replaces the reference's in-place counting-sort scatter
+   (``FastGenerator.sortIntoBuckets``, ``FastGenerator.java:56-114``) — each
+   bucket lands wholly inside one partition, partitions hold contiguous
+   bucket ranges.
+3. **Partition-parallel construction**: one Arrow-vectorized
+   ``mapInPandas`` kernel per partition builds ALL its buckets (wavefront,
+   see ``kernel.py``) and emits ONE row per partition: packed per-bucket
+   streams + metadata arrays + lineage (part id, key count, wall time).
+   This row stream doubles as the **per-bucket-range checkpoint** table
+   (reference analogue: the HEM blocked file, ``hem/HemGenerator.java:29-33``).
+4. **Associative merge**: per-bucket streams are byte-aligned and prefix
+   sums are recomputed on the driver from (bucket, n_keys, byte_len), so
+   ANY merge order / partial restart yields identical final bytes
+   (north rule "associative bit-stream merge"; SURVEY §7 resume note).
+5. **Skew / collisions**: duplicate 64-bit signatures or trial-limit
+   blowups abort the job and the build retries with salt+1 (salt re-roll,
+   reference overflow diversion ``Generator.java:465-469`` re-expressed);
+   oversized buckets are handled by the rule table growing on demand.
+
+Descriptor layout (self-describing, version byte; reference header:
+``Generator.java:332-360`` / ``RecSplitEvaluator.java:29-54``):
+
+    magic 'RSMP' | ver u8 | leaf u8 | bucket_log2 u8 | pad u8 | n u64 |
+    salt i64 | avg_bucket u32 | len u32 + EliasFano(key-offset prefix sums)
+    | len u32 + EliasFano(stream byte-offset prefix sums) | bucket streams
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .codecs import ef_decode, ef_encode, unpack_bits
+from .kernel import build_buckets, eval_bucket
+from .settings import Settings, get_settings
+
+_MAGIC = b"RSMP"
+_VERSION = 1
+_HDR = struct.Struct("<4sBBBBQqI")
+
+
+def _bucket_of(sigs: np.ndarray, bucket_log2: int) -> np.ndarray:
+    """Bucket id = top bits of the signature — MUST match the Spark-side
+    ``shiftrightunsigned(sig, 64 - bucket_log2)`` (Java >>> semantics)."""
+    if bucket_log2 == 0:
+        return np.zeros(len(sigs), dtype=np.int64)
+    shift = 64 - bucket_log2
+    return (sigs >> shift) & np.int64((1 << bucket_log2) - 1)
+
+
+@dataclass
+class MPHFDescriptor:
+    """Serialized minimal-perfect-hash descriptor + vectorized evaluator."""
+
+    leaf_size: int
+    avg_bucket_size: int
+    salt: int
+    n: int
+    bucket_log2: int
+    offsets: np.ndarray  # (bc+1,) int64 cumulative key counts
+    byte_starts: np.ndarray  # (bc+1,) int64 cumulative stream byte offsets
+    stream: bytes
+
+    # -- serialization ------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        ef_off = ef_encode(self.offsets.astype(np.uint64), universe=self.n + 1)
+        ef_st = ef_encode(
+            self.byte_starts.astype(np.uint64), universe=len(self.stream) + 1
+        )
+        head = _HDR.pack(
+            _MAGIC,
+            _VERSION,
+            self.leaf_size,
+            self.bucket_log2,
+            0,
+            self.n,
+            self.salt,
+            self.avg_bucket_size,
+        )
+        return (
+            head
+            + struct.pack("<I", len(ef_off))
+            + ef_off
+            + struct.pack("<I", len(ef_st))
+            + ef_st
+            + self.stream
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MPHFDescriptor":
+        magic, ver, leaf, blog2, _pad, n, salt, avg = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC or ver != _VERSION:
+            raise ValueError("bad descriptor header")
+        off = _HDR.size
+        (l1,) = struct.unpack_from("<I", data, off)
+        off += 4
+        offsets = ef_decode(data[off : off + l1]).astype(np.int64)
+        off += l1
+        (l2,) = struct.unpack_from("<I", data, off)
+        off += 4
+        byte_starts = ef_decode(data[off : off + l2]).astype(np.int64)
+        off += l2
+        return cls(leaf, avg, salt, n, blog2, offsets, byte_starts, data[off:])
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.to_bytes())
+
+    @classmethod
+    def load(cls, path: str) -> "MPHFDescriptor":
+        with open(path, "rb") as f:
+            return cls.from_bytes(f.read())
+
+    # -- stats --------------------------------------------------------------
+    @property
+    def total_bits(self) -> int:
+        return 8 * len(self.to_bytes())
+
+    @property
+    def bits_per_key(self) -> float:
+        return self.total_bits / max(1, self.n)
+
+    @property
+    def settings(self) -> Settings:
+        return get_settings(self.leaf_size)
+
+    # -- evaluation ----------------------------------------------------------
+    def evaluate_array(self, sigs: np.ndarray) -> np.ndarray:
+        """MPHF indices for int64 signatures (vectorized, bucket-grouped).
+
+        Keys must have been hashed with this descriptor's salt. Results for
+        non-member keys are unspecified (standard MPHF contract,
+        ``simple/recsplit.md:51-54``).
+        """
+        sigs = np.ascontiguousarray(sigs, dtype=np.int64)
+        if self.n == 0 or len(sigs) == 0:
+            return np.zeros(len(sigs), dtype=np.int64)
+        st = self.settings
+        buckets = _bucket_of(sigs, self.bucket_log2)
+        order = np.argsort(buckets, kind="stable")
+        sorted_b = buckets[order]
+        uniq, grp_starts = np.unique(sorted_b, return_index=True)
+        grp_ends = np.append(grp_starts[1:], len(sigs))
+        out = np.empty(len(sigs), dtype=np.int64)
+        stream = np.frombuffer(self.stream, dtype=np.uint8)
+        for g in range(len(uniq)):
+            b = int(uniq[g])
+            rows = order[grp_starts[g] : grp_ends[g]]
+            size = int(self.offsets[b + 1] - self.offsets[b])
+            bits = unpack_bits(stream[self.byte_starts[b] : self.byte_starts[b + 1]])
+            out[rows] = eval_bucket(
+                bits, size, sigs[rows], int(self.offsets[b]), st
+            )
+        return out
+
+    def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
+        """Append the MPHF index column to a DataFrame.
+
+        JVM-side ``xxhash64`` recomputes the signature; a scalar pandas UDF
+        over the broadcast descriptor does the bucket-grouped tree walk
+        (reference: ``RecSplitEvaluator.evaluate``, broadcast-join pattern
+        of SURVEY §3.2).
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        spark = df.sparkSession
+        bcast = spark.sparkContext.broadcast(self.to_bytes())
+
+        @pandas_udf(LongType())
+        def _mphf_eval(sig: pd.Series) -> pd.Series:
+            desc = _descriptor_from_broadcast(bcast)
+            return pd.Series(desc.evaluate_array(sig.to_numpy()))
+
+        sig_col = F.xxhash64(F.col(key_col).cast("string"), F.lit(self.salt))
+        return df.withColumn(out_col, _mphf_eval(sig_col))
+
+
+_EVAL_CACHE: dict[tuple, MPHFDescriptor] = {}
+
+
+def _descriptor_from_broadcast(bcast) -> MPHFDescriptor:
+    """Parse the broadcast descriptor once per worker process."""
+    raw = bcast.value
+    key = (len(raw), bytes(raw[:32]))
+    desc = _EVAL_CACHE.get(key)
+    if desc is None:
+        desc = MPHFDescriptor.from_bytes(raw)
+        _EVAL_CACHE[key] = desc
+    return desc
+
+
+class RecSplitBuilder:
+    """Distributed MPHF construction (reference: ``RecSplitBuilder``).
+
+    Parameters mirror the reference: ``leaf_size`` (1..20 practical),
+    ``avg_bucket_size`` (4..4096). ``partitions`` bounds kernel parallelism
+    (default: 2x the cluster's default parallelism). ``checkpoint_dir``
+    enables resumable builds: per-partition results (bucket-range blocks)
+    are persisted as parquet with lineage and reused on re-run.
+    """
+
+    def __init__(
+        self,
+        leaf_size: int = 8,
+        avg_bucket_size: int = 128,
+        salt: int = 0,
+        partitions: int | None = None,
+        checkpoint_dir: str | None = None,
+        max_salt_retries: int = 4,
+    ) -> None:
+        if not (1 <= leaf_size <= 20):
+            raise ValueError("leaf_size must be in [1, 20]")
+        if not (4 <= avg_bucket_size <= 4096):
+            raise ValueError("avg_bucket_size must be in [4, 4096]")
+        self.leaf_size = leaf_size
+        self.avg_bucket_size = avg_bucket_size
+        self.salt = salt
+        self.partitions = partitions
+        self.checkpoint_dir = checkpoint_dir
+        self.max_salt_retries = max_salt_retries
+
+    # -- public -------------------------------------------------------------
+    def build(self, df, key_col: str) -> MPHFDescriptor:
+        """Construct the MPHF over the distinct keys of ``df[key_col]``."""
+        from pyspark.sql import functions as F
+
+        keys = df.select(F.col(key_col).cast("string").alias("__key"))
+        n = keys.count()
+        if n == 0:
+            return MPHFDescriptor(
+                self.leaf_size, self.avg_bucket_size, self.salt, 0, 0,
+                np.zeros(1, np.int64), np.zeros(1, np.int64), b"",
+            )
+        salt = self.salt
+        last_err: Exception | None = None
+        for _attempt in range(self.max_salt_retries):
+            try:
+                return self._build_once(keys, n, salt)
+            except Exception as e:  # noqa: BLE001 — executor errors arrive as strings
+                msg = str(e)
+                if "duplicate 64-bit signature" in msg or "search exceeded" in msg:
+                    last_err = e
+                    salt += 1  # salt re-roll (north rule; Generator.java:465-469)
+                    continue
+                raise
+        raise RuntimeError(
+            f"MPHF build failed after {self.max_salt_retries} salt re-rolls "
+            f"(duplicate keys in input?): {last_err}"
+        )
+
+    # -- internals ------------------------------------------------------------
+    def _bucket_log2(self, n: int) -> int:
+        import math
+
+        target = max(1, round(n / self.avg_bucket_size))
+        return max(0, math.ceil(math.log2(target)))
+
+    def _build_once(self, keys, n: int, salt: int) -> MPHFDescriptor:
+        from pyspark.sql import functions as F
+
+        spark = keys.sparkSession
+        blog2 = self._bucket_log2(n)
+        bc = 1 << blog2
+        nparts = self.partitions or min(
+            bc, max(1, spark.sparkContext.defaultParallelism * 2)
+        )
+        nparts = min(nparts, bc)
+
+        sig = F.xxhash64(F.col("__key"), F.lit(salt))
+        sig_df = keys.select(sig.alias("sig"))
+        if blog2 == 0:
+            sig_df = sig_df.withColumn("bucket", F.lit(0).cast("long"))
+        else:
+            sig_df = sig_df.withColumn(
+                "bucket", F.shiftrightunsigned(F.col("sig"), 64 - blog2)
+            )
+
+        leaf_size = self.leaf_size
+        schema = (
+            "part_first_bucket long, min_bucket long, max_bucket long, "
+            "n_keys_total long, build_ns long, bucket_ids array<long>, "
+            "n_keys array<long>, byte_lens array<long>, blob binary"
+        )
+
+        def _kernel(batches):
+            import pandas as pd
+
+            t0 = time.time_ns()
+            chunks = list(batches)
+            if not chunks:
+                return
+            bids = np.concatenate([c["bucket"].to_numpy() for c in chunks])
+            sigs = np.concatenate([c["sig"].to_numpy() for c in chunks])
+            order = np.argsort(bids, kind="stable")
+            bids, sigs = bids[order], sigs[order]
+            st = get_settings(leaf_size)
+            uniq, n_keys, _bits, byte_lens, blob = build_buckets(bids, sigs, st)
+            yield pd.DataFrame(
+                {
+                    "part_first_bucket": [int(uniq[0])],
+                    "min_bucket": [int(uniq[0])],
+                    "max_bucket": [int(uniq[-1])],
+                    "n_keys_total": [int(n_keys.sum())],
+                    "build_ns": [time.time_ns() - t0],
+                    "bucket_ids": [uniq.tolist()],
+                    "n_keys": [n_keys.tolist()],
+                    "byte_lens": [byte_lens.tolist()],
+                    "blob": [blob],
+                }
+            )
+
+        parted = sig_df.repartitionByRange(nparts, "bucket").sortWithinPartitions(
+            "bucket"
+        )
+        blocks_df = parted.mapInPandas(_kernel, schema=schema)
+
+        if self.checkpoint_dir:
+            rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt)
+        else:
+            rows = blocks_df.collect()
+        return self._finalize(rows, n, salt, blog2)
+
+    def _run_with_checkpoint(self, spark, blocks_df, sig_df, salt):
+        """Resume-aware execution: completed bucket ranges are read from the
+        checkpoint parquet; only missing ranges are rebuilt (reference
+        analogue: the restartable HEM block loop, ``HemGenerator.java:48-70``).
+        """
+        from pyspark.sql import functions as F
+
+        path = f"{self.checkpoint_dir}/salt={salt}"
+        done_ranges: list[tuple[int, int]] = []
+        try:
+            existing = spark.read.parquet(path)
+            done_ranges = [
+                (r["min_bucket"], r["max_bucket"])
+                for r in existing.select("min_bucket", "max_bucket").collect()
+            ]
+        except Exception:  # noqa: BLE001 — no checkpoint yet
+            pass
+        if done_ranges:
+            cond = None
+            for lo, hi in done_ranges:
+                c = (F.col("bucket") >= lo) & (F.col("bucket") <= hi)
+                cond = c if cond is None else (cond | c)
+            remaining = sig_df.filter(~cond)
+            if remaining.limit(1).count() > 0:
+                # rebuild only missing ranges, preserving the kernel chain
+                rebuilt = self._rebuild_blocks(remaining, salt)
+                rebuilt.write.mode("append").parquet(path)
+        else:
+            blocks_df.write.mode("append").parquet(path)
+        final = spark.read.parquet(path)
+        rows = final.collect()
+        # de-duplicate ranges if a retry double-wrote (first wins)
+        seen: set[int] = set()
+        uniq_rows = []
+        for r in sorted(rows, key=lambda r: r["min_bucket"]):
+            if r["min_bucket"] not in seen:
+                seen.add(r["min_bucket"])
+                uniq_rows.append(r)
+        return uniq_rows
+
+    def _rebuild_blocks(self, remaining_sig_df, salt):
+        """Re-run the kernel over the remaining (not-yet-checkpointed) keys."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        leaf_size = self.leaf_size
+        schema = (
+            "part_first_bucket long, min_bucket long, max_bucket long, "
+            "n_keys_total long, build_ns long, bucket_ids array<long>, "
+            "n_keys array<long>, byte_lens array<long>, blob binary"
+        )
+
+        def _kernel(batches):
+            import pandas as pd
+
+            t0 = time.time_ns()
+            chunks = list(batches)
+            if not chunks:
+                return
+            bids = np.concatenate([c["bucket"].to_numpy() for c in chunks])
+            sigs = np.concatenate([c["sig"].to_numpy() for c in chunks])
+            order = np.argsort(bids, kind="stable")
+            bids, sigs = bids[order], sigs[order]
+            st = get_settings(leaf_size)
+            uniq, n_keys, _bits, byte_lens, blob = build_buckets(bids, sigs, st)
+            yield pd.DataFrame(
+                {
+                    "part_first_bucket": [int(uniq[0])],
+                    "min_bucket": [int(uniq[0])],
+                    "max_bucket": [int(uniq[-1])],
+                    "n_keys_total": [int(n_keys.sum())],
+                    "build_ns": [time.time_ns() - t0],
+                    "bucket_ids": [uniq.tolist()],
+                    "n_keys": [n_keys.tolist()],
+                    "byte_lens": [byte_lens.tolist()],
+                    "blob": [blob],
+                }
+            )
+
+        nparts = max(1, remaining_sig_df.sparkSession.sparkContext.defaultParallelism)
+        return (
+            remaining_sig_df.repartitionByRange(nparts, "bucket")
+            .sortWithinPartitions("bucket")
+            .mapInPandas(_kernel, schema=schema)
+        )
+
+    def _finalize(self, rows, n: int, salt: int, blog2: int) -> MPHFDescriptor:
+        """Associative merge: scatter per-bucket (n_keys, byte_len) into
+        dense arrays, recompute prefix sums, concatenate streams in bucket
+        order (M1-M3 of SURVEY §2.4 — order-independent by construction)."""
+        bc = 1 << blog2
+        sizes = np.zeros(bc, dtype=np.int64)
+        byte_lens = np.zeros(bc, dtype=np.int64)
+        rows = sorted(rows, key=lambda r: r["min_bucket"])
+        stream_parts: list[bytes] = []
+        total_keys = 0
+        for r in rows:
+            bids = np.asarray(r["bucket_ids"], dtype=np.int64)
+            sizes[bids] = np.asarray(r["n_keys"], dtype=np.int64)
+            byte_lens[bids] = np.asarray(r["byte_lens"], dtype=np.int64)
+            stream_parts.append(bytes(r["blob"]))
+            total_keys += int(r["n_keys_total"])
+        if total_keys != n:
+            raise RuntimeError(
+                f"bucket merge lost keys: {total_keys} != {n} (corrupt checkpoint?)"
+            )
+        offsets = np.zeros(bc + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        byte_starts = np.zeros(bc + 1, dtype=np.int64)
+        np.cumsum(byte_lens, out=byte_starts[1:])
+        stream = b"".join(stream_parts)
+        if len(stream) != int(byte_starts[-1]):
+            raise RuntimeError("stream length mismatch during merge")
+        return MPHFDescriptor(
+            self.leaf_size,
+            self.avg_bucket_size,
+            salt,
+            n,
+            blog2,
+            offsets,
+            byte_starts,
+            stream,
+        )
