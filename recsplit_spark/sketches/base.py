@@ -1,0 +1,145 @@
+"""Mergeable sketch UDAFs over Spark — common partial-aggregation plumbing.
+
+PySpark has no native UDAF extension point, so every sketch follows the
+classic two-phase pattern (SURVEY §2.7 "aggregations"):
+
+  stage 1 (map-side combine): one ``mapInPandas`` pass folds each partition
+      (optionally per group key) into a serialized sketch state — one output
+      row per (partition x key);
+  stage 2 (final): ``groupBy(keys).applyInPandas`` (or a driver-side reduce
+      for the global case) merges states. Merges are commutative +
+      associative monoid operations by construction, so ANY merge order
+      yields the same estimate (north-rule order-independence; verified by
+      shuffling partition counts in tests).
+
+Inputs are prepared JVM-side: hash sketches consume ``xxhash64(col)``
+(vectorized, no Python on raw values — input_hint), quantile sketches
+consume ``cast(col as double)``. At 100 TB the stage-1 pass is a single
+scan with map-side reduction to #partitions x #groups tiny rows — the
+shuffle moves kilobytes, not data.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import pandas as pd
+
+
+class MergeableSketch(ABC):
+    """A sketch monoid: (new_state, update, merge) + serialization."""
+
+    #: "hash" -> feed xxhash64(col) int64; "value" -> feed cast-to-double
+    input_kind: str = "hash"
+
+    # -- monoid core (numpy, Spark-free, unit-testable) ---------------------
+    @abstractmethod
+    def new_state(self): ...
+
+    @abstractmethod
+    def update(self, state, arr: np.ndarray) -> None:
+        """Fold a batch (int64 hashes or float64 values) into ``state``."""
+
+    @abstractmethod
+    def merge(self, a, b):
+        """Combine two states (commutative, associative)."""
+
+    @abstractmethod
+    def to_bytes(self, state) -> bytes: ...
+
+    @abstractmethod
+    def from_bytes(self, data: bytes): ...
+
+    def estimate(self, state) -> float:
+        """Scalar summary (cardinality etc.); optional per sketch."""
+        raise NotImplementedError
+
+    # -- Spark plumbing ------------------------------------------------------
+    def _input_expr(self, col: str):
+        from pyspark.sql import functions as F
+
+        if self.input_kind == "hash":
+            return F.xxhash64(F.col(col).cast("string")).alias("__in")
+        return F.col(col).cast("double").alias("__in")
+
+    def partials(self, df, col: str, keys: tuple[str, ...] = ()):
+        """Stage 1: DataFrame[keys..., state binary] — one row per
+        (partition x key)."""
+        sk = self
+        key_list = list(keys)
+        sel = [self._input_expr(col)] + key_list
+        src = df.select(*sel)
+        schema = (
+            ", ".join(f"{k} string" for k in key_list)
+            + (", " if key_list else "")
+            + "state binary"
+        )
+
+        def _fold(batches):
+            states: dict[tuple, object] = {}
+            for pdf in batches:
+                if key_list:
+                    for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
+                        kt = kv if isinstance(kv, tuple) else (kv,)
+                        st = states.get(kt)
+                        if st is None:
+                            st = sk.new_state()
+                            states[kt] = st
+                        sk.update(st, grp["__in"].to_numpy())
+                else:
+                    st = states.get(())
+                    if st is None:
+                        st = sk.new_state()
+                        states[()] = st
+                    sk.update(st, pdf["__in"].to_numpy())
+            if states:
+                rows = {
+                    k: [str(kt[i]) for kt in states] for i, k in enumerate(key_list)
+                }
+                rows["state"] = [sk.to_bytes(s) for s in states.values()]
+                yield pd.DataFrame(rows)
+
+        return src.mapInPandas(_fold, schema=schema)
+
+    def build(self, df, col: str):
+        """Global aggregate: fold the whole DataFrame into one state."""
+        rows = self.partials(df, col).collect()
+        state = self.new_state()
+        for r in rows:
+            state = self.merge(state, self.from_bytes(bytes(r["state"])))
+        return state
+
+    def aggregate(self, df, col: str, keys, est_col: str = "estimate"):
+        """Per-group estimates: DataFrame[keys..., est_col double]."""
+        sk = self
+        keys = tuple(keys)
+        parts = self.partials(df, col, keys)
+        schema = ", ".join(f"{k} string" for k in keys) + f", {est_col} double"
+
+        def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = sk.new_state()
+            for b in pdf["state"]:
+                state = sk.merge(state, sk.from_bytes(bytes(b)))
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out[est_col] = [float(sk.estimate(state))]
+            return pd.DataFrame(out)
+
+        return parts.groupBy(*keys).applyInPandas(_final, schema=schema)
+
+    def states_by_key(self, df, col: str, keys):
+        """Per-group merged states: DataFrame[keys..., state binary]."""
+        sk = self
+        keys = tuple(keys)
+        parts = self.partials(df, col, keys)
+        schema = ", ".join(f"{k} string" for k in keys) + ", state binary"
+
+        def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = sk.new_state()
+            for b in pdf["state"]:
+                state = sk.merge(state, sk.from_bytes(bytes(b)))
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out["state"] = [sk.to_bytes(state)]
+            return pd.DataFrame(out)
+
+        return parts.groupBy(*keys).applyInPandas(_final, schema=schema)

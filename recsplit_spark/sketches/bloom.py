@@ -1,0 +1,94 @@
+"""Bloom filter (membership pre-check; reference use-case README.md:10 —
+"usable as a static bloom filter" — and the xor-filter evaluator
+``src/main/c/filter/xor.c:118-128`` re-expressed as a mergeable bitmap).
+
+State: m-bit bitmap (packed uint8). k probes via double hashing from one
+xxhash64. Merge = bitwise OR. No false negatives; false-positive rate
+(1 - e^{-kn/m})^k for n inserted keys (published bound, asserted by tests).
+Sizing: m = ceil(-n ln fpr / ln(2)^2), k = max(1, round(m/n ln 2)).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import mix64
+from .base import MergeableSketch
+
+_HDR = struct.Struct("<4sQB")
+_MAGIC = b"BLM1"
+
+
+def _probe_positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(k, n) bit positions via Kirsch-Mitzenmacher double hashing."""
+    h1 = np.ascontiguousarray(h, dtype=np.int64)
+    h2 = mix64(h1.view(np.uint64)).view(np.int64) | np.int64(1)
+    j = np.arange(k, dtype=np.int64)[:, None]
+    mixed = h1[None, :] + j * h2[None, :]
+    pos = mixed % np.int64(m)
+    pos[pos < 0] += m
+    return pos
+
+
+class BloomFilter(MergeableSketch):
+    input_kind = "hash"
+
+    def __init__(self, n_expected: int, fpr: float = 0.01) -> None:
+        if n_expected <= 0:
+            raise ValueError("n_expected must be positive")
+        self.n_expected = n_expected
+        self.fpr = fpr
+        self.m = max(64, int(math.ceil(-n_expected * math.log(fpr) / math.log(2) ** 2)))
+        self.k = max(1, round(self.m / n_expected * math.log(2)))
+
+    def expected_fpr(self, n_inserted: int) -> float:
+        return (1.0 - math.exp(-self.k * n_inserted / self.m)) ** self.k
+
+    # -- monoid ---------------------------------------------------------------
+    def new_state(self) -> np.ndarray:
+        return np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    def update(self, state: np.ndarray, arr: np.ndarray) -> None:
+        if len(arr) == 0:
+            return
+        pos = _probe_positions(arr, self.k, self.m).ravel()
+        np.bitwise_or.at(state, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return a | b
+
+    def to_bytes(self, state: np.ndarray) -> bytes:
+        return _HDR.pack(_MAGIC, self.m, self.k) + state.tobytes()
+
+    def from_bytes(self, data: bytes) -> np.ndarray:
+        magic, m, k = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC or (m, k) != (self.m, self.k):
+            raise ValueError("Bloom state mismatch")
+        return np.frombuffer(data, dtype=np.uint8, offset=_HDR.size).copy()
+
+    # -- queries ----------------------------------------------------------------
+    def contains_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
+        pos = _probe_positions(h, self.k, self.m)  # (k, n)
+        bits = (state[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+        return bits.all(axis=0)
+
+    def might_contain(self, df, col: str, state: np.ndarray, out_col: str = "might_contain"):
+        """Append a boolean membership column (broadcast filter, JVM-side
+        hashing — the classic semi-join pre-filter at scale)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        sk = self
+        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes(state))
+
+        @pandas_udf(BooleanType())
+        def _q(h: pd.Series) -> pd.Series:
+            st = sk.from_bytes(bcast.value)
+            return pd.Series(sk.contains_hashes(st, h.to_numpy()))
+
+        return df.withColumn(out_col, _q(F.xxhash64(F.col(col).cast("string"))))

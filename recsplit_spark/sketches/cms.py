@@ -1,0 +1,102 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005).
+
+State: (d x w) int64 counters. Row i uses the double-hashing family
+h_i(x) = (h1(x) + i * h2(x)) mod w (Kirsch-Mitzenmacher), both derived from
+the one JVM-side xxhash64. Merge = elementwise add. Point-query guarantee:
+  true <= est <= true + eps * N  with prob >= 1 - delta,
+for w = ceil(e / eps), d = ceil(ln(1 / delta)) — asserted by tests.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import mix64
+from .base import MergeableSketch
+
+_HDR = struct.Struct("<4sII")
+_MAGIC = b"CMS1"
+
+
+def _rows_cols(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices for hashes ``h`` via double hashing."""
+    h1 = np.ascontiguousarray(h, dtype=np.int64)
+    h2 = mix64(h1.view(np.uint64)).view(np.int64) | np.int64(1)
+    i = np.arange(d, dtype=np.int64)[:, None]
+    mixed = h1[None, :] + i * h2[None, :]
+    # int64 throughout (uint64 ufuncs are slow here); fold negatives
+    cols = mixed % np.int64(w)
+    cols[cols < 0] += w
+    return cols
+
+
+class CountMinSketch(MergeableSketch):
+    input_kind = "hash"
+
+    def __init__(self, eps: float = 0.001, delta: float = 0.01) -> None:
+        self.eps = eps
+        self.delta = delta
+        self.w = int(math.ceil(math.e / eps))
+        self.d = int(math.ceil(math.log(1.0 / delta)))
+
+    # -- monoid ---------------------------------------------------------------
+    def new_state(self) -> np.ndarray:
+        return np.zeros((self.d, self.w), dtype=np.int64)
+
+    def update(self, state: np.ndarray, arr: np.ndarray) -> None:
+        if len(arr) == 0:
+            return
+        cols = _rows_cols(arr, self.d, self.w)
+        for i in range(self.d):
+            np.add.at(state[i], cols[i], 1)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return a + b
+
+    def to_bytes(self, state: np.ndarray) -> bytes:
+        return _HDR.pack(_MAGIC, self.d, self.w) + state.tobytes()
+
+    def from_bytes(self, data: bytes) -> np.ndarray:
+        magic, d, w = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC or (d, w) != (self.d, self.w):
+            raise ValueError("CMS state mismatch")
+        return (
+            np.frombuffer(data, dtype=np.int64, offset=_HDR.size)
+            .reshape(d, w)
+            .copy()
+        )
+
+    def total(self, state: np.ndarray) -> int:
+        return int(state[0].sum())
+
+    # -- queries ----------------------------------------------------------------
+    def query_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
+        """Point-frequency estimates for int64 hashes."""
+        cols = _rows_cols(h, self.d, self.w)
+        ests = np.stack([state[i][cols[i]] for i in range(self.d)])
+        return ests.min(axis=0)
+
+    def frequencies(self, df, col: str, state: np.ndarray):
+        """DataFrame[col, freq_est] for every distinct value of ``col``.
+
+        Hashing happens JVM-side with the same expression used by
+        ``update``, so driver code never re-implements xxhash64.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        sk = self
+        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes(state))
+
+        @pandas_udf(LongType())
+        def _q(h: pd.Series) -> pd.Series:
+            st = sk.from_bytes(bcast.value)
+            return pd.Series(sk.query_hashes(st, h.to_numpy()))
+
+        hashed = F.xxhash64(F.col(col).cast("string"))
+        return df.select(col).distinct().withColumn("freq_est", _q(hashed))

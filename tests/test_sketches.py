@@ -1,0 +1,195 @@
+"""Sketch monoid tests (no Spark): published error bounds, merge
+order-independence, serialization round-trips (SURVEY §5 mapping #3)."""
+
+import numpy as np
+import pytest
+
+from recsplit_spark.hashing import mix64
+from recsplit_spark.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _hashes(n, seed=0):
+    return mix64((np.arange(n) + seed * 10**9).astype(np.uint64)).view(np.int64)
+
+
+# -- HLL ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [100, 10_000, 500_000])
+def test_hll_error_bound(n):
+    hll = HyperLogLog(p=14)
+    st = hll.new_state()
+    hll.update(st, _hashes(n))
+    est = hll.estimate(st)
+    assert abs(est - n) / n < 3 * hll.relative_error  # 3 sigma
+
+
+def test_hll_merge_order_independent():
+    hll = HyperLogLog(p=12)
+    h = _hashes(90_000)
+    chunks = np.array_split(h, 7)
+    states = []
+    for c in chunks:
+        s = hll.new_state()
+        hll.update(s, c)
+        states.append(s)
+    ref = states[0]
+    for s in states[1:]:
+        ref = hll.merge(ref, s)
+    perm = [states[i] for i in RNG.permutation(7)]
+    alt = perm[0]
+    for s in perm[1:]:
+        alt = hll.merge(alt, s)
+    assert hll.to_bytes(ref) == hll.to_bytes(alt)
+
+
+def test_hll_serialization_roundtrip():
+    hll = HyperLogLog(p=10)
+    st = hll.new_state()
+    hll.update(st, _hashes(1000))
+    st2 = hll.from_bytes(hll.to_bytes(st))
+    assert hll.estimate(st2) == hll.estimate(st)
+
+
+def test_hll_duplicates_dont_inflate():
+    hll = HyperLogLog(p=12)
+    h = _hashes(1000)
+    st = hll.new_state()
+    for _ in range(5):
+        hll.update(st, h)
+    assert abs(hll.estimate(st) - 1000) / 1000 < 3 * hll.relative_error
+
+
+# -- CMS ----------------------------------------------------------------------
+
+def test_cms_bounds():
+    cms = CountMinSketch(eps=0.001, delta=0.01)
+    vals = RNG.integers(0, 200, size=50_000)
+    h_all = mix64(vals.astype(np.uint64)).view(np.int64)
+    st = cms.new_state()
+    cms.update(st, h_all)
+    uniq = np.unique(vals)
+    q = cms.query_hashes(st, mix64(uniq.astype(np.uint64)).view(np.int64))
+    true = np.bincount(vals)[uniq]
+    assert (q >= true).all()  # never undercounts
+    assert (q <= true + cms.eps * 50_000).all()
+
+
+def test_cms_merge_linear():
+    cms = CountMinSketch(eps=0.01, delta=0.05)
+    a, b = cms.new_state(), cms.new_state()
+    cms.update(a, _hashes(500))
+    cms.update(b, _hashes(500))  # same values again
+    m = cms.merge(a, b)
+    q = cms.query_hashes(m, _hashes(500))
+    assert (q >= 2).all()
+    assert cms.total(m) == 1000
+    st2 = cms.from_bytes(cms.to_bytes(m))
+    assert (st2 == m).all()
+
+
+# -- Bloom ----------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr():
+    bl = BloomFilter(n_expected=20_000, fpr=0.01)
+    members = _hashes(20_000)
+    st = bl.new_state()
+    bl.update(st, members)
+    assert bl.contains_hashes(st, members).all()
+    others = _hashes(100_000, seed=5)
+    fpr = bl.contains_hashes(st, others).mean()
+    assert fpr < 2.0 * bl.expected_fpr(20_000)
+
+
+def test_bloom_merge_is_union():
+    bl = BloomFilter(n_expected=2000, fpr=0.01)
+    a, b = bl.new_state(), bl.new_state()
+    ha, hb = _hashes(1000), _hashes(1000, seed=3)
+    bl.update(a, ha)
+    bl.update(b, hb)
+    m = bl.merge(a, b)
+    assert bl.contains_hashes(m, ha).all() and bl.contains_hashes(m, hb).all()
+    m2 = bl.from_bytes(bl.to_bytes(bl.merge(b, a)))
+    assert (m2 == m).all()
+
+
+# -- KLL ----------------------------------------------------------------------
+
+def test_kll_rank_error_bound():
+    kll = KLL(k=256)
+    data = RNG.normal(0, 1, 200_000)
+    st = kll.new_state()
+    for chunk in np.array_split(data, 10):
+        kll.update(st, chunk)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = kll.quantile(st, q)
+        rank_err = abs((data <= est).mean() - q)
+        assert rank_err < kll.epsilon, (q, rank_err)
+
+
+def test_kll_merge_error_bound():
+    kll = KLL(k=256)
+    data = RNG.exponential(5.0, 100_000)
+    parts = np.array_split(data, 8)
+    states = []
+    for p in parts:
+        s = kll.new_state()
+        kll.update(s, p)
+        states.append(kll.from_bytes(kll.to_bytes(s)))
+    merged = states[0]
+    for s in states[1:]:
+        merged = kll.merge(merged, s)
+    assert merged.count == 100_000
+    for q in (0.1, 0.5, 0.9):
+        est = kll.quantile(merged, q)
+        assert abs((data <= est).mean() - q) < 2 * kll.epsilon
+
+
+def test_kll_extremes():
+    kll = KLL(k=64)
+    data = np.arange(10_000, dtype=np.float64)
+    st = kll.new_state()
+    kll.update(st, data)
+    assert kll.quantile(st, 0.0) == 0.0
+    assert kll.quantile(st, 1.0) == 9999.0
+
+
+# -- t-digest ----------------------------------------------------------------------
+
+def test_tdigest_rank_error():
+    td = TDigest(compression=200)
+    data = RNG.lognormal(0, 2, 200_000)
+    st = td.new_state()
+    for chunk in np.array_split(data, 10):
+        td.update(st, chunk)
+    assert len(st.means) <= td.compression + 2  # size bound
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = td.quantile(st, q)
+        rank_err = abs((data <= est).mean() - q)
+        # k1 scale: mid-range error ~ O(1/delta), tails tighter
+        assert rank_err < 4.0 / td.compression, (q, rank_err)
+
+
+def test_tdigest_merge_and_serde():
+    td = TDigest(compression=100)
+    data = RNG.normal(10, 3, 60_000)
+    parts = np.array_split(data, 6)
+    states = []
+    for p in parts:
+        s = td.new_state()
+        td.update(s, p)
+        states.append(td.from_bytes(td.to_bytes(s)))
+    m = states[0]
+    for s in states[1:]:
+        m = td.merge(m, s)
+    assert m.count == 60_000
+    est = td.quantile(m, 0.5)
+    assert abs((data <= est).mean() - 0.5) < 0.02
+    assert td.cdf(m, np.quantile(data, 0.9)) == pytest.approx(0.9, abs=0.02)

@@ -1,0 +1,139 @@
+"""Sketch UDAFs on Spark: estimates vs exact groupBy answers and vs Spark
+built-in oracles (approx_count_distinct / percentile_approx); partition-count
+invariance of merged results (FIXTURES.md F5)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recsplit_spark.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    df.count()
+    return df
+
+
+def test_hll_vs_exact_and_builtin(spark, lineitem):
+    hll = HyperLogLog(p=14)
+    est = hll.count_distinct(lineitem, "l_orderkey")
+    exact = lineitem.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    assert abs(est - exact) / exact < 3 * hll.relative_error
+    builtin = lineitem.select(
+        F.approx_count_distinct("l_orderkey", rsd=hll.relative_error)
+    ).collect()[0][0]
+    assert abs(est - builtin) / exact < 6 * hll.relative_error
+
+
+def test_hll_per_group(spark, lineitem):
+    hll = HyperLogLog(p=14)
+    got = {
+        r["l_returnflag"]: r["estimate"]
+        for r in hll.aggregate(lineitem, "l_orderkey", ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, d in exact.items():
+        assert abs(got[k] - d) / d < 3 * hll.relative_error
+
+
+def test_hll_partition_count_invariance(spark, lineitem):
+    """Merged sketch bytes identical regardless of partitioning — the
+    north-rule order-independent merge, observed end-to-end."""
+    hll = HyperLogLog(p=12)
+    s1 = hll.build(lineitem.repartition(3), "l_orderkey")
+    s2 = hll.build(lineitem.repartition(13), "l_orderkey")
+    assert hll.to_bytes(s1) == hll.to_bytes(s2)
+
+
+def test_cms_frequencies_vs_exact(spark, lineitem):
+    cms = CountMinSketch(eps=0.0005, delta=0.01)
+    n = lineitem.count()
+    state = cms.build(lineitem, "l_returnflag")
+    assert cms.total(state) == n
+    got = {
+        r["l_returnflag"]: r["freq_est"]
+        for r in cms.frequencies(lineitem, "l_returnflag", state).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["cnt"]
+        for r in lineitem.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    for k, c in exact.items():
+        assert c <= got[k] <= c + cms.eps * n
+
+
+def test_bloom_semi_join_prefilter(spark, sf_dir):
+    """Membership pre-check: every orders.o_custkey is in customer (FK), so
+    the filter must pass ALL rows (no false negatives) — the 100TB use-case
+    is pre-filtering a huge fact table before a shuffle join."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = customer.count()
+    bl = BloomFilter(n_expected=n_cust, fpr=0.01)
+    state = bl.build(customer, "c_custkey")
+    flagged = bl.might_contain(orders, "o_custkey", state)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+    # negative probe: keys far outside the custkey domain
+    fake = spark.range(10_000).select((F.col("id") + 10_000_000).alias("k"))
+    fp = bl.might_contain(fake, "k", state).filter(F.col("might_contain")).count()
+    assert fp / 10_000 < 2.0 * bl.expected_fpr(n_cust)
+
+
+def test_kll_quantiles_vs_exact(spark, lineitem):
+    kll = KLL(k=256)
+    state = kll.build(lineitem, "l_extendedprice")
+    vals = np.array(
+        [r["l_extendedprice"] for r in lineitem.select("l_extendedprice").collect()]
+    )
+    for q in (0.05, 0.5, 0.95):
+        est = kll.quantile(state, q)
+        assert abs((vals <= est).mean() - q) < kll.epsilon
+    # vs Spark built-in
+    pa = lineitem.select(
+        F.percentile_approx("l_extendedprice", [0.05, 0.5, 0.95], 10000)
+    ).collect()[0][0]
+    for q, b in zip((0.05, 0.5, 0.95), pa):
+        assert abs((vals <= kll.quantile(state, q)).mean() - (vals <= b).mean()) < 0.02
+
+
+def test_tdigest_per_group(spark, lineitem):
+    td = TDigest(compression=200)
+    med = {
+        r["l_linestatus"]: r["median_est"]
+        for r in td.aggregate(
+            lineitem, "l_quantity", ["l_linestatus"], est_col="median_est"
+        ).collect()
+    }
+    for flag, est in med.items():
+        vals = np.array(
+            [
+                r["l_quantity"]
+                for r in lineitem.filter(F.col("l_linestatus") == flag)
+                .select("l_quantity")
+                .collect()
+            ]
+        )
+        assert abs((vals <= est).mean() - 0.5) < 0.05
+
+
+def test_tdigest_partition_invariance_estimates(spark, lineitem):
+    td = TDigest(compression=100)
+    s1 = td.build(lineitem.repartition(2), "l_extendedprice")
+    s2 = td.build(lineitem.repartition(11), "l_extendedprice")
+    for q in (0.1, 0.5, 0.9):
+        a, b = td.quantile(s1, q), td.quantile(s2, q)
+        assert abs(a - b) / max(abs(a), 1e-9) < 0.02
