@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR.
+
+Default run prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Modes:
+  python bench.py                  # single run at $SPARK_GRAFT_CPUS (def 32)
+  python bench.py --cores 8        # override parallelism
+  python bench.py --scaling        # run at N=8 and 4N=32 cores in separate
+                                   # processes, report throughput + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_value(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_suite(cores: int) -> dict:
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import get_spark, ship_package
+    from recsplit_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLL,
+        TDigest,
+    )
+
+    spark = get_spark(app_name=f"recsplit-bench-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    # warm the python worker pool (imports numpy/package per worker) so the
+    # first timed section doesn't pay one-time JVM/worker spawn costs
+    def _warm(batches):
+        import pandas as pdd
+        from recsplit_spark.settings import get_settings as _gs
+        _gs(8)
+        for b in batches:
+            yield pdd.DataFrame({"n": [len(b)]})
+    spark.range(0, 10_000, 1, cores).toDF("sig").mapInPandas(_warm, "n long").count()
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    n_rows = li.count()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+    events.count()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").cache()
+    n_cust = cust.count()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").cache()
+    orders.count()
+
+    keys = (
+        li.select(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("pk")
+        )
+        .distinct()
+        .cache()
+    )
+    n_keys = keys.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # -- MPHF -----------------------------------------------------------------
+    with timed("mphf_build"):
+        desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(keys, "pk")
+    extra["mphf_keys"] = n_keys
+    extra["mphf_bits_per_key"] = round(desc.bits_per_key, 4)
+    extra["mphf_build_keys_per_sec"] = round(n_keys / timings["mphf_build"], 1)
+
+    desc2 = MPHFDescriptor.from_bytes(desc.to_bytes())
+    with timed("mphf_eval"):
+        stats = (
+            desc2.evaluate(keys, "pk")
+            .agg(
+                F.countDistinct("mphf_index").alias("d"),
+                F.max("mphf_index").alias("mx"),
+            )
+            .collect()[0]
+        )
+    assert stats["d"] == n_keys and stats["mx"] == n_keys - 1, "bijection violated"
+    extra["mphf_eval_keys_per_sec"] = round(n_keys / timings["mphf_eval"], 1)
+
+    # -- sketches ---------------------------------------------------------------
+    hll = HyperLogLog(p=14)
+    with timed("hll_distinct_orderkey"):
+        est = hll.count_distinct(li, "l_orderkey")
+    extra["hll_estimate"] = round(est, 1)
+
+    with timed("hll_by_event_type"):
+        hll.aggregate(events, "user_id", ["event_type"]).collect()
+
+    cms = CountMinSketch(eps=0.0005, delta=0.01)
+    with timed("cms_returnflag"):
+        st = cms.build(li, "l_returnflag")
+        cms.frequencies(li, "l_returnflag", st).collect()
+
+    bl = BloomFilter(n_expected=max(64, n_cust), fpr=0.01)
+    with timed("bloom_prefilter_orders"):
+        bst = bl.build(cust, "c_custkey")
+        bl.might_contain(orders, "o_custkey", bst).filter("might_contain").count()
+
+    kll = KLL(k=256)
+    with timed("kll_price_quantiles"):
+        ks = kll.build(li, "l_extendedprice")
+        kll.quantile(ks, [0.01, 0.1, 0.5, 0.9, 0.99])
+
+    td = TDigest(compression=200)
+    with timed("tdigest_event_value"):
+        ts = td.build(events, "value")
+        td.quantile(ts, [0.01, 0.5, 0.99])
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "recsplit_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(SF_DIR),
+        "cores": cores,
+        "rows_lineitem": n_rows,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    """N vs 4N cores (local[8] vs local[32]) in separate processes —
+    the sandbox stand-in for two cluster sizes (BASELINE.md)."""
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SUBPROC": "1"},
+            check=True,
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    thr8 = results[8]["mphf_build_keys_per_sec"]
+    thr32 = results[32]["mphf_build_keys_per_sec"]
+    return {
+        "metric": "scaling efficiency N(8) -> 4N(32) cores",
+        "value": round((thr32 / thr8) / 4.0, 3),
+        "unit": "efficiency",
+        "suite_sec_8": t8,
+        "suite_sec_32": t32,
+        "mphf_build_keys_per_sec_8": thr8,
+        "mphf_build_keys_per_sec_32": thr32,
+        "suite_speedup": round(t8 / t32, 2),
+        "sf": _sf_value(SF_DIR),
+    }
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        print(json.dumps(run_scaling()))
+    else:
+        cores = CPUS
+        if "--cores" in args:
+            cores = int(args[args.index("--cores") + 1])
+        print(json.dumps(run_suite(cores)))

@@ -211,6 +211,47 @@ def _descriptor_from_broadcast(bcast) -> MPHFDescriptor:
     return desc
 
 
+_BLOCK_SCHEMA = (
+    "part_first_bucket long, min_bucket long, max_bucket long, "
+    "n_keys_total long, build_ns long, bucket_ids array<long>, "
+    "n_keys array<long>, byte_lens array<long>, blob binary"
+)
+
+
+def _make_kernel(leaf_size: int, avg_bucket_size: int):
+    """Partition kernel closure. The Settings rule table is derived ONCE on
+    the driver and shipped inside the closure (plain lists pickle fast);
+    workers skip the DP entirely unless an oversized bucket forces growth."""
+    settings = get_settings(leaf_size)
+    settings.ensure(4 * avg_bucket_size + 256)
+
+    def _kernel(batches):
+        t0 = time.time_ns()
+        chunks = list(batches)
+        if not chunks:
+            return
+        bids = np.concatenate([c["bucket"].to_numpy() for c in chunks])
+        sigs = np.concatenate([c["sig"].to_numpy() for c in chunks])
+        order = np.argsort(bids, kind="stable")
+        bids, sigs = bids[order], sigs[order]
+        uniq, n_keys, _bits, byte_lens, blob = build_buckets(bids, sigs, settings)
+        yield pd.DataFrame(
+            {
+                "part_first_bucket": [int(uniq[0])],
+                "min_bucket": [int(uniq[0])],
+                "max_bucket": [int(uniq[-1])],
+                "n_keys_total": [int(n_keys.sum())],
+                "build_ns": [time.time_ns() - t0],
+                "bucket_ids": [uniq.tolist()],
+                "n_keys": [n_keys.tolist()],
+                "byte_lens": [byte_lens.tolist()],
+                "blob": [blob],
+            }
+        )
+
+    return _kernel
+
+
 class RecSplitBuilder:
     """Distributed MPHF construction (reference: ``RecSplitBuilder``).
 
@@ -283,9 +324,7 @@ class RecSplitBuilder:
         spark = keys.sparkSession
         blog2 = self._bucket_log2(n)
         bc = 1 << blog2
-        nparts = self.partitions or min(
-            bc, max(1, spark.sparkContext.defaultParallelism * 2)
-        )
+        nparts = self.partitions or max(1, spark.sparkContext.defaultParallelism)
         nparts = min(nparts, bc)
 
         sig = F.xxhash64(F.col("__key"), F.lit(salt))
@@ -297,44 +336,11 @@ class RecSplitBuilder:
                 "bucket", F.shiftrightunsigned(F.col("sig"), 64 - blog2)
             )
 
-        leaf_size = self.leaf_size
-        schema = (
-            "part_first_bucket long, min_bucket long, max_bucket long, "
-            "n_keys_total long, build_ns long, bucket_ids array<long>, "
-            "n_keys array<long>, byte_lens array<long>, blob binary"
-        )
-
-        def _kernel(batches):
-            import pandas as pd
-
-            t0 = time.time_ns()
-            chunks = list(batches)
-            if not chunks:
-                return
-            bids = np.concatenate([c["bucket"].to_numpy() for c in chunks])
-            sigs = np.concatenate([c["sig"].to_numpy() for c in chunks])
-            order = np.argsort(bids, kind="stable")
-            bids, sigs = bids[order], sigs[order]
-            st = get_settings(leaf_size)
-            uniq, n_keys, _bits, byte_lens, blob = build_buckets(bids, sigs, st)
-            yield pd.DataFrame(
-                {
-                    "part_first_bucket": [int(uniq[0])],
-                    "min_bucket": [int(uniq[0])],
-                    "max_bucket": [int(uniq[-1])],
-                    "n_keys_total": [int(n_keys.sum())],
-                    "build_ns": [time.time_ns() - t0],
-                    "bucket_ids": [uniq.tolist()],
-                    "n_keys": [n_keys.tolist()],
-                    "byte_lens": [byte_lens.tolist()],
-                    "blob": [blob],
-                }
-            )
-
+        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
         parted = sig_df.repartitionByRange(nparts, "bucket").sortWithinPartitions(
             "bucket"
         )
-        blocks_df = parted.mapInPandas(_kernel, schema=schema)
+        blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
 
         if self.checkpoint_dir:
             rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt)
@@ -384,47 +390,12 @@ class RecSplitBuilder:
 
     def _rebuild_blocks(self, remaining_sig_df, salt):
         """Re-run the kernel over the remaining (not-yet-checkpointed) keys."""
-        from pyspark.sql import functions as F  # noqa: F401
-
-        leaf_size = self.leaf_size
-        schema = (
-            "part_first_bucket long, min_bucket long, max_bucket long, "
-            "n_keys_total long, build_ns long, bucket_ids array<long>, "
-            "n_keys array<long>, byte_lens array<long>, blob binary"
-        )
-
-        def _kernel(batches):
-            import pandas as pd
-
-            t0 = time.time_ns()
-            chunks = list(batches)
-            if not chunks:
-                return
-            bids = np.concatenate([c["bucket"].to_numpy() for c in chunks])
-            sigs = np.concatenate([c["sig"].to_numpy() for c in chunks])
-            order = np.argsort(bids, kind="stable")
-            bids, sigs = bids[order], sigs[order]
-            st = get_settings(leaf_size)
-            uniq, n_keys, _bits, byte_lens, blob = build_buckets(bids, sigs, st)
-            yield pd.DataFrame(
-                {
-                    "part_first_bucket": [int(uniq[0])],
-                    "min_bucket": [int(uniq[0])],
-                    "max_bucket": [int(uniq[-1])],
-                    "n_keys_total": [int(n_keys.sum())],
-                    "build_ns": [time.time_ns() - t0],
-                    "bucket_ids": [uniq.tolist()],
-                    "n_keys": [n_keys.tolist()],
-                    "byte_lens": [byte_lens.tolist()],
-                    "blob": [blob],
-                }
-            )
-
+        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
         nparts = max(1, remaining_sig_df.sparkSession.sparkContext.defaultParallelism)
         return (
             remaining_sig_df.repartitionByRange(nparts, "bucket")
             .sortWithinPartitions("bucket")
-            .mapInPandas(_kernel, schema=schema)
+            .mapInPandas(kernel, schema=_BLOCK_SCHEMA)
         )
 
     def _finalize(self, rows, n: int, salt: int, blog2: int) -> MPHFDescriptor:
