@@ -249,6 +249,123 @@ def _q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_token_count(docs, "text")
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+def _q_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_fingerprint(docs, "text")
+    # hash-collision-free on this cardinality => distinct fingerprints ==
+    # distinct whitespace-normalized texts (the oracle computes the latter)
+    return out.agg(F.countDistinct("fingerprint").alias("n_distinct_norm"))
+
+
+def _q_ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    top = ann.brute_force_topk(emb, "embedding", q, k=5)
+    return top.select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    idx = ann.IVFIndex(n_centroids=8, nprobe=3).fit(emb, "embedding")
+    indexed = idx.assign(emb, "embedding").cache()
+    hits = total = 0
+    for qid in (3, 50, 200):
+        q = np.array(
+            emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0],
+            dtype=np.float64,
+        )
+        exact = {r["vec_id"] for r in ann.brute_force_topk(emb, "embedding", q, 10).collect()}
+        got = {r["vec_id"] for r in idx.search(indexed, "embedding", q, 10).collect()}
+        hits += len(exact & got)
+        total += 10
+    return spark.createDataFrame(
+        [(float(3 / 8), bool(hits / total >= 0.5))],
+        "probe_frac double, recall_above_half boolean",
+    )
+
+
+def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (LSH candidates are probabilistic): candidate pairs
+    with verified shingle-Jaccard >= 0.8 on the documents table."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import dedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+    verified = dedup.jaccard_pairs(docs, pairs, "doc_id", "text")
+    return verified.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+
+
+def _q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash pairs within Hamming distance 3."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import dedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: predicted-language distribution over documents."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.with_lang_id(docs, "text")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -261,6 +378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "distinct_users_exact": _q_distinct_users_exact,
+        "token_stats_documents": _q_token_stats_documents,
+        "fingerprint_distinct": _q_fingerprint_distinct,
+        "ann_bruteforce_top5": _q_ann_bruteforce_top5,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
+        "lang_id_documents": _q_lang_id_documents,
     }
 
 
@@ -313,4 +437,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_events FROM events"
             " GROUP BY event_type ORDER BY event_type"
         ),
+        "token_stats_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,"
+            " CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,"
+            " CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens"
+            " FROM documents"
+        ),
+        "fingerprint_distinct": (
+            "SELECT CAST(count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)"
+            " AS n_distinct_norm FROM documents"
+        ),
+        "ann_bruteforce_top5": (
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings"
+            " ORDER BY list_cosine_similarity(embedding,"
+            " (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, vec_id"
+            " LIMIT 5"
+        ),
+        "ann_ivf_recall": (
+            "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
+        ),
+        # minhash_near_dup_pairs, simhash_near_dup_pairs, lang_id_documents:
+        # intentionally no oracle (probabilistic candidates / heuristic) ->
+        # driver records the weaker rows-only check
     }

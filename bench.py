@@ -154,41 +154,104 @@ def run_suite(cores: int) -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scaling_child(cores: int, n_keys: int) -> dict:
+    """One measurement point: MPHF build + HLL over n deterministic 64-bit
+    keys (FIXTURES.md F2: xxhash64 over spark.range — no I/O, compute-bound,
+    so the number reflects engine scaling, not parquet scan setup)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import get_spark, ship_package
+    from recsplit_spark.sketches import HyperLogLog
+
+    spark = get_spark(app_name=f"recsplit-scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _warm(batches):
+        import pandas as pdd
+        from recsplit_spark.settings import get_settings as _gs
+
+        _gs(8)
+        for b in batches:
+            yield pdd.DataFrame({"n": [len(b)]})
+
+    spark.range(0, 10_000, 1, cores).toDF("sig").mapInPandas(_warm, "n long").count()
+
+    keys = spark.range(0, n_keys, 1, cores * 4).select(
+        F.xxhash64("id").alias("key")
+    )
+    t0 = time.time()
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(keys, "key", n=n_keys)
+    build_s = time.time() - t0
+    t0 = time.time()
+    stats = (
+        MPHFDescriptor.from_bytes(desc.to_bytes())
+        .evaluate(keys, "key")
+        .agg({"mphf_index": "max"})
+        .collect()[0][0]
+    )
+    eval_s = time.time() - t0
+    assert stats == n_keys - 1
+    hll = HyperLogLog(p=14)
+    t0 = time.time()
+    hll.count_distinct(keys, "key")
+    hll_s = time.time() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_keys": n_keys,
+        "mphf_build_sec": round(build_s, 2),
+        "mphf_build_keys_per_sec": round(n_keys / build_s, 1),
+        "mphf_eval_sec": round(eval_s, 2),
+        "hll_sec": round(hll_s, 2),
+        "bits_per_key": round(desc.bits_per_key, 4),
+    }
+
+
+def run_scaling(n_keys: int = 8_000_000) -> dict:
     """N vs 4N cores (local[8] vs local[32]) in separate processes —
-    the sandbox stand-in for two cluster sizes (BASELINE.md)."""
+    the sandbox stand-in for two cluster sizes (BASELINE.md). Measured at a
+    size where kernel compute dominates Spark fixed costs."""
     results = {}
     for cores in (8, 32):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--json-only"],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--scaling-child",
+                "--cores",
+                str(cores),
+                "--n",
+                str(n_keys),
+            ],
             capture_output=True,
             text=True,
-            env={**os.environ, "SPARK_GRAFT_SUBPROC": "1"},
             check=True,
         )
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8, t32 = results[8]["value"], results[32]["value"]
     thr8 = results[8]["mphf_build_keys_per_sec"]
     thr32 = results[32]["mphf_build_keys_per_sec"]
     return {
-        "metric": "scaling efficiency N(8) -> 4N(32) cores",
+        "metric": "scaling efficiency N(8) -> 4N(32) cores, MPHF build",
         "value": round((thr32 / thr8) / 4.0, 3),
         "unit": "efficiency",
-        "suite_sec_8": t8,
-        "suite_sec_32": t32,
-        "mphf_build_keys_per_sec_8": thr8,
-        "mphf_build_keys_per_sec_32": thr32,
-        "suite_speedup": round(t8 / t32, 2),
-        "sf": _sf_value(SF_DIR),
+        "n_keys": n_keys,
+        "point_8": results[8],
+        "point_32": results[32],
     }
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    if "--scaling" in args:
-        print(json.dumps(run_scaling()))
+    cores = CPUS
+    if "--cores" in args:
+        cores = int(args[args.index("--cores") + 1])
+    if "--scaling-child" in args:
+        n = int(args[args.index("--n") + 1]) if "--n" in args else 8_000_000
+        print(json.dumps(run_scaling_child(cores, n)))
+    elif "--scaling" in args:
+        n = int(args[args.index("--n") + 1]) if "--n" in args else 8_000_000
+        print(json.dumps(run_scaling(n)))
     else:
-        cores = CPUS
-        if "--cores" in args:
-            cores = int(args[args.index("--cores") + 1])
         print(json.dumps(run_suite(cores)))

@@ -1,0 +1,190 @@
+"""Vectorized MPHF evaluation (the fast path behind MPHFDescriptor).
+
+Two-stage design mirroring the build wavefront (reference evaluator:
+``RecSplitEvaluator.evaluate`` + ``skip``, ``RecSplitEvaluator.java:68-176``):
+
+1. **Vectorized whole-descriptor decode at construction.** A bucket's
+   Rice-code layout (node sizes and Rice parameters in DFS order) is a pure
+   function of its key count, and bucket streams are byte-aligned slices —
+   so all buckets of equal size decode in lockstep: one ``searchsorted``
+   into the global zero-bit index reads the j-th unary run of EVERY such
+   bucket at once, one gather reads all the remainders. Python dispatch is
+   O(distinct sizes x nodes-per-tree), independent of bucket count. The
+   decoded trial indices live in one flat int64 array indexed by
+   (bucket node offset + DFS position), built once per executor process.
+
+2. **Level-synchronous walk.** All keys of a batch descend together: keys
+   are grouped by current node *size* (same size => same split shape, same
+   child tables), each group advances with a handful of numpy ops —
+   supplemental positions, searchsorted over part bounds, table lookups for
+   the child's DFS offset / key-range offset / size. Python dispatch is
+   O(depth x distinct sizes), not O(keys x nodes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import unpack_bits
+from .hashing import GOLDEN, positions_inplace
+from .settings import Settings
+
+_POW2 = (np.int64(1) << np.arange(64, dtype=np.int64))[::-1].copy()
+# _POW2[64-k:] == [2^(k-1) ... 2^0]
+
+
+# ---------------------------------------------------------------------------
+# per-size walk tables (pure function of Settings => cached per leaf_size)
+# ---------------------------------------------------------------------------
+
+class _WalkTables:
+    """For each set size: part bounds + child lookup arrays."""
+
+    def __init__(self, settings: Settings) -> None:
+        self.settings = settings
+        self._by_size: dict[int, tuple] = {}
+        self._dfs_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def get(self, s: int):
+        t = self._by_size.get(s)
+        if t is None:
+            st = self.settings
+            st.ensure(s)
+            parts = st.parts[s]
+            parts_arr = np.array(parts, dtype=np.int64)
+            bounds = np.cumsum(parts_arr)
+            child_size = parts_arr
+            child_add_off = bounds - parts_arr  # key-range start per child
+            sub = np.array([st.subtree_nodes[a] for a in parts], dtype=np.int64)
+            child_dfs_off = 1 + np.concatenate([[0], np.cumsum(sub[:-1])])
+            t = (bounds, child_size, child_add_off, child_dfs_off)
+            self._by_size[s] = t
+        return t
+
+    def dfs_rice_ks(self, s: int) -> np.ndarray:
+        """Rice parameters of the size-s tree's nodes in DFS order."""
+        c = self._dfs_cache.get(s)
+        if c is None:
+            st = self.settings
+            st.ensure(s)
+            ks: list[int] = []
+            stack = [s]
+            while stack:
+                x = stack.pop()
+                ks.append(st.rice_k[x])
+                stack.extend(reversed(st.parts[x]))
+            c = np.array(ks, dtype=np.int64)
+            self._dfs_cache[s] = c
+        return c
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+class VectorEvaluator:
+    """Worker-side evaluator over a parsed descriptor (see MPHFDescriptor)."""
+
+    def __init__(
+        self,
+        settings: Settings,
+        bucket_log2: int,
+        offsets: np.ndarray,
+        byte_starts: np.ndarray,
+        stream: bytes,
+    ) -> None:
+        self.settings = settings
+        self.bucket_log2 = bucket_log2
+        self.offsets = offsets
+        self.tables = _WalkTables(settings)
+        bc = len(offsets) - 1
+        sizes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        self.bucket_sizes = sizes
+        settings.ensure(int(sizes.max()) if bc else 1)
+        sub = np.array(settings.subtree_nodes, dtype=np.int64)
+        nodes_per_bucket = sub[sizes]
+        self.node_off = np.zeros(bc + 1, dtype=np.int64)
+        np.cumsum(nodes_per_bucket, out=self.node_off[1:])
+        self.codes = np.empty(int(self.node_off[-1]), dtype=np.int64)
+        self._decode_all(byte_starts, stream)
+
+    def _decode_all(self, byte_starts: np.ndarray, stream: bytes) -> None:
+        """Lockstep decode of every bucket (see module docstring)."""
+        if len(stream) == 0:
+            return
+        bits = unpack_bits(stream)
+        zpos = np.flatnonzero(bits == 0)
+        bits64 = bits.astype(np.int64)
+        codes = self.codes
+        for s in np.unique(self.bucket_sizes):
+            s = int(s)
+            if s == 0:
+                continue
+            bsel = np.flatnonzero(self.bucket_sizes == s)
+            cursors = byte_starts[bsel].astype(np.int64) * 8
+            node_base = self.node_off[bsel]
+            ks = self.tables.dfs_rice_ks(s)
+            for j, k in enumerate(ks.tolist()):
+                zi = np.searchsorted(zpos, cursors)
+                z = zpos[zi]
+                q = z - cursors
+                cursors = z + 1
+                if k:
+                    gather = bits64[cursors[:, None] + np.arange(k, dtype=np.int64)]
+                    rem = gather @ _POW2[64 - k :]
+                    cursors = cursors + k
+                    codes[node_base + j] = (q << k) | rem
+                else:
+                    codes[node_base + j] = q
+
+    def evaluate(self, sigs: np.ndarray) -> np.ndarray:
+        sigs = np.ascontiguousarray(sigs, dtype=np.int64)
+        n = len(sigs)
+        out = np.empty(n, dtype=np.int64)
+        if n == 0:
+            return out
+        if self.bucket_log2 == 0:
+            buckets = np.zeros(n, dtype=np.int64)
+        else:
+            buckets = (sigs >> (64 - self.bucket_log2)) & np.int64(
+                (1 << self.bucket_log2) - 1
+            )
+
+        # walk state per key
+        size = self.bucket_sizes[buckets]
+        dfs = self.node_off[buckets]  # absolute node index
+        add = self.offsets[buckets].astype(np.int64)
+        # empty buckets: non-member keys, unspecified result
+        done_empty = size == 0
+        out[done_empty] = add[done_empty]
+        active = np.flatnonzero(~done_empty)
+        st = self.settings
+        leaf = st.leaf_size
+        codes = self.codes
+        while len(active):
+            asize = size[active]
+            # group by node size; same size => same tables
+            order = np.argsort(asize, kind="stable")
+            asorted = active[order]
+            ssorted = asize[order]
+            group_bounds = np.flatnonzero(np.diff(ssorted)) + 1
+            starts = np.concatenate([[0], group_bounds])
+            ends = np.concatenate([group_bounds, [len(ssorted)]])
+            still = []
+            for gs, ge in zip(starts, ends):
+                rows = asorted[gs:ge]
+                s = int(ssorted[gs])
+                idx = codes[dfs[rows]]
+                x = sigs[rows] + idx * GOLDEN
+                pos = positions_inplace(x, s)
+                if s <= leaf:
+                    out[rows] = add[rows] + pos
+                    continue
+                bounds, child_size, child_add_off, child_dfs_off = self.tables.get(s)
+                child = np.searchsorted(bounds, pos, side="right")
+                add[rows] += child_add_off[child]
+                dfs[rows] += child_dfs_off[child]
+                size[rows] = child_size[child]
+                still.append(rows)
+            active = np.concatenate(still) if still else np.empty(0, np.int64)
+        return out

@@ -145,8 +145,25 @@ class MPHFDescriptor:
         return get_settings(self.leaf_size)
 
     # -- evaluation ----------------------------------------------------------
+    def _evaluator(self):
+        """Lazy per-process VectorEvaluator (decoded trees cached)."""
+        ve = getattr(self, "_ve", None)
+        if ve is None:
+            from .evaluate import VectorEvaluator
+
+            ve = VectorEvaluator(
+                self.settings,
+                self.bucket_log2,
+                self.offsets,
+                self.byte_starts,
+                self.stream,
+            )
+            object.__setattr__(self, "_ve", ve)
+        return ve
+
     def evaluate_array(self, sigs: np.ndarray) -> np.ndarray:
-        """MPHF indices for int64 signatures (vectorized, bucket-grouped).
+        """MPHF indices for int64 signatures (vectorized wavefront walk,
+        see ``evaluate.VectorEvaluator``).
 
         Keys must have been hashed with this descriptor's salt. Results for
         non-member keys are unspecified (standard MPHF contract,
@@ -155,23 +172,7 @@ class MPHFDescriptor:
         sigs = np.ascontiguousarray(sigs, dtype=np.int64)
         if self.n == 0 or len(sigs) == 0:
             return np.zeros(len(sigs), dtype=np.int64)
-        st = self.settings
-        buckets = _bucket_of(sigs, self.bucket_log2)
-        order = np.argsort(buckets, kind="stable")
-        sorted_b = buckets[order]
-        uniq, grp_starts = np.unique(sorted_b, return_index=True)
-        grp_ends = np.append(grp_starts[1:], len(sigs))
-        out = np.empty(len(sigs), dtype=np.int64)
-        stream = np.frombuffer(self.stream, dtype=np.uint8)
-        for g in range(len(uniq)):
-            b = int(uniq[g])
-            rows = order[grp_starts[g] : grp_ends[g]]
-            size = int(self.offsets[b + 1] - self.offsets[b])
-            bits = unpack_bits(stream[self.byte_starts[b] : self.byte_starts[b + 1]])
-            out[rows] = eval_bucket(
-                bits, size, sigs[rows], int(self.offsets[b]), st
-            )
-        return out
+        return self._evaluator().evaluate(sigs)
 
     def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
         """Append the MPHF index column to a DataFrame.
@@ -283,12 +284,21 @@ class RecSplitBuilder:
         self.max_salt_retries = max_salt_retries
 
     # -- public -------------------------------------------------------------
-    def build(self, df, key_col: str) -> MPHFDescriptor:
-        """Construct the MPHF over the distinct keys of ``df[key_col]``."""
+    def build(self, df, key_col: str, n: int | None = None) -> MPHFDescriptor:
+        """Construct the MPHF over the keys of ``df[key_col]``.
+
+        Keys must be distinct (duplicates fail the build after salt
+        retries, like the reference's checkDuplicateKey). ``n`` skips the
+        count job when the caller already knows the key count — at scale
+        that saves one full scan; only the bucket count depends on it
+        (approximation is tolerated; minimality is enforced from the
+        actual kernel outputs at finalize).
+        """
         from pyspark.sql import functions as F
 
         keys = df.select(F.col(key_col).cast("string").alias("__key"))
-        n = keys.count()
+        if n is None:
+            n = keys.count()
         if n == 0:
             return MPHFDescriptor(
                 self.leaf_size, self.avg_bucket_size, self.salt, 0, 0,
@@ -337,9 +347,10 @@ class RecSplitBuilder:
             )
 
         kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
-        parted = sig_df.repartitionByRange(nparts, "bucket").sortWithinPartitions(
-            "bucket"
-        )
+        # range-partition on bucket (each bucket wholly in one partition,
+        # partitions = contiguous bucket ranges); no partition-local sort —
+        # the kernel groups by bucket itself (np.argsort on the batch)
+        parted = sig_df.repartitionByRange(nparts, "bucket")
         blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
 
         if self.checkpoint_dir:
@@ -392,10 +403,8 @@ class RecSplitBuilder:
         """Re-run the kernel over the remaining (not-yet-checkpointed) keys."""
         kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
         nparts = max(1, remaining_sig_df.sparkSession.sparkContext.defaultParallelism)
-        return (
-            remaining_sig_df.repartitionByRange(nparts, "bucket")
-            .sortWithinPartitions("bucket")
-            .mapInPandas(kernel, schema=_BLOCK_SCHEMA)
+        return remaining_sig_df.repartitionByRange(nparts, "bucket").mapInPandas(
+            kernel, schema=_BLOCK_SCHEMA
         )
 
     def _finalize(self, rows, n: int, salt: int, blog2: int) -> MPHFDescriptor:

@@ -1,0 +1,99 @@
+"""Text-analysis operators (training-data pipeline): token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything here is built-in Column expressions (JVM, whole-stage codegen) —
+no Python in the hot path. Language ID is a stopword-ratio heuristic over a
+small inlined lexicon (the classic n-gram/stopword trick; a real model would
+be a Pandas UDF over a broadcast table — same plumbing).
+"""
+
+from __future__ import annotations
+
+# minimal function-word lexicons (public knowledge) for the 5 fixture langs
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "von", "zu", "mit"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "们"],
+}
+
+
+def with_token_count(df, text_col: str, out_col: str = "n_tokens"):
+    """Whitespace token count (split on single spaces, JVM-side)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col, F.size(F.split(F.col(text_col), " ")))
+
+
+def with_quality_stats(df, text_col: str):
+    """Length / punctuation / word-shape quality signals as columns:
+    n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stop_ratio_en."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(t, " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "stop_ratio_en",
+            F.size(F.array_intersect(toks, stop_arr)) / F.greatest(n_tok, F.lit(1)),
+        )
+    )
+
+
+def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
+    """Stopword-vote language ID over the inlined lexicons.
+
+    Score per language = count of tokens in that language's stopword list
+    (array_intersect is set-semantics: distinct matches); prediction =
+    argmax, 'und' (undetermined) when no stopword hits at all.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS[lang]]))
+        ).alias(f"score_{lang}")
+        for lang in _STOPWORDS
+    ]
+    langs = list(_STOPWORDS)
+    tmp = df.withColumns({f"__s_{l}": s for l, s in zip(langs, scores)})
+    best = F.greatest(*[F.col(f"__s_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"__s_{l}") == best, F.lit(l))
+    out = tmp.withColumn(out_col, pred)
+    return out.drop(*[f"__s_{l}" for l in langs])
+
+
+def with_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
+    """64-bit content fingerprint of whitespace-normalized, lowercased text
+    (exact-dup detection key that survives formatting differences)."""
+    from pyspark.sql import functions as F
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(out_col, F.xxhash64(norm))

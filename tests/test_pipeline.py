@@ -1,0 +1,222 @@
+"""Pipeline operator tests: dedup (exact/MinHash/SimHash), text analysis,
+ANN, multimodal plumbing — over the documents/embeddings testdata plus
+engineered duplicates."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recsplit_spark.pipeline import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents + near-copies of 10 docs (one word changed) + 5 exact copies."""
+    base = docs.limit(10).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    exact = docs.limit(5).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), F.col("text")
+    )
+    return (
+        docs.select("doc_id", "text").unionByName(base).unionByName(exact).cache()
+    )
+
+
+# -- exact dedup ----------------------------------------------------------------
+
+def test_exact_dup_stats(spark, docs_with_dups):
+    r = dedup.exact_dup_stats(docs_with_dups, ["text"]).collect()[0]
+    assert r["n_dup_rows"] == 5  # the 5 exact copies
+
+
+def test_dedup_exact_deterministic(spark, docs_with_dups):
+    out = dedup.dedup_exact(docs_with_dups, ["text"], tie_break="doc_id")
+    assert out.count() == docs_with_dups.count() - 5
+    # kept row is the min doc_id of each group
+    kept = {r["doc_id"] for r in out.join(
+        docs_with_dups.groupBy("text").agg(F.count("*").alias("c")).filter("c>1"),
+        "text",
+    ).select("doc_id").collect()}
+    assert all(k < 100_000 for k in kept)
+
+
+# -- minhash ----------------------------------------------------------------
+
+def test_minhash_jaccard_monotone():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + " extra tail words here"
+    c = "completely different content about spark shuffles and parquet files"
+    sa = dedup.minhash_signature(a, 128)
+    sb = dedup.minhash_signature(b, 128)
+    sc = dedup.minhash_signature(c, 128)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.6 > sim_ac
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "doc_id", "text", num_hashes=64, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # each near-copy (id+100000, one word appended) must pair with its source
+    for i in range(10):
+        assert any(a == i and b == i + 100_000 for a, b in got), i
+    # exact copies too
+    for i in range(5):
+        assert any(a == i and b == i + 200_000 for a, b in got), i
+
+
+def test_jaccard_verification(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "doc_id", "text", num_hashes=64, bands=16
+    )
+    verified = dedup.jaccard_pairs(docs_with_dups, pairs, "doc_id", "text")
+    rows = verified.collect()
+    exact = [r for r in rows if r["id_b"] >= 200_000 and r["id_a"] == r["id_b"] - 200_000]
+    assert exact and all(r["jaccard"] == 1.0 for r in exact)
+    # the engineered near-copies score high; other candidates (LSH false
+    # positives over shared-vocabulary word soup) are filtered by the score
+    near = [r for r in rows if r["id_a"] == r["id_b"] - 100_000]
+    assert near and all(r["jaccard"] > 0.7 for r in near)
+
+
+# -- simhash ----------------------------------------------------------------
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    pairs = dedup.simhash_near_pairs(docs_with_dups, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(5):  # exact copies -> hamming 0
+        assert got.get((i, i + 200_000)) == 0
+
+
+# -- text analysis ----------------------------------------------------------------
+
+def test_token_count_matches_sql(spark, docs):
+    out = text.with_token_count(docs, "text")
+    bad = out.filter(
+        F.col("n_tokens") != F.size(F.split(F.col("text"), " "))
+    ).count()
+    assert bad == 0
+    assert out.agg(F.min("n_tokens")).collect()[0][0] >= 1
+
+
+def test_quality_stats_ranges(spark, docs):
+    out = text.with_quality_stats(docs, "text")
+    r = out.agg(
+        F.min("punct_ratio"), F.max("punct_ratio"),
+        F.min("stop_ratio_en"), F.max("stop_ratio_en"),
+        F.min("avg_token_len"),
+    ).collect()[0]
+    assert 0 <= r[0] <= r[1] <= 1
+    assert 0 <= r[2] <= r[3] <= 1
+    assert r[4] > 0
+
+
+def test_lang_id_on_real_sentences(spark):
+    """Stopword heuristic on genuinely multilingual sentences (the fixture's
+    lang label is metadata over English word soup, so it can't be graded)."""
+    samples = [
+        ("en", "the cat sat on the mat and it was happy to be in the sun"),
+        ("fr", "le chat est sur la table et les enfants mangent une pomme"),
+        ("es", "el perro corre en el parque y los ninos juegan con una pelota"),
+        ("de", "der hund und die katze sind ein gutes team von freunden"),
+        ("zh", "我 和 他 在 这 里 有 的 是 时 间"),
+        ("en", "a tale of two cities is one of the best books ever written"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    out = text.with_lang_id(df, "text").collect()
+    assert all(r["lang_pred"] == r["lang"] for r in out), out
+
+
+def test_lang_id_runs_on_fixture(spark, docs):
+    out = text.with_lang_id(docs, "text")
+    labels = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert labels <= {"en", "fr", "es", "de", "zh", "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "id long, text string",
+    )
+    out = text.with_fingerprint(df, "text").collect()
+    fp = {r["id"]: r["fingerprint"] for r in out}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -- ANN ----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[7]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    want = set(ids[np.argsort(-sims)[:5]].tolist())
+    got = {r["vec_id"] for r in ann.brute_force_topk(emb, "embedding", q, k=5).collect()}
+    assert got == want
+
+
+def test_ivf_recall(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    idx = ann.IVFIndex(n_centroids=8, nprobe=3).fit(emb, "embedding")
+    indexed = idx.assign(emb, "embedding").cache()
+    indexed.count()
+    hits = 0
+    for qi in (3, 50, 200):
+        q = mat[qi]
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        want = set(ids[np.argsort(-sims)[:10]].tolist())
+        got = {r["vec_id"] for r in idx.search(indexed, "embedding", q, k=10).collect()}
+        hits += len(got & want)
+    assert hits / 30 >= 0.6  # recall@10 with 3/8 probes
+
+
+# -- multimodal ----------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, 100, partitions=2)
+    assert media.count() == 100
+    feats = multimodal.extract_features(media, dim=32)
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == 32 for r in rows)
+    # deterministic: same payload -> same features
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            multimodal.synthetic_media(spark, 100, partitions=4), dim=32
+        ).collect()
+    }
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    media = multimodal.synthetic_media(spark, 10)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decoder="real")
+
+
+def test_frame_sample_plan():
+    assert multimodal.frame_sample_plan(10.0, 30.0, 1.0) == list(range(0, 300, 30))
+    with pytest.raises(ValueError):
+        multimodal.frame_sample_plan(10.0, 0, 1.0)
