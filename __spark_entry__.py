@@ -81,6 +81,31 @@ def _q_mphf_bijection_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mphf_blocked_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huge-scale blocked MPHF (HEM design, hem/HemGenerator.java:23-70):
+    per-block descriptors in parquet, distributed cogroup evaluation."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.blocked import BlockedMPHFBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("pk")
+    ).distinct()
+    with tempfile.TemporaryDirectory() as tmp:
+        bm = BlockedMPHFBuilder(block_log2=4).build(li, "pk", f"{tmp}/bm")
+        out = bm.evaluate(li, "pk")
+        return out.agg(
+            F.count("*").alias("n_keys"),
+            F.countDistinct("mphf_index").alias("distinct_idx"),
+            F.min("mphf_index").alias("min_idx"),
+            F.max("mphf_index").alias("max_idx"),
+        ).localCheckpoint()  # materialize before the tmp dir vanishes
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -369,6 +394,7 @@ def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
+        "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "cms_returnflag_freq": _q_cms_returnflag_freq,
@@ -391,6 +417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "mphf_bijection_lineitem": (
+            "SELECT CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS distinct_idx,"
+            " CAST(0 AS BIGINT) AS min_idx,"
+            " CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) - 1 AS BIGINT) AS max_idx"
+            " FROM lineitem"
+        ),
+        "mphf_blocked_bijection": (
             "SELECT CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS n_keys,"
             " CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS distinct_idx,"
             " CAST(0 AS BIGINT) AS min_idx,"

@@ -11,7 +11,10 @@ Bloom, KLL, t-digest).
 __version__ = "0.1.0"
 
 def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspark
-    if name in ("MPHFDescriptor", "RecSplitBuilder"):
+    if name in ("MPHFDescriptor", "RecSplitBuilder", "build_descriptor_from_sigs"):
         from . import mphf
         return getattr(mphf, name)
+    if name in ("BlockedMPHF", "BlockedMPHFBuilder"):
+        from . import blocked
+        return getattr(blocked, name)
     raise AttributeError(name)

@@ -1,0 +1,345 @@
+"""Blocked MPHF — the 10^12-key / 100 TB-scale path.
+
+Re-architecture of the reference's huge-scale HEM design
+(``hem/HemGenerator.java:23-70``: high bits of the signature select a
+*block*; each block gets its own self-contained RecSplit descriptor; the
+global index is the block's base offset + the local index; blocks are
+appended to a restartable file as ``(highBits, len, bytes)`` records,
+``HemGenerator.java:29-33,109-125``).
+
+Spark-first shape — the descriptor NEVER centralizes:
+
+* **Build**: JVM-side ``xxhash64`` signature + top-bits block id →
+  ``repartitionByRange`` on block id → one Arrow-vectorized ``mapInPandas``
+  kernel builds every block in its partition with the single-process
+  RecSplit builder (``build_descriptor_from_sigs``) → rows
+  ``(block, n_keys, nbytes, part_id, build_ns, blob)`` written straight to
+  **partitioned parquet**. That parquet IS the descriptor *and* the
+  per-block checkpoint table (per-partition lineage + metrics rows).
+* **Resume**: a re-run left-anti-joins the key stream against the already
+  checkpointed block ids and appends only missing blocks — the reference's
+  restartable block loop re-expressed.
+* **Driver state**: only ``(block, n_keys)`` is ever collected (a few MB at
+  10^12 keys with ~1M-key blocks); it becomes the base-offset prefix-sum
+  array, stored as a one-row meta parquet.
+* **Evaluate**: cogrouped ``applyInPandas`` of (keys grouped by block) ×
+  (blocks parquet grouped by block): each task parses the blobs of the
+  blocks it owns and walks all their keys vectorized. One shuffle on block
+  id; blob bytes move once per block per job, never per key.
+
+Per-block inner signatures are ``mix64(sig0 + (block+1)·GOLDEN)`` — a
+bijection of the global signature for each fixed block, so global
+signature-distinctness carries over, and the top (block-id) bits of sig0
+are fully remixed before the block's own bucket split.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .hashing import GOLDEN, mix64_inplace
+from .mphf import MPHFDescriptor, build_descriptor_from_sigs
+from .settings import get_settings
+
+_BLOCK_SCHEMA = (
+    "block long, n_keys long, nbytes long, part_id int, build_ns long, blob binary"
+)
+
+
+def _inner_sigs(sig0: np.ndarray, block: int) -> np.ndarray:
+    x = sig0.astype(np.int64, copy=True)
+    # scalar multiply via a 1-element array: numpy warns on wrapping scalars
+    x += (np.array([block + 1], dtype=np.int64) * GOLDEN)[0]
+    return mix64_inplace(x)
+
+
+@dataclass
+class BlockedMPHF:
+    """Handle over a built blocked MPHF (parquet-backed descriptor)."""
+
+    path: str
+    leaf_size: int
+    avg_bucket_size: int
+    salt: int
+    block_log2: int
+    n: int
+    block_offsets: np.ndarray  # (2^block_log2 + 1,) int64 global base offsets
+    total_bytes: int
+
+    @property
+    def bits_per_key(self) -> float:
+        return 8.0 * self.total_bytes / max(1, self.n)
+
+    @property
+    def blocks_path(self) -> str:
+        return f"{self.path}/blocks/salt={self.salt}"
+
+    # -- persistence ----------------------------------------------------------
+    def save_meta(self, spark) -> None:
+        row = [
+            (
+                self.leaf_size,
+                self.avg_bucket_size,
+                self.salt,
+                self.block_log2,
+                self.n,
+                self.block_offsets.tolist(),
+                self.total_bytes,
+            )
+        ]
+        spark.createDataFrame(
+            row,
+            "leaf_size int, avg_bucket_size int, salt long, block_log2 int,"
+            " n long, block_offsets array<long>, total_bytes long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BlockedMPHF":
+        r = spark.read.parquet(f"{path}/meta").collect()[0]
+        return cls(
+            path,
+            r["leaf_size"],
+            r["avg_bucket_size"],
+            r["salt"],
+            r["block_log2"],
+            r["n"],
+            np.asarray(r["block_offsets"], dtype=np.int64),
+            r["total_bytes"],
+        )
+
+    # -- evaluation -------------------------------------------------------------
+    def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
+        """Append the global MPHF index; fully distributed (cogroup on block).
+
+        Output columns = input columns + ``out_col``. Results for keys not in
+        the build set are unspecified (standard MPHF contract).
+        """
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        offsets_b = spark.sparkContext.broadcast(self.block_offsets)
+        salt, blog2 = self.salt, self.block_log2
+        leaf = self.leaf_size
+
+        sig = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+        keyed = df.withColumn("__sig", sig)
+        if blog2 == 0:
+            keyed = keyed.withColumn("__block", F.lit(0).cast("long"))
+        else:
+            keyed = keyed.withColumn(
+                "__block", F.shiftrightunsigned(F.col("__sig"), 64 - blog2)
+            )
+        blocks = spark.read.parquet(self.blocks_path).select("block", "blob")
+
+        out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        out_schema = ", ".join(out_fields + [f"{out_col} long"])
+        in_cols = [f.name for f in df.schema.fields]
+
+        def _eval(keys_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(keys_pdf) == 0:
+                return keys_pdf.drop(columns=["__sig", "__block"]).assign(
+                    **{out_col: pd.Series(dtype="int64")}
+                )
+            settings = get_settings(leaf)
+            offs = offsets_b.value
+            out = np.empty(len(keys_pdf), dtype=np.int64)
+            sig0 = keys_pdf["__sig"].to_numpy()
+            blk = keys_pdf["__block"].to_numpy()
+            descs = {
+                int(b): MPHFDescriptor.from_bytes(bytes(blob))
+                for b, blob in zip(blocks_pdf["__block"], blocks_pdf["blob"])
+            }
+            order = np.argsort(blk, kind="stable")
+            bounds = np.flatnonzero(np.diff(blk[order])) + 1
+            for rows in np.split(order, bounds):
+                b = int(blk[rows[0]])
+                desc = descs.get(b)
+                if desc is None:  # non-member keys: unspecified result
+                    out[rows] = int(offs[b])
+                    continue
+                local = desc.evaluate_array(_inner_sigs(sig0[rows], b))
+                out[rows] = local + int(offs[b])
+            res = keys_pdf[in_cols].copy()
+            res[out_col] = out
+            return res
+
+        return (
+            keyed.groupBy("__block")
+            .cogroup(blocks.withColumnRenamed("block", "__block").groupBy("__block"))
+            .applyInPandas(_eval, schema=out_schema)
+        )
+
+
+class BlockedMPHFBuilder:
+    """Distributed blocked-MPHF construction (reference: ``HemGenerator``).
+
+    ``block_log2`` fixes the block count to ``2^block_log2``; when omitted
+    it is chosen so the expected block holds ``target_block_keys`` keys
+    (reference sizing rule: expected block ≤ 2M keys,
+    ``HemGenerator.java:36-42``).
+    """
+
+    def __init__(
+        self,
+        leaf_size: int = 8,
+        avg_bucket_size: int = 128,
+        block_log2: int | None = None,
+        target_block_keys: int = 1 << 20,
+        salt: int = 0,
+        partitions: int | None = None,
+        max_salt_retries: int = 4,
+    ) -> None:
+        self.leaf_size = leaf_size
+        self.avg_bucket_size = avg_bucket_size
+        self.block_log2 = block_log2
+        self.target_block_keys = target_block_keys
+        self.salt = salt
+        self.partitions = partitions
+        self.max_salt_retries = max_salt_retries
+
+    def build(self, df, key_col: str, path: str, n: int | None = None) -> BlockedMPHF:
+        """Build (or resume) the blocked MPHF at ``path``.
+
+        Re-running with the same path resumes: blocks already in the
+        checkpoint parquet are skipped via a left-anti join.
+        """
+        from pyspark.sql import functions as F
+
+        import math
+
+        spark = df.sparkSession
+        keys = df.select(F.col(key_col).cast("string").alias("__key"))
+        if n is None:
+            n = keys.count()
+        blog2 = self.block_log2
+        if blog2 is None:
+            blog2 = max(0, math.ceil(math.log2(max(1, n / self.target_block_keys))))
+
+        salt = self.salt
+        last_err: Exception | None = None
+        for _attempt in range(self.max_salt_retries):
+            try:
+                return self._build_once(spark, keys, n, blog2, salt, path)
+            except Exception as e:  # noqa: BLE001 — executor errors arrive as strings
+                msg = str(e)
+                if "duplicate 64-bit signature" in msg or "search exceeded" in msg:
+                    last_err = e
+                    salt += 1  # salt re-roll; stale checkpoints stay under old salt dir
+                    continue
+                raise
+        raise RuntimeError(
+            f"blocked MPHF build failed after {self.max_salt_retries} salt "
+            f"re-rolls (duplicate keys in input?): {last_err}"
+        )
+
+    # -- internals ------------------------------------------------------------
+    def _build_once(
+        self, spark, keys, n: int, blog2: int, salt: int, path: str
+    ) -> BlockedMPHF:
+        from pyspark.sql import functions as F
+
+        blocks_path = f"{path}/blocks/salt={salt}"
+        sig = F.xxhash64(F.col("__key"), F.lit(salt))
+        sig_df = keys.select(sig.alias("__sig"))
+        if blog2 == 0:
+            sig_df = sig_df.withColumn("__block", F.lit(0).cast("long"))
+        else:
+            sig_df = sig_df.withColumn(
+                "__block", F.shiftrightunsigned(F.col("__sig"), 64 - blog2)
+            )
+
+        try:
+            done = spark.read.parquet(blocks_path).select("block").distinct()
+            has_checkpoint = done.limit(1).count() > 0
+        except Exception:  # noqa: BLE001 — no checkpoint yet
+            done, has_checkpoint = None, False
+        if has_checkpoint:
+            sig_df = sig_df.join(
+                F.broadcast(done.withColumnRenamed("block", "__block")),
+                "__block",
+                "left_anti",
+            )
+
+        nparts = self.partitions or max(
+            1, spark.sparkContext.defaultParallelism
+        )
+        nparts = min(nparts, 1 << blog2)
+        kernel = _make_block_kernel(self.leaf_size, self.avg_bucket_size, salt)
+        pending = sig_df.repartitionByRange(nparts, "__block").mapInPandas(
+            kernel, schema=_BLOCK_SCHEMA
+        )
+        pending.write.mode("append").parquet(blocks_path)
+
+        stats = spark.read.parquet(blocks_path).select("block", "n_keys", "nbytes")
+        rows = stats.collect()
+        bc = 1 << blog2
+        sizes = np.zeros(bc, dtype=np.int64)
+        total_bytes = 0
+        for r in rows:
+            sizes[r["block"]] = r["n_keys"]
+            total_bytes += r["nbytes"]
+        total = int(sizes.sum())
+        if total != n:
+            raise RuntimeError(
+                f"blocked merge lost keys: {total} != {n} (corrupt checkpoint?)"
+            )
+        offsets = np.zeros(bc + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        mphf = BlockedMPHF(
+            path,
+            self.leaf_size,
+            self.avg_bucket_size,
+            salt,
+            blog2,
+            n,
+            offsets,
+            total_bytes,
+        )
+        mphf.save_meta(spark)
+        return mphf
+
+
+def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int):
+    settings = get_settings(leaf_size)
+    settings.ensure(4 * avg_bucket_size + 256)
+
+    def _kernel(batches):
+        import time
+
+        try:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            part_id = tc.partitionId() if tc else -1
+        except Exception:  # noqa: BLE001
+            part_id = -1
+        chunks = list(batches)
+        if not chunks:
+            return
+        blk = np.concatenate([c["__block"].to_numpy() for c in chunks])
+        sig0 = np.concatenate([c["__sig"].to_numpy() for c in chunks])
+        order = np.argsort(blk, kind="stable")
+        blk, sig0 = blk[order], sig0[order]
+        bounds = np.flatnonzero(np.diff(blk)) + 1
+        out_rows = []
+        for rows in np.split(np.arange(len(blk)), bounds):
+            b = int(blk[rows[0]])
+            t0 = time.time_ns()
+            desc = build_descriptor_from_sigs(
+                _inner_sigs(sig0[rows], b),
+                leaf_size,
+                avg_bucket_size,
+                settings,
+                salt,
+            )
+            blob = desc.to_bytes()
+            out_rows.append((b, len(rows), len(blob), part_id, time.time_ns() - t0, blob))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["block", "n_keys", "nbytes", "part_id", "build_ns", "blob"],
+        )
+
+    return _kernel

@@ -68,6 +68,59 @@ def _bucket_of(sigs: np.ndarray, bucket_log2: int) -> np.ndarray:
     return (sigs >> shift) & np.int64((1 << bucket_log2) - 1)
 
 
+def bucket_log2_for(n: int, avg_bucket_size: int) -> int:
+    """log2 of the (power-of-2) bucket count for n keys (reference rule:
+    ``Settings.getBucketCount``, ``Settings.java:287-289``, rounded to the
+    fast path's power-of-2 count, ``hem/recsplit/Builder.java:48-58``)."""
+    import math
+
+    target = max(1, round(n / avg_bucket_size))
+    return max(0, math.ceil(math.log2(target)))
+
+
+def build_descriptor_from_sigs(
+    sigs: np.ndarray,
+    leaf_size: int,
+    avg_bucket_size: int,
+    settings: Settings | None = None,
+    salt: int = 0,
+) -> MPHFDescriptor:
+    """Single-process MPHF build over precomputed int64 signatures.
+
+    This is the per-block kernel of the blocked 10^12-key path (reference
+    analogue: the per-block single-threaded ``hem/recsplit/Builder.generate``,
+    ``Builder.java:25-31``) and is also handy for no-Spark unit tests.
+    Signatures must be distinct (raises DuplicateSignatureError otherwise).
+    """
+    sigs = np.ascontiguousarray(sigs, dtype=np.int64)
+    n = len(sigs)
+    if settings is None:
+        settings = get_settings(leaf_size)
+    if n == 0:
+        return MPHFDescriptor(
+            leaf_size, avg_bucket_size, salt, 0, 0,
+            np.zeros(1, np.int64), np.zeros(1, np.int64), b"",
+        )
+    blog2 = bucket_log2_for(n, avg_bucket_size)
+    bc = 1 << blog2
+    bids = _bucket_of(sigs, blog2)
+    order = np.argsort(bids, kind="stable")
+    uniq, n_keys, _bits, byte_lens_u, blob = build_buckets(
+        bids[order], sigs[order], settings
+    )
+    sizes = np.zeros(bc, dtype=np.int64)
+    sizes[uniq] = n_keys
+    byte_lens = np.zeros(bc, dtype=np.int64)
+    byte_lens[uniq] = byte_lens_u
+    offsets = np.zeros(bc + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    byte_starts = np.zeros(bc + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=byte_starts[1:])
+    return MPHFDescriptor(
+        leaf_size, avg_bucket_size, salt, n, blog2, offsets, byte_starts, blob
+    )
+
+
 @dataclass
 class MPHFDescriptor:
     """Serialized minimal-perfect-hash descriptor + vectorized evaluator."""
