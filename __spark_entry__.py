@@ -106,6 +106,44 @@ def _q_mphf_blocked_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()  # materialize before the tmp dir vanishes
 
 
+def _q_bdz_bijection_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDZ fallback MPHF (bdz/BDZ.java:24-203) bijection over o_orderkey."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.bdz import BDZBuilder, BDZDescriptor
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    desc = BDZDescriptor.from_bytes(BDZBuilder().build(orders, "o_orderkey").to_bytes())
+    out = desc.evaluate(orders, "o_orderkey")
+    return out.agg(
+        F.count("*").alias("n_keys"),
+        F.countDistinct("mphf_index").alias("distinct_idx"),
+        F.min("mphf_index").alias("min_idx"),
+        F.max("mphf_index").alias("max_idx"),
+    )
+
+
+def _q_mphf_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static MPHF-fingerprint filter (README.md:10): zero false negatives,
+    so every customer-member probe row passes — an exact SQL-checkable count."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import MPHFFilter
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    filt = MPHFFilter.from_bytes(MPHFFilter.build(cust, "c_custkey").to_bytes())
+    orders = _t(spark, sf_dir, "orders")
+    passed = filt.might_contain(orders, "o_custkey")
+    member_pass = passed.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    ).filter(F.col("might_contain"))
+    return member_pass.agg(F.count("*").alias("n_member_rows_passed"))
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -395,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
+        "bdz_bijection_orders": _q_bdz_bijection_orders,
+        "mphf_filter_members": _q_mphf_filter_members,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "cms_returnflag_freq": _q_cms_returnflag_freq,
@@ -429,6 +469,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS min_idx,"
             " CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) - 1 AS BIGINT) AS max_idx"
             " FROM lineitem"
+        ),
+        "bdz_bijection_orders": (
+            "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_idx,"
+            " CAST(0 AS BIGINT) AS min_idx,"
+            " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx"
+            " FROM orders"
+        ),
+        "mphf_filter_members": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed FROM orders"
+            " WHERE o_custkey IN (SELECT c_custkey FROM customer)"
         ),
         "hll_distinct_orderkey": (
             "SELECT 'hll_l_orderkey' AS check_name,"

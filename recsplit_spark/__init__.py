@@ -17,4 +17,10 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name in ("BlockedMPHF", "BlockedMPHFBuilder"):
         from . import blocked
         return getattr(blocked, name)
+    if name in ("BDZBuilder", "BDZDescriptor", "build_bdz_from_sigs"):
+        from . import bdz
+        return getattr(bdz, name)
+    if name == "MPHFFilter":
+        from .filters import MPHFFilter
+        return MPHFFilter
     raise AttributeError(name)

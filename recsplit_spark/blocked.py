@@ -44,6 +44,15 @@ from .hashing import GOLDEN, mix64_inplace
 from .mphf import MPHFDescriptor, build_descriptor_from_sigs
 from .settings import get_settings
 
+
+def parse_descriptor(blob: bytes):
+    """Dispatch a per-block blob on its magic: RecSplit or BDZ."""
+    if blob[:4] == b"BDZ1":
+        from .bdz import BDZDescriptor
+
+        return BDZDescriptor.from_bytes(blob)
+    return MPHFDescriptor.from_bytes(blob)
+
 _BLOCK_SCHEMA = (
     "block long, n_keys long, nbytes long, part_id int, build_ns long, blob binary"
 )
@@ -122,7 +131,6 @@ class BlockedMPHF:
         spark = df.sparkSession
         offsets_b = spark.sparkContext.broadcast(self.block_offsets)
         salt, blog2 = self.salt, self.block_log2
-        leaf = self.leaf_size
 
         sig = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
         keyed = df.withColumn("__sig", sig)
@@ -143,13 +151,12 @@ class BlockedMPHF:
                 return keys_pdf.drop(columns=["__sig", "__block"]).assign(
                     **{out_col: pd.Series(dtype="int64")}
                 )
-            settings = get_settings(leaf)
             offs = offsets_b.value
             out = np.empty(len(keys_pdf), dtype=np.int64)
             sig0 = keys_pdf["__sig"].to_numpy()
             blk = keys_pdf["__block"].to_numpy()
             descs = {
-                int(b): MPHFDescriptor.from_bytes(bytes(blob))
+                int(b): parse_descriptor(bytes(blob))
                 for b, blob in zip(blocks_pdf["__block"], blocks_pdf["blob"])
             }
             order = np.argsort(blk, kind="stable")
@@ -191,7 +198,10 @@ class BlockedMPHFBuilder:
         salt: int = 0,
         partitions: int | None = None,
         max_salt_retries: int = 4,
+        algo: str = "recsplit",
     ) -> None:
+        if algo not in ("recsplit", "bdz"):
+            raise ValueError("algo must be 'recsplit' or 'bdz'")
         self.leaf_size = leaf_size
         self.avg_bucket_size = avg_bucket_size
         self.block_log2 = block_log2
@@ -199,6 +209,7 @@ class BlockedMPHFBuilder:
         self.salt = salt
         self.partitions = partitions
         self.max_salt_retries = max_salt_retries
+        self.algo = algo
 
     def build(self, df, key_col: str, path: str, n: int | None = None) -> BlockedMPHF:
         """Build (or resume) the blocked MPHF at ``path``.
@@ -267,7 +278,9 @@ class BlockedMPHFBuilder:
             1, spark.sparkContext.defaultParallelism
         )
         nparts = min(nparts, 1 << blog2)
-        kernel = _make_block_kernel(self.leaf_size, self.avg_bucket_size, salt)
+        kernel = _make_block_kernel(
+            self.leaf_size, self.avg_bucket_size, salt, self.algo
+        )
         pending = sig_df.repartitionByRange(nparts, "__block").mapInPandas(
             kernel, schema=_BLOCK_SCHEMA
         )
@@ -302,9 +315,10 @@ class BlockedMPHFBuilder:
         return mphf
 
 
-def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int):
-    settings = get_settings(leaf_size)
-    settings.ensure(4 * avg_bucket_size + 256)
+def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int, algo: str):
+    settings = get_settings(leaf_size) if algo == "recsplit" else None
+    if settings is not None:
+        settings.ensure(4 * avg_bucket_size + 256)
 
     def _kernel(batches):
         import time
@@ -328,13 +342,15 @@ def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int):
         for rows in np.split(np.arange(len(blk)), bounds):
             b = int(blk[rows[0]])
             t0 = time.time_ns()
-            desc = build_descriptor_from_sigs(
-                _inner_sigs(sig0[rows], b),
-                leaf_size,
-                avg_bucket_size,
-                settings,
-                salt,
-            )
+            inner = _inner_sigs(sig0[rows], b)
+            if algo == "bdz":
+                from .bdz import build_bdz_from_sigs
+
+                desc = build_bdz_from_sigs(inner, salt)
+            else:
+                desc = build_descriptor_from_sigs(
+                    inner, leaf_size, avg_bucket_size, settings, salt
+                )
             blob = desc.to_bytes()
             out_rows.append((b, len(rows), len(blob), part_id, time.time_ns() - t0, blob))
         yield pd.DataFrame(

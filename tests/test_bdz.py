@@ -1,0 +1,67 @@
+"""BDZ fallback MPHF (reference: bdz/BDZ.java:24-203, BDZTest.java:29-80).
+Oracle = the bijection invariant through the serialized descriptor."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recsplit_spark.bdz import BDZBuilder, BDZDescriptor, build_bdz_from_sigs
+from recsplit_spark.blocked import BlockedMPHFBuilder
+from recsplit_spark.data import sequences
+from recsplit_spark.session import ship_package
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 10_000, 100_000])
+def test_bdz_bijection_sizes(n):
+    rng = np.random.default_rng(n)
+    sigs = np.unique(rng.integers(-(2**63), 2**63, size=n, dtype=np.int64))
+    desc = BDZDescriptor.from_bytes(build_bdz_from_sigs(sigs).to_bytes())
+    idx = desc.evaluate_array(sigs)
+    assert len(np.unique(idx)) == len(sigs)
+    assert idx.min() == 0 and idx.max() == len(sigs) - 1
+
+
+def test_bdz_space():
+    rng = np.random.default_rng(1)
+    sigs = np.unique(rng.integers(-(2**63), 2**63, size=100_000, dtype=np.int64))
+    desc = build_bdz_from_sigs(sigs)
+    # per-vertex 2-bit layout: 2*gamma ~ 2.46 bits/key (reference stores
+    # rank-compressed at 3.66, BDZ.java:26-29; ours is strictly smaller)
+    assert desc.bits_per_key < 2.7
+
+
+def test_bdz_duplicate_raises():
+    sigs = np.array([5, 5, 9], dtype=np.int64)
+    with pytest.raises(ValueError, match="duplicate"):
+        build_bdz_from_sigs(sigs)
+
+
+def test_bdz_spark_builder(spark):
+    ship_package(spark)
+    df = sequences(spark, 5_000, partitions=4)
+    desc = BDZBuilder().build(df, "doc_id")
+    out = desc.evaluate(df, "doc_id")
+    row = out.agg(
+        F.count("*").alias("c"),
+        F.countDistinct("mphf_index").alias("d"),
+        F.min("mphf_index").alias("lo"),
+        F.max("mphf_index").alias("hi"),
+    ).collect()[0]
+    assert (row["c"], row["d"], row["lo"], row["hi"]) == (5_000, 5_000, 0, 4_999)
+
+
+def test_blocked_bdz_algo(spark, tmp_path):
+    ship_package(spark)
+    df = sequences(spark, 12_000, partitions=4).cache()
+    bm = BlockedMPHFBuilder(block_log2=3, partitions=4, algo="bdz").build(
+        df, "doc_id", str(tmp_path / "bm_bdz")
+    )
+    out = bm.evaluate(df, "doc_id")
+    row = out.agg(
+        F.count("*").alias("c"),
+        F.countDistinct("mphf_index").alias("d"),
+        F.min("mphf_index").alias("lo"),
+        F.max("mphf_index").alias("hi"),
+    ).collect()[0]
+    assert (row["c"], row["d"], row["lo"], row["hi"]) == (12_000, 12_000, 0, 11_999)
+    assert bm.bits_per_key < 3.2

@@ -1,0 +1,49 @@
+"""MPHF-fingerprint membership filter (reference use-case README.md:10,
+xor-filter evaluator src/main/c/filter/xor.c:91-141)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from recsplit_spark.data import sequences
+from recsplit_spark.filters import MPHFFilter
+from recsplit_spark.session import ship_package
+
+
+@pytest.fixture(scope="module")
+def members(spark):
+    ship_package(spark)
+    return sequences(spark, 10_000, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def filt(members):
+    return MPHFFilter.build(members, "doc_id")
+
+
+def test_no_false_negatives(members, filt):
+    out = filt.might_contain(members, "doc_id")
+    assert out.filter(~F.col("might_contain")).count() == 0
+
+
+def test_false_positive_rate(spark, members, filt):
+    # fresh keys disjoint from the build set (different prefix)
+    probes = spark.range(0, 40_000).select(
+        F.concat(F.lit("nonmember-"), F.col("id")).alias("doc_id")
+    )
+    fp = filt.might_contain(probes, "doc_id").filter("might_contain").count()
+    rate = fp / 40_000
+    # expected 1/256 ~ 0.0039; 40k probes -> sigma ~ 0.0003
+    assert rate < 0.006, rate
+
+
+def test_serde_roundtrip(members, filt):
+    f2 = MPHFFilter.from_bytes(filt.to_bytes())
+    out = f2.might_contain(members, "doc_id")
+    assert out.filter(~F.col("might_contain")).count() == 0
+    assert f2.fp_bits == filt.fp_bits and f2.desc.n == filt.desc.n
+
+
+def test_space(filt):
+    # ~1.93 (MPHF) + 8 (fingerprint) bits/key
+    assert filt.bits_per_key < 10.5
+    assert filt.false_positive_rate == pytest.approx(1 / 256)
