@@ -414,6 +414,52 @@ def _q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the oracle-checkable baseline;
+    cosine_lsh_pairs is the probabilistic scale path, tested in pytest)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_pairs_exact(emb, "vec_id", "embedding", 0.4)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH candidates verified by exact cosine."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import dedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4, bands=16)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_quality_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_quality_counts(docs, "text")
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("punct_count").alias("sum_punct"),
+        F.sum("digit_count").alias("sum_digit"),
+        F.sum("upper_count").alias("sum_upper"),
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: predicted-language distribution over documents."""
     import pyspark.sql.functions as F
@@ -449,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "cosine_lsh_near_dup": _q_cosine_lsh_near_dup,
+        "quality_counts_documents": _q_quality_counts_documents,
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
     }
@@ -531,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_distinct": (
             "SELECT CAST(count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)"
             " AS n_distinct_norm FROM documents"
+        ),
+        "embedding_near_dup_exact": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+            " ORDER BY id_a, id_b"
+        ),
+        # cosine_lsh_near_dup: no oracle (probabilistic recall) -> rows-only
+        "quality_counts_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(len(text)) AS BIGINT) AS sum_chars,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,"
+            " CAST(sum(len(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g'))) AS BIGINT) AS sum_punct,"
+            " CAST(sum(len(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_digit,"
+            " CAST(sum(len(regexp_replace(text, '[^A-Z]', '', 'g'))) AS BIGINT) AS sum_upper"
+            " FROM documents"
         ),
         "ann_bruteforce_top5": (
             "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings"

@@ -234,3 +234,143 @@ def dedup_exact(df, cols, tie_break: str):
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs_exact(df, id_col: str, vec_col: str, threshold: float):
+    """All (id_a < id_b) pairs with cosine >= threshold — exact O(n^2)
+    baseline via a self-join with JVM-side zip_with/aggregate arithmetic.
+    The oracle for the LSH path; use only on candidate sets / small tables.
+    """
+    from pyspark.sql import functions as F
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm.alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm.alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def add_hyperplane_signature(df, id_col: str, vec_col: str, n_bits: int = 64, seed: int = 7):
+    """DataFrame[id, vec, simhash64 long]: sign pattern of ``n_bits`` (<=64)
+    seeded random hyperplanes (Charikar SimHash for real vectors). P[bit
+    differs] = angle/pi, so near-identical vectors share almost all bits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    if not (1 <= n_bits <= 64):
+        raise ValueError("n_bits must be in [1, 64]")
+
+    @pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], n_bits))
+        bits = (mat @ planes) >= 0  # (n, n_bits)
+        weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+        code = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(code.view(np.int64))
+
+    return df.withColumn("simhash64", _sig(F.col(vec_col)))
+
+
+def cosine_lsh_pairs(
+    df,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+):
+    """Scale path: hyperplane-LSH candidates -> exact cosine verify.
+
+    Band the ``n_bits`` signature into ``bands`` groups; vectors sharing any
+    band bucket become candidates (shuffle carries only (band_key, id)),
+    then candidates are verified with exact cosine. Recall grows with
+    ``bands``; precision is exact (threshold applied on true cosine).
+    """
+    from pyspark.sql import functions as F
+
+    sig = add_hyperplane_signature(df, id_col, vec_col, n_bits, seed).select(
+        id_col, "simhash64"
+    )
+    rows_per_band = n_bits // bands
+    mask = (1 << rows_per_band) - 1
+    exploded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash64"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    l = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
+    r = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm.alias("__nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

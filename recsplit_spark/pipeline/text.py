@@ -26,6 +26,24 @@ def with_token_count(df, text_col: str, out_col: str = "n_tokens"):
     return df.withColumn(out_col, F.size(F.split(F.col(text_col), " ")))
 
 
+def with_quality_counts(df, text_col: str):
+    """Integer quality signals (exactly SQL-reproducible): n_chars,
+    n_tokens, punct_count, digit_count, upper_count."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens", F.size(F.split(t, " ")))
+        .withColumn(
+            "punct_count",
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")),
+        )
+        .withColumn("digit_count", F.length(F.regexp_replace(t, r"[^0-9]", "")))
+        .withColumn("upper_count", F.length(F.regexp_replace(t, r"[^A-Z]", "")))
+    )
+
+
 def with_quality_stats(df, text_col: str):
     """Length / punctuation / word-shape quality signals as columns:
     n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,

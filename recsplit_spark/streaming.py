@@ -1,0 +1,94 @@
+"""Structured Streaming integration for the mergeable sketches.
+
+The reference has no streaming (an MPHF needs a closed key set,
+``simple/recsplit.md:51-54``), but every sketch here is a commutative
+monoid, so incremental maintenance over a stream is exactly a
+``foreachBatch`` fold: per micro-batch run the same two-phase partial
+aggregation as the batch path, then merge into the running state. Because
+merges are order-independent, the streaming state after any prefix of the
+data is byte-identical to a batch build over the same rows — that is the
+test oracle.
+
+Replay safety: Structured Streaming may re-deliver a micro-batch after a
+failure. The aggregator persists ``(last_batch_id, state)`` atomically per
+batch; re-delivered batch ids ≤ last are skipped, making the fold
+idempotent (exactly-once effect on the state). Sketch updates are NOT
+invertible, so skipping — not re-merging — is the correct recovery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from .sketches.base import MergeableSketch
+
+
+class StreamingSketch:
+    """Incrementally folds a stream into one sketch state via foreachBatch.
+
+    Usage::
+
+        agg = StreamingSketch(HyperLogLog(p=14), "doc_id",
+                              state_path="/ckpt/hll_state")
+        q = agg.start(stream_df)   # or .foreach_batch as your own sink step
+        q.awaitTermination()
+        agg.estimate()
+    """
+
+    def __init__(
+        self,
+        sketch: MergeableSketch,
+        col: str,
+        state_path: str | None = None,
+    ) -> None:
+        self.sketch = sketch
+        self.col = col
+        self.state_path = state_path
+        self.state = sketch.new_state()
+        self.last_batch_id = -1
+        if state_path and os.path.exists(state_path):
+            self._load()
+
+    # -- persistence ---------------------------------------------------------
+    def _load(self) -> None:
+        with open(self.state_path, "rb") as f:
+            raw = f.read()
+        (hlen,) = struct.unpack_from("<I", raw, 0)
+        meta = json.loads(raw[4 : 4 + hlen])
+        self.last_batch_id = meta["last_batch_id"]
+        self.state = self.sketch.from_bytes(raw[4 + hlen :])
+
+    def _save(self) -> None:
+        meta = json.dumps({"last_batch_id": self.last_batch_id}).encode()
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<I", len(meta)) + meta + self.sketch.to_bytes(self.state))
+        os.replace(tmp, self.state_path)  # atomic: readers see old or new
+
+    # -- the sink ------------------------------------------------------------
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # replayed micro-batch: already folded
+        part = self.sketch.build(batch_df, self.col)
+        self.state = self.sketch.merge(self.state, part)
+        self.last_batch_id = batch_id
+        if self.state_path:
+            self._save()
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        """Attach to a streaming DataFrame and start the query.
+
+        Default trigger is ``availableNow=True`` (drain what exists, then
+        stop) — override with e.g. ``processingTime="10 seconds"``.
+        """
+        if not trigger:
+            trigger = {"availableNow": True}
+        w = stream_df.writeStream.foreachBatch(self.foreach_batch).trigger(**trigger)
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+
+    def estimate(self) -> float:
+        return self.sketch.estimate(self.state)

@@ -220,3 +220,87 @@ def test_frame_sample_plan():
     assert multimodal.frame_sample_plan(10.0, 30.0, 1.0) == list(range(0, 300, 30))
     with pytest.raises(ValueError):
         multimodal.frame_sample_plan(10.0, 0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark):
+    """200 random unit-ish vectors + 20 perturbed near-copies (cosine>0.95)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    rows = [(int(i), base[i].tolist()) for i in range(200)]
+    for j in range(20):
+        v = base[j] + 0.05 * rng.standard_normal(32)
+        rows.append((1000 + j, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_embedding_exact_pairs_threshold(spark, emb_with_dups):
+    import numpy as np
+
+    from recsplit_spark.pipeline import dedup
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_pairs_exact(
+            emb_with_dups, "vec_id", "embedding", 0.95
+        ).collect()
+    }
+    # numpy oracle
+    pdf = emb_with_dups.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = M @ M.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if C[i, j] >= 0.95
+    }
+    assert got == want and len(want) >= 15
+
+
+def test_cosine_lsh_recall(spark, emb_with_dups):
+    from recsplit_spark.pipeline import dedup
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_pairs_exact(
+            emb_with_dups, "vec_id", "embedding", 0.95
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_lsh_pairs(
+            emb_with_dups, "vec_id", "embedding", threshold=0.95, bands=16
+        ).collect()
+    }
+    assert lsh <= exact  # precision exact by construction (verified cosine)
+    assert len(lsh & exact) / max(1, len(exact)) >= 0.9  # recall
+
+
+def test_quality_counts_integer_parity(spark, docs):
+    import duckdb
+
+    from recsplit_spark.pipeline import text
+
+    out = text.with_quality_counts(docs, "text").agg(
+        F.sum("n_chars").alias("c"),
+        F.sum("punct_count").alias("p"),
+        F.sum("digit_count").alias("d"),
+        F.sum("upper_count").alias("u"),
+    ).collect()[0]
+    pdf = docs.select("text").toPandas()
+    want = duckdb.sql(
+        "SELECT sum(len(text)), "
+        "sum(len(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g'))), "
+        "sum(len(regexp_replace(text, '[^0-9]', '', 'g'))), "
+        "sum(len(regexp_replace(text, '[^A-Z]', '', 'g'))) FROM pdf"
+    ).fetchone()
+    assert (out["c"], out["p"], out["d"], out["u"]) == tuple(int(x) for x in want)

@@ -1,0 +1,75 @@
+"""Streaming incremental sketches: state after draining a file stream must
+equal the batch build over the same rows (monoid order-independence)."""
+
+import numpy as np
+import pytest
+
+from recsplit_spark.data import sequence_batch
+from recsplit_spark.session import ship_package
+from recsplit_spark.sketches import KLL, HyperLogLog
+from recsplit_spark.streaming import StreamingSketch
+
+
+@pytest.fixture(scope="module")
+def staged_dir(spark, tmp_path_factory):
+    """Three parquet files of deterministic sequence rows (30k total)."""
+    ship_package(spark)
+    root = tmp_path_factory.mktemp("stream_src")
+    import pandas as pd
+
+    for i, (lo, hi) in enumerate([(0, 10_000), (10_000, 20_000), (20_000, 30_000)]):
+        doc_ids, tokens, n_tok, src = sequence_batch(lo, hi)
+        pd.DataFrame(
+            {"doc_id": doc_ids, "n_tok": n_tok.astype(np.int32), "source": src}
+        ).to_parquet(root / f"part-{i}.parquet", index=False)
+    return str(root)
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema("doc_id string, n_tok int, source string")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(path)
+    )
+
+
+def test_streaming_hll_equals_batch(spark, staged_dir):
+    agg = StreamingSketch(HyperLogLog(p=12), "doc_id")
+    q = agg.start(_read_stream(spark, staged_dir))
+    q.awaitTermination(120)
+    batch_state = HyperLogLog(p=12).build(spark.read.parquet(staged_dir), "doc_id")
+    assert agg.sketch.to_bytes(agg.state) == agg.sketch.to_bytes(batch_state)
+    assert abs(agg.estimate() - 30_000) <= 3 * HyperLogLog(p=12).relative_error * 30_000
+
+
+def test_streaming_kll_quantile_bound(spark, staged_dir):
+    kll = KLL(k=200)
+    agg = StreamingSketch(kll, "n_tok")
+    q = agg.start(_read_stream(spark, staged_dir))
+    q.awaitTermination(120)
+    vals = np.sort(
+        spark.read.parquet(staged_dir).select("n_tok").toPandas()["n_tok"].to_numpy()
+    )
+    for p in (0.1, 0.5, 0.9):
+        est = kll.quantile(agg.state, p)
+        rank = np.searchsorted(vals, est, side="right") / len(vals)
+        assert abs(rank - p) <= kll.epsilon + 0.01
+
+
+def test_streaming_resume_skips_replayed(spark, staged_dir, tmp_path):
+    state_path = str(tmp_path / "hll_state.bin")
+    agg = StreamingSketch(HyperLogLog(p=12), "doc_id", state_path=state_path)
+    q = agg.start(_read_stream(spark, staged_dir))
+    q.awaitTermination(120)
+    est1 = agg.estimate()
+    # new aggregator from the persisted state: replays of already-folded
+    # batch ids must be no-ops, so the estimate is unchanged
+    agg2 = StreamingSketch(HyperLogLog(p=12), "doc_id", state_path=state_path)
+    assert agg2.last_batch_id == agg.last_batch_id
+    import pandas as pd
+
+    replay_df = spark.read.parquet(staged_dir)
+    agg2.foreach_batch(replay_df, batch_id=0)  # stale id -> skipped
+    assert agg2.estimate() == est1
+    agg2.foreach_batch(replay_df.limit(0), batch_id=agg2.last_batch_id + 1)
+    assert agg2.estimate() == est1  # empty batch merges as identity
