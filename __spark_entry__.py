@@ -196,6 +196,27 @@ def _q_hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level cardinality: HLL over the exploded token stream (the
+    north-star 'distinct token cardinality' use-case), bound-checked."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import HyperLogLog
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hll = HyperLogLog(p=14)
+    est = hll.count_distinct(toks, "tok")
+    exact = toks.distinct().count()
+    ok = abs(est - exact) <= max(3 * hll.relative_error * exact, 3.0)
+    return spark.createDataFrame(
+        [("hll_tokens", int(exact), bool(ok))],
+        "check_name string, exact_distinct bigint, within_bound boolean",
+    )
+
+
 def _q_cms_returnflag_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -483,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mphf_filter_members": _q_mphf_filter_members,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_returnflag_freq": _q_cms_returnflag_freq,
         "cms_eventtype_freq": _q_cms_eventtype_freq,
         "bloom_orders_prefilter": _q_bloom_orders_prefilter,
@@ -538,6 +560,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_by_source": (
             "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,"
             " TRUE AS within_bound FROM documents GROUP BY source ORDER BY source"
+        ),
+        "hll_distinct_tokens": (
+            "SELECT 'hll_tokens' AS check_name,"
+            " CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,"
+            " TRUE AS within_bound FROM"
+            " (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)"
         ),
         "cms_returnflag_freq": (
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS freq"

@@ -34,7 +34,7 @@ from .hashing import GOLDEN, mix64_inplace, reduce_to
 
 _GAMMA = 1.23
 _MAGIC = b"BDZ1"
-_HDR = struct.Struct("<4sQQqI")  # magic, n, r, salt, seed
+_HDR = struct.Struct("<4sBxxxQQqI")  # magic, key_mode, n, r, salt, seed
 
 
 class PeelFailure(RuntimeError):
@@ -101,6 +101,7 @@ class BDZDescriptor:
     salt: int
     seed: int
     g: np.ndarray  # (3r,) uint8 values in {0,1,2,3}
+    key_mode: int = 0  # see MPHFDescriptor.key_mode
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -108,11 +109,14 @@ class BDZDescriptor:
         for j in range(4):
             part = self.g[j::4]
             packed[: len(part)] |= part << (2 * j)
-        return _HDR.pack(_MAGIC, self.n, self.r, self.salt, self.seed) + packed.tobytes()
+        return (
+            _HDR.pack(_MAGIC, self.key_mode, self.n, self.r, self.salt, self.seed)
+            + packed.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BDZDescriptor":
-        magic, n, r, salt, seed = _HDR.unpack_from(data, 0)
+        magic, key_mode, n, r, salt, seed = _HDR.unpack_from(data, 0)
         if magic != _MAGIC:
             raise ValueError("bad BDZ header")
         packed = np.frombuffer(data, dtype=np.uint8, offset=_HDR.size)
@@ -122,7 +126,7 @@ class BDZDescriptor:
             part = (packed >> (2 * j)) & 3
             need = len(g[j::4])
             g[j::4] = part[:need]
-        return cls(n, r, salt, seed, g)
+        return cls(n, r, salt, seed, g, key_mode)
 
     @property
     def bits_per_key(self) -> float:
@@ -147,9 +151,10 @@ class BDZDescriptor:
     def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
         """Append the BDZ index via broadcast descriptor + pandas UDF
         (same shape as MPHFDescriptor.evaluate)."""
-        from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import LongType
+
+        from .mphf import key_sig_expr
 
         bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes())
 
@@ -158,19 +163,20 @@ class BDZDescriptor:
             desc = BDZDescriptor.from_bytes(bcast.value)
             return pd.Series(desc.evaluate_array(sig.to_numpy()))
 
-        sig_col = F.xxhash64(F.col(key_col).cast("string"), F.lit(self.salt))
-        return df.withColumn(out_col, _bdz_eval(sig_col))
+        return df.withColumn(
+            out_col, _bdz_eval(key_sig_expr(key_col, self.salt, self.key_mode))
+        )
 
 
 def build_bdz_from_sigs(
-    sigs: np.ndarray, salt: int = 0, max_seed_retries: int = 16
+    sigs: np.ndarray, salt: int = 0, max_seed_retries: int = 16, key_mode: int = 0
 ) -> BDZDescriptor:
     """Build a BDZ MPHF over distinct int64 signatures (single-process;
     the per-block / per-bucket fallback kernel)."""
     sigs = np.ascontiguousarray(sigs, dtype=np.int64)
     n = len(sigs)
     if n == 0:
-        return BDZDescriptor(0, 1, salt, 0, np.full(3, 3, dtype=np.uint8))
+        return BDZDescriptor(0, 1, salt, 0, np.full(3, 3, dtype=np.uint8), key_mode)
     if len(np.unique(sigs)) != n:
         raise ValueError("duplicate 64-bit signature in BDZ input")
     r = int(np.ceil(_GAMMA * n / 3)) + 1
@@ -184,7 +190,7 @@ def build_bdz_from_sigs(
             last = e
             continue
         g = _assign(H, m, r, rounds)
-        return BDZDescriptor(n, r, salt, seed, g)
+        return BDZDescriptor(n, r, salt, seed, g, key_mode)
     raise RuntimeError(f"BDZ peeling failed after {max_seed_retries} seeds: {last}")
 
 
@@ -203,8 +209,9 @@ class BDZBuilder:
         self.max_salt_retries = max_salt_retries
 
     def build(self, df, key_col: str) -> BDZDescriptor:
-        from pyspark.sql import functions as F
+        from .mphf import key_mode_for, key_sig_expr
 
+        key_mode = key_mode_for(df, key_col)
         salt = self.salt
         last: Exception | None = None
         for _ in range(self.max_salt_retries):
@@ -212,15 +219,13 @@ class BDZBuilder:
                 [
                     r["sig"]
                     for r in df.select(
-                        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)).alias(
-                            "sig"
-                        )
+                        key_sig_expr(key_col, salt, key_mode).alias("sig")
                     ).collect()
                 ],
                 dtype=np.int64,
             )
             try:
-                return build_bdz_from_sigs(sigs, salt)
+                return build_bdz_from_sigs(sigs, salt, key_mode=key_mode)
             except ValueError as e:  # duplicate signature: re-salt
                 last = e
                 salt += 1

@@ -41,7 +41,12 @@ import numpy as np
 import pandas as pd
 
 from .hashing import GOLDEN, mix64_inplace
-from .mphf import MPHFDescriptor, build_descriptor_from_sigs
+from .mphf import (
+    MPHFDescriptor,
+    build_descriptor_from_sigs,
+    key_mode_for,
+    key_sig_expr,
+)
 from .settings import get_settings
 
 
@@ -77,6 +82,7 @@ class BlockedMPHF:
     n: int
     block_offsets: np.ndarray  # (2^block_log2 + 1,) int64 global base offsets
     total_bytes: int
+    key_mode: int = 0
 
     @property
     def bits_per_key(self) -> float:
@@ -97,12 +103,13 @@ class BlockedMPHF:
                 self.n,
                 self.block_offsets.tolist(),
                 self.total_bytes,
+                self.key_mode,
             )
         ]
         spark.createDataFrame(
             row,
             "leaf_size int, avg_bucket_size int, salt long, block_log2 int,"
-            " n long, block_offsets array<long>, total_bytes long",
+            " n long, block_offsets array<long>, total_bytes long, key_mode int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta")
 
     @classmethod
@@ -117,6 +124,7 @@ class BlockedMPHF:
             r["n"],
             np.asarray(r["block_offsets"], dtype=np.int64),
             r["total_bytes"],
+            r["key_mode"],
         )
 
     # -- evaluation -------------------------------------------------------------
@@ -132,8 +140,7 @@ class BlockedMPHF:
         offsets_b = spark.sparkContext.broadcast(self.block_offsets)
         salt, blog2 = self.salt, self.block_log2
 
-        sig = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
-        keyed = df.withColumn("__sig", sig)
+        keyed = df.withColumn("__sig", key_sig_expr(key_col, salt, self.key_mode))
         if blog2 == 0:
             keyed = keyed.withColumn("__block", F.lit(0).cast("long"))
         else:
@@ -222,7 +229,9 @@ class BlockedMPHFBuilder:
         import math
 
         spark = df.sparkSession
-        keys = df.select(F.col(key_col).cast("string").alias("__key"))
+        key_mode = key_mode_for(df, key_col)
+        cast_t = "long" if key_mode == 1 else "string"
+        keys = df.select(F.col(key_col).cast(cast_t).alias("__key"))
         if n is None:
             n = keys.count()
         blog2 = self.block_log2
@@ -233,7 +242,7 @@ class BlockedMPHFBuilder:
         last_err: Exception | None = None
         for _attempt in range(self.max_salt_retries):
             try:
-                return self._build_once(spark, keys, n, blog2, salt, path)
+                return self._build_once(spark, keys, n, blog2, salt, path, key_mode)
             except Exception as e:  # noqa: BLE001 — executor errors arrive as strings
                 msg = str(e)
                 if "duplicate 64-bit signature" in msg or "search exceeded" in msg:
@@ -248,7 +257,7 @@ class BlockedMPHFBuilder:
 
     # -- internals ------------------------------------------------------------
     def _build_once(
-        self, spark, keys, n: int, blog2: int, salt: int, path: str
+        self, spark, keys, n: int, blog2: int, salt: int, path: str, key_mode: int
     ) -> BlockedMPHF:
         from pyspark.sql import functions as F
 
@@ -274,9 +283,7 @@ class BlockedMPHFBuilder:
                 "left_anti",
             )
 
-        nparts = self.partitions or max(
-            1, spark.sparkContext.defaultParallelism
-        )
+        nparts = self.partitions or max(1, 2 * spark.sparkContext.defaultParallelism)
         nparts = min(nparts, 1 << blog2)
         kernel = _make_block_kernel(
             self.leaf_size, self.avg_bucket_size, salt, self.algo
@@ -310,6 +317,7 @@ class BlockedMPHFBuilder:
             n,
             offsets,
             total_bytes,
+            key_mode,
         )
         mphf.save_meta(spark)
         return mphf

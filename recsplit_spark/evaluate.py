@@ -25,12 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .codecs import unpack_bits
 from .hashing import GOLDEN, positions_inplace
 from .settings import Settings
-
-_POW2 = (np.int64(1) << np.arange(64, dtype=np.int64))[::-1].copy()
-# _POW2[64-k:] == [2^(k-1) ... 2^0]
 
 
 # ---------------------------------------------------------------------------
@@ -108,34 +104,53 @@ class VectorEvaluator:
         self.codes = np.empty(int(self.node_off[-1]), dtype=np.int64)
         self._decode_all(byte_starts, stream)
 
+    @staticmethod
+    def _windows(words: np.ndarray, cursors: np.ndarray) -> np.ndarray:
+        """64-bit MSB-aligned windows starting at bit positions ``cursors``."""
+        wi = (cursors >> np.uint64(6)).astype(np.int64)
+        sh = cursors & np.uint64(63)
+        hi = words[wi] << sh
+        # sh==0 would right-shift by 64 (UB): shift by (64-sh)&63 then mask
+        lo = words[wi + 1] >> ((np.uint64(64) - sh) & np.uint64(63))
+        return hi | np.where(sh == 0, np.uint64(0), lo)
+
     def _decode_all(self, byte_starts: np.ndarray, stream: bytes) -> None:
-        """Lockstep decode of every bucket (see module docstring)."""
+        """Lockstep decode of every bucket (see module docstring).
+
+        Unary runs + remainders are read from 64-bit windows gathered out of
+        the PACKED big-endian word array (stream/8 bytes — L2-resident per
+        worker), with leading-ones counted via float64 log2 on the inverted
+        window (exact: quotients are capped at 47 bits by the builder, so
+        the examined value fits 48 < 53 mantissa bits). Earlier versions
+        walked an expanded next-zero table / zero-position index — DRAM-
+        latency-bound gathers that degraded ~8x under 32-way executor
+        concurrency; window reads into a ~2 MB array do not."""
         if len(stream) == 0:
             return
-        bits = unpack_bits(stream)
-        zpos = np.flatnonzero(bits == 0)
-        bits64 = bits.astype(np.int64)
+        pad = (-len(stream)) % 8 + 16
+        words = np.frombuffer(stream + b"\x00" * pad, dtype=">u8").astype(np.uint64)
         codes = self.codes
+        U16, U47, U64 = np.uint64(16), np.uint64(47), np.uint64(64)
         for s in np.unique(self.bucket_sizes):
             s = int(s)
             if s == 0:
                 continue
             bsel = np.flatnonzero(self.bucket_sizes == s)
-            cursors = byte_starts[bsel].astype(np.int64) * 8
+            cursors = (byte_starts[bsel] * 8).astype(np.uint64)
             node_base = self.node_off[bsel]
             ks = self.tables.dfs_rice_ks(s)
             for j, k in enumerate(ks.tolist()):
-                zi = np.searchsorted(zpos, cursors)
-                z = zpos[zi]
-                q = z - cursors
-                cursors = z + 1
+                x = self._windows(words, cursors)
+                y = ((~x) >> U16) | np.uint64(1)  # top 48 bits, log2(0) guard
+                q = U47 - np.floor(np.log2(y.astype(np.float64))).astype(np.uint64)
+                cursors = cursors + q + np.uint64(1)
                 if k:
-                    gather = bits64[cursors[:, None] + np.arange(k, dtype=np.int64)]
-                    rem = gather @ _POW2[64 - k :]
-                    cursors = cursors + k
-                    codes[node_base + j] = (q << k) | rem
+                    uk = np.uint64(k)
+                    rem = self._windows(words, cursors) >> (U64 - uk)
+                    cursors = cursors + uk
+                    codes[node_base + j] = ((q << uk) | rem).astype(np.int64)
                 else:
-                    codes[node_base + j] = q
+                    codes[node_base + j] = q.astype(np.int64)
 
     def evaluate(self, sigs: np.ndarray) -> np.ndarray:
         sigs = np.ascontiguousarray(sigs, dtype=np.int64)

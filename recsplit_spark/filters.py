@@ -21,7 +21,7 @@ import struct
 import numpy as np
 import pandas as pd
 
-from .mphf import MPHFDescriptor, RecSplitBuilder
+from .mphf import MPHFDescriptor, RecSplitBuilder, key_sig_expr
 
 _MAGIC = b"MPFF"
 _HDR = struct.Struct("<4sBxxxQI")  # magic, fp_bits, n, desc_len
@@ -58,10 +58,9 @@ class MPHFFilter:
             desc.evaluate(df, key_col, out_col="__idx")
             .select(
                 "__idx",
-                (
-                    F.xxhash64(F.col(key_col).cast("string"), F.lit(fp_seed))
-                    .bitwiseAND(F.lit(mask))
-                ).alias("__fp"),
+                key_sig_expr(key_col, fp_seed, desc.key_mode)
+                .bitwiseAND(F.lit(mask))
+                .alias("__fp"),
             )
             .toPandas()
         )
@@ -111,7 +110,6 @@ class MPHFFilter:
     def might_contain(self, df, key_col: str, out_col: str = "might_contain"):
         """Append a boolean column: False guarantees non-membership; True is
         wrong with probability 2^-fp_bits for non-members."""
-        from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BooleanType
 
@@ -124,8 +122,11 @@ class MPHFFilter:
                 f.might_contain_array(sig.to_numpy(), fpsig.to_numpy())
             )
 
-        k = F.col(key_col).cast("string")
+        km = self.desc.key_mode
         return df.withColumn(
             out_col,
-            _check(F.xxhash64(k, F.lit(self.desc.salt)), F.xxhash64(k, F.lit(self.fp_seed))),
+            _check(
+                key_sig_expr(key_col, self.desc.salt, km),
+                key_sig_expr(key_col, self.fp_seed, km),
+            ),
         )

@@ -68,6 +68,23 @@ def _bucket_of(sigs: np.ndarray, bucket_log2: int) -> np.ndarray:
     return (sigs >> shift) & np.int64((1 << bucket_log2) - 1)
 
 
+def key_mode_for(df, key_col: str) -> int:
+    """1 (native long hashing) for integral key columns, else 0 (string)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[key_col].dataType
+    return 1 if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)) else 0
+
+
+def key_sig_expr(key_col: str, salt: int, key_mode: int):
+    """The canonical signature Column: must match between build and eval."""
+    from pyspark.sql import functions as F
+
+    col = F.col(key_col)
+    cast = col.cast("long") if key_mode == 1 else col.cast("string")
+    return F.xxhash64(cast, F.lit(salt))
+
+
 def bucket_log2_for(n: int, avg_bucket_size: int) -> int:
     """log2 of the (power-of-2) bucket count for n keys (reference rule:
     ``Settings.getBucketCount``, ``Settings.java:287-289``, rounded to the
@@ -133,6 +150,9 @@ class MPHFDescriptor:
     offsets: np.ndarray  # (bc+1,) int64 cumulative key counts
     byte_starts: np.ndarray  # (bc+1,) int64 cumulative stream byte offsets
     stream: bytes
+    #: 0 = keys hashed as strings (universal), 1 = native long keys (no
+    #: per-row string allocation JVM-side; ~30% less GC pressure at build)
+    key_mode: int = 0
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -145,7 +165,7 @@ class MPHFDescriptor:
             _VERSION,
             self.leaf_size,
             self.bucket_log2,
-            0,
+            self.key_mode,
             self.n,
             self.salt,
             self.avg_bucket_size,
@@ -161,7 +181,7 @@ class MPHFDescriptor:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "MPHFDescriptor":
-        magic, ver, leaf, blog2, _pad, n, salt, avg = _HDR.unpack_from(data, 0)
+        magic, ver, leaf, blog2, key_mode, n, salt, avg = _HDR.unpack_from(data, 0)
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad descriptor header")
         off = _HDR.size
@@ -173,7 +193,9 @@ class MPHFDescriptor:
         off += 4
         byte_starts = ef_decode(data[off : off + l2]).astype(np.int64)
         off += l2
-        return cls(leaf, avg, salt, n, blog2, offsets, byte_starts, data[off:])
+        return cls(
+            leaf, avg, salt, n, blog2, offsets, byte_starts, data[off:], key_mode
+        )
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
@@ -231,38 +253,31 @@ class MPHFDescriptor:
         """Append the MPHF index column to a DataFrame.
 
         JVM-side ``xxhash64`` recomputes the signature; a scalar pandas UDF
-        over the broadcast descriptor does the bucket-grouped tree walk
-        (reference: ``RecSplitEvaluator.evaluate``, broadcast-join pattern
-        of SURVEY §3.2).
+        does the bucket-grouped tree walk (reference:
+        ``RecSplitEvaluator.evaluate``, broadcast-join pattern of SURVEY
+        §3.2). The Rice streams are decoded ONCE on the driver and the
+        decoded evaluator (flat trial-index array, ~2.3 bytes/key) is what
+        gets broadcast — N executors re-decoding the same descriptor was
+        measured DRAM-latency-bound once the stream outgrew L2. Beyond
+        ~10^8 keys use BlockedMPHF (per-block streams stay cache-sized).
         """
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import LongType
 
+        if self.n == 0:  # empty key set: any result is unspecified
+            return df.withColumn(out_col, F.lit(0).cast("long"))
         spark = df.sparkSession
-        bcast = spark.sparkContext.broadcast(self.to_bytes())
+        bcast = spark.sparkContext.broadcast(self._evaluator())
 
         @pandas_udf(LongType())
         def _mphf_eval(sig: pd.Series) -> pd.Series:
-            desc = _descriptor_from_broadcast(bcast)
-            return pd.Series(desc.evaluate_array(sig.to_numpy()))
+            sigs = np.ascontiguousarray(sig.to_numpy(), dtype=np.int64)
+            return pd.Series(bcast.value.evaluate(sigs))
 
-        sig_col = F.xxhash64(F.col(key_col).cast("string"), F.lit(self.salt))
-        return df.withColumn(out_col, _mphf_eval(sig_col))
-
-
-_EVAL_CACHE: dict[tuple, MPHFDescriptor] = {}
-
-
-def _descriptor_from_broadcast(bcast) -> MPHFDescriptor:
-    """Parse the broadcast descriptor once per worker process."""
-    raw = bcast.value
-    key = (len(raw), bytes(raw[:32]))
-    desc = _EVAL_CACHE.get(key)
-    if desc is None:
-        desc = MPHFDescriptor.from_bytes(raw)
-        _EVAL_CACHE[key] = desc
-    return desc
+        return df.withColumn(
+            out_col, _mphf_eval(key_sig_expr(key_col, self.salt, self.key_mode))
+        )
 
 
 _BLOCK_SCHEMA = (
@@ -349,19 +364,21 @@ class RecSplitBuilder:
         """
         from pyspark.sql import functions as F
 
-        keys = df.select(F.col(key_col).cast("string").alias("__key"))
+        key_mode = key_mode_for(df, key_col)
+        cast_t = "long" if key_mode == 1 else "string"
+        keys = df.select(F.col(key_col).cast(cast_t).alias("__key"))
         if n is None:
             n = keys.count()
         if n == 0:
             return MPHFDescriptor(
                 self.leaf_size, self.avg_bucket_size, self.salt, 0, 0,
-                np.zeros(1, np.int64), np.zeros(1, np.int64), b"",
+                np.zeros(1, np.int64), np.zeros(1, np.int64), b"", key_mode,
             )
         salt = self.salt
         last_err: Exception | None = None
         for _attempt in range(self.max_salt_retries):
             try:
-                return self._build_once(keys, n, salt)
+                return self._build_once(keys, n, salt, key_mode)
             except Exception as e:  # noqa: BLE001 — executor errors arrive as strings
                 msg = str(e)
                 if "duplicate 64-bit signature" in msg or "search exceeded" in msg:
@@ -381,13 +398,17 @@ class RecSplitBuilder:
         target = max(1, round(n / self.avg_bucket_size))
         return max(0, math.ceil(math.log2(target)))
 
-    def _build_once(self, keys, n: int, salt: int) -> MPHFDescriptor:
+    def _build_once(self, keys, n: int, salt: int, key_mode: int) -> MPHFDescriptor:
         from pyspark.sql import functions as F
 
         spark = keys.sparkSession
         blog2 = self._bucket_log2(n)
         bc = 1 << blog2
-        nparts = self.partitions or max(1, spark.sparkContext.defaultParallelism)
+        # 2x parallelism: straggler smoothing (bucket-size variance makes
+        # per-partition kernel time uneven) without per-task overhead
+        # dominating — measured best at 32 cores vs 1x (stragglers) and 4x
+        # (task/Arrow fixed costs)
+        nparts = self.partitions or max(1, 2 * spark.sparkContext.defaultParallelism)
         nparts = min(nparts, bc)
 
         sig = F.xxhash64(F.col("__key"), F.lit(salt))
@@ -410,7 +431,7 @@ class RecSplitBuilder:
             rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt)
         else:
             rows = blocks_df.collect()
-        return self._finalize(rows, n, salt, blog2)
+        return self._finalize(rows, n, salt, blog2, key_mode)
 
     def _run_with_checkpoint(self, spark, blocks_df, sig_df, salt):
         """Resume-aware execution: completed bucket ranges are read from the
@@ -460,7 +481,9 @@ class RecSplitBuilder:
             kernel, schema=_BLOCK_SCHEMA
         )
 
-    def _finalize(self, rows, n: int, salt: int, blog2: int) -> MPHFDescriptor:
+    def _finalize(
+        self, rows, n: int, salt: int, blog2: int, key_mode: int = 0
+    ) -> MPHFDescriptor:
         """Associative merge: scatter per-bucket (n_keys, byte_len) into
         dense arrays, recompute prefix sums, concatenate streams in bucket
         order (M1-M3 of SURVEY §2.4 — order-independent by construction)."""
@@ -496,4 +519,5 @@ class RecSplitBuilder:
             offsets,
             byte_starts,
             stream,
+            key_mode,
         )
