@@ -161,3 +161,21 @@ def test_fixture_matches_spec():
         assert 16 <= n_tok[i] <= 512
         assert len(tokens[i]) == n_tok[i]
         assert tokens[i].max() < 50_257
+
+
+def test_read_sequences_roundtrip(spark, tmp_path):
+    import pytest as _pt
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.io import read_sequences, write_sequences
+
+    df = sequences(spark, 1_000, partitions=2)
+    path = str(tmp_path / "seqs")
+    write_sequences(df, path)
+    back = read_sequences(spark, path)  # schema contract validated
+    assert back.count() == 1_000
+
+    bad_path = str(tmp_path / "bad")
+    df.select("doc_id", "source").write.parquet(bad_path)  # missing columns
+    with _pt.raises(ValueError, match="schema mismatch"):
+        read_sequences(spark, bad_path)
