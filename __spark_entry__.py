@@ -481,6 +481,65 @@ def _q_quality_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token heavy-hitters: explode -> count -> global top-k. Catalyst
+    plans partial/final hash agg + TakeOrderedAndProject (no full sort)."""
+    import pyspark.sql.functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def _q_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function prefix sums (the distributed form of the descriptor's
+    offset/start lists, SURVEY §2.4 M2/M3): running event count + value sum
+    per user over time; checked via a deterministic aggregate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = ev.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("k"),
+        F.sum("value").over(w).alias("run_value"),
+    )
+    # fold the per-row running sums into an order-insensitive checksum
+    return run.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("sum_rank"),
+        F.round(F.sum("run_value"), 2).alias("sum_running_value"),
+    )
+
+
+def _q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (l_returnflag, l_linestatus)."""
+    import pyspark.sql.functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: predicted-language distribution over documents."""
     import pyspark.sql.functions as F
@@ -522,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts_documents": _q_quality_counts_documents,
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
+        "top_tokens": _q_top_tokens,
+        "events_running_window": _q_events_running_window,
+        "rollup_returnflag": _q_rollup_returnflag,
     }
 
 
@@ -634,7 +696,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": (
             "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
         ),
-        # minhash_near_dup_pairs, simhash_near_dup_pairs, lang_id_documents:
-        # intentionally no oracle (probabilistic candidates / heuristic) ->
-        # driver records the weaker rows-only check
+        "top_tokens": (
+            "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM"
+            " (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)"
+            " GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 20"
+        ),
+        "events_running_window": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            " CAST(sum(k) AS BIGINT) AS sum_rank,"
+            " ROUND(sum(run_value), 2) AS sum_running_value FROM ("
+            " SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,"
+            " sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value"
+            " FROM events)"
+        ),
+        "rollup_returnflag": (
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,"
+            " ROUND(sum(l_quantity), 2) AS sum_qty FROM lineitem"
+            " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+            " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+        ),
+        # minhash_near_dup_pairs, simhash_near_dup_pairs, lang_id_documents,
+        # cosine_lsh_near_dup: intentionally no oracle (probabilistic
+        # candidates / heuristic) -> driver records the weaker rows-only check
     }

@@ -22,6 +22,8 @@ import json
 import os
 import struct
 
+import pandas as pd
+
 from .sketches.base import MergeableSketch
 
 
@@ -92,3 +94,47 @@ class StreamingSketch:
 
     def estimate(self) -> float:
         return self.sketch.estimate(self.state)
+
+
+def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col: str):
+    """Per-key incremental sketch over a stream — a custom stateful operator
+    on ``applyInPandasWithState`` (per-group state = the serialized sketch).
+
+    Each trigger emits one row per updated key:
+    ``(key, estimate double, n_total long)``. Because the sketch is a
+    monoid and the state store is exactly-once, the per-key state after any
+    prefix of the stream equals a batch build over the same rows — the test
+    oracle. Use for e.g. live per-source distinct-doc_id tracking while a
+    crawl ingests.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, estimate double, n_total long"
+    state_schema = "blob binary, n long"
+
+    def _update(key, pdf_iter, state: "GroupState"):
+        if state.exists:
+            blob, n = state.get
+            st = sketch.from_bytes(bytes(blob))
+        else:
+            st, n = sketch.new_state(), 0
+        for pdf in pdf_iter:
+            arr = pdf["__in"].to_numpy()
+            sketch.update(st, arr)
+            n += len(arr)
+        state.update((sketch.to_bytes(st), n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "estimate": [float(sketch.estimate(st))],
+                "n_total": [n],
+            }
+        )
+
+    src = stream_df.select(
+        sketch._input_expr(col), F.col(key_col).cast("string").alias(key_col)
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -73,3 +73,39 @@ def test_streaming_resume_skips_replayed(spark, staged_dir, tmp_path):
     assert agg2.estimate() == est1
     agg2.foreach_batch(replay_df.limit(0), batch_id=agg2.last_batch_id + 1)
     assert agg2.estimate() == est1  # empty batch merges as identity
+
+
+def test_stateful_sketch_by_key(spark, staged_dir, tmp_path):
+    """applyInPandasWithState per-key HLL: final state per key must match a
+    batch per-group build over the same rows (exact state equality through
+    the estimate, since updates are deterministic)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.streaming import stateful_sketch_by_key
+
+    hll = HyperLogLog(p=12)
+    stream = _read_stream(spark, staged_dir)
+    out = stateful_sketch_by_key(stream, hll, "doc_id", "source")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("per_key_hll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql(
+        "SELECT source, estimate FROM per_key_hll a WHERE n_total = "
+        "(SELECT max(n_total) FROM per_key_hll b WHERE b.source = a.source)"
+    ).toPandas()
+    got = dict(zip(pdf["source"], pdf["estimate"]))
+    batch = {
+        r["source"]: r["estimate"]
+        for r in hll.aggregate(
+            spark.read.parquet(staged_dir), "doc_id", ["source"]
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k] == batch[k], (k, got[k], batch[k])
