@@ -107,3 +107,11 @@ def test_blocked_lineage_metrics(spark, seq20k, tmp_path):
     assert {r["block"] for r in rows} == set(range(8))
     assert all(r["build_ns"] > 0 and r["part_id"] >= 0 for r in rows)
     assert sum(r["n_keys"] for r in rows) == 20_000
+
+
+def test_blocked_duplicate_keys_fail(spark, tmp_path):
+    dup = spark.createDataFrame([("k1",), ("k1",), ("k2",)], "doc_id string")
+    with pytest.raises(RuntimeError, match="salt re-rolls"):
+        BlockedMPHFBuilder(block_log2=0, max_salt_retries=2).build(
+            dup, "doc_id", str(tmp_path / "bm_dup")
+        )
