@@ -206,9 +206,19 @@ class BlockedMPHFBuilder:
         partitions: int | None = None,
         max_salt_retries: int = 4,
         algo: str = "recsplit",
+        checkpoint_waves: int = 1,
     ) -> None:
+        """``checkpoint_waves`` > 1 splits the build into that many
+        sequential block-range jobs, each committing its parquet before the
+        next starts: a kill loses at most one wave (parquet only publishes
+        files at JOB commit, so a single-job build has all-or-nothing
+        checkpointing). Cost: the key scan runs once per wave — use on
+        long builds where input re-scan << lost work."""
         if algo not in ("recsplit", "bdz"):
             raise ValueError("algo must be 'recsplit' or 'bdz'")
+        if checkpoint_waves < 1:
+            raise ValueError("checkpoint_waves must be >= 1")
+        self.checkpoint_waves = checkpoint_waves
         self.leaf_size = leaf_size
         self.avg_bucket_size = avg_bucket_size
         self.block_log2 = block_log2
@@ -288,10 +298,20 @@ class BlockedMPHFBuilder:
         kernel = _make_block_kernel(
             self.leaf_size, self.avg_bucket_size, salt, self.algo
         )
-        pending = sig_df.repartitionByRange(nparts, "__block").mapInPandas(
-            kernel, schema=_BLOCK_SCHEMA
-        )
-        pending.write.mode("append").parquet(blocks_path)
+        bc = 1 << blog2
+        waves = min(self.checkpoint_waves, bc)
+        step = -(-bc // waves)
+        for wlo in range(0, bc, step):
+            wave = sig_df
+            if waves > 1:
+                wave = sig_df.filter(
+                    (F.col("__block") >= wlo) & (F.col("__block") < wlo + step)
+                )
+            wave_parts = max(1, min(nparts, step))  # <= one partition per block
+            pending = wave.repartitionByRange(wave_parts, "__block").mapInPandas(
+                kernel, schema=_BLOCK_SCHEMA
+            )
+            pending.write.mode("append").parquet(blocks_path)
 
         stats = spark.read.parquet(blocks_path).select("block", "n_keys", "nbytes")
         rows = stats.collect()

@@ -39,6 +39,7 @@ def main() -> int:
     ap.add_argument("--leaf", type=int, default=8)
     ap.add_argument("--avg-bucket", type=int, default=128)
     ap.add_argument("--block-log2", type=int, default=None)
+    ap.add_argument("--waves", type=int, default=1, help="checkpoint waves (blocked mode)")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--verify", action="store_true", help="full bijection check after build")
     args = ap.parse_args()
@@ -66,6 +67,7 @@ def main() -> int:
             block_log2=args.block_log2,
             salt=args.salt,
             algo=args.algo,
+            checkpoint_waves=args.waves,
         ).build(keys, args.key_col, args.output)
         n, bpk = mphf.n, mphf.bits_per_key
     else:

@@ -115,3 +115,23 @@ def test_blocked_duplicate_keys_fail(spark, tmp_path):
         BlockedMPHFBuilder(block_log2=0, max_salt_retries=2).build(
             dup, "doc_id", str(tmp_path / "bm_dup")
         )
+
+
+def test_blocked_waves_equivalent(spark, seq20k, tmp_path):
+    """Waved build produces the identical block set as a single-job build."""
+    single = BlockedMPHFBuilder(block_log2=4, partitions=4).build(
+        seq20k, "doc_id", str(tmp_path / "bw_single")
+    )
+    waved = BlockedMPHFBuilder(
+        block_log2=4, partitions=4, checkpoint_waves=4
+    ).build(seq20k, "doc_id", str(tmp_path / "bw_waved"))
+    a = {
+        r["block"]: bytes(r["blob"])
+        for r in spark.read.parquet(single.blocks_path).collect()
+    }
+    b = {
+        r["block"]: bytes(r["blob"])
+        for r in spark.read.parquet(waved.blocks_path).collect()
+    }
+    assert a == b
+    _assert_bijection(waved.evaluate(seq20k, "doc_id"), 20_000)
