@@ -119,9 +119,12 @@ class VectorEvaluator:
 
         Unary runs + remainders are read from 64-bit windows gathered out of
         the PACKED big-endian word array (stream/8 bytes — L2-resident per
-        worker), with leading-ones counted via float64 log2 on the inverted
-        window (exact: quotients are capped at 47 bits by the builder, so
-        the examined value fits 48 < 53 mantissa bits). Earlier versions
+        worker), with leading-ones counted by converting the inverted window
+        to float64 (exact: quotients are capped at 47 bits by the builder,
+        so the examined value fits 48 < 53 mantissa bits) and extracting the
+        IEEE-754 exponent field directly — NOT via np.log2, whose libm
+        implementation is only guaranteed 1-2 ulp on some platforms and
+        could round 2^48-1 up to exponent 48, wrapping q. Earlier versions
         walked an expanded next-zero table / zero-position index — DRAM-
         latency-bound gathers that degraded ~8x under 32-way executor
         concurrency; window reads into a ~2 MB array do not."""
@@ -131,6 +134,7 @@ class VectorEvaluator:
         words = np.frombuffer(stream + b"\x00" * pad, dtype=">u8").astype(np.uint64)
         codes = self.codes
         U16, U47, U64 = np.uint64(16), np.uint64(47), np.uint64(64)
+        U52, U1023 = np.uint64(52), np.uint64(1023)
         for s in np.unique(self.bucket_sizes):
             s = int(s)
             if s == 0:
@@ -141,8 +145,11 @@ class VectorEvaluator:
             ks = self.tables.dfs_rice_ks(s)
             for j, k in enumerate(ks.tolist()):
                 x = self._windows(words, cursors)
-                y = ((~x) >> U16) | np.uint64(1)  # top 48 bits, log2(0) guard
-                q = U47 - np.floor(np.log2(y.astype(np.float64))).astype(np.uint64)
+                y = ((~x) >> U16) | np.uint64(1)  # top 48 bits, exponent(0) guard
+                # floor(log2(y)) via the float64 exponent bits: the cast is
+                # exact for y < 2^53, so the biased exponent IS floor(log2)
+                e = (y.astype(np.float64).view(np.uint64) >> U52) - U1023
+                q = U47 - e
                 cursors = cursors + q + np.uint64(1)
                 if k:
                     uk = np.uint64(k)

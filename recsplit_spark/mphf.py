@@ -55,7 +55,9 @@ from .kernel import build_buckets, eval_bucket
 from .settings import Settings, get_settings
 
 _MAGIC = b"RSMP"
-_VERSION = 1
+# v2: the former pad byte now carries key_mode (0=string, 1=long). Bumped so
+# a v1 reader fails loudly instead of silently hashing long keys as strings.
+_VERSION = 2
 _HDR = struct.Struct("<4sBBBBQqI")
 
 
@@ -184,6 +186,8 @@ class MPHFDescriptor:
         magic, ver, leaf, blog2, key_mode, n, salt, avg = _HDR.unpack_from(data, 0)
         if magic != _MAGIC or ver != _VERSION:
             raise ValueError("bad descriptor header")
+        if key_mode not in (0, 1):
+            raise ValueError(f"unknown key_mode {key_mode}")
         off = _HDR.size
         (l1,) = struct.unpack_from("<I", data, off)
         off += 4

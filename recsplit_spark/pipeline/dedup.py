@@ -290,6 +290,8 @@ def add_hyperplane_signature(df, id_col: str, vec_col: str, n_bits: int = 64, se
 
     @pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int64")
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((mat.shape[1], n_bits))

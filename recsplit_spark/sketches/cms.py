@@ -19,7 +19,10 @@ from ..hashing import mix64, reduce_to
 from .base import MergeableSketch
 
 _HDR = struct.Struct("<4sII")
-_MAGIC = b"CMS1"
+# CMS2: the column mapping switched from 64-bit modulo to the Lemire reduce,
+# so states serialized under CMS1 occupy an incompatible layout; the magic
+# bump makes from_bytes reject them instead of merging wrong estimates.
+_MAGIC = b"CMS2"
 
 
 def _rows_cols(h: np.ndarray, d: int, w: int) -> np.ndarray:

@@ -59,9 +59,17 @@ class HyperLogLog(MergeableSketch):
         idx = (h >> (64 - p)) & np.int64(self.m - 1)  # top p bits
         # rank = leading zeros of the low (64-p)-bit suffix + 1, capped
         w = h & np.int64((1 << (64 - p)) - 1)
-        # float64 log2 is exact for w < 2^53 (64-p <= 60; top bits dominate)
-        with np.errstate(divide="ignore"):
-            lz = (64 - p) - 1 - np.floor(np.log2(w.astype(np.float64))).astype(np.int64)
+        # exact floor(log2): the suffix can reach 2^60 > 2^53, so a single
+        # float64 cast rounds (w = 2^k - tiny rounds UP across the power of
+        # two). Split into 32-bit halves — each casts exactly — and read the
+        # IEEE-754 exponent field directly (no libm ulp concerns either).
+        hi = (w >> np.int64(32)).astype(np.float64)
+        lo = (w & np.int64(0xFFFFFFFF)).astype(np.float64)
+        u52, bias = np.uint64(52), np.uint64(1023)
+        e_hi = (np.maximum(hi, 1.0).view(np.uint64) >> u52) - bias
+        e_lo = (np.maximum(lo, 1.0).view(np.uint64) >> u52) - bias
+        fl2 = np.where(hi > 0, e_hi.astype(np.int64) + 32, e_lo.astype(np.int64))
+        lz = (64 - p) - 1 - fl2
         rank = np.where(w == 0, 64 - p + 1, lz + 1).astype(np.uint8)
         np.maximum.at(state, idx, rank)
 
