@@ -156,12 +156,16 @@ class BDZDescriptor:
 
         from .mphf import key_sig_expr
 
-        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes())
+        if getattr(self, "_used", None) is None:  # precompute the rank index
+            object.__setattr__(self, "_used", np.flatnonzero(self.g < 3))
+        # broadcast the descriptor object (with its driver-computed rank
+        # index) — deserialized once per executor process; batches do no
+        # re-parse / re-derivation
+        bcast = df.sparkSession.sparkContext.broadcast(self)
 
         @pandas_udf(LongType())
         def _bdz_eval(sig: pd.Series) -> pd.Series:
-            desc = BDZDescriptor.from_bytes(bcast.value)
-            return pd.Series(desc.evaluate_array(sig.to_numpy()))
+            return pd.Series(bcast.value.evaluate_array(sig.to_numpy()))
 
         return df.withColumn(
             out_col, _bdz_eval(key_sig_expr(key_col, self.salt, self.key_mode))

@@ -8,10 +8,14 @@ index function. Space = MPHF bits/key + fp_bits; false-positive rate =
 filter's 1.44·log2(1/fpr) bits/key, this is within ~12% of the
 information-theoretic floor at 8 bits.
 
-Build is distributed: the fingerprint table is filled from a
-``mapInPandas`` pass (MPHF index → fingerprint byte), and only the n-byte
-table returns to the driver (descriptor-sized, NOT data-sized). Lookup
-broadcasts (descriptor + table) once per job.
+Build is distributed: (idx, fingerprint) pairs are range-partitioned on the
+MPHF index — the bijection onto [0, n) makes every range partition a DENSE
+contiguous slice — and a ``mapInPandas`` pass packs each partition into one
+(idx_lo, bytes) fragment, so the driver receives n bytes total in ~P rows
+(descriptor-sized, NOT data-sized; at 10^9 keys: ~1 GB of fragments vs the
+>16 GB of rows a ``toPandas`` would ship). Lookup broadcasts the
+driver-decoded evaluator + table once per job; probe batches reuse the
+per-process broadcast value (no per-batch descriptor re-parse).
 """
 
 from __future__ import annotations
@@ -54,20 +58,51 @@ class MPHFFilter:
         desc = builder.build(df, key_col)
         fp_seed = desc.salt ^ 0x5F4A7C15
         mask = (1 << fp_bits) - 1
-        pairs = (
-            desc.evaluate(df, key_col, out_col="__idx")
-            .select(
-                "__idx",
-                key_sig_expr(key_col, fp_seed, desc.key_mode)
-                .bitwiseAND(F.lit(mask))
-                .alias("__fp"),
+        pairs = desc.evaluate(df, key_col, out_col="__idx").select(
+            "__idx",
+            key_sig_expr(key_col, fp_seed, desc.key_mode)
+            .bitwiseAND(F.lit(mask))
+            .alias("__fp"),
+        )
+        # Dense-fragment assembly: the MPHF is a bijection onto [0, n), so a
+        # range partition on __idx holds EVERY index in [min, max] of its
+        # span exactly once — sort within the task and the fingerprints are
+        # a contiguous byte slice of the final table. Driver receives one
+        # (idx_lo, packed bytes) row per partition: n bytes total.
+        spark = df.sparkSession
+        nparts = max(1, min(spark.sparkContext.defaultParallelism, max(1, desc.n // 65536)))
+
+        def _pack(batches):
+            chunks = list(batches)
+            if not chunks:
+                return
+            idx = np.concatenate([c["__idx"].to_numpy() for c in chunks])
+            fpv = np.concatenate(
+                [c["__fp"].to_numpy().astype(np.uint8) for c in chunks]
             )
-            .toPandas()
+            order = np.argsort(idx)
+            idx = idx[order]
+            lo = int(idx[0])
+            if not (int(idx[-1]) - lo + 1 == len(idx)):
+                raise RuntimeError("fingerprint fragment not dense (corrupt MPHF?)")
+            yield pd.DataFrame({"idx_lo": [lo], "frag": [fpv[order].tobytes()]})
+
+        frags = (
+            pairs.repartitionByRange(nparts, "__idx")
+            .mapInPandas(_pack, schema="idx_lo long, frag binary")
+            .collect()
         )
         fp = np.zeros(desc.n, dtype=np.uint8)
-        fp[pairs["__idx"].to_numpy()] = pairs["__fp"].to_numpy().astype(np.uint8)
+        total = 0
+        for r in frags:
+            frag = np.frombuffer(bytes(r["frag"]), dtype=np.uint8)
+            fp[r["idx_lo"] : r["idx_lo"] + len(frag)] = frag
+            total += len(frag)
+        if total != desc.n:
+            raise RuntimeError(f"fingerprint fragments cover {total} != {desc.n} keys")
         f = cls(desc, fp, fp_seed)
         f.fp_bits = fp_bits
+        f.n_build_fragments = len(frags)  # diagnostic: driver saw P rows, n bytes
         return f
 
     fp_bits: int = 8
@@ -109,18 +144,26 @@ class MPHFFilter:
 
     def might_contain(self, df, key_col: str, out_col: str = "might_contain"):
         """Append a boolean column: False guarantees non-membership; True is
-        wrong with probability 2^-fp_bits for non-members."""
+        wrong with probability 2^-fp_bits for non-members.
+
+        The Rice streams are decoded ONCE on the driver; the broadcast ships
+        the decoded evaluator + fingerprint table, and ``bcast.value`` is
+        deserialized once per executor process — probe batches do zero
+        descriptor parsing (the round-1 version re-decoded the whole filter
+        on every Arrow batch)."""
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BooleanType
 
-        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes())
+        ve = self.desc._evaluator()  # driver-side decode, see mphf.evaluate
+        bcast = df.sparkSession.sparkContext.broadcast((ve, self.fp, self.fp_bits))
 
         @pandas_udf(BooleanType())
         def _check(sig: pd.Series, fpsig: pd.Series) -> pd.Series:
-            f = MPHFFilter.from_bytes(bcast.value)
-            return pd.Series(
-                f.might_contain_array(sig.to_numpy(), fpsig.to_numpy())
-            )
+            ve, fp, fp_bits = bcast.value
+            idx = ve.evaluate(np.ascontiguousarray(sig.to_numpy(), dtype=np.int64))
+            mask = np.int64((1 << fp_bits) - 1)
+            want = (fpsig.to_numpy() & mask).astype(np.uint8)
+            return pd.Series(fp[idx] == want)
 
         km = self.desc.key_mode
         return df.withColumn(

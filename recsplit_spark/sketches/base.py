@@ -103,8 +103,37 @@ class MergeableSketch(ABC):
         return src.mapInPandas(_fold, schema=schema)
 
     def build(self, df, col: str):
-        """Global aggregate: fold the whole DataFrame into one state."""
-        rows = self.partials(df, col).collect()
+        """Global aggregate: fold the whole DataFrame into one state.
+
+        Tree merge: with P input partitions the driver would otherwise
+        collect P serialized states (a CMS state at eps=1e-5 is ~10 MB — at
+        thousands of partitions that collect+sequential-loop is a driver
+        bottleneck). A repartition(~sqrt(P)) pre-merge stage folds them
+        distributed first — the shuffle carries states, not rows, and the
+        boundary keeps stage-1 parallelism at P (a coalesce would collapse
+        the partials stage itself to sqrt(P) tasks). Merge associativity
+        makes the two-level fold bit-identical to the flat one (tested)."""
+        import math
+
+        sk = self
+        parts = self.partials(df, col)
+        p = parts.rdd.getNumPartitions()
+        fan = math.isqrt(max(1, p))
+        if p > 4 and fan > 1:
+
+            def _pre_merge(batches):
+                state = None
+                for pdf in batches:
+                    for b in pdf["state"]:
+                        s = sk.from_bytes(bytes(b))
+                        state = s if state is None else sk.merge(state, s)
+                if state is not None:
+                    yield pd.DataFrame({"state": [sk.to_bytes(state)]})
+
+            parts = parts.repartition(fan).mapInPandas(
+                _pre_merge, schema="state binary"
+            )
+        rows = parts.collect()
         state = self.new_state()
         for r in rows:
             state = self.merge(state, self.from_bytes(bytes(r["state"])))

@@ -84,11 +84,12 @@ class BloomFilter(MergeableSketch):
         from pyspark.sql.types import BooleanType
 
         sk = self
-        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes(state))
+        # broadcast the bit array itself — deserialized once per executor
+        # process; no per-batch from_bytes copy
+        bcast = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(state))
 
         @pandas_udf(BooleanType())
         def _q(h: pd.Series) -> pd.Series:
-            st = sk.from_bytes(bcast.value)
-            return pd.Series(sk.contains_hashes(st, h.to_numpy()))
+            return pd.Series(sk.contains_hashes(bcast.value, h.to_numpy()))
 
         return df.withColumn(out_col, _q(F.xxhash64(F.col(col).cast("string"))))

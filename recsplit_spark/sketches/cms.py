@@ -95,12 +95,14 @@ class CountMinSketch(MergeableSketch):
         from pyspark.sql.types import LongType
 
         sk = self
-        bcast = df.sparkSession.sparkContext.broadcast(self.to_bytes(state))
+        # broadcast the counter matrix itself: bcast.value deserializes once
+        # per executor process, so probe batches skip the per-batch
+        # from_bytes copy (~d*w*8 bytes per batch at round 1)
+        bcast = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(state))
 
         @pandas_udf(LongType())
         def _q(h: pd.Series) -> pd.Series:
-            st = sk.from_bytes(bcast.value)
-            return pd.Series(sk.query_hashes(st, h.to_numpy()))
+            return pd.Series(sk.query_hashes(bcast.value, h.to_numpy()))
 
         hashed = F.xxhash64(F.col(col).cast("string"))
         return df.select(col).distinct().withColumn("freq_est", _q(hashed))

@@ -47,3 +47,22 @@ def test_space(filt):
     # ~1.93 (MPHF) + 8 (fingerprint) bits/key
     assert filt.bits_per_key < 10.5
     assert filt.false_positive_rate == pytest.approx(1 / 256)
+
+
+def test_build_scale_10m_driver_sees_fragments_not_rows(spark):
+    """Scale gate (VERDICT round-1 item 1): 10^7-key build must assemble the
+    fingerprint table from dense per-partition fragments — the driver
+    receives ~P rows totaling exactly n bytes, never n (idx, fp) rows."""
+    ship_package(spark)
+    df = spark.range(10_000_000).select(F.col("id").alias("k"))
+    filt = MPHFFilter.build(df, "k")
+    assert filt.desc.n == 10_000_000
+    # driver-side result: one row per range partition, n bytes total
+    # (total == n is enforced inside build; a toPandas regression would
+    # blow the fragment count far past the parallelism bound)
+    assert 1 <= filt.n_build_fragments <= spark.sparkContext.defaultParallelism * 4
+    assert len(filt.fp) == 10_000_000
+    # zero false negatives on a member sample
+    sample = df.sample(0.001, seed=1)
+    out = filt.might_contain(sample, "k")
+    assert out.filter(~F.col("might_contain")).count() == 0

@@ -137,3 +137,22 @@ def test_tdigest_partition_invariance_estimates(spark, lineitem):
     for q in (0.1, 0.5, 0.9):
         a, b = td.quantile(s1, q), td.quantile(s2, q)
         assert abs(a - b) / max(abs(a), 1e-9) < 0.02
+
+
+def test_tree_merge_512_partitions_bit_identical(spark):
+    """Scale gate (VERDICT round-1 item 3): at 512 input partitions the
+    pre-merge stage folds states distributed (driver merges ~sqrt(P));
+    associativity makes the result bit-identical to a small-P build."""
+    cms = CountMinSketch(eps=1e-5, delta=0.01)  # ~10.9 MB per state
+    df = spark.range(200_000).select((F.col("id") % 1000).alias("v"))
+    s8 = cms.build(df.repartition(8), "v")
+    s512 = cms.build(df.repartition(512), "v")
+    assert cms.to_bytes(s8) == cms.to_bytes(s512)
+    # exact on this cardinality: sketch width >> 1000 distinct values
+    h = cms.query_hashes(
+        s512,
+        np.array(
+            [r["h"] for r in df.select(F.xxhash64(F.col("v").cast("string")).alias("h")).distinct().collect()]
+        ),
+    )
+    assert h.sum() == 200_000
