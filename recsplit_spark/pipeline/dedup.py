@@ -32,6 +32,94 @@ def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(mix64(raw))
 
 
+#: docs per vectorized sub-chunk inside an Arrow batch — bounds the shingle
+#: working set (~1024 docs x ~500 B = ~4 MB/array; this box collapses when
+#: per-core working sets blow past L2 under 32-way concurrency)
+_CHUNK_DOCS = 1024
+
+
+def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct shingle hashes for a WHOLE batch in one pass.
+
+    Returns ``(hashes, offsets)``: doc i's sorted distinct hashes are
+    ``hashes[offsets[i]:offsets[i+1]]`` — value-identical to calling
+    ``_char_shingle_hashes`` per doc (tested), but the rolling hash runs as
+    k shifted multiply-adds over ONE concatenated byte buffer and the
+    per-doc dedup is a single lexsort, instead of a Python loop per doc
+    (round-1 hot loop; ~5-10x on realistic batches).
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    bufs = []
+    for t in texts:
+        b = (t if isinstance(t, str) else "").encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + b" " * (k - len(b))  # same padding as the per-doc kernel
+        bufs.append(b)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    n_sh = lens - k + 1
+    total = int(n_sh.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    ends = np.cumsum(n_sh)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - n_sh, n_sh)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = starts[doc_of] + local  # global window-start byte positions
+    pows = _SHINGLE_PRIME ** np.arange(k, dtype=np.uint64)
+    raw = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        raw += buf[pos + j] * pows[j]
+    h = mix64(raw)
+    # per-doc distinct, sorted (np.unique order): one global lexsort
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+    hu, du = hs[keep], ds[keep]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(du, minlength=n_docs), out=offsets[1:])
+    return hu, offsets
+
+
+def minhash_signatures_batch(
+    texts, num_hashes: int, shingle: int = 5
+) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures for a batch — same
+    values as ``minhash_signature`` per doc, one ``minimum.reduceat`` per
+    hash function instead of a per-doc matrix."""
+    n_docs = len(texts)
+    out = np.empty((n_docs, num_hashes), dtype=np.uint64)
+    seeds = mix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    for lo in range(0, n_docs, _CHUNK_DOCS):
+        chunk = texts[lo : lo + _CHUNK_DOCS]
+        hu, offsets = _batch_shingle_hashes(chunk, shingle)
+        seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
+        for i in range(num_hashes):
+            out[lo : lo + len(chunk), i] = np.minimum.reduceat(mix64(hu ^ seeds[i]), seg)
+    return out
+
+
+def simhash64_batch(texts, shingle: int = 4) -> np.ndarray:
+    """(n_docs,) uint64 SimHash codes for a batch — same values as
+    ``simhash64`` per doc; bit votes via one 2-D ``add.reduceat``."""
+    n_docs = len(texts)
+    out = np.empty(n_docs, dtype=np.uint64)
+    bitpos = np.arange(64, dtype=np.uint64)
+    for lo in range(0, n_docs, _CHUNK_DOCS):
+        chunk = texts[lo : lo + _CHUNK_DOCS]
+        hu, offsets = _batch_shingle_hashes(chunk, shingle)
+        counts = np.diff(offsets)
+        # int32: reduceat accumulates in the input dtype (int8/16 overflow)
+        bits = ((hu[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, offsets[:-1], axis=0)
+        votes = 2 * ones - counts[:, None]
+        out[lo : lo + len(chunk)] = (
+            (votes > 0).astype(np.uint64) << bitpos[None, :]
+        ).sum(axis=1)
+    return out
+
+
 def minhash_signature(text: str, num_hashes: int, shingle: int = 5) -> np.ndarray:
     """(num_hashes,) uint64 MinHash signature via one-permutation-per-hash
     derived family h_i(x) = mix64(x + i*GOLDEN-step)."""
@@ -47,17 +135,49 @@ def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: 
 
     def _sig(batches):
         for pdf in batches:
-            sigs = [
-                minhash_signature(t if isinstance(t, str) else "", num_hashes, shingle)
-                .view(np.int64)
-                .tolist()
-                for t in pdf[text_col]
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], "minhash": sigs})
+            mat = minhash_signatures_batch(
+                pdf[text_col].tolist(), num_hashes, shingle
+            ).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "minhash": list(mat)})
 
     return df.select(id_col, text_col).mapInPandas(
         _sig, schema=f"{id_col} long, minhash array<long>"
     )
+
+
+def _bucket_candidate_pairs(banded, id_col: str, bucket_cap: int):
+    """Candidate pairs (id_a < id_b) from (band, band_key) bucket membership,
+    with hot-bucket star-linking.
+
+    Buckets of <= ``bucket_cap`` members emit all C(n,2) pairs via the
+    self-join. Larger buckets — one boilerplate page repeated N times is
+    guaranteed in a web corpus, and N^2/2 join OUTPUT rows is a scale-killer
+    AQE cannot fix — instead link every member to the bucket's min-id
+    representative: O(N) star edges with the same connected components for
+    duplicate clustering. Precision is unaffected (every emitted pair is
+    exact-verified downstream); within an oversized bucket only pairwise
+    relations THROUGH the representative are asserted, which is the standard
+    LSH-at-scale trade.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key")
+    ann = banded.withColumn("__n", F.count("*").over(w)).withColumn(
+        "__rep", F.min(id_col).over(w)
+    )
+    small = ann.filter(F.col("__n") <= bucket_cap).select(id_col, "band", "band_key")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    star_pairs = ann.filter(
+        (F.col("__n") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def minhash_lsh_pairs(
@@ -67,11 +187,13 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     shingle: int = 5,
+    bucket_cap: int = 1000,
 ):
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     rows/band = num_hashes/bands; a pair collides in some band iff all its
-    rows match => detection prob 1-(1-j^r)^b for Jaccard j.
+    rows match => detection prob 1-(1-j^r)^b for Jaccard j. Buckets larger
+    than ``bucket_cap`` are star-linked (see _bucket_candidate_pairs).
     """
     from pyspark.sql import functions as F
 
@@ -90,21 +212,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    return pairs
+    return _bucket_candidate_pairs(banded, id_col, bucket_cap)
 
 
 def jaccard_pairs(df, pairs, id_col: str, text_col: str, shingle: int = 5):
@@ -121,10 +229,20 @@ def jaccard_pairs(df, pairs, id_col: str, text_col: str, shingle: int = 5):
 
     @pandas_udf(DoubleType())
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = _char_shingle_hashes(x or "", shingle)
-            sb = _char_shingle_hashes(y or "", shingle)
+        n = len(ta)
+        out = np.empty(n)
+        if n == 0:
+            return pd.Series(out)
+        # candidate pairs repeat the same docs: shingle each distinct text
+        # ONCE per batch (batched kernel), then intersect per pair
+        codes, uniques = pd.factorize(
+            pd.concat([ta.fillna(""), tb.fillna("")], ignore_index=True)
+        )
+        hu, offs = _batch_shingle_hashes(uniques.tolist(), shingle)
+        sets = [hu[offs[i] : offs[i + 1]] for i in range(len(uniques))]
+        ca, cb = codes[:n], codes[n:]
+        for i in range(n):
+            sa, sb = sets[ca[i]], sets[cb[i]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             out[i] = inter / union if union else 1.0
@@ -152,10 +270,7 @@ def simhash64(text: str, shingle: int = 4) -> int:
 def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
     def _sh(batches):
         for pdf in batches:
-            vals = [
-                np.int64(np.uint64(simhash64(t if isinstance(t, str) else "", shingle)))
-                for t in pdf[text_col]
-            ]
+            vals = simhash64_batch(pdf[text_col].tolist(), shingle).view(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": vals})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -163,16 +278,18 @@ def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
     )
 
 
-def simhash_near_pairs(df, id_col: str, text_col: str, max_hamming: int = 3):
+def simhash_near_pairs(
+    df, id_col: str, text_col: str, max_hamming: int = 3, bucket_cap: int = 1000
+):
     """Near-dup candidates by SimHash: 4 x 16-bit block keys — any pair with
     Hamming distance <= 3 shares at least one intact block (pigeonhole);
-    exact Hamming filter applied after the bucket join."""
+    exact Hamming filter applied after the bucket join. Buckets larger than
+    ``bucket_cap`` are star-linked (see _bucket_candidate_pairs)."""
     from pyspark.sql import functions as F
 
     sh = add_simhash(df, id_col, text_col)
     blocks = sh.select(
         id_col,
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -182,28 +299,19 @@ def simhash_near_pairs(df, id_col: str, text_col: str, max_hamming: int = 3):
                     for i in range(4)
                 ]
             )
-        ).alias("block", "block_key"),
+        ).alias("band", "band_key"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    cand = _bucket_candidate_pairs(blocks, id_col, bucket_cap)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +419,7 @@ def cosine_lsh_pairs(
     n_bits: int = 64,
     bands: int = 8,
     seed: int = 7,
+    bucket_cap: int = 1000,
 ):
     """Scale path: hyperplane-LSH candidates -> exact cosine verify.
 
@@ -318,6 +427,8 @@ def cosine_lsh_pairs(
     band bucket become candidates (shuffle carries only (band_key, id)),
     then candidates are verified with exact cosine. Recall grows with
     ``bands``; precision is exact (threshold applied on true cosine).
+    Buckets larger than ``bucket_cap`` are star-linked
+    (see _bucket_candidate_pairs).
     """
     from pyspark.sql import functions as F
 
@@ -335,21 +446,14 @@ def cosine_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.shiftrightunsigned(F.col("simhash64"), b * rows_per_band)
                         .bitwiseAND(F.lit(mask))
-                        .alias("key"),
+                        .alias("band_key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
-    l = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
-    r = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
-    cand = (
-        l.join(r, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    ).select(id_col, "bk.band", "bk.band_key")
+    cand = _bucket_candidate_pairs(exploded, id_col, bucket_cap)
     vecs = df.select(F.col(id_col), F.col(vec_col))
     norm = F.sqrt(
         F.aggregate(

@@ -304,3 +304,59 @@ def test_quality_counts_integer_parity(spark, docs):
         "sum(len(regexp_replace(text, '[^A-Z]', '', 'g'))) FROM pdf"
     ).fetchone()
     assert (out["c"], out["p"], out["d"], out["u"]) == tuple(int(x) for x in want)
+
+
+# ---------------------------------------------------------------------------
+# round-2: batched kernels + hot-bucket handling
+# ---------------------------------------------------------------------------
+
+def test_batched_kernels_match_per_doc():
+    """minhash/simhash batch kernels are value-identical to the per-doc
+    reference implementations (the descriptor-level contract)."""
+    texts = [
+        "hello world this is a test", "", "ab",
+        "hello world this is a test",
+        "the quick brown fox jumps over the lazy dog " * 20,
+        None,
+    ]
+    norm = [t if isinstance(t, str) else "" for t in texts]
+    hu, offs = dedup._batch_shingle_hashes(texts, 5)
+    for i, t in enumerate(norm):
+        assert np.array_equal(dedup._char_shingle_hashes(t, 5), hu[offs[i]:offs[i+1]])
+    mb = dedup.minhash_signatures_batch(texts, 16, 5)
+    for i, t in enumerate(norm):
+        assert np.array_equal(dedup.minhash_signature(t, 16, 5), mb[i])
+    sb = dedup.simhash64_batch(texts, 4)
+    for i, t in enumerate(norm):
+        assert dedup.simhash64(t, 4) == int(sb[i])
+
+
+def test_lsh_hot_bucket_star_linking(spark):
+    """Scale gate (VERDICT round-1 item 4): 10K copies of one document — a
+    degenerate band bucket — must complete with O(N) star edges linking the
+    whole duplicate cluster, not N^2/2 join rows."""
+    n = 10_000
+    rows = [(i, "exactly the same boilerplate page content here") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=8, bucket_cap=100
+    )
+    got = pairs.collect()
+    # star topology: every doc linked to the min-id representative
+    assert len(got) == n - 1
+    assert all(r["id_a"] == 0 for r in got)
+    assert {r["id_b"] for r in got} == set(range(1, n))
+
+
+def test_lsh_small_buckets_unchanged(spark, docs_with_dups):
+    """bucket_cap far above fixture bucket sizes => identical pair set to an
+    effectively uncapped run."""
+    a = dedup.minhash_lsh_pairs(
+        docs_with_dups, "doc_id", "text", num_hashes=32, bands=8, bucket_cap=10**6
+    )
+    b = dedup.minhash_lsh_pairs(
+        docs_with_dups, "doc_id", "text", num_hashes=32, bands=8, bucket_cap=50
+    )
+    sa = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    sb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert sa == sb  # fixture buckets are all far below 50 members
