@@ -405,8 +405,11 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH candidates are probabilistic): candidate pairs
-    with verified shingle-Jaccard >= 0.8 on the documents table."""
+    """Full-oracle check: LSH candidates exact-verified by shingle-Jaccard.
+    Precision is exact by construction (every emitted pair passes the true
+    Jaccard filter); recall is driven to 1 on any >= 0.8 pair by r=2 banding
+    (miss prob <= (1-0.8^2)^32 ~ 5e-15), so the emitted set equals the
+    DuckDB exact all-pairs shingle-Jaccard set."""
     import pyspark.sql.functions as F
 
     from recsplit_spark.pipeline import dedup
@@ -416,13 +419,23 @@ def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=32)
     verified = dedup.jaccard_pairs(docs, pairs, "doc_id", "text")
-    return verified.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    return (
+        verified.filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash pairs within Hamming distance 3."""
+    """Invariant-oracle check (reference discipline,
+    RandomizedTest.java:1324-1347): the 4x16-bit block pigeonhole blocking
+    must find EXACTLY the brute-force all-pairs Hamming<=3 set — a theorem
+    (any pair differing in <=3 bits shares an intact block), so soundness +
+    completeness of the blocked path is deterministically checkable
+    in-engine. The brute-force cross join is the oracle-only path (O(n^2),
+    fine at sf0.01); the blocked path is the scale path."""
     import pyspark.sql.functions as F
 
     from recsplit_spark.pipeline import dedup
@@ -432,7 +445,29 @@ def _q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    blocked = (
+        dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    sh = dedup.add_simhash(docs, "doc_id", "text").cache()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_blocked = blocked.count()
+    n_brute = brute.count()
+    n_common = blocked.join(brute, ["id_a", "id_b"]).count()
+    ok = n_blocked == n_brute == n_common
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [("simhash_hamming3", int(n_docs), bool(ok))],
+        "check_name string, n_docs bigint, blocking_matches_bruteforce boolean",
+    )
 
 
 def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +485,10 @@ def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-LSH candidates verified by exact cosine."""
+    """Full-oracle check: hyperplane-LSH candidates exact-cosine-verified.
+    Precision exact by construction; r=2 banding drives recall to 1 at
+    cosine >= 0.4 (miss prob <= (1-p^2)^32 ~ 1e-7 per pair, deterministic
+    seeds), so the emitted set equals the DuckDB exact all-pairs set."""
     import pyspark.sql.functions as F
 
     from recsplit_spark.pipeline import dedup
@@ -458,7 +496,7 @@ def _q_cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4, bands=16)
+    pairs = dedup.cosine_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4, bands=32)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     ).orderBy("id_a", "id_b")
@@ -541,7 +579,8 @@ def _q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: predicted-language distribution over documents."""
+    """Predicted-language distribution; oracle = the same stopword-vote
+    heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
     import pyspark.sql.functions as F
 
     from recsplit_spark.pipeline import text
@@ -585,6 +624,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_window": _q_events_running_window,
         "rollup_returnflag": _q_rollup_returnflag,
     }
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB re-statement of text.with_lang_id: same lexicons, same
+    set-semantics intersect (list_intersect dedups like array_intersect),
+    same argmax tie-break order (the when-chain follows dict order)."""
+    from recsplit_spark.pipeline.text import _STOPWORDS
+
+    def lst(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    langs = list(_STOPWORDS)
+    scores = ", ".join(
+        f"len(list_intersect(string_split(lower(text), ' '), {lst(_STOPWORDS[l])}))"
+        f" AS s_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return (
+        f"WITH t AS (SELECT {scores} FROM documents)"
+        f" SELECT {pred} AS lang_pred, CAST(count(*) AS BIGINT) AS n FROM t"
+        " GROUP BY lang_pred ORDER BY lang_pred"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -671,13 +738,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)"
             " AS n_distinct_norm FROM documents"
         ),
+        # exact char-5-shingle Jaccard over the documents table: the shingle
+        # SET is hash-independent (our 64-bit rolling hash is injective on
+        # these tiny sets w.h.p.), so string-shingle Jaccard == the engine's
+        # hashed-shingle Jaccard; texts are ASCII and >= 5 chars at every sf
+        # (bytes == chars, no padding branch)
+        "minhash_near_dup_pairs": (
+            "WITH sh AS ("
+            " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
+            " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3)) AS i) g),"
+            " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+            " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id)"
+            " SELECT id_a, id_b FROM inter"
+            " JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b"
+            " WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        # soundness+completeness of the pigeonhole blocking is checked
+        # in-engine vs brute force (simhash itself is not SQL-expressible);
+        # n_docs anchors the oracle to the data
+        "simhash_near_dup_pairs": (
+            "SELECT 'simhash_hamming3' AS check_name,"
+            " CAST(count(*) AS BIGINT) AS n_docs,"
+            " TRUE AS blocking_matches_bruteforce FROM documents"
+        ),
+        "cosine_lsh_near_dup": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+            " ORDER BY id_a, id_b"
+        ),
         "embedding_near_dup_exact": (
             "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b"
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
             " ORDER BY id_a, id_b"
         ),
-        # cosine_lsh_near_dup: no oracle (probabilistic recall) -> rows-only
         "quality_counts_documents": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
             " CAST(sum(len(text)) AS BIGINT) AS sum_chars,"
@@ -716,7 +812,5 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
             " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
         ),
-        # minhash_near_dup_pairs, simhash_near_dup_pairs, lang_id_documents,
-        # cosine_lsh_near_dup: intentionally no oracle (probabilistic
-        # candidates / heuristic) -> driver records the weaker rows-only check
+        "lang_id_documents": _lang_id_oracle(),
     }
