@@ -210,10 +210,63 @@ def test_multimodal_features(spark):
         assert again[r["media_id"]] == r["features"]
 
 
-def test_multimodal_real_decoder_stubbed(spark):
-    media = multimodal.synthetic_media(spark, 10)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, decoder="real")
+def test_ppm_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(img)), img)
+    gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(gray)), gray)
+    # comments + arbitrary header whitespace
+    hand = b"P6\n# a comment\n 2 1\n255\n" + bytes(range(6))
+    assert np.array_equal(
+        multimodal.decode_ppm(hand), np.arange(6, dtype=np.uint8).reshape(1, 2, 3)
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"JFIF....")
+
+
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32767, 1000, dtype=np.int16)
+    rate, got = multimodal.decode_wav(multimodal.encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(got[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    rate, got = multimodal.decode_wav(multimodal.encode_wav(stereo, 44100))
+    assert rate == 44100 and np.array_equal(got, stereo)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"OggS....")
+
+
+def test_multimodal_real_ppm_decoder_on_spark(spark):
+    """The real decode path end-to-end: decodable PPM payloads through
+    extract_features(decoder='ppm'); features deterministic across
+    partitionings and distinct across images."""
+    media = multimodal.synthetic_ppm_media(spark, 60, side=16, partitions=2)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, dim=48, decoder="ppm").collect()
+    }
+    assert len(feats) == 60 and all(len(v) == 48 for v in feats.values())
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            multimodal.synthetic_ppm_media(spark, 60, side=16, partitions=5),
+            dim=48,
+            decoder="ppm",
+        ).collect()
+    }
+    assert feats == again
+    assert len({tuple(v) for v in feats.values()}) == 60
+    # unknown string decoders fail loudly
+    with pytest.raises(ValueError):
+        multimodal.extract_features(media, decoder="jpeg")
+
+
+def test_audio_features_shape():
+    rng = np.random.default_rng(5)
+    wav = multimodal.encode_wav(rng.integers(-1000, 1000, 800, dtype=np.int16), 8000)
+    f = multimodal._wav_decode_features(wav, 16)
+    assert f.shape == (16,) and abs(float(np.linalg.norm(f)) - 1.0) < 1e-5
 
 
 def test_frame_sample_plan():
