@@ -578,6 +578,65 @@ def _q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequences_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape end-to-end: the deterministic pre-tokenized
+    sequences table (doc_id, tokens array<int32>, n_tok, source — BASELINE
+    input_hint) written to parquet, read back, joined against an
+    independently-partitioned regeneration — per-row TOKEN-ARRAY EQUALITY
+    must survive storage + shuffle — plus HLL cardinality and KLL n_tok
+    quantile bound checks over the reloaded table. The oracle's constants
+    are fully determined because the generator is seed-pinned."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import KLL, HyperLogLog
+
+    ship_package(spark)
+    n = 20_000
+    with tempfile.TemporaryDirectory() as tmp:
+        sequences(spark, n, partitions=8).write.mode("overwrite").parquet(f"{tmp}/seq")
+        back = spark.read.parquet(f"{tmp}/seq").cache()
+        regen = sequences(spark, n, partitions=5).select(
+            "doc_id",
+            F.col("tokens").alias("tokens2"),
+            F.col("n_tok").alias("n_tok2"),
+        )
+        j = back.join(regen, "doc_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("tokens") == F.col("tokens2"))
+                    & (F.col("n_tok") == F.col("n_tok2"))
+                    & (F.size("tokens") == F.col("n_tok")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch"),
+        ).collect()[0]
+        hll = HyperLogLog(p=14)
+        est = hll.count_distinct(back, "doc_id")
+        hll_ok = abs(est - n) <= 3 * hll.relative_error * n
+        kll = KLL(k=256)
+        st = kll.build(back, "n_tok")
+        med = kll.quantile(st, 0.5)
+        rank = back.filter(F.col("n_tok") <= med).count() / n
+        kll_ok = abs(rank - 0.5) <= kll.epsilon
+    return spark.createDataFrame(
+        [
+            (
+                int(j["n_rows"]),
+                bool(j["n_mismatch"] == 0),
+                bool(hll_ok),
+                bool(kll_ok),
+            )
+        ],
+        "n_rows bigint, token_arrays_equal boolean,"
+        " hll_within_bound boolean, kll_within_bound boolean",
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution; oracle = the same stopword-vote
     heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
@@ -620,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts_documents": _q_quality_counts_documents,
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
+        "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
         "rollup_returnflag": _q_rollup_returnflag,
@@ -813,4 +873,12 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
         ),
         "lang_id_documents": _lang_id_oracle(),
+        # the sequences generator is seed-pinned, so every output column of
+        # the roundtrip check is a constant (same precedent as
+        # ann_ivf_recall: the boolean work happens in-engine)
+        "sequences_tokens_roundtrip": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " TRUE AS token_arrays_equal,"
+            " TRUE AS hll_within_bound, TRUE AS kll_within_bound"
+        ),
     }
