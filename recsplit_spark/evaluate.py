@@ -103,6 +103,16 @@ class VectorEvaluator:
         np.cumsum(nodes_per_bucket, out=self.node_off[1:])
         self.codes = np.empty(int(self.node_off[-1]), dtype=np.int64)
         self._decode_all(byte_starts, stream)
+        # shrink the trial-index table to the smallest dtype that fits: it is
+        # the dominant broadcast payload (≈13.4 b/key at int64) and the
+        # walk's hottest gather target — uint16 typically fits (leaf-8 trial
+        # indices run ~10^2-10^4) and cuts both 4x. Gathers upcast back to
+        # int64 automatically in the walk arithmetic.
+        cmax = int(self.codes.max()) if len(self.codes) else 0
+        for dt in (np.uint16, np.uint32):
+            if cmax < np.iinfo(dt).max:
+                self.codes = self.codes.astype(dt)
+                break
 
     @staticmethod
     def _windows(words: np.ndarray, cursors: np.ndarray) -> np.ndarray:
