@@ -133,6 +133,71 @@ class BitReader:
 
 
 # ---------------------------------------------------------------------------
+# split-stream Golomb-Rice array + signed fold (header metadata lists)
+# ---------------------------------------------------------------------------
+#
+# Reference analogue: the Elias-Delta + signed-fold header codes
+# (``BitBuffer.java:245-276``) — same job (small signed deltas around a
+# predictor), different code: quotients live in their own unary-terminator
+# section (a 1-bit ends each run, so ones sit at cumsum(q+1)-1) and
+# remainders in a fixed-width section, which makes DECODE one flatnonzero +
+# one gather instead of a sequential cursor walk.
+
+_RS_HDR = struct.Struct("<IBII")  # n, k, unary_bytes, rem_bytes
+
+
+def zigzag(x: np.ndarray) -> np.ndarray:
+    """Fold signed int64 onto uint64: 0,-1,1,-2,2 -> 0,1,2,3,4."""
+    x = np.asarray(x, dtype=np.int64)
+    return ((x << 1) ^ (x >> 63)).view(np.uint64)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.uint64).view(np.int64)
+    return (u >> 1) & np.int64((1 << 63) - 1) ^ -(u & 1)
+
+
+def rice_split_encode(values: np.ndarray) -> bytes:
+    """Self-describing Rice-coded uint64 array; k minimizes total bits."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(values)
+    if n == 0:
+        return _RS_HDR.pack(0, 0, 0, 0)
+    best_k, best_cost = 0, None
+    for k in range(41):
+        cost = n * (k + 1) + int((values >> np.uint64(k)).sum())
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    k = best_k
+    q = (values >> np.uint64(k)).astype(np.int64)
+    term = np.cumsum(q + 1) - 1  # position of each run's terminating 1
+    un_bits = np.zeros(int(term[-1]) + 1, dtype=np.uint8)
+    un_bits[term] = 1
+    un_bytes = np.packbits(un_bits).tobytes()
+    rem_bytes = b""
+    if k:
+        rem_bytes, _ = pack_bits(
+            values & np.uint64((1 << k) - 1), np.full(n, k, dtype=np.int64)
+        )
+    return _RS_HDR.pack(n, k, len(un_bytes), len(rem_bytes)) + un_bytes + rem_bytes
+
+
+def rice_split_decode(data: bytes | memoryview) -> np.ndarray:
+    """Decode to uint64 (fully vectorized: one flatnonzero + one gather)."""
+    n, k, un_len, rem_len = _RS_HDR.unpack_from(data, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = _RS_HDR.size
+    ones = np.flatnonzero(unpack_bits(bytes(data[off : off + un_len])))[:n]
+    q = np.diff(np.concatenate([[-1], ones])).astype(np.uint64) - np.uint64(1)
+    off += un_len
+    if k:
+        rem = _gather_fixed(unpack_bits(bytes(data[off : off + rem_len])), n, k)
+        return (q << np.uint64(k)) | rem
+    return q
+
+
+# ---------------------------------------------------------------------------
 # Elias-Fano monotone list
 # ---------------------------------------------------------------------------
 
