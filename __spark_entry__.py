@@ -578,6 +578,24 @@ def _q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: LSH candidates -> exact-Jaccard verify
+    -> distributed connected components (min-label propagation). Oracle =
+    the same pair set built by exact shingle-Jaccard SQL + a recursive-CTE
+    reachability closure in DuckDB."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import dedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    cc = dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
+    return cc.select(F.col("id"), F.col("rep")).orderBy("id")
+
+
 def _q_sequences_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule input shape end-to-end: the deterministic pre-tokenized
     sequences table (doc_id, tokens array<int32>, n_tok, source — BASELINE
@@ -680,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
+        "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
         "rollup_returnflag": _q_rollup_returnflag,
@@ -873,6 +892,24 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
         ),
         "lang_id_documents": _lang_id_oracle(),
+        "near_dup_clusters": (
+            "WITH RECURSIVE sh AS ("
+            " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
+            " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3)) AS i) g),"
+            " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+            " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id),"
+            " pairs AS (SELECT id_a, id_b FROM inter"
+            "  JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b"
+            "  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " cc(id, label) AS ("
+            "  SELECT DISTINCT src, src FROM edges"
+            "  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id)"
+            " SELECT id, CAST(min(label) AS BIGINT) AS rep FROM cc"
+            " GROUP BY id ORDER BY id"
+        ),
         # the sequences generator is seed-pinned, so every output column of
         # the roundtrip check is a constant (same precedent as
         # ann_ivf_recall: the boolean work happens in-engine)

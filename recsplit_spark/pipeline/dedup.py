@@ -329,6 +329,90 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster resolution (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs, max_iter: int = 25):
+    """DataFrame[id long, rep long]: each node labeled with the min id of
+    its connected component (the canonical duplicate-cluster representative).
+
+    Iterative min-label propagation over the symmetric edge list; each round
+    is one groupBy-min join, so the shuffle carries (node, label) pairs —
+    never materializing components. Converges in O(log diameter)-ish rounds
+    for the star/clique topologies LSH pair generation emits (diameter <= 2);
+    ``max_iter`` bounds pathological chains. ``localCheckpoint`` breaks the
+    growing lineage each round (a 25-deep join plan would choke the planner
+    at scale).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # candidate label for dst = min label among its neighbors' reps
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
+                    "rep"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle: int = 5,
+    bucket_cap: int = 1000,
+):
+    """DataFrame[id, rep]: duplicate-cluster membership for every document
+    that has at least one verified near-duplicate (exact shingle-Jaccard >=
+    ``threshold``). The standard near-dedup deliverable: keep rows where
+    id == rep (plus all unpaired docs) to deduplicate a corpus."""
+    from pyspark.sql import functions as F
+
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle, bucket_cap
+    )
+    verified = jaccard_pairs(df, cand, id_col, text_col, shingle).filter(
+        F.col("jaccard") >= threshold
+    )
+    return connected_components(verified.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 

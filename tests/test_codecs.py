@@ -100,3 +100,47 @@ def test_ef_roundtrip_random():
 def test_ef_with_universe():
     arr = np.array([1, 5, 9], dtype=np.uint64)
     assert (ef_decode(ef_encode(arr, universe=100)) == arr).all()
+
+
+def test_rice_split_roundtrip():
+    from recsplit_spark.codecs import rice_split_decode, rice_split_encode
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.poisson(17, 50_000).astype(np.uint64),
+        np.zeros(7, np.uint64),
+        np.array([0, 1, 2**40, 3], dtype=np.uint64),
+        np.empty(0, np.uint64),
+        rng.integers(0, 2**32, 1000).astype(np.uint64),
+    ]
+    for vals in cases:
+        assert np.array_equal(rice_split_decode(rice_split_encode(vals)), vals)
+    # near-entropy on Poisson folds (entropy ~5.5 bits at lambda 17)
+    enc = rice_split_encode(cases[0])
+    assert 8 * len(enc) / len(cases[0]) < 6.5
+
+
+def test_zigzag_fold():
+    from recsplit_spark.codecs import unzigzag, zigzag
+
+    x = np.array([0, -1, 1, -2, 2, -(2**62), 2**62], dtype=np.int64)
+    assert np.array_equal(zigzag(x)[:5], [0, 1, 2, 3, 4])
+    assert np.array_equal(unzigzag(zigzag(x)), x)
+    rng = np.random.default_rng(1)
+    r = rng.integers(-(2**40), 2**40, 10_000)
+    assert np.array_equal(unzigzag(zigzag(r)), r)
+
+
+def test_descriptor_v3_metadata_roundtrip():
+    """offsets/byte_starts survive the folded-Rice header exactly, and the
+    alpha predictor replays bit-identically through serialization."""
+    from recsplit_spark.hashing import mix64
+    from recsplit_spark.mphf import MPHFDescriptor, build_descriptor_from_sigs
+
+    sigs = np.unique(mix64(np.arange(200_000, dtype=np.uint64)).view(np.int64))
+    d = build_descriptor_from_sigs(sigs, 8, 128)
+    d2 = MPHFDescriptor.from_bytes(d.to_bytes())
+    assert np.array_equal(d.offsets, d2.offsets)
+    assert np.array_equal(d.byte_starts, d2.byte_starts)
+    assert d.to_bytes() == d2.to_bytes()
+    assert d.bits_per_key < 1.87  # v3 beats the round-1 1.876

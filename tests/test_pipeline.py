@@ -413,3 +413,37 @@ def test_lsh_small_buckets_unchanged(spark, docs_with_dups):
     sa = {(r["id_a"], r["id_b"]) for r in a.collect()}
     sb = {(r["id_a"], r["id_b"]) for r in b.collect()}
     assert sa == sb  # fixture buckets are all far below 50 members
+
+
+def test_connected_components_topologies(spark):
+    """Chain (worst diameter), clique, star, and singleton-pair graphs all
+    resolve to min-id representatives."""
+    pairs = [
+        # chain 1-2-3-4-5 (diameter 4: exercises multi-round propagation)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # clique 10,11,12
+        (10, 11), (10, 12), (11, 12),
+        # star around 20
+        (20, 21), (20, 22), (20, 23),
+        # isolated pair
+        (30, 31),
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["rep"] for r in dedup.connected_components(df).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 22: 20, 23: 20,
+            30: 30, 31: 30}
+    assert got == want
+
+
+def test_near_dup_clusters_dedup_semantics(spark):
+    """near_dup_clusters groups exact copies; keeping id == rep plus
+    unpaired docs deduplicates the corpus."""
+    rows = [(i, f"document body variant {i % 4} shared content " * 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cc = dedup.near_dup_clusters(df, "doc_id", "text", threshold=0.99)
+    got = {r["id"]: r["rep"] for r in cc.collect()}
+    assert len(got) == 40  # every doc has an exact copy (4 variants x 10)
+    for i, rep in got.items():
+        assert rep == i % 4  # min id of each variant class
