@@ -28,22 +28,37 @@ def pack_bits(values: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
     """Pack ``values[i]`` into ``widths[i]`` bits, MSB-first, concatenated.
 
     Returns (bytes zero-padded to a byte boundary, total_bit_length).
+
+    Word-scatter implementation: each value lands in at most two 64-bit
+    big-endian words via ``bitwise_or.at`` — O(n values) work instead of the
+    old per-output-bit repeat arrays (O(total bits) with ~5 big temporaries;
+    ~15% of MPHF build time at 2M keys).
     """
-    values = np.asarray(values)
-    values = values.view(np.int64) if values.dtype == np.uint64 else values.astype(np.int64)
+    values = np.ascontiguousarray(np.asarray(values), dtype=np.uint64)
     widths = np.asarray(widths, dtype=np.int64)
     if len(values) == 0:
         return b"", 0
     total = int(widths.sum())
+    # mask stray bits above each value's width (w=64 -> full mask)
+    mask = np.where(
+        widths >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1),
+    )
+    v = values & mask
     starts = np.cumsum(widths) - widths
-    # for each output bit: which value it comes from and its bit position
-    # (int64 throughout: this numpy's uint64 ufuncs hit a scalar slow path)
-    vals_rep = np.repeat(values, widths)
-    w_rep = np.repeat(widths, widths)
-    within = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
-    shift = w_rep - 1 - within
-    bits = ((vals_rep >> shift) & np.int64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes(), total
+    wi = starts >> 6
+    sh = 64 - (starts & 63) - widths  # left-shift into the word; <0 => spills
+    words = np.zeros((total >> 6) + 2, dtype=np.uint64)
+    pos = sh >= 0
+    hi = np.zeros_like(v)
+    hi[pos] = v[pos] << sh[pos].astype(np.uint64)
+    neg = ~pos
+    hi[neg] = v[neg] >> (-sh[neg]).astype(np.uint64)
+    np.bitwise_or.at(words, wi, hi)
+    if neg.any():
+        lo = v[neg] << (np.int64(64) + sh[neg]).astype(np.uint64)
+        np.bitwise_or.at(words, wi[neg] + 1, lo)
+    return words.byteswap().tobytes()[: (total + 7) >> 3], total
 
 
 def unpack_bits(data: bytes | np.ndarray) -> np.ndarray:
