@@ -96,6 +96,86 @@ class StreamingSketch:
         return self.sketch.estimate(self.state)
 
 
+def windowed_sketch(
+    stream_df,
+    sketch: MergeableSketch,
+    col: str,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """Event-time windowed sketch aggregation with late-data handling — the
+    Structured Streaming 'watermark + windowed agg' shape with a custom
+    stateful operator (``applyInPandasWithState`` keyed by window).
+
+    Each trigger emits ``(window_start, estimate, n_total, final)`` for
+    every window updated in that micro-batch; when the watermark passes a
+    window's end its state times out (EventTimeTimeout), a last row with
+    ``final=true`` is emitted, and the state is evicted — so state size is
+    bounded by the number of OPEN windows, not stream length. Rows later
+    than ``watermark`` are dropped by the engine before reaching the
+    operator (standard late-data semantics).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        stream_df.select(
+            F.window(F.col(ts_col), window).alias("__w"), sketch._input_expr(col)
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("__w_end"),
+            "__in",
+        )
+        # the event-time tag does not survive the projection, so re-anchor
+        # the watermark on the window END (standard chained-agg idiom): a
+        # row is late when its whole window is behind the watermark
+        .withWatermark("__w_end", watermark)
+    )
+    out_schema = "window_start timestamp, estimate double, n_total long, final boolean"
+    state_schema = "blob binary, n long"
+
+    def _update(key, pdf_iter, state: "GroupState"):
+        win_start, win_end = key
+        if state.hasTimedOut:  # watermark passed window end: finalize
+            blob, n = state.get
+            st = sketch.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [win_start],
+                    "estimate": [float(sketch.estimate(st))],
+                    "n_total": [n],
+                    "final": [True],
+                }
+            )
+            return
+        if state.exists:
+            blob, n = state.get
+            st = sketch.from_bytes(bytes(blob))
+        else:
+            st, n = sketch.new_state(), 0
+        for pdf in pdf_iter:
+            arr = pdf["__in"].to_numpy()
+            sketch.update(st, arr)
+            n += len(arr)
+        state.update((sketch.to_bytes(st), n))
+        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
+        yield pd.DataFrame(
+            {
+                "window_start": [win_start],
+                "estimate": [float(sketch.estimate(st))],
+                "n_total": [n],
+                "final": [False],
+            }
+        )
+
+    return src.groupBy("window_start", "__w_end").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col: str):
     """Per-key incremental sketch over a stream — a custom stateful operator
     on ``applyInPandasWithState`` (per-group state = the serialized sketch).

@@ -109,3 +109,78 @@ def test_stateful_sketch_by_key(spark, staged_dir, tmp_path):
     assert set(got) == set(batch)
     for k in batch:
         assert got[k] == batch[k], (k, got[k], batch[k])
+
+
+@pytest.fixture(scope="module")
+def timed_dir(spark, tmp_path_factory):
+    """Three parquet files with ascending event times spanning 3 ten-minute
+    windows (file i = window i), so the watermark closes earlier windows as
+    later files stream in."""
+    root = tmp_path_factory.mktemp("timed_src")
+    import pandas as pd
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(3):
+        doc_ids, _tokens, n_tok, _src = sequence_batch(i * 5000, (i + 1) * 5000)
+        ts = base + pd.Timedelta(minutes=10 * i) + pd.to_timedelta(
+            np.arange(5000) % 540, unit="s"
+        )
+        pd.DataFrame(
+            {"doc_id": doc_ids, "ts": ts.astype("datetime64[us]")}
+        ).to_parquet(root / f"part-{i}.parquet", index=False)
+    return str(root)
+
+
+def test_windowed_sketch_watermark_finalize(spark, timed_dir, tmp_path):
+    """Per-window HLL estimates equal batch per-window builds; windows whose
+    end the watermark passed are finalized and evicted."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.streaming import windowed_sketch
+
+    hll = HyperLogLog(p=12)
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(timed_dir)
+    )
+    out = windowed_sketch(stream, hll, "doc_id", "ts", "10 minutes", "1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_hll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql(
+        "SELECT window_start, estimate, n_total, final FROM win_hll"
+    ).toPandas()
+    # last emission per window
+    last = pdf.sort_values("n_total").groupby("window_start").last()
+    batch = {
+        r["w"]["start"]: r["estimate"]
+        for r in hll.aggregate(
+            spark.read.parquet(timed_dir).select(
+                F.window("ts", "10 minutes").alias("w"), "doc_id"
+            ).select(F.col("w").alias("w"), "doc_id").withColumn(
+                "wkey", F.col("w.start").cast("string")
+            ),
+            "doc_id",
+            ["wkey"],
+        ).join(
+            spark.read.parquet(timed_dir)
+            .select(F.window("ts", "10 minutes").alias("w"))
+            .distinct()
+            .withColumn("wkey", F.col("w.start").cast("string")),
+            "wkey",
+        ).collect()
+    }
+    assert len(last) == 3
+    for wstart, row in last.iterrows():
+        assert row["n_total"] == 5000
+        assert row["estimate"] == batch[wstart.to_pydatetime()], wstart
+    # earlier windows got finalized by the advancing watermark
+    finals = set(pdf[pdf["final"]]["window_start"])
+    assert len(finals) >= 1  # at least window 0 closed before the drain ended
