@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties PLANS.md documents
+(pruning, pushdown, broadcast, partial aggregation, single-shuffle build)
+must stay visible in the optimized plans — a silent regression here is a
+100-TB problem long before it is a local failure."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_distinct_prunes_columns_and_partial_aggregates(li):
+    plan = _formatted_plan(
+        li.select(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("pk")
+        ).distinct()
+    )
+    # column pruning reaches the scan: only the two key columns are read
+    assert "l_orderkey" in plan and "l_linenumber" in plan
+    assert "l_extendedprice" not in plan
+    # map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_join_broadcasts_small_side(spark, sf_dir, li):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _formatted_plan(
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_semi",
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    # the big side never shuffles: no Exchange on the orders branch
+    assert "BroadcastExchange" in plan
+
+
+def test_filter_pushdown_reaches_parquet(li):
+    plan = _formatted_plan(
+        li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_mphf_build_is_single_shuffle(spark, sf_dir):
+    """The distributed build plan: one range-partitioning exchange, then the
+    Arrow kernel — no second Exchange after the shuffle."""
+    from recsplit_spark.mphf import _BLOCK_SCHEMA, _make_kernel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select(F.col("l_orderkey").cast("long").alias("__key"))
+    sig = F.xxhash64(F.col("__key"), F.lit(0))
+    sig_df = keys.select(sig.alias("sig")).withColumn(
+        "bucket", F.shiftrightunsigned(F.col("sig"), 64 - 9)
+    )
+    blocks = sig_df.repartitionByRange(8, "bucket").mapInPandas(
+        _make_kernel(8, 128), schema=_BLOCK_SCHEMA
+    )
+    import re
+
+    plan = _formatted_plan(blocks)
+    # exactly one Exchange NODE (the formatted text repeats each node in the
+    # detail section, so count the numbered node headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "MapInPandas" in plan
