@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""spark-submit entry point: mergeable-sketch aggregation over a table column.
+
+Cluster usage (the north-rule deployment shape, sketch side)::
+
+    python scripts/make_pyfiles_zip.py            # -> dist/recsplit_spark.zip
+    spark-submit --py-files dist/recsplit_spark.zip \
+        scripts/sketch_job.py \
+        --input <parquet path or Iceberg table name> \
+        --col doc_id --sketch hll \
+        [--group-by source] [--state-out /path/state.bin] \
+        [--hll-p 14] [--cms-eps 5e-4] [--cms-delta 0.01] [--kll-k 256] \
+        [--tdigest-compression 200] [--quantiles 0.5,0.9,0.99]
+
+Prints ONE JSON line: estimates (global or per group) + wall seconds.
+``--state-out`` persists the serialized global state — reload and merge it
+with later runs (all sketches are commutative monoids), or hand it to
+``StreamingSketch(state_path=...)`` to continue incrementally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or Iceberg table")
+    ap.add_argument("--col", required=True)
+    ap.add_argument(
+        "--sketch", required=True, choices=["hll", "cms", "kll", "tdigest", "bloom"]
+    )
+    ap.add_argument("--group-by", default=None)
+    ap.add_argument("--state-out", default=None)
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--cms-eps", type=float, default=5e-4)
+    ap.add_argument("--cms-delta", type=float, default=0.01)
+    ap.add_argument("--kll-k", type=int, default=256)
+    ap.add_argument("--tdigest-compression", type=float, default=200)
+    ap.add_argument("--bloom-n", type=int, default=1_000_000)
+    ap.add_argument("--bloom-fpr", type=float, default=0.01)
+    ap.add_argument("--quantiles", default="0.5,0.9,0.99")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("recsplit-sketch").getOrCreate()
+    from recsplit_spark.sketches import (
+        KLL,
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        TDigest,
+    )
+
+    if "/" in args.input or args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.table(args.input)
+
+    sk = {
+        "hll": lambda: HyperLogLog(p=args.hll_p),
+        "cms": lambda: CountMinSketch(eps=args.cms_eps, delta=args.cms_delta),
+        "kll": lambda: KLL(k=args.kll_k),
+        "tdigest": lambda: TDigest(compression=args.tdigest_compression),
+        "bloom": lambda: BloomFilter(n_expected=args.bloom_n, fpr=args.bloom_fpr),
+    }[args.sketch]()
+
+    qs = [float(q) for q in args.quantiles.split(",") if q]
+    t0 = time.time()
+    out: dict = {"sketch": args.sketch, "col": args.col, "input": args.input}
+    if args.group_by:
+        rows = sk.aggregate(df, args.col, [args.group_by]).collect()
+        out["groups"] = {r[args.group_by]: r["estimate"] for r in rows}
+    else:
+        state = sk.build(df, args.col)
+        if args.sketch in ("kll", "tdigest"):
+            out["quantiles"] = {str(q): float(sk.quantile(state, q)) for q in qs}
+        elif args.sketch == "cms":
+            out["total"] = int(sk.total(state))
+        elif args.sketch == "hll":
+            out["estimate"] = float(sk.estimate(state))
+        if args.state_out:
+            with open(args.state_out, "wb") as f:
+                f.write(sk.to_bytes(state))
+            out["state_out"] = args.state_out
+    out["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
