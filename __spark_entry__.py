@@ -348,6 +348,23 @@ def _q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (regexp_count Column expr); the oracle
+    runs the same RE2/Java-compatible pattern through DuckDB."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_token_count_bpe(docs, "text")
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+        F.min("n_bpe_tokens").cast("long").alias("min_bpe_tokens"),
+        F.max("n_bpe_tokens").cast("long").alias("max_bpe_tokens"),
+    )
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -689,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_exact": _q_distinct_users_exact,
         "token_stats_documents": _q_token_stats_documents,
         "fingerprint_distinct": _q_fingerprint_distinct,
+        "bpe_token_stats": _q_bpe_token_stats,
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -811,6 +829,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,"
             " CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,"
             " CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens"
+            " FROM documents"
+        ),
+        "bpe_token_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+|"
+            " ?[^A-Za-z0-9\\s]+|\\s+'))) AS BIGINT) AS sum_bpe_tokens,"
+            " CAST(min(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+|"
+            " ?[^A-Za-z0-9\\s]+|\\s+'))) AS BIGINT) AS min_bpe_tokens,"
+            " CAST(max(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+|"
+            " ?[^A-Za-z0-9\\s]+|\\s+'))) AS BIGINT) AS max_bpe_tokens"
             " FROM documents"
         ),
         "fingerprint_distinct": (

@@ -51,7 +51,16 @@ class IVFIndex:
     centroid buckets and brute-forces inside them.
     """
 
-    def __init__(self, n_centroids: int = 16, nprobe: int = 4, iters: int = 10, seed: int = 7):
+    def __init__(
+        self,
+        n_centroids: int | str = "auto",
+        nprobe: int = 4,
+        iters: int = 10,
+        seed: int = 7,
+    ):
+        #: "auto" -> sqrt(n) at fit time (the standard IVF operating point:
+        #: balances bucket count against per-bucket scan; at 10^12 vectors
+        #: that is ~10^6 centroids, each bucket ~10^6 vectors)
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.iters = iters
@@ -59,7 +68,11 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
 
     def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "IVFIndex":
-        frac = min(1.0, sample_size / max(1, df.count()))
+        n = df.count()
+        if self.n_centroids == "auto":
+            self.n_centroids = max(1, int(np.sqrt(n)))
+            sample_size = max(sample_size, 40 * self.n_centroids)
+        frac = min(1.0, sample_size / max(1, n))
         rows = df.select(vec_col).sample(frac, seed=self.seed).collect()
         x = np.array([r[0] for r in rows], dtype=np.float64)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

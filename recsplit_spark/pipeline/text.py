@@ -26,6 +26,25 @@ def with_token_count(df, text_col: str, out_col: str = "n_tokens"):
     return df.withColumn(out_col, F.size(F.split(F.col(text_col), " ")))
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs BOTH Java
+#: regex (Spark) and RE2 (DuckDB oracle) support — i.e. no lookahead:
+#: optional-leading-space letter runs / digit runs / punctuation runs,
+#: plus standalone whitespace runs
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def with_token_count_bpe(df, text_col: str, out_col: str = "n_bpe_tokens"):
+    """Token count under a BPE-ish pre-tokenizer regex (the
+    whitespace-split count in ``with_token_count`` underestimates for
+    punctuation-adjacent text; this matches how byte-pair encoders chunk
+    before merging). Pure Column expr (regexp_count, JVM codegen)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+    )
+
+
 def with_quality_counts(df, text_col: str):
     """Integer quality signals (exactly SQL-reproducible): n_chars,
     n_tokens, punct_count, digit_count, upper_count."""

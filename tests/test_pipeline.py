@@ -447,3 +447,19 @@ def test_near_dup_clusters_dedup_semantics(spark):
     assert len(got) == 40  # every doc has an exact copy (4 variants x 10)
     for i, rep in got.items():
         assert rep == i % 4  # min id of each variant class
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! 42x"), (2, "a  b")], "id long, text string"
+    )
+    got = {r["id"]: r["n_bpe_tokens"] for r in text.with_token_count_bpe(df, "text").collect()}
+    # "hello" "," " world" "!" " 42" "x" -> 6 ; "a" "  " "b" -> 3
+    assert got == {1: 6, 2: 3}
+
+
+def test_ivf_auto_centroids(spark, emb):
+    idx = ann.IVFIndex(n_centroids="auto", nprobe=4).fit(emb, "embedding")
+    n = emb.count()
+    assert idx.n_centroids == max(1, int(np.sqrt(n)))
+    assert idx.centroids is not None and len(idx.centroids) <= idx.n_centroids
