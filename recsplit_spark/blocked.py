@@ -27,10 +27,24 @@ Spark-first shape — the descriptor NEVER centralizes:
   blocks it owns and walks all their keys vectorized. One shuffle on block
   id; blob bytes move once per block per job, never per key.
 
-Per-block inner signatures are ``mix64(sig0 + (block+1)·GOLDEN)`` — a
-bijection of the global signature for each fixed block, so global
-signature-distinctness carries over, and the top (block-id) bits of sig0
-are fully remixed before the block's own bucket split.
+**128-bit base signatures + per-block re-rolls (the 10^12 enabler).** At
+n = 10^12 a single 64-bit signature is BIRTHDAY-DEAD: ~n^2/2^65 ≈ 27,000
+colliding pairs are expected, so a global salt re-roll can never succeed.
+The build therefore derives TWO independent JVM-side signatures
+(``xxhash64(key, salt)`` and ``xxhash64(key, salt xor SALT2_MIX)``); block
+assignment and attempt-0 working signatures use only sig0 — identical to
+the single-signature scheme — and when a block hits a duplicate working
+signature (or a trial blowup) it re-rolls LOCALLY: attempt a > 0 mixes
+sig2 into the working signature, separating any pair that collided on
+sig0 (joint collision probability 2^-128 per pair). The winning attempt is
+recorded in the block's parquet row and replayed at evaluation. The global
+salt re-roll remains as the outer fallback for genuinely duplicate keys
+(where no attempt can ever help — both signatures are equal).
+
+Reference analogue: HEM re-derives per-block keys so block builds fail
+independently (``hem/HemGenerator.java:48-70``); the reference's overflow
+diversion (``Generator.java:465-469``) is the same local-salvage idea one
+level down.
 """
 
 from __future__ import annotations
@@ -41,6 +55,7 @@ import numpy as np
 import pandas as pd
 
 from .hashing import GOLDEN, mix64_inplace
+from .kernel import DuplicateSignatureError, TrialLimitError
 from .mphf import (
     MPHFDescriptor,
     build_descriptor_from_sigs,
@@ -48,6 +63,11 @@ from .mphf import (
     key_sig_expr,
 )
 from .settings import get_settings
+
+#: xor-mixed into the salt for the second (independent) signature column
+SALT2_MIX = 0x5DEECE66D
+#: per-block working-signature re-rolls before giving up on the block
+MAX_BLOCK_ATTEMPTS = 8
 
 
 def parse_descriptor(blob: bytes):
@@ -59,14 +79,26 @@ def parse_descriptor(blob: bytes):
     return MPHFDescriptor.from_bytes(blob)
 
 _BLOCK_SCHEMA = (
-    "block long, n_keys long, nbytes long, part_id int, build_ns long, blob binary"
+    "block long, n_keys long, nbytes long, part_id int, build_ns long,"
+    " attempt int, blob binary"
 )
 
 
-def _inner_sigs(sig0: np.ndarray, block: int) -> np.ndarray:
+def _working_sigs(
+    sig0: np.ndarray, sig2: np.ndarray | None, block: int, attempt: int
+) -> np.ndarray:
+    """Block-local working signatures for a given re-roll attempt.
+
+    attempt 0 == the classic ``mix64(sig0 + (block+1)*GOLDEN)`` (sig2
+    unused); attempt > 0 additionally mixes the independent second
+    signature, so pairs colliding on sig0 separate."""
     x = sig0.astype(np.int64, copy=True)
     # scalar multiply via a 1-element array: numpy warns on wrapping scalars
     x += (np.array([block + 1], dtype=np.int64) * GOLDEN)[0]
+    if attempt:
+        y = sig2.astype(np.int64, copy=True)
+        y += (np.array([attempt], dtype=np.int64) * GOLDEN)[0]
+        x ^= mix64_inplace(y)
     return mix64_inplace(x)
 
 
@@ -140,14 +172,19 @@ class BlockedMPHF:
         offsets_b = spark.sparkContext.broadcast(self.block_offsets)
         salt, blog2 = self.salt, self.block_log2
 
-        keyed = df.withColumn("__sig", key_sig_expr(key_col, salt, self.key_mode))
+        keyed = df.withColumn(
+            "__sig", key_sig_expr(key_col, salt, self.key_mode)
+        ).withColumn("__sig2", key_sig_expr(key_col, salt ^ SALT2_MIX, self.key_mode))
         if blog2 == 0:
             keyed = keyed.withColumn("__block", F.lit(0).cast("long"))
         else:
             keyed = keyed.withColumn(
                 "__block", F.shiftrightunsigned(F.col("__sig"), 64 - blog2)
             )
-        blocks = spark.read.parquet(self.blocks_path).select("block", "blob")
+        blocks_raw = spark.read.parquet(self.blocks_path)
+        if "attempt" not in blocks_raw.columns:  # pre-attempt checkpoints
+            blocks_raw = blocks_raw.withColumn("attempt", F.lit(0))
+        blocks = blocks_raw.select("block", "attempt", "blob")
 
         out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         out_schema = ", ".join(out_fields + [f"{out_col} long"])
@@ -155,26 +192,32 @@ class BlockedMPHF:
 
         def _eval(keys_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(keys_pdf) == 0:
-                return keys_pdf.drop(columns=["__sig", "__block"]).assign(
+                return keys_pdf.drop(columns=["__sig", "__sig2", "__block"]).assign(
                     **{out_col: pd.Series(dtype="int64")}
                 )
             offs = offsets_b.value
             out = np.empty(len(keys_pdf), dtype=np.int64)
             sig0 = keys_pdf["__sig"].to_numpy()
+            sig2 = keys_pdf["__sig2"].to_numpy()
             blk = keys_pdf["__block"].to_numpy()
             descs = {
-                int(b): parse_descriptor(bytes(blob))
-                for b, blob in zip(blocks_pdf["__block"], blocks_pdf["blob"])
+                int(b): (parse_descriptor(bytes(blob)), int(att))
+                for b, att, blob in zip(
+                    blocks_pdf["__block"], blocks_pdf["attempt"], blocks_pdf["blob"]
+                )
             }
             order = np.argsort(blk, kind="stable")
             bounds = np.flatnonzero(np.diff(blk[order])) + 1
             for rows in np.split(order, bounds):
                 b = int(blk[rows[0]])
-                desc = descs.get(b)
-                if desc is None:  # non-member keys: unspecified result
+                entry = descs.get(b)
+                if entry is None:  # non-member keys: unspecified result
                     out[rows] = int(offs[b])
                     continue
-                local = desc.evaluate_array(_inner_sigs(sig0[rows], b))
+                desc, att = entry
+                local = desc.evaluate_array(
+                    _working_sigs(sig0[rows], sig2[rows], b, att)
+                )
                 out[rows] = local + int(offs[b])
             res = keys_pdf[in_cols].copy()
             res[out_col] = out
@@ -273,7 +316,8 @@ class BlockedMPHFBuilder:
 
         blocks_path = f"{path}/blocks/salt={salt}"
         sig = F.xxhash64(F.col("__key"), F.lit(salt))
-        sig_df = keys.select(sig.alias("__sig"))
+        sig2 = F.xxhash64(F.col("__key"), F.lit(salt ^ SALT2_MIX))
+        sig_df = keys.select(sig.alias("__sig"), sig2.alias("__sig2"))
         if blog2 == 0:
             sig_df = sig_df.withColumn("__block", F.lit(0).cast("long"))
         else:
@@ -363,27 +407,51 @@ def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int, algo: st
             return
         blk = np.concatenate([c["__block"].to_numpy() for c in chunks])
         sig0 = np.concatenate([c["__sig"].to_numpy() for c in chunks])
+        sig2 = np.concatenate([c["__sig2"].to_numpy() for c in chunks])
         order = np.argsort(blk, kind="stable")
-        blk, sig0 = blk[order], sig0[order]
+        blk, sig0, sig2 = blk[order], sig0[order], sig2[order]
         bounds = np.flatnonzero(np.diff(blk)) + 1
         out_rows = []
         for rows in np.split(np.arange(len(blk)), bounds):
             b = int(blk[rows[0]])
             t0 = time.time_ns()
-            inner = _inner_sigs(sig0[rows], b)
-            if algo == "bdz":
-                from .bdz import build_bdz_from_sigs
+            # per-block re-roll: attempt 0 uses sig0 only; later attempts
+            # mix in sig2, separating 64-bit birthday collisions LOCALLY —
+            # at 10^12 keys a global re-roll can never converge (~27K
+            # colliding pairs expected), a per-block one always does unless
+            # the keys themselves are duplicates
+            desc = None
+            last: Exception | None = None
+            for att in range(MAX_BLOCK_ATTEMPTS):
+                inner = _working_sigs(sig0[rows], sig2[rows], b, att)
+                try:
+                    if algo == "bdz":
+                        from .bdz import build_bdz_from_sigs
 
-                desc = build_bdz_from_sigs(inner, salt)
-            else:
-                desc = build_descriptor_from_sigs(
-                    inner, leaf_size, avg_bucket_size, settings, salt
+                        desc = build_bdz_from_sigs(inner, salt)
+                    else:
+                        desc = build_descriptor_from_sigs(
+                            inner, leaf_size, avg_bucket_size, settings, salt
+                        )
+                    break
+                except (DuplicateSignatureError, TrialLimitError, ValueError) as e:
+                    last = e
+                    continue
+            if desc is None:
+                raise RuntimeError(
+                    f"block {b}: duplicate 64-bit signature persisted through "
+                    f"{MAX_BLOCK_ATTEMPTS} block attempts "
+                    f"(duplicate keys in input?): {last}"
                 )
             blob = desc.to_bytes()
-            out_rows.append((b, len(rows), len(blob), part_id, time.time_ns() - t0, blob))
+            out_rows.append(
+                (b, len(rows), len(blob), part_id, time.time_ns() - t0, att, blob)
+            )
         yield pd.DataFrame(
             out_rows,
-            columns=["block", "n_keys", "nbytes", "part_id", "build_ns", "blob"],
+            columns=[
+                "block", "n_keys", "nbytes", "part_id", "build_ns", "attempt", "blob",
+            ],
         )
 
     return _kernel

@@ -135,3 +135,52 @@ def test_blocked_waves_equivalent(spark, seq20k, tmp_path):
     }
     assert a == b
     _assert_bijection(waved.evaluate(seq20k, "doc_id"), 20_000)
+
+
+def test_block_kernel_survives_sig0_birthday_collision():
+    """The 10^12 enabler: two keys colliding on the full 64-bit sig0 (a
+    certainty at 10^12 keys) must be salvaged by a per-block attempt that
+    mixes the independent second signature — no global re-roll."""
+    import numpy as np
+    import pandas as pd
+
+    from recsplit_spark.blocked import (
+        _make_block_kernel,
+        _working_sigs,
+        parse_descriptor,
+    )
+
+    n = 1000
+    rng = np.random.default_rng(0)
+    sig0 = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    sig0[1] = sig0[0]  # engineered birthday collision
+    sig2 = rng.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {"__block": np.zeros(n, dtype=np.int64), "__sig": sig0, "__sig2": sig2}
+    )
+    kernel = _make_block_kernel(8, 128, 0, "recsplit")
+    [out] = list(kernel([pdf]))
+    att = int(out["attempt"].iloc[0])
+    assert att >= 1  # attempt 0 (sig0-only) cannot separate the pair
+    # evaluation replay: the recorded attempt's working sigs give a bijection
+    desc = parse_descriptor(bytes(out["blob"].iloc[0]))
+    idx = desc.evaluate_array(_working_sigs(sig0, sig2, 0, att))
+    assert len(np.unique(idx)) == n and idx.min() == 0 and idx.max() == n - 1
+
+
+def test_working_sigs_attempt0_matches_legacy():
+    """attempt 0 must stay bit-identical to the original single-signature
+    derivation (mix64(sig0 + (block+1)*GOLDEN)) — descriptor compatibility
+    for every block that never needed a re-roll."""
+    import numpy as np
+
+    from recsplit_spark.blocked import _working_sigs
+    from recsplit_spark.hashing import GOLDEN, mix64_inplace
+
+    rng = np.random.default_rng(1)
+    sig0 = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+    for b in (0, 5, 1023):
+        legacy = mix64_inplace(
+            sig0 + (np.array([b + 1], dtype=np.int64) * GOLDEN)[0]
+        )
+        assert np.array_equal(_working_sigs(sig0, None, b, 0), legacy)
