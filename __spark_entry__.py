@@ -688,6 +688,92 @@ def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set-operation sketch: distinct-custkey overlap between
+    urgent/high-priority orders and the rest. Union/intersection/difference
+    estimates checked against exact counts within 5x the published KMV
+    RSE (1/sqrt(k-2)); set-op error scales with the *union* size. The
+    bottom-k state is deterministic (k smallest distinct hashes), so the
+    booleans are stable under any partitioning."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import ThetaSketch
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders")
+    hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    a_df = orders.filter(hot)
+    b_df = orders.filter(~hot)
+    sk = ThetaSketch(k=256)
+    sa = sk.build(a_df, "o_custkey")
+    sb = sk.build(b_df, "o_custkey")
+    row = orders.agg(
+        F.countDistinct(F.when(hot, F.col("o_custkey"))).alias("a"),
+        F.countDistinct(F.when(~hot, F.col("o_custkey"))).alias("b"),
+        F.countDistinct("o_custkey").alias("u"),
+    ).collect()[0]
+    ea, eb, eu = int(row["a"]), int(row["b"]), int(row["u"])
+    ei = ea + eb - eu
+    tol = 5 * sk.relative_error
+    rows = [
+        (
+            ea,
+            eb,
+            ei,
+            eu,
+            bool(abs(sk.union_estimate(sa, sb) - eu) <= max(tol * eu, 1.0)),
+            bool(abs(sk.intersect_estimate(sa, sb) - ei) <= tol * eu + 1.0),
+            bool(abs(sk.difference_estimate(sa, sb) - (ea - ei)) <= tol * eu + 1.0),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "exact_a bigint, exact_b bigint, exact_inter bigint, exact_union bigint,"
+        " union_within_bound boolean, inter_within_bound boolean,"
+        " diff_within_bound boolean",
+    )
+
+
+def _q_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over exploded document tokens. The
+    retained counters depend on merge order, but the certificate does not:
+    any token with exact count above the state's cumulative decrement
+    (<= N/(k+1)) is guaranteed retained with undercount <= that decrement.
+    The top-3 exact tokens clear N/(k+1) at every SF, so the booleans are
+    deterministic."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import MisraGries
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    top3 = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_freq"))
+        .orderBy(F.desc("exact_freq"), F.asc("tok"))
+        .limit(3)
+        .collect()
+    )
+    mg = MisraGries(k=128)
+    st = mg.build(toks, "tok")
+    bound = mg.error_bound(st)
+    rows = [
+        (
+            r["tok"],
+            int(r["exact_freq"]),
+            bool(mg.estimate_count(st, r["tok"]) > 0),
+            bool(0 <= r["exact_freq"] - mg.estimate_count(st, r["tok"]) <= bound),
+        )
+        for r in top3
+    ]
+    return spark.createDataFrame(
+        rows, "tok string, exact_freq bigint, in_sketch boolean, within_bound boolean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -702,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_orders_prefilter": _q_bloom_orders_prefilter,
         "kll_price_quantiles": _q_kll_price_quantiles,
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
+        "theta_custkey_overlap": _q_theta_custkey_overlap,
+        "mg_heavy_tokens": _q_mg_heavy_tokens,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "distinct_users_exact": _q_distinct_users_exact,
         "token_stats_documents": _q_token_stats_documents,
@@ -812,6 +900,24 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_event_value_quantiles": (
             "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM"
             " (VALUES (0.01), (0.5), (0.99)) AS t(q)"
+        ),
+        "theta_custkey_overlap": (
+            "WITH s AS (SELECT"
+            " count(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "   THEN o_custkey END) AS a,"
+            " count(DISTINCT CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
+            "   THEN o_custkey END) AS b,"
+            " count(DISTINCT o_custkey) AS u FROM orders)"
+            " SELECT CAST(a AS BIGINT) AS exact_a, CAST(b AS BIGINT) AS exact_b,"
+            " CAST(a + b - u AS BIGINT) AS exact_inter, CAST(u AS BIGINT) AS exact_union,"
+            " TRUE AS union_within_bound, TRUE AS inter_within_bound,"
+            " TRUE AS diff_within_bound FROM s"
+        ),
+        "mg_heavy_tokens": (
+            "SELECT tok, CAST(count(*) AS BIGINT) AS exact_freq,"
+            " TRUE AS in_sketch, TRUE AS within_bound FROM"
+            " (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)"
+            " GROUP BY tok ORDER BY exact_freq DESC, tok LIMIT 3"
         ),
         "dedup_exact_documents": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs,"

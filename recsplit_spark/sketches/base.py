@@ -30,7 +30,9 @@ import pandas as pd
 class MergeableSketch(ABC):
     """A sketch monoid: (new_state, update, merge) + serialization."""
 
-    #: "hash" -> feed xxhash64(col) int64; "value" -> feed cast-to-double
+    #: "hash" -> feed xxhash64(col) int64; "value" -> feed cast-to-double;
+    #: "string" -> feed the raw value cast to string (item-identity sketches
+    #: like Misra-Gries that must report the original item back)
     input_kind: str = "hash"
 
     # -- monoid core (numpy, Spark-free, unit-testable) ---------------------
@@ -61,6 +63,8 @@ class MergeableSketch(ABC):
 
         if self.input_kind == "hash":
             return F.xxhash64(F.col(col).cast("string")).alias("__in")
+        if self.input_kind == "string":
+            return F.col(col).cast("string").alias("__in")
         return F.col(col).cast("double").alias("__in")
 
     def partials(self, df, col: str, keys: tuple[str, ...] = ()):

@@ -1,0 +1,124 @@
+"""Misra-Gries heavy-hitters sketch (mergeable, Agarwal et al. 2012).
+
+State: at most k (item -> counter) pairs plus two exact scalars — n, the
+total number of items folded in, and dec, the cumulative decrement applied
+by capacity trims. Trim rule: when more than k counters exist, subtract
+the (k+1)-th largest counter value from every counter and drop the
+non-positive ones (at most k survive, since only counters strictly above
+the pivot stay positive).
+
+Guarantees (the published "mergeable summaries" bound, carried per-state):
+
+  0 <= true(x) - est(x) <= dec <= n / (k + 1)        for every item x
+  any x with true(x) > dec is retained (est(x) >= true(x) - dec > 0)
+
+The *retained set* depends on merge order (only the bound is
+order-independent), so driver queries report bound-booleans on exactly-
+counted items — deterministic under any partitioning — rather than raw
+estimates. Merge = counter-wise sum followed by the same trim; the summed
+dec fields keep the certificate exact through arbitrary merge trees.
+
+Reference analogue: the frequency side of minperf's key-universe tooling
+(count-min in this repo covers point queries; MG answers "which tokens are
+frequent" without a 10^12-row groupBy — the shuffle carries k-entry
+states only).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from .base import MergeableSketch
+
+_HDR = struct.Struct("<4sIIqq")  # magic, k, n_entries, n_total, dec
+_MAGIC = b"MGS1"
+
+
+class MGState:
+    __slots__ = ("counts", "n", "dec")
+
+    def __init__(self, counts=None, n: int = 0, dec: int = 0) -> None:
+        self.counts: dict[str, int] = counts if counts is not None else {}
+        self.n = n
+        self.dec = dec
+
+
+class MisraGries(MergeableSketch):
+    input_kind = "string"
+
+    def __init__(self, k: int = 128) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+
+    # -- monoid ----------------------------------------------------------------
+    def new_state(self) -> MGState:
+        return MGState()
+
+    def _trim(self, state: MGState) -> None:
+        if len(state.counts) <= self.k:
+            return
+        vals = np.fromiter(state.counts.values(), dtype=np.int64)
+        # pivot = (k+1)-th largest counter; subtracting it zeroes-or-kills
+        # everything at-or-below and leaves <= k survivors
+        pivot = int(np.partition(vals, len(vals) - self.k - 1)[len(vals) - self.k - 1])
+        state.counts = {
+            item: c - pivot for item, c in state.counts.items() if c > pivot
+        }
+        state.dec += pivot
+
+    def update(self, state: MGState, arr: np.ndarray) -> None:
+        if len(arr) == 0:
+            return
+        vc = pd.Series(arr).value_counts()
+        state.n += int(vc.sum())
+        counts = state.counts
+        for item, c in vc.items():
+            key = str(item)
+            counts[key] = counts.get(key, 0) + int(c)
+        self._trim(state)
+
+    def merge(self, a: MGState, b: MGState) -> MGState:
+        if len(a.counts) < len(b.counts):
+            a, b = b, a
+        out = MGState(dict(a.counts), a.n + b.n, a.dec + b.dec)
+        counts = out.counts
+        for item, c in b.counts.items():
+            counts[item] = counts.get(item, 0) + c
+        self._trim(out)
+        return out
+
+    def to_bytes(self, state: MGState) -> bytes:
+        parts = [_HDR.pack(_MAGIC, self.k, len(state.counts), state.n, state.dec)]
+        for item, c in state.counts.items():
+            raw = item.encode("utf-8")
+            parts.append(struct.pack("<Iq", len(raw), c))
+            parts.append(raw)
+        return b"".join(parts)
+
+    def from_bytes(self, data: bytes) -> MGState:
+        magic, k, n_entries, n_total, dec = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC or k != self.k:
+            raise ValueError("MG state mismatch")
+        off = _HDR.size
+        counts: dict[str, int] = {}
+        for _ in range(n_entries):
+            ln, c = struct.unpack_from("<Iq", data, off)
+            off += 12
+            counts[data[off : off + ln].decode("utf-8")] = c
+            off += ln
+        return MGState(counts, n_total, dec)
+
+    # -- queries -----------------------------------------------------------------
+    def error_bound(self, state: MGState) -> int:
+        """Certified max undercount for any item (<= n/(k+1))."""
+        return state.dec
+
+    def estimate_count(self, state: MGState, item: str) -> int:
+        return state.counts.get(item, 0)
+
+    def top_items(self, state: MGState, n: int = 10) -> list[tuple[str, int]]:
+        return sorted(state.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]

@@ -1,0 +1,138 @@
+"""KMV / Theta distinct sketch with set operations (union / intersect / diff).
+
+State: the k smallest *distinct* uint64 hash values seen (a deterministic
+bottom-k sample of the key universe). Because "k smallest of a multiset
+union" does not depend on arrival or merge order, the state — and therefore
+every estimate — is fully deterministic for a given input set and hash,
+and merge is commutative + associative (north-rule order-independence).
+
+Estimator (Bar-Yossef et al. 2002 KMV; Dasgupta et al. 2016 theta
+framework): with hashes mapped to x = (h+1)/2^64 in (0,1],
+
+  |R| < k  ->  exact:  D = |R|
+  |R| = k  ->  D^ = (k-1) / x_(k),  relative std err ~ 1/sqrt(k-2)
+
+Set operations on two sketches (not a monoid op — a derived estimator):
+theta = min over inputs of the sampling threshold (x_(k) if full, else 1);
+restrict both retained sets to values below theta*2^64; then
+|A op B| ^= |R_A op R_B| / theta. The restriction is what makes the
+two samples comparable — both are uniform bottom samples at rate theta.
+
+Reference analogue: minperf's distinct-set utilities
+(``utils/RandomSetGenerator``, README.md:10 membership use-case); the
+set-operation surface itself is the training-data question "how many
+doc_ids / tokens do two sources share" at 10^12 scale, where the shuffle
+carries only 8k-byte states.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .base import MergeableSketch
+
+_HDR = struct.Struct("<4sII")  # magic, k, n_retained
+_MAGIC = b"THE1"
+_FULL_RANGE = float(2.0**64)
+
+
+def _normalize(h_max) -> float:
+    """Largest retained hash -> sampling threshold x_(k) in (0, 1]."""
+    return (float(h_max) + 1.0) / _FULL_RANGE
+
+
+@dataclass
+class ThetaState:
+    #: sorted distinct uint64 hashes, len <= k
+    r: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+
+
+class ThetaSketch(MergeableSketch):
+    """Bottom-k distinct sketch over xxhash64(col) with set-op estimates."""
+
+    input_kind = "hash"
+
+    def __init__(self, k: int = 256) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+
+    @property
+    def relative_error(self) -> float:
+        return 1.0 / math.sqrt(self.k - 2)
+
+    # -- monoid ----------------------------------------------------------------
+    def new_state(self) -> ThetaState:
+        return ThetaState()
+
+    def update(self, state: ThetaState, arr: np.ndarray) -> None:
+        if len(arr) == 0:
+            return
+        h = np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64)
+        state.r = self._combine(state.r, np.unique(h))  # unique() sorts
+
+    def _combine(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if len(a) == 0:
+            merged = b
+        elif len(b) == 0:
+            merged = a
+        else:
+            merged = np.union1d(a, b)  # sorted distinct
+        return merged[: self.k]
+
+    def merge(self, a: ThetaState, b: ThetaState) -> ThetaState:
+        return ThetaState(self._combine(a.r, b.r))
+
+    def to_bytes(self, state: ThetaState) -> bytes:
+        return _HDR.pack(_MAGIC, self.k, len(state.r)) + state.r.tobytes()
+
+    def from_bytes(self, data: bytes) -> ThetaState:
+        magic, k, n = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC or k != self.k:
+            raise ValueError("theta state mismatch")
+        out = np.frombuffer(data, dtype=np.uint64, offset=_HDR.size, count=n)
+        return ThetaState(out.copy())
+
+    def estimate(self, state: ThetaState) -> float:
+        if len(state.r) < self.k:
+            return float(len(state.r))
+        return (self.k - 1) / _normalize(state.r[-1])
+
+    # -- set operations ----------------------------------------------------------
+    def _theta(self, state: ThetaState) -> float:
+        return _normalize(state.r[-1]) if len(state.r) == self.k else 1.0
+
+    def _restricted(self, a: ThetaState, b: ThetaState):
+        theta = min(self._theta(a), self._theta(b))
+        if theta >= 1.0:
+            return a.r, b.r, 1.0
+        # exclusive cut: theta*2^64 = float(h_max)+1 is integral and <= 2^64
+        cut = np.uint64(int(theta * _FULL_RANGE) - 1)  # inclusive max retained
+        return a.r[a.r <= cut], b.r[b.r <= cut], theta
+
+    def union_estimate(self, a: ThetaState, b: ThetaState) -> float:
+        return self.estimate(self.merge(a, b))
+
+    def intersect_estimate(self, a: ThetaState, b: ThetaState) -> float:
+        ra, rb, theta = self._restricted(a, b)
+        return len(np.intersect1d(ra, rb)) / theta
+
+    def difference_estimate(self, a: ThetaState, b: ThetaState) -> float:
+        """|A \\ B| estimate."""
+        ra, rb, theta = self._restricted(a, b)
+        return len(np.setdiff1d(ra, rb)) / theta
+
+    def jaccard_estimate(self, a: ThetaState, b: ThetaState) -> float:
+        ra, rb, theta = self._restricted(a, b)
+        u = len(np.union1d(ra, rb))
+        if u == 0:
+            return 0.0
+        return len(np.intersect1d(ra, rb)) / u
+
+    # -- convenience ---------------------------------------------------------------
+    def count_distinct(self, df, col: str) -> float:
+        return self.estimate(self.build(df, col))

@@ -10,7 +10,9 @@ from recsplit_spark.sketches import (
     CountMinSketch,
     HyperLogLog,
     KLL,
+    MisraGries,
     TDigest,
+    ThetaSketch,
 )
 
 RNG = np.random.default_rng(7)
@@ -193,3 +195,148 @@ def test_tdigest_merge_and_serde():
     est = td.quantile(m, 0.5)
     assert abs((data <= est).mean() - 0.5) < 0.02
     assert td.cdf(m, np.quantile(data, 0.9)) == pytest.approx(0.9, abs=0.02)
+
+
+# -- Theta / KMV ----------------------------------------------------------------
+
+def _theta_states(sk, sets):
+    out = []
+    for arr in sets:
+        st = sk.new_state()
+        sk.update(st, arr)
+        out.append(st)
+    return out
+
+
+@pytest.mark.parametrize("n", [100, 50_000, 1_000_000])
+def test_theta_estimate_bound(n):
+    sk = ThetaSketch(k=1024)
+    st = sk.new_state()
+    sk.update(st, _hashes(n))
+    est = sk.estimate(st)
+    if n < sk.k:
+        assert est == n  # exact mode below capacity
+    else:
+        assert abs(est - n) / n < 4 * sk.relative_error
+
+
+def test_theta_merge_order_independent_exactly():
+    sk = ThetaSketch(k=256)
+    h = _hashes(100_000)
+    chunks = np.array_split(h, 9)
+    states = _theta_states(sk, chunks)
+    ref = states[0]
+    for s in states[1:]:
+        ref = sk.merge(ref, s)
+    perm = [states[i] for i in RNG.permutation(9)]
+    alt = perm[-1]
+    for s in perm[:-1]:
+        alt = sk.merge(s, alt)  # opposite argument order too
+    assert sk.to_bytes(ref) == sk.to_bytes(alt)  # bit-identical state
+
+
+def test_theta_duplicates_dont_inflate():
+    sk = ThetaSketch(k=64)
+    st = sk.new_state()
+    h = _hashes(500)
+    for _ in range(5):
+        sk.update(st, h)
+    assert sk.estimate(st) == pytest.approx(sk.estimate(st))
+    st2 = sk.new_state()
+    sk.update(st2, np.tile(h, 10))
+    assert sk.to_bytes(st) == sk.to_bytes(st2)
+
+
+def test_theta_set_operations():
+    sk = ThetaSketch(k=2048)
+    n, overlap = 200_000, 60_000
+    a = _hashes(n, seed=1)
+    b = np.concatenate([a[:overlap], _hashes(n - overlap, seed=2)])
+    sa, sb = _theta_states(sk, [a, b])
+    tol = 5 * sk.relative_error
+    union_true = 2 * n - overlap
+    assert abs(sk.union_estimate(sa, sb) - union_true) / union_true < tol
+    # intersection / difference error scales with the union size
+    assert abs(sk.intersect_estimate(sa, sb) - overlap) < tol * union_true
+    assert abs(sk.difference_estimate(sa, sb) - (n - overlap)) < tol * union_true
+    jac = overlap / union_true
+    assert abs(sk.jaccard_estimate(sa, sb) - jac) < tol
+
+
+def test_theta_set_ops_exact_mode():
+    sk = ThetaSketch(k=4096)  # both sets below k -> all answers exact
+    a = _hashes(1000, seed=3)
+    b = np.concatenate([a[:400], _hashes(600, seed=4)])
+    sa, sb = _theta_states(sk, [a, b])
+    assert sk.union_estimate(sa, sb) == 1600
+    assert sk.intersect_estimate(sa, sb) == 400
+    assert sk.difference_estimate(sa, sb) == 600
+
+
+def test_theta_serialization_roundtrip():
+    sk = ThetaSketch(k=128)
+    st = sk.new_state()
+    sk.update(st, _hashes(10_000))
+    st2 = sk.from_bytes(sk.to_bytes(st))
+    assert np.array_equal(st.r, st2.r)
+    with pytest.raises(ValueError):
+        ThetaSketch(k=64).from_bytes(sk.to_bytes(st))
+
+
+# -- Misra-Gries ------------------------------------------------------------------
+
+def _zipf_items(n, n_items=1000, seed=11):
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, size=n).clip(max=n_items)
+    return np.array([f"tok{r}" for r in ranks], dtype=object)
+
+
+def test_mg_bound_certificate():
+    mg = MisraGries(k=64)
+    items = _zipf_items(200_000)
+    st = mg.new_state()
+    for chunk in np.array_split(items, 37):
+        mg.update(st, chunk)
+    assert st.n == 200_000
+    assert mg.error_bound(st) <= st.n // (mg.k + 1) + 1
+    import collections
+
+    true = collections.Counter(items.tolist())
+    for item, true_c in true.most_common(10):
+        est = mg.estimate_count(st, item)
+        assert 0 <= true_c - est <= mg.error_bound(st), item
+    # every frequent item (> dec) must be retained
+    for item, true_c in true.items():
+        if true_c > mg.error_bound(st):
+            assert mg.estimate_count(st, item) > 0, item
+
+
+def test_mg_merge_keeps_bound():
+    mg = MisraGries(k=32)
+    items = _zipf_items(120_000, seed=12)
+    parts = np.array_split(items, 8)
+    states = []
+    for p in parts:
+        s = mg.new_state()
+        mg.update(s, p)
+        states.append(mg.from_bytes(mg.to_bytes(s)))  # serde in the loop
+    m = states[0]
+    for s in states[1:]:
+        m = mg.merge(m, s)
+    assert m.n == 120_000
+    assert mg.error_bound(m) <= m.n // (mg.k + 1) + 1
+    import collections
+
+    true = collections.Counter(items.tolist())
+    for item, true_c in true.most_common(5):
+        est = mg.estimate_count(m, item)
+        assert 0 <= true_c - est <= mg.error_bound(m), item
+
+
+def test_mg_serialization_roundtrip():
+    mg = MisraGries(k=16)
+    st = mg.new_state()
+    mg.update(st, np.array(["a", "b", "a", "ü"] * 50, dtype=object))
+    st2 = mg.from_bytes(mg.to_bytes(st))
+    assert st2.counts == st.counts and st2.n == st.n and st2.dec == st.dec
+    assert mg.top_items(st2, 2) == [("a", 100), ("b", 50)]

@@ -156,3 +156,65 @@ def test_tree_merge_512_partitions_bit_identical(spark):
         ),
     )
     assert h.sum() == 200_000
+
+
+def test_theta_set_ops_vs_exact(spark, sf_dir):
+    """Distinct-custkey overlap between urgent/high orders and the rest —
+    union/intersection/difference estimates vs exact, end-to-end on Spark
+    (theta states are deterministic, so this is stable run-to-run)."""
+    from recsplit_spark.sketches import ThetaSketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+    urgent = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    rest = orders.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    sk = ThetaSketch(k=256)
+    sa = sk.build(urgent, "o_custkey")
+    sb = sk.build(rest, "o_custkey")
+
+    ea = urgent.select(F.countDistinct("o_custkey")).collect()[0][0]
+    eb = rest.select(F.countDistinct("o_custkey")).collect()[0][0]
+    eu = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    ei = ea + eb - eu
+    tol = 5 * sk.relative_error
+    assert abs(sk.estimate(sa) - ea) <= max(tol * ea, 1)
+    assert abs(sk.union_estimate(sa, sb) - eu) <= max(tol * eu, 1)
+    assert abs(sk.intersect_estimate(sa, sb) - ei) <= tol * eu + 1
+    assert abs(sk.difference_estimate(sa, sb) - (ea - ei)) <= tol * eu + 1
+    orders.unpersist()
+
+
+def test_theta_partition_count_invariance(spark, sf_dir):
+    from recsplit_spark.sketches import ThetaSketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = ThetaSketch(k=128)
+    s1 = sk.build(docs.repartition(3), "doc_id")
+    s2 = sk.build(docs.repartition(17), "doc_id")
+    assert sk.to_bytes(s1) == sk.to_bytes(s2)
+
+
+def test_mg_heavy_hitters_on_tokens(spark, sf_dir):
+    """MG over exploded document tokens: every token with exact count above
+    the state's certified bound is retained, and its estimate undercounts
+    by at most that bound — under two different partitionings."""
+    from recsplit_spark.sketches import MisraGries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).cache()
+    exact = {r["tok"]: r["c"] for r in toks.groupBy("tok").count()
+             .withColumnRenamed("count", "c").collect()}
+    n = sum(exact.values())
+    mg = MisraGries(k=64)
+    for parts in (4, 19):
+        st = mg.build(toks.repartition(parts), "tok")
+        assert st.n == n
+        bound = mg.error_bound(st)
+        assert bound <= n // (mg.k + 1) + 1
+        for tok, c in exact.items():
+            est = mg.estimate_count(st, tok)
+            assert 0 <= c - est <= bound, (tok, parts)
+            if c > bound:
+                assert est > 0, (tok, parts)
+    toks.unpersist()
