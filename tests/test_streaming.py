@@ -184,3 +184,37 @@ def test_windowed_sketch_watermark_finalize(spark, timed_dir, tmp_path):
     # earlier windows got finalized by the advancing watermark
     finals = set(pdf[pdf["final"]]["window_start"])
     assert len(finals) >= 1  # at least window 0 closed before the drain ended
+
+
+def test_streaming_theta_equals_batch_exactly(spark, staged_dir):
+    """Theta's bottom-k state is exactly order-independent, so the drained
+    stream state must be byte-identical to the batch build."""
+    from recsplit_spark.sketches import ThetaSketch
+
+    sk = ThetaSketch(k=512)
+    agg = StreamingSketch(sk, "doc_id")
+    q = agg.start(_read_stream(spark, staged_dir))
+    q.awaitTermination(120)
+    batch_state = sk.build(spark.read.parquet(staged_dir), "doc_id")
+    assert sk.to_bytes(agg.state) == sk.to_bytes(batch_state)
+    assert abs(agg.estimate() - 30_000) <= 4 * sk.relative_error * 30_000
+
+
+def test_streaming_mg_bound_holds(spark, staged_dir):
+    """MG retained counters are merge-order-dependent, but the carried
+    certificate must hold after a streamed fold: exact - est <= dec."""
+    from recsplit_spark.sketches import MisraGries
+
+    mg = MisraGries(k=16)
+    agg = StreamingSketch(mg, "source")
+    q = agg.start(_read_stream(spark, staged_dir))
+    q.awaitTermination(120)
+    st = agg.state
+    assert st.n == 30_000
+    assert mg.error_bound(st) <= st.n // (mg.k + 1) + 1
+    exact = (
+        spark.read.parquet(staged_dir).groupBy("source").count().collect()
+    )
+    for r in exact:
+        diff = r["count"] - mg.estimate_count(st, r["source"])
+        assert 0 <= diff <= mg.error_bound(st), r["source"]
