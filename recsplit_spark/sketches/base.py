@@ -57,6 +57,12 @@ class MergeableSketch(ABC):
         """Scalar summary (cardinality etc.); optional per sketch."""
         raise NotImplementedError
 
+    def approx_state_bytes(self) -> int | None:
+        """Upper-bound estimate of one serialized state, used to decide
+        whether the final collect needs a distributed pre-merge. None =
+        unknown (be conservative: pre-merge whenever P is non-trivial)."""
+        return None
+
     # -- Spark plumbing ------------------------------------------------------
     def _input_expr(self, col: str):
         from pyspark.sql import functions as F
@@ -116,14 +122,23 @@ class MergeableSketch(ABC):
         distributed first — the shuffle carries states, not rows, and the
         boundary keeps stage-1 parallelism at P (a coalesce would collapse
         the partials stage itself to sqrt(P) tasks). Merge associativity
-        makes the two-level fold bit-identical to the flat one (tested)."""
+        makes the two-level fold bit-identical to the flat one (tested).
+
+        The pre-merge is gated on the estimated collect size
+        (P x approx_state_bytes > ~64 MB): at small P x small states the
+        extra stage is pure fixed cost, while the driver collect is a few
+        MB — both regimes get the right plan."""
         import math
 
         sk = self
         parts = self.partials(df, col)
         p = parts.rdd.getNumPartitions()
         fan = math.isqrt(max(1, p))
-        if p > 4 and fan > 1:
+        nbytes = self.approx_state_bytes()
+        heavy = (
+            p > 4 if nbytes is None else p * nbytes > (64 << 20)
+        )
+        if heavy and fan > 1:
 
             def _pre_merge(batches):
                 state = None

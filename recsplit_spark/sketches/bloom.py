@@ -45,6 +45,9 @@ class BloomFilter(MergeableSketch):
         self.m = max(64, int(math.ceil(-n_expected * math.log(fpr) / math.log(2) ** 2)))
         self.k = max(1, round(self.m / n_expected * math.log(2)))
 
+    def approx_state_bytes(self) -> int:
+        return _HDR.size + (self.m + 7) // 8
+
     def expected_fpr(self, n_inserted: int) -> float:
         return (1.0 - math.exp(-self.k * n_inserted / self.m)) ** self.k
 

@@ -46,6 +46,9 @@ class CountMinSketch(MergeableSketch):
         self.w = int(math.ceil(math.e / eps))
         self.d = int(math.ceil(math.log(1.0 / delta)))
 
+    def approx_state_bytes(self) -> int:
+        return _HDR.size + 8 * self.d * self.w
+
     # -- monoid ---------------------------------------------------------------
     def new_state(self) -> np.ndarray:
         return np.zeros((self.d, self.w), dtype=np.int64)

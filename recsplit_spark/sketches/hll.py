@@ -47,6 +47,9 @@ class HyperLogLog(MergeableSketch):
     def relative_error(self) -> float:
         return 1.04 / math.sqrt(self.m)
 
+    def approx_state_bytes(self) -> int:
+        return _HDR.size + self.m
+
     # -- monoid ---------------------------------------------------------------
     def new_state(self) -> np.ndarray:
         return np.zeros(self.m, dtype=np.uint8)

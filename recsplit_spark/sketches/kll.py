@@ -45,6 +45,11 @@ class KLL(MergeableSketch):
         """Conventional normalized rank error bound ~ 2.296 / k."""
         return 2.296 / self.k
 
+    def approx_state_bytes(self) -> int:
+        # ~k items at the top level + geometrically-capped lower levels,
+        # x8 bytes, with headroom for the per-level headers
+        return _HDR.size + 8 * self.k * 12
+
     def _cap(self, level: int, num_levels: int) -> int:
         depth = num_levels - 1 - level
         return max(2, int(np.ceil(self.k * (_C**depth))))

@@ -54,6 +54,10 @@ class MisraGries(MergeableSketch):
             raise ValueError("k must be >= 1")
         self.k = k
 
+    def approx_state_bytes(self) -> int:
+        # k entries x (12-byte entry header + ~48-byte item)
+        return _HDR.size + 60 * self.k
+
     # -- monoid ----------------------------------------------------------------
     def new_state(self) -> MGState:
         return MGState()

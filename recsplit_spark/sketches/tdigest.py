@@ -41,6 +41,10 @@ class TDigest(MergeableSketch):
             raise ValueError("compression must be >= 20")
         self.compression = float(compression)
 
+    def approx_state_bytes(self) -> int:
+        # <= ~2*compression centroids x (mean, weight) float64
+        return _HDR.size + int(32 * self.compression)
+
     # k1 scale: k(q) = (delta / 2pi) * asin(2q - 1)
     def _k(self, q: np.ndarray) -> np.ndarray:
         return self.compression / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))

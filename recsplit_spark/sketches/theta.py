@@ -65,6 +65,9 @@ class ThetaSketch(MergeableSketch):
     def relative_error(self) -> float:
         return 1.0 / math.sqrt(self.k - 2)
 
+    def approx_state_bytes(self) -> int:
+        return _HDR.size + 8 * self.k
+
     # -- monoid ----------------------------------------------------------------
     def new_state(self) -> ThetaState:
         return ThetaState()
