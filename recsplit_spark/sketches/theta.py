@@ -139,3 +139,36 @@ class ThetaSketch(MergeableSketch):
     # -- convenience ---------------------------------------------------------------
     def count_distinct(self, df, col: str) -> float:
         return self.estimate(self.build(df, col))
+
+    def pairwise_set_estimates(self, df, col: str, key: str):
+        """All-pairs group overlap: DataFrame[key_a, key_b, union_est,
+        inter_est, jaccard_est] for every unordered pair of ``key`` groups.
+
+        One distributed pass builds a state per group (states_by_key); the
+        driver then combines G states into G(G-1)/2 pairs — at <= 8k+16
+        bytes per state this handles thousands of groups, and the pair
+        math is numpy set ops on <= k elements. For the 10^12-row case the
+        data-sized work is entirely in the single partial-agg scan."""
+        rows = self.states_by_key(df, col, (key,)).collect()
+        groups = sorted(
+            ((r[key], self.from_bytes(bytes(r["state"]))) for r in rows),
+            key=lambda kv: kv[0],
+        )
+        out = []
+        for i in range(len(groups)):
+            ka, sa = groups[i]
+            for kb, sb in groups[i + 1 :]:
+                out.append(
+                    (
+                        ka,
+                        kb,
+                        float(self.union_estimate(sa, sb)),
+                        float(self.intersect_estimate(sa, sb)),
+                        float(self.jaccard_estimate(sa, sb)),
+                    )
+                )
+        return df.sparkSession.createDataFrame(
+            out,
+            "key_a string, key_b string, union_est double,"
+            " inter_est double, jaccard_est double",
+        )

@@ -218,3 +218,36 @@ def test_mg_heavy_hitters_on_tokens(spark, sf_dir):
             if c > bound:
                 assert est > 0, (tok, parts)
     toks.unpersist()
+
+
+def test_theta_pairwise_group_overlap(spark, sf_dir):
+    """All-pairs custkey overlap across the 5 order priorities from one
+    distributed pass; every pair estimate within bound of the exact SQL."""
+    from recsplit_spark.sketches import ThetaSketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+    sk = ThetaSketch(k=512)
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in sk.pairwise_set_estimates(orders, "o_custkey", "o_orderpriority").collect()
+    }
+    prios = sorted(p["o_orderpriority"] for p in orders.select("o_orderpriority").distinct().collect())
+    assert len(got) == len(prios) * (len(prios) - 1) // 2
+    tol = 5 * sk.relative_error
+    for i, pa in enumerate(prios):
+        for pb in prios[i + 1:]:
+            ex = orders.agg(
+                F.countDistinct(
+                    F.when(F.col("o_orderpriority").isin(pa, pb), F.col("o_custkey"))
+                ).alias("u"),
+                (
+                    F.countDistinct(F.when(F.col("o_orderpriority") == pa, F.col("o_custkey")))
+                    + F.countDistinct(F.when(F.col("o_orderpriority") == pb, F.col("o_custkey")))
+                ).alias("ab"),
+            ).collect()[0]
+            eu = ex["u"]; ei = ex["ab"] - ex["u"]
+            r = got[(pa, pb)]
+            assert abs(r["union_est"] - eu) <= max(tol * eu, 1), (pa, pb)
+            assert abs(r["inter_est"] - ei) <= tol * eu + 1, (pa, pb)
+            assert abs(r["jaccard_est"] - ei / eu) <= tol + 0.01, (pa, pb)
+    orders.unpersist()
