@@ -30,7 +30,9 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="parquet path or Iceberg table")
     ap.add_argument("--col", required=True)
     ap.add_argument(
-        "--sketch", required=True, choices=["hll", "cms", "kll", "tdigest", "bloom"]
+        "--sketch",
+        required=True,
+        choices=["hll", "cms", "kll", "tdigest", "bloom", "theta", "mg"],
     )
     ap.add_argument("--group-by", default=None)
     ap.add_argument("--state-out", default=None)
@@ -42,6 +44,9 @@ def main() -> int:
     ap.add_argument("--bloom-n", type=int, default=1_000_000)
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--quantiles", default="0.5,0.9,0.99")
+    ap.add_argument("--theta-k", type=int, default=4096)
+    ap.add_argument("--mg-k", type=int, default=1024)
+    ap.add_argument("--top", type=int, default=20, help="mg: top items to print")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +57,9 @@ def main() -> int:
         BloomFilter,
         CountMinSketch,
         HyperLogLog,
+        MisraGries,
         TDigest,
+        ThetaSketch,
     )
 
     if "/" in args.input or args.input.endswith(".parquet"):
@@ -66,22 +73,38 @@ def main() -> int:
         "kll": lambda: KLL(k=args.kll_k),
         "tdigest": lambda: TDigest(compression=args.tdigest_compression),
         "bloom": lambda: BloomFilter(n_expected=args.bloom_n, fpr=args.bloom_fpr),
+        "theta": lambda: ThetaSketch(k=args.theta_k),
+        "mg": lambda: MisraGries(k=args.mg_k),
     }[args.sketch]()
 
     qs = [float(q) for q in args.quantiles.split(",") if q]
     t0 = time.time()
     out: dict = {"sketch": args.sketch, "col": args.col, "input": args.input}
     if args.group_by:
-        rows = sk.aggregate(df, args.col, [args.group_by]).collect()
-        out["groups"] = {r[args.group_by]: r["estimate"] for r in rows}
+        if args.sketch == "mg":
+            rows = sk.states_by_key(df, args.col, (args.group_by,)).collect()
+            out["groups"] = {}
+            for r in rows:
+                st = sk.from_bytes(bytes(r["state"]))
+                out["groups"][r[args.group_by]] = {
+                    "top_items": sk.top_items(st, args.top),
+                    "error_bound": sk.error_bound(st),
+                }
+        else:
+            rows = sk.aggregate(df, args.col, [args.group_by]).collect()
+            out["groups"] = {r[args.group_by]: r["estimate"] for r in rows}
     else:
         state = sk.build(df, args.col)
         if args.sketch in ("kll", "tdigest"):
             out["quantiles"] = {str(q): float(sk.quantile(state, q)) for q in qs}
         elif args.sketch == "cms":
             out["total"] = int(sk.total(state))
-        elif args.sketch == "hll":
+        elif args.sketch in ("hll", "theta"):
             out["estimate"] = float(sk.estimate(state))
+        elif args.sketch == "mg":
+            out["top_items"] = sk.top_items(state, args.top)
+            out["error_bound"] = sk.error_bound(state)
+            out["n_total"] = state.n
         if args.state_out:
             with open(args.state_out, "wb") as f:
                 f.write(sk.to_bytes(state))
