@@ -35,6 +35,43 @@ def _sf_value(path: str) -> float:
         return -1.0
 
 
+
+def _probe_worker(_):
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.int64)  # 64 MB working set
+    t0 = time.time()
+    for _ in range(4):
+        ((a * 2654435761 + 12345) >> 7).sum()
+    return time.time() - t0
+
+
+def host_probe_ms(reps: int = 3) -> dict:
+    """Environment-window control, reported in every JSON line so a slow
+    suite sample carries its own evidence (BASELINE.md "Host-bandwidth
+    variance caveat"). Two dimensions, because the external host contention
+    specifically caps AGGREGATE DRAM bandwidth:
+
+    - single: best-of-N one-core streaming pass over 256 MB int64.
+      Healthy ~180-340 ms. Can read healthy even in degraded windows
+      (one core's demand fits the remaining trickle).
+    - par8: slowest of 8 concurrent 64-MB streaming kernels. Healthy
+      ~350 ms; measured 12,000-25,000 ms in degraded windows — this is
+      the dimension that predicts Spark suite wall time."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    a = np.arange(32_000_000, dtype=np.int64)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        ((a * 2654435761 + 12345) >> 7).sum()
+        best = min(best, time.time() - t0)
+    with mp.Pool(8) as pool:
+        par = max(pool.map(_probe_worker, range(8)))
+    return {"single_ms": round(best * 1000.0, 1), "par8_ms": round(par * 1000.0, 1)}
+
 def run_suite(cores: int) -> dict:
     import pyspark.sql.functions as F
 
@@ -191,6 +228,7 @@ def run_suite(cores: int) -> dict:
         "metric": "recsplit_spark headline suite wall time",
         "value": total,
         "unit": "sec",
+        "host_probe": host_probe_ms(),
         "queries": timings,
         "sf": _sf_value(SF_DIR),
         "cores": cores,
@@ -298,6 +336,7 @@ def run_scaling(n_keys: int = 16_000_000) -> dict:
         "value": eff(2, 8),
         "unit": "efficiency",
         "n_keys": n_keys,
+        "host_probe": host_probe_ms(),
         "efficiency_2_to_8": eff(2, 8),
         "efficiency_4_to_16": eff(4, 16),
         "efficiency_8_to_32": eff(8, 32),
@@ -316,5 +355,7 @@ if __name__ == "__main__":
     elif "--scaling" in args:
         n = int(args[args.index("--n") + 1]) if "--n" in args else 16_000_000
         print(json.dumps(run_scaling(n)))
+    elif "--probe" in args:
+        print(json.dumps({"host_probe": host_probe_ms()}))
     else:
         print(json.dumps(run_suite(cores)))
