@@ -76,6 +76,15 @@ class ThetaSketch(MergeableSketch):
         if len(arr) == 0:
             return
         h = np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64)
+        if len(state.r) == self.k:
+            # threshold prune: once full, any hash >= the current k-th
+            # minimum can never enter the bottom-k — an O(batch) filter
+            # replaces the O((k+batch)log) sort for almost every value of
+            # a long stream (same final state bit-for-bit: equal hash =
+            # same element under set semantics)
+            h = h[h < state.r[-1]]
+            if len(h) == 0:
+                return
         state.r = self._combine(state.r, np.unique(h))  # unique() sorts
 
     def _combine(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:

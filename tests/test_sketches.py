@@ -340,3 +340,16 @@ def test_mg_serialization_roundtrip():
     st2 = mg.from_bytes(mg.to_bytes(st))
     assert st2.counts == st.counts and st2.n == st.n and st2.dec == st.dec
     assert mg.top_items(st2, 2) == [("a", 100), ("b", 50)]
+
+
+def test_theta_incremental_update_equals_bulk():
+    """The full-state threshold prune must leave the state bit-identical
+    to a single bulk update (and to any chunking)."""
+    sk = ThetaSketch(k=128)
+    h = _hashes(40_000)
+    bulk = sk.new_state()
+    sk.update(bulk, h)
+    chunked = sk.new_state()
+    for c in np.array_split(h, 113):
+        sk.update(chunked, c)
+    assert sk.to_bytes(bulk) == sk.to_bytes(chunked)
