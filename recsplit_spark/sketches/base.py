@@ -68,6 +68,13 @@ class MergeableSketch(ABC):
         from pyspark.sql import functions as F
 
         if self.input_kind == "hash":
+            # cast-to-string is the cross-type hash contract: the same
+            # logical key hashes identically whether the column is long,
+            # string, or decimal, so states built over differently-typed
+            # copies of a key universe stay mergeable. Changing this
+            # mapping would silently poison persisted states — treat it
+            # like a serialization-format change (bump every hash-sketch
+            # magic) if ever revisited.
             return F.xxhash64(F.col(col).cast("string")).alias("__in")
         if self.input_kind == "string":
             return F.col(col).cast("string").alias("__in")
