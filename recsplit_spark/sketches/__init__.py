@@ -5,6 +5,7 @@ monoids over Spark partials."""
 
 from .base import MergeableSketch  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
+from .checkpoint import CheckpointedBuild  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLL, KLLState  # noqa: F401

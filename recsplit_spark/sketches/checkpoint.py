@@ -1,0 +1,151 @@
+"""Resumable batch sketch builds (north rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+A 10^12-row sketch fold is a single scan; if the driver or cluster dies
+mid-job, Spark's all-or-nothing job commit loses everything. This module
+splits the fold into ``waves`` independent jobs, each committing its
+partial states (one per task, with the rows-folded count) to
+``<path>/states/wave=<w>`` parquet plus a lineage/metrics row (rows
+folded, states written, wall seconds, run id) to ``<path>/metrics``. A
+crash loses at most one uncommitted wave — parquet job commit is atomic,
+so a half-written wave leaves no visible files and no metrics row, and
+the re-run redoes exactly that wave. Re-running with everything
+committed only re-merges (idempotent). The final merge is
+order-independent, so a resumed result is byte-identical to an
+uninterrupted build for exactly-mergeable sketches (HLL, CMS, Bloom,
+theta) and bound-identical for the compacting ones (KLL, t-digest, MG).
+
+Rows are routed to waves by ``pmod(xxhash64(col, WAVE_SALT), waves)`` — a
+deterministic function of the DATA, not of partition layout, so resume is
+correct even if the source re-splits differently (parquet re-read with
+other maxPartitionBytes, added executors, ...). The cost is ``waves``
+scans of the single projected input column (parquet column pruning keeps
+each scan cheap relative to losing a multi-hour job; pick waves by how
+much re-work a crash may cost, like blocked.py's checkpoint_waves).
+
+The same pattern as the MPHF side (`mphf._run_with_checkpoint`,
+`blocked.py` waved block commits), applied to the sketch side. Reference
+analogue: minperf's chunked multi-pass processing of key sets too large
+to hold (`LargeSetTest.java` chunked 10^8 runs).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+
+from .base import MergeableSketch
+
+#: fixed salt decorrelating the wave router from every sketch's own hashing
+WAVE_SALT = 0x5157A17E
+
+
+def _wave_expr(col: str, waves: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(col).cast("string"), F.lit(WAVE_SALT)), F.lit(waves))
+
+
+def _committed_waves(spark, path: str) -> set[int]:
+    try:
+        rows = spark.read.parquet(f"{path}/metrics").select("wave").distinct().collect()
+        return {int(r["wave"]) for r in rows}
+    except Exception:  # noqa: BLE001 — first run: no metrics dir yet
+        return set()
+
+
+class CheckpointedBuild:
+    """Waved, resumable fold of a DataFrame column into one sketch state."""
+
+    def __init__(self, sketch: MergeableSketch, waves: int = 8) -> None:
+        if waves < 1:
+            raise ValueError("waves must be >= 1")
+        self.sketch = sketch
+        self.waves = waves
+
+    def run(self, df, col: str, path: str, _stop_after: int | None = None):
+        """Fold df[col]; commit per-wave states+metrics under ``path``;
+        return the merged state. Re-running with the same path resumes.
+        ``_stop_after`` aborts after that many wave commits (crash
+        simulation for the resume tests) and returns None."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        sk = self.sketch
+        done = _committed_waves(spark, path)
+        run_id = f"run-{int(time.time())}"
+        committed = 0
+        for w in range(self.waves):
+            if w in done:
+                continue
+            t0 = time.time()
+            src = df.filter(_wave_expr(col, self.waves) == w).select(
+                sk._input_expr(col)
+            )
+
+            def _fold(batches):
+                st, n = sk.new_state(), 0
+                for pdf in batches:
+                    n += len(pdf)
+                    sk.update(st, pdf["__in"].to_numpy())
+                yield pd.DataFrame({"state": [sk.to_bytes(st)], "n_rows": [n]})
+
+            wave_dir = f"{path}/states/wave={w}"
+            # overwrite, not append: a crash in the window between the
+            # states write and the metrics write leaves a committed wave
+            # dir with no metrics row; the resume re-folds that wave and
+            # must REPLACE the orphaned states — an append would double
+            # every count in linear-merge sketches (CMS, MG, KLL)
+            src.mapInPandas(_fold, schema="state binary, n_rows long").write.mode(
+                "overwrite"
+            ).parquet(wave_dir)
+            stats = (
+                spark.read.parquet(wave_dir)
+                .agg(
+                    F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+                    F.count("*").alias("s"),
+                )
+                .collect()[0]
+            )
+            spark.createDataFrame(
+                [
+                    (
+                        w,
+                        int(stats["n"]),
+                        int(stats["s"]),
+                        run_id,
+                        round(time.time() - t0, 3),
+                    )
+                ],
+                "wave int, n_rows long, n_states long, lineage string, wall_sec double",
+            ).write.mode("append").parquet(f"{path}/metrics")
+            committed += 1
+            if _stop_after is not None and committed >= _stop_after:
+                return None  # simulated crash: waves committed so far persist
+        return self.merged_state(spark, path)
+
+    def merged_state(self, spark, path: str):
+        """Merge every committed state under ``path`` (order-independent)."""
+        sk = self.sketch
+        states = spark.read.parquet(f"{path}/states")
+
+        def _pre(batches):
+            st = None
+            for pdf in batches:
+                for b in pdf["state"]:
+                    s = sk.from_bytes(bytes(b))
+                    st = s if st is None else sk.merge(st, s)
+            if st is not None:
+                yield pd.DataFrame({"state": [sk.to_bytes(st)]})
+
+        rows = states.select("state").mapInPandas(_pre, schema="state binary").collect()
+        out = sk.new_state()
+        for r in rows:
+            out = sk.merge(out, sk.from_bytes(bytes(r["state"])))
+        return out
+
+    def metrics(self, spark, path: str):
+        """Per-wave lineage + metrics DataFrame (wave, n_rows, n_states,
+        lineage, wall_sec)."""
+        return spark.read.parquet(f"{path}/metrics")

@@ -36,6 +36,13 @@ def main() -> int:
     )
     ap.add_argument("--group-by", default=None)
     ap.add_argument("--state-out", default=None)
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="waved resumable build: per-wave states+lineage committed here;"
+        " re-running with the same path resumes after a crash",
+    )
+    ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--hll-p", type=int, default=14)
     ap.add_argument("--cms-eps", type=float, default=5e-4)
     ap.add_argument("--cms-delta", type=float, default=0.01)
@@ -94,7 +101,25 @@ def main() -> int:
             rows = sk.aggregate(df, args.col, [args.group_by]).collect()
             out["groups"] = {r[args.group_by]: r["estimate"] for r in rows}
     else:
-        state = sk.build(df, args.col)
+        if args.checkpoint:
+            from recsplit_spark.sketches import CheckpointedBuild
+
+            cb = CheckpointedBuild(sk, waves=args.waves)
+            state = cb.run(df, args.col, args.checkpoint)
+            out["checkpoint"] = args.checkpoint
+            out["waves"] = [
+                {
+                    "wave": r["wave"],
+                    "n_rows": r["n_rows"],
+                    "lineage": r["lineage"],
+                    "wall_sec": r["wall_sec"],
+                }
+                for r in cb.metrics(spark, args.checkpoint)
+                .orderBy("wave")
+                .collect()
+            ]
+        else:
+            state = sk.build(df, args.col)
         if args.sketch in ("kll", "tdigest"):
             out["quantiles"] = {str(q): float(sk.quantile(state, q)) for q in qs}
         elif args.sketch == "cms":

@@ -251,3 +251,72 @@ def test_theta_pairwise_group_overlap(spark, sf_dir):
             assert abs(r["inter_est"] - ei) <= tol * eu + 1, (pa, pb)
             assert abs(r["jaccard_est"] - ei / eu) <= tol + 0.01, (pa, pb)
     orders.unpersist()
+
+
+def test_checkpointed_build_equals_direct(spark, sf_dir, tmp_path):
+    """Waved checkpointed fold == direct build, byte-identical, with full
+    per-wave lineage/metrics (north rule: resumable sketch builds)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import CheckpointedBuild, HyperLogLog, ThetaSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    for sk in (HyperLogLog(p=12), ThetaSketch(k=256)):
+        path = str(tmp_path / f"ck_{type(sk).__name__}")
+        cb = CheckpointedBuild(sk, waves=4)
+        st = cb.run(li, "l_orderkey", path)
+        assert sk.to_bytes(st) == sk.to_bytes(sk.build(li, "l_orderkey"))
+        m = cb.metrics(spark, path)
+        rows = m.collect()
+        assert {r["wave"] for r in rows} == {0, 1, 2, 3}
+        assert sum(r["n_rows"] for r in rows) == n
+        assert all(r["n_states"] >= 1 and r["wall_sec"] > 0 for r in rows)
+
+
+def test_checkpointed_resume_after_crash(spark, sf_dir, tmp_path):
+    """Crash after 1 of 4 wave commits -> re-run folds only the missing
+    waves (fresh lineage id) and the final state is byte-identical to an
+    uninterrupted build."""
+    from recsplit_spark.sketches import CheckpointedBuild, ThetaSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = ThetaSketch(k=512)
+    cb = CheckpointedBuild(sk, waves=4)
+    path = str(tmp_path / "ck_resume")
+    assert cb.run(li, "l_orderkey", path, _stop_after=1) is None
+    m1 = cb.metrics(spark, path).collect()
+    assert len(m1) == 1  # one committed wave survives the crash
+    st = cb.run(li, "l_orderkey", path)  # resume
+    m2 = cb.metrics(spark, path).collect()
+    assert len(m2) == 4
+    lineages = {r["lineage"] for r in m2}
+    assert len(lineages) >= 1  # crash run + resume run both recorded
+    assert {r["wave"] for r in m2} == {0, 1, 2, 3}
+    assert sk.to_bytes(st) == sk.to_bytes(sk.build(li, "l_orderkey"))
+    # idempotent: a third run re-merges without re-folding (no new metrics)
+    st2 = cb.run(li, "l_orderkey", path)
+    assert len(cb.metrics(spark, path).collect()) == 4
+    assert sk.to_bytes(st2) == sk.to_bytes(st)
+
+
+def test_checkpointed_crash_between_states_and_metrics(spark, sf_dir, tmp_path):
+    """The crash window between a wave's states commit and its metrics
+    commit: the resume re-folds that wave and must REPLACE the orphaned
+    states (overwrite), or every linear-merge count doubles. Simulated by
+    deleting the metrics dir after a full build — all waves then look
+    uncommitted and get re-folded over existing state dirs."""
+    import shutil
+
+    from recsplit_spark.sketches import CheckpointedBuild, CountMinSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cms = CountMinSketch(eps=1e-3, delta=0.01)
+    cb = CheckpointedBuild(cms, waves=4)
+    path = str(tmp_path / "ck_crash")
+    st = cb.run(li, "l_orderkey", path)
+    assert cms.total(st) == li.count()
+    shutil.rmtree(f"{path}/metrics")
+    st2 = cb.run(li, "l_orderkey", path)
+    assert cms.total(st2) == li.count()  # not doubled
+    assert cms.to_bytes(st2) == cms.to_bytes(st)
