@@ -774,6 +774,47 @@ def _q_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability, sketch side: a waved checkpointed HLL build
+    over l_orderkey is crashed after 1 of 4 wave commits, resumed, and must
+    (a) be byte-identical to the direct uncheckpointed build, (b) carry
+    full per-wave lineage/metrics covering every input row, (c) estimate
+    within the published HLL bound of the exact distinct count."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import CheckpointedBuild, HyperLogLog
+
+    ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    hll = HyperLogLog(p=14)
+    cb = CheckpointedBuild(hll, waves=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ck"
+        crashed = cb.run(li, "l_orderkey", path, _stop_after=1)
+        assert crashed is None
+        st = cb.run(li, "l_orderkey", path)  # resume folds waves 2-4
+        metrics = cb.metrics(spark, path).collect()
+    direct = hll.build(li, "l_orderkey")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    n_rows = li.count()
+    rows = [
+        (
+            int(exact),
+            bool(hll.to_bytes(st) == hll.to_bytes(direct)),
+            bool(len(metrics) == 4 and sum(r["n_rows"] for r in metrics) == n_rows),
+            bool(abs(hll.estimate(st) - exact) <= 3 * hll.relative_error * exact),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "exact_distinct bigint, resumed_equals_direct boolean,"
+        " lineage_covers_all_rows boolean, within_bound boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -790,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
         "mg_heavy_tokens": _q_mg_heavy_tokens,
+        "sketch_checkpoint_resume": _q_sketch_checkpoint_resume,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "distinct_users_exact": _q_distinct_users_exact,
         "token_stats_documents": _q_token_stats_documents,
@@ -918,6 +960,11 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS in_sketch, TRUE AS within_bound FROM"
             " (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)"
             " GROUP BY tok ORDER BY exact_freq DESC, tok LIMIT 3"
+        ),
+        "sketch_checkpoint_resume": (
+            "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,"
+            " TRUE AS resumed_equals_direct, TRUE AS lineage_covers_all_rows,"
+            " TRUE AS within_bound FROM lineitem"
         ),
         "dedup_exact_documents": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
