@@ -224,10 +224,23 @@ def run_suite(cores: int) -> dict:
 
     spark.stop()
     total = round(sum(timings.values()), 3)
+    # the round-1 suite had exactly these 8 queries; its BENCH value is
+    # comparable to this subtotal, not to the grown full total
+    r01_keys = (
+        "mphf_build",
+        "mphf_eval",
+        "hll_distinct_orderkey",
+        "hll_by_event_type",
+        "cms_returnflag",
+        "bloom_prefilter_orders",
+        "kll_price_quantiles",
+        "tdigest_event_value",
+    )
     return {
         "metric": "recsplit_spark headline suite wall time",
         "value": total,
         "unit": "sec",
+        "r01_subtotal_sec": round(sum(timings[k] for k in r01_keys if k in timings), 3),
         "host_probe": host_probe_ms(),
         "queries": timings,
         "sf": _sf_value(SF_DIR),
