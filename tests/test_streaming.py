@@ -218,3 +218,35 @@ def test_streaming_mg_bound_holds(spark, staged_dir):
     for r in exact:
         diff = r["count"] - mg.estimate_count(st, r["source"])
         assert 0 <= diff <= mg.error_bound(st), r["source"]
+
+
+def test_windowed_sketch_theta(spark, timed_dir, tmp_path):
+    """windowed_sketch is sketch-generic: per-window theta estimates equal
+    the exact per-window distinct counts (exact mode: k > window size)."""
+    from recsplit_spark.sketches import ThetaSketch
+    from recsplit_spark.streaming import windowed_sketch
+
+    sk = ThetaSketch(k=8192)  # > 5000 per window -> exact
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(timed_dir)
+    )
+    out = windowed_sketch(stream, sk, "doc_id", "ts", "10 minutes", "1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_theta")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win_theta"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql(
+        "SELECT window_start, estimate, n_total FROM win_theta"
+    ).toPandas()
+    last = pdf.sort_values("n_total").groupby("window_start").last()
+    assert len(last) == 3
+    for _wstart, row in last.iterrows():
+        assert row["n_total"] == 5000
+        assert row["estimate"] == 5000.0  # distinct doc_ids, exact regime
