@@ -144,6 +144,38 @@ def _q_mphf_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member_pass.agg(F.count("*").alias("n_member_rows_passed"))
 
 
+def _q_xor_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static 3-hash XOR filter (the reference's filter/xor.c construction,
+    built on the BDZ hypergraph peel): zero false negatives — every
+    customer-member probe row passes (exact SQL count) — plus a
+    deterministic FPR bound check on synthetic non-member keys."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import XorFilter
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    filt = XorFilter.from_bytes(XorFilter.build(cust, "c_custkey").to_bytes())
+    orders = _t(spark, sf_dir, "orders")
+    member_pass = (
+        filt.might_contain(orders, "o_custkey")
+        .join(cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    n_probe = 40_000
+    non = spark.range(n_probe).select(
+        (F.lit(10_000_000_000) + F.col("id")).alias("k")  # disjoint from custkeys
+    )
+    fp = filt.might_contain(non, "k").filter("might_contain").count()
+    # 2^-8 rate: expect ~156 of 40k; 6 sigma ~ +75
+    rows = [(int(member_pass), bool(fp <= n_probe * filt.false_positive_rate * 1.5 + 30))]
+    return spark.createDataFrame(
+        rows, "n_member_rows_passed bigint, fpr_within_bound boolean"
+    )
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -821,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
+        "xor_filter_members": _q_xor_filter_members,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -906,6 +939,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mphf_filter_members": (
             "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed FROM orders"
+            " WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+        ),
+        "xor_filter_members": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed,"
+            " TRUE AS fpr_within_bound FROM orders"
             " WHERE o_custkey IN (SELECT c_custkey FROM customer)"
         ),
         "hll_distinct_orderkey": (

@@ -66,3 +66,50 @@ def test_build_scale_10m_driver_sees_fragments_not_rows(spark):
     sample = df.sample(0.001, seed=1)
     out = filt.might_contain(sample, "k")
     assert out.filter(~F.col("might_contain")).count() == 0
+
+
+# -- XOR filter (reference filter/xor.c) ----------------------------------------
+
+@pytest.fixture(scope="module")
+def xfilt(members):
+    from recsplit_spark.filters import XorFilter
+
+    return XorFilter.build(members, "doc_id")
+
+
+def test_xor_no_false_negatives(members, xfilt):
+    out = xfilt.might_contain(members, "doc_id")
+    assert out.filter(~F.col("might_contain")).count() == 0
+
+
+def test_xor_false_positive_rate(spark, members, xfilt):
+    probes = spark.range(0, 40_000).select(
+        F.concat(F.lit("nonmember-"), F.col("id")).alias("doc_id")
+    )
+    fp = xfilt.might_contain(probes, "doc_id").filter("might_contain").count()
+    assert fp / 40_000 < 0.006, fp / 40_000
+
+
+def test_xor_serde_roundtrip(members, xfilt):
+    from recsplit_spark.filters import XorFilter
+
+    f2 = XorFilter.from_bytes(xfilt.to_bytes())
+    assert f2.to_bytes() == xfilt.to_bytes()
+    out = f2.might_contain(members, "doc_id")
+    assert out.filter(~F.col("might_contain")).count() == 0
+
+
+def test_xor_space(xfilt):
+    # gamma * fp_bits = 1.23 * 8 ~ 9.84 bits/key + header
+    assert xfilt.bits_per_key < 10.0
+    assert xfilt.false_positive_rate == pytest.approx(1 / 256)
+
+
+def test_xor_duplicate_keys_raise(spark):
+    from recsplit_spark.filters import XorFilter
+
+    dup = spark.range(500).select(
+        F.concat(F.lit("k"), (F.col("id") % 250)).alias("doc_id")
+    )
+    with pytest.raises(RuntimeError, match="salt re-rolls"):
+        XorFilter.build(dup, "doc_id")
