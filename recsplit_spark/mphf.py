@@ -304,6 +304,43 @@ class MPHFDescriptor:
             out_col, _mphf_eval(key_sig_expr(key_col, self.salt, self.key_mode))
         )
 
+    def register_sql(self, spark, name: str = "mphf_eval") -> None:
+        """Expose evaluation as a Spark SQL scalar function ``<name>(key)``.
+
+        Two-layer registration keeps the plan shape identical to
+        ``evaluate``: the raw key is hashed JVM-side inside a SQL UDF
+        wrapper (``xxhash64(cast(key), salt)`` — no Python touches raw
+        keys), which forwards the signature to a registered pandas UDF
+        over the broadcast decoded evaluator. After this,
+        ``SELECT <name>(doc_id) FROM t`` works anywhere SQL does."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        bcast = spark.sparkContext.broadcast(self._evaluator())
+
+        @pandas_udf(LongType())
+        def _walk(sig: pd.Series) -> pd.Series:
+            sigs = np.ascontiguousarray(sig.to_numpy(), dtype=np.int64)
+            return pd.Series(bcast.value.evaluate(sigs))
+
+        spark.udf.register(f"_{name}_walk", _walk)
+        cast = "BIGINT" if self.key_mode == 1 else "STRING"
+        arg = "CAST(k AS BIGINT)" if self.key_mode == 1 else "CAST(k AS STRING)"
+        # xxhash64 hashes the salt as an input COLUMN, so its SQL type is
+        # part of the signature: F.lit(int) is INT when it fits 32 bits —
+        # the SQL literal must match or every hash differs
+        salt_lit = (
+            str(self.salt)
+            if -(2**31) <= self.salt < 2**31
+            else f"{self.salt}L"
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k {cast})"
+            f" RETURNS BIGINT RETURN _{name}_walk(xxhash64({arg}, {salt_lit}))"
+        )
+
 
 _BLOCK_SCHEMA = (
     "part_first_bucket long, min_bucket long, max_bucket long, "

@@ -179,3 +179,32 @@ def test_read_sequences_roundtrip(spark, tmp_path):
     df.select("doc_id", "source").write.parquet(bad_path)  # missing columns
     with _pt.raises(ValueError, match="schema mismatch"):
         read_sequences(spark, bad_path)
+
+
+def test_register_sql_function(spark, sf_dir):
+    """SQL surface: SELECT mphf_eval(key) gives the same bijection as the
+    DataFrame evaluate path (hashing stays JVM-side inside the SQL UDF)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").distinct()
+    desc = MPHFDescriptor.from_bytes(
+        RecSplitBuilder(leaf_size=8, avg_bucket_size=64).build(orders, "o_orderkey").to_bytes()
+    )
+    desc.register_sql(spark, "mphf_eval_t")
+    orders.createOrReplaceTempView("ok_keys")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT mphf_eval_t(o_orderkey)) AS d,"
+        " min(mphf_eval_t(o_orderkey)) AS mn, max(mphf_eval_t(o_orderkey)) AS mx"
+        " FROM ok_keys"
+    ).collect()[0]
+    assert got["n"] == got["d"] == desc.n and got["mn"] == 0 and got["mx"] == desc.n - 1
+    # agrees row-for-row with the DataFrame path
+    df_path = desc.evaluate(orders, "o_orderkey")
+    sql_path = spark.sql(
+        "SELECT o_orderkey, mphf_eval_t(o_orderkey) AS mphf_index FROM ok_keys"
+    )
+    assert df_path.exceptAll(sql_path).count() == 0
