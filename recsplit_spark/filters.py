@@ -27,6 +27,12 @@ import pandas as pd
 
 from .mphf import MPHFDescriptor, RecSplitBuilder, key_sig_expr
 
+def _sql_salt_lit(salt: int) -> str:
+    """xxhash64 hashes the salt as an input column: the SQL literal type
+    must match F.lit(int) (INT when it fits 32 bits, else BIGINT)."""
+    return str(salt) if -(2**31) <= salt < 2**31 else f"{salt}L"
+
+
 _MAGIC = b"MPFF"
 _HDR = struct.Struct("<4sBxxxQI")  # magic, fp_bits, n, desc_len
 
@@ -172,6 +178,35 @@ class MPHFFilter:
                 key_sig_expr(key_col, self.desc.salt, km),
                 key_sig_expr(key_col, self.fp_seed, km),
             ),
+        )
+
+    def register_sql(self, spark, name: str = "might_contain") -> None:
+        """Expose the probe as a SQL scalar function ``<name>(key)`` —
+        hashing stays JVM-side in the SQL wrapper (same two-layer pattern
+        as ``MPHFDescriptor.register_sql``; both the index signature and
+        the fingerprint signature are computed by xxhash64 with literals
+        typed exactly like ``key_sig_expr``)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        ve = self.desc._evaluator()
+        bcast = spark.sparkContext.broadcast((ve, self.fp, self.fp_bits))
+
+        @pandas_udf(BooleanType())
+        def _probe(sig: pd.Series, fpsig: pd.Series) -> pd.Series:
+            ve, fp, fp_bits = bcast.value
+            idx = ve.evaluate(np.ascontiguousarray(sig.to_numpy(), dtype=np.int64))
+            mask = np.int64((1 << fp_bits) - 1)
+            return pd.Series(fp[idx] == (fpsig.to_numpy() & mask).astype(np.uint8))
+
+        spark.udf.register(f"_{name}_probe", _probe)
+        cast = "BIGINT" if self.desc.key_mode == 1 else "STRING"
+        arg = f"CAST(k AS {cast})"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k {cast})"
+            f" RETURNS BOOLEAN RETURN _{name}_probe("
+            f"xxhash64({arg}, {_sql_salt_lit(self.desc.salt)}),"
+            f" xxhash64({arg}, {_sql_salt_lit(self.fp_seed)}))"
         )
 
 
@@ -328,4 +363,23 @@ class XorFilter:
 
         return df.withColumn(
             out_col, _check(key_sig_expr(key_col, self.salt, self.key_mode))
+        )
+
+    def register_sql(self, spark, name: str = "xor_might_contain") -> None:
+        """SQL scalar function ``<name>(key)`` over the broadcast filter."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        bcast = spark.sparkContext.broadcast(self)
+
+        @pandas_udf(BooleanType())
+        def _probe(sig: pd.Series) -> pd.Series:
+            return pd.Series(bcast.value.might_contain_array(sig.to_numpy()))
+
+        spark.udf.register(f"_{name}_probe", _probe)
+        cast = "BIGINT" if self.key_mode == 1 else "STRING"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k {cast})"
+            f" RETURNS BOOLEAN RETURN _{name}_probe("
+            f"xxhash64(CAST(k AS {cast}), {_sql_salt_lit(self.salt)}))"
         )

@@ -113,3 +113,30 @@ def test_xor_duplicate_keys_raise(spark):
     )
     with pytest.raises(RuntimeError, match="salt re-rolls"):
         XorFilter.build(dup, "doc_id")
+
+
+def test_filters_sql_surface(spark, members, filt, xfilt):
+    """SQL probes agree with the DataFrame probes on members (all True)
+    and on non-members (bitwise-identical verdicts)."""
+    filt.register_sql(spark, "mf_contains")
+    xfilt.register_sql(spark, "xf_contains")
+    members.createOrReplaceTempView("member_keys")
+    r = spark.sql(
+        "SELECT count(*) n,"
+        " sum(CASE WHEN mf_contains(doc_id) THEN 1 ELSE 0 END) m,"
+        " sum(CASE WHEN xf_contains(doc_id) THEN 1 ELSE 0 END) x"
+        " FROM member_keys"
+    ).collect()[0]
+    assert r["n"] == r["m"] == r["x"]
+    probes = spark.range(0, 5_000).selectExpr(
+        "concat('nonmember-', id) AS doc_id"
+    )
+    probes.createOrReplaceTempView("probe_keys")
+    sql_v = spark.sql(
+        "SELECT doc_id, mf_contains(doc_id) a, xf_contains(doc_id) b FROM probe_keys"
+    )
+    df_v = xfilt.might_contain(
+        filt.might_contain(probes, "doc_id", "a2"), "doc_id", "b2"
+    )
+    joined = sql_v.join(df_v, "doc_id")
+    assert joined.filter("a <> a2 OR b <> b2").count() == 0
