@@ -5,7 +5,8 @@ thomasmueller/minperf on idiomatic Spark: DataFrame/Column expressions for
 hashing + bucketing, Arrow-vectorized pandas UDF kernels for the per-bucket
 split-tree construction, an associative merge into a Rice/Golomb-coded
 descriptor, plus mergeable sketch aggregations (HyperLogLog, count-min,
-Bloom, KLL, t-digest).
+Bloom, KLL, t-digest, theta/KMV set operations, Misra-Gries heavy
+hitters) with resumable checkpointed builds.
 """
 
 __version__ = "0.1.0"
@@ -20,7 +21,10 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name in ("BDZBuilder", "BDZDescriptor", "build_bdz_from_sigs"):
         from . import bdz
         return getattr(bdz, name)
-    if name == "MPHFFilter":
-        from .filters import MPHFFilter
-        return MPHFFilter
+    if name in ("MPHFFilter", "XorFilter"):
+        from . import filters
+        return getattr(filters, name)
+    if name == "CheckpointedBuild":
+        from .sketches.checkpoint import CheckpointedBuild
+        return CheckpointedBuild
     raise AttributeError(name)
