@@ -15,6 +15,14 @@ def li(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
+def _nodes(plan: str, op: str) -> int:
+    """Count physical-plan nodes by their detail headers ("(5) Exchange") —
+    the formatted output lists every node twice (tree + detail)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}", plan, re.MULTILINE))
+
+
 def _formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -80,3 +88,40 @@ def test_mphf_build_is_single_shuffle(spark, sf_dir):
     # detail section, so count the numbered node headers)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "MapInPandas" in plan
+
+
+def test_sketch_partials_single_scan_no_shuffle(spark, li):
+    """Stage-1 sketch fold: one pruned scan -> project -> mapInPandas.
+    Zero exchanges — the shuffle (if any) belongs to the final merge."""
+    from recsplit_spark.sketches import HyperLogLog
+
+    plan = _formatted_plan(HyperLogLog(p=12).partials(li, "l_orderkey"))
+    assert "Exchange" not in plan
+    assert _nodes(plan, "Scan parquet") == 1
+    # column pruning reaches the scan
+    assert "l_extendedprice" not in plan
+
+
+def test_sketch_aggregate_single_shuffle_of_states(spark, li):
+    """Per-group sketch aggregate: exactly one exchange, and it carries
+    serialized states (post-mapInPandas), not data rows."""
+    from recsplit_spark.sketches import HyperLogLog
+
+    plan = _formatted_plan(
+        HyperLogLog(p=12).aggregate(li, "l_orderkey", ["l_returnflag"])
+    )
+    assert _nodes(plan, "Exchange") == 1
+    # the exchange hashes the group key of the states relation
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_theta_pairwise_single_shuffle(spark, sf_dir):
+    """All-pairs group overlap: the only exchange is the per-group state
+    merge; the pair loop itself is driver-side on collected states."""
+    from recsplit_spark.sketches import ThetaSketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = ThetaSketch(k=64)
+    parts = sk.states_by_key(orders, "o_custkey", ("o_orderpriority",))
+    plan = _formatted_plan(parts)
+    assert _nodes(plan, "Exchange") == 1
