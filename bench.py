@@ -55,9 +55,11 @@ def host_probe_ms(reps: int = 3) -> dict:
     - single: best-of-N one-core streaming pass over 256 MB int64.
       Healthy ~180-340 ms. Can read healthy even in degraded windows
       (one core's demand fits the remaining trickle).
-    - par8: slowest of 8 concurrent 64-MB streaming kernels. Healthy
-      ~350 ms; measured 12,000-25,000 ms in degraded windows — this is
-      the dimension that predicts Spark suite wall time."""
+    - par8: slowest of 8 concurrent 64-MB streaming kernels. The 8
+      workers share the box's ~9 GB/s DRAM, so the healthy floor is
+      ~1,500-2,500 ms (NOT 8x the solo time); measured 5,000-25,000 ms
+      in degraded windows — this is the dimension that predicts Spark
+      suite wall time."""
     import multiprocessing as mp
 
     import numpy as np
