@@ -353,3 +353,40 @@ def test_theta_incremental_update_equals_bulk():
     for c in np.array_split(h, 113):
         sk.update(chunked, c)
     assert sk.to_bytes(bulk) == sk.to_bytes(chunked)
+
+
+def test_approx_state_bytes_upper_bounds_serialized_size():
+    """The size hints gate the build() pre-merge decision: every sketch's
+    actual serialized state must fit its estimate (an undershoot would let
+    a huge collect bypass the distributed pre-merge)."""
+    from recsplit_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLL,
+        MisraGries,
+        TDigest,
+        ThetaSketch,
+    )
+
+    h = _hashes(1_000_000)
+    vals = RNG.normal(100, 25, 1_000_000)
+    toks = _zipf_items(200_000, n_items=50_000)
+
+    cases = [
+        (HyperLogLog(p=14), h),
+        (CountMinSketch(eps=1e-4, delta=0.01), h),
+        (BloomFilter(n_expected=1_000_000, fpr=0.01), h),
+        (ThetaSketch(k=4096), h),
+        (KLL(k=256), vals),
+        (TDigest(compression=200), vals),
+        (MisraGries(k=256), toks),
+    ]
+    for sk, data in cases:
+        st = sk.new_state()
+        for chunk in np.array_split(data, 10):
+            r = sk.update(st, chunk)
+            st = st if r is None else r
+        est = sk.approx_state_bytes()
+        actual = len(sk.to_bytes(st))
+        assert actual <= est, (type(sk).__name__, actual, est)
