@@ -35,6 +35,13 @@ def main() -> int:
         choices=["hll", "cms", "kll", "tdigest", "bloom", "theta", "mg"],
     )
     ap.add_argument("--group-by", default=None)
+    ap.add_argument(
+        "--pairwise",
+        default=None,
+        metavar="KEY",
+        help="theta only: emit union/intersection/jaccard estimates for"
+        " every pair of KEY groups instead of a global estimate",
+    )
     ap.add_argument("--state-out", default=None)
     ap.add_argument(
         "--checkpoint",
@@ -87,7 +94,21 @@ def main() -> int:
     qs = [float(q) for q in args.quantiles.split(",") if q]
     t0 = time.time()
     out: dict = {"sketch": args.sketch, "col": args.col, "input": args.input}
-    if args.group_by:
+    if args.pairwise:
+        if args.sketch != "theta":
+            raise SystemExit("--pairwise requires --sketch theta")
+        rows = sk.pairwise_set_estimates(df, args.col, args.pairwise).collect()
+        out["pairs"] = [
+            {
+                "a": r["key_a"],
+                "b": r["key_b"],
+                "union_est": r["union_est"],
+                "inter_est": r["inter_est"],
+                "jaccard_est": r["jaccard_est"],
+            }
+            for r in rows
+        ]
+    elif args.group_by:
         if args.sketch == "mg":
             rows = sk.states_by_key(df, args.col, (args.group_by,)).collect()
             out["groups"] = {}
