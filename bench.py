@@ -75,6 +75,7 @@ def host_probe_ms(reps: int = 3) -> dict:
     return {"single_ms": round(best * 1000.0, 1), "par8_ms": round(par * 1000.0, 1)}
 
 def run_suite(cores: int) -> dict:
+    probe_before = host_probe_ms()
     import pyspark.sql.functions as F
 
     from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
@@ -243,7 +244,7 @@ def run_suite(cores: int) -> dict:
         "value": total,
         "unit": "sec",
         "r01_subtotal_sec": round(sum(timings[k] for k in r01_keys if k in timings), 3),
-        "host_probe": host_probe_ms(),
+        "host_probe": {"before": probe_before, "after": host_probe_ms()},
         "queries": timings,
         "sf": _sf_value(SF_DIR),
         "cores": cores,
