@@ -213,21 +213,13 @@ class BDZBuilder:
         self.max_salt_retries = max_salt_retries
 
     def build(self, df, key_col: str) -> BDZDescriptor:
-        from .mphf import key_mode_for, key_sig_expr
+        from .mphf import gather_sig_array, key_mode_for
 
         key_mode = key_mode_for(df, key_col)
         salt = self.salt
         last: Exception | None = None
         for _ in range(self.max_salt_retries):
-            sigs = np.array(
-                [
-                    r["sig"]
-                    for r in df.select(
-                        key_sig_expr(key_col, salt, key_mode).alias("sig")
-                    ).collect()
-                ],
-                dtype=np.int64,
-            )
+            sigs = gather_sig_array(df, key_col, salt, key_mode)
             try:
                 return build_bdz_from_sigs(sigs, salt, key_mode=key_mode)
             except ValueError as e:  # duplicate signature: re-salt

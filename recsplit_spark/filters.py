@@ -24,8 +24,9 @@ import struct
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from .mphf import MPHFDescriptor, RecSplitBuilder, key_sig_expr
+from .mphf import MPHFDescriptor, RecSplitBuilder, gather_sig_array, key_sig_expr
 
 def _sql_salt_lit(salt: int) -> str:
     """xxhash64 hashes the salt as an input column: the SQL literal type
@@ -156,20 +157,25 @@ class MPHFFilter:
         the decoded evaluator + fingerprint table, and ``bcast.value`` is
         deserialized once per executor process — probe batches do zero
         descriptor parsing (the round-1 version re-decoded the whole filter
-        on every Arrow batch)."""
-        from pyspark.sql.functions import pandas_udf
+        on every Arrow batch). Arrow-native UDF: the probe is pure int64 /
+        uint8 array math, pandas Series wrapping was measured as ~half the
+        round-2 probe cost (BASELINE.md NOOP control)."""
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import BooleanType
 
         ve = self.desc._evaluator()  # driver-side decode, see mphf.evaluate
         bcast = df.sparkSession.sparkContext.broadcast((ve, self.fp, self.fp_bits))
 
-        @pandas_udf(BooleanType())
-        def _check(sig: pd.Series, fpsig: pd.Series) -> pd.Series:
+        @arrow_udf(BooleanType())
+        def _check(sig: pa.Array, fpsig: pa.Array) -> pa.Array:
             ve, fp, fp_bits = bcast.value
-            idx = ve.evaluate(np.ascontiguousarray(sig.to_numpy(), dtype=np.int64))
+            sigs = np.ascontiguousarray(
+                sig.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            idx = ve.evaluate(sigs)
             mask = np.int64((1 << fp_bits) - 1)
-            want = (fpsig.to_numpy() & mask).astype(np.uint8)
-            return pd.Series(fp[idx] == want)
+            want = (fpsig.to_numpy(zero_copy_only=False) & mask).astype(np.uint8)
+            return pa.array(fp[idx] == want)
 
         km = self.desc.key_mode
         return df.withColumn(
@@ -186,18 +192,22 @@ class MPHFFilter:
         as ``MPHFDescriptor.register_sql``; both the index signature and
         the fingerprint signature are computed by xxhash64 with literals
         typed exactly like ``key_sig_expr``)."""
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import BooleanType
 
         ve = self.desc._evaluator()
         bcast = spark.sparkContext.broadcast((ve, self.fp, self.fp_bits))
 
-        @pandas_udf(BooleanType())
-        def _probe(sig: pd.Series, fpsig: pd.Series) -> pd.Series:
+        @arrow_udf(BooleanType())
+        def _probe(sig: pa.Array, fpsig: pa.Array) -> pa.Array:
             ve, fp, fp_bits = bcast.value
-            idx = ve.evaluate(np.ascontiguousarray(sig.to_numpy(), dtype=np.int64))
+            sigs = np.ascontiguousarray(
+                sig.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            idx = ve.evaluate(sigs)
             mask = np.int64((1 << fp_bits) - 1)
-            return pd.Series(fp[idx] == (fpsig.to_numpy() & mask).astype(np.uint8))
+            want = (fpsig.to_numpy(zero_copy_only=False) & mask).astype(np.uint8)
+            return pa.array(fp[idx] == want)
 
         spark.udf.register(f"_{name}_probe", _probe)
         cast = "BIGINT" if self.desc.key_mode == 1 else "STRING"
@@ -266,15 +276,7 @@ class XorFilter:
         last: Exception | None = None
         for attempt in range(max_salt_retries):
             s = salt + attempt
-            sigs = np.array(
-                [
-                    r["sig"]
-                    for r in df.select(
-                        key_sig_expr(key_col, s, key_mode).alias("sig")
-                    ).collect()
-                ],
-                dtype=np.int64,
-            )
+            sigs = gather_sig_array(df, key_col, s, key_mode)
             try:
                 return cls.from_sigs(sigs, fp_bits=fp_bits, salt=s, key_mode=key_mode)
             except ValueError as e:  # duplicate signature: re-salt
@@ -352,14 +354,15 @@ class XorFilter:
         """Append a boolean column; broadcast-once probe — the constructed
         filter object ships to each executor once (broadcast values are
         unpickled once per process), so batches do table gathers only."""
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import BooleanType
 
         bcast = df.sparkSession.sparkContext.broadcast(self)
 
-        @pandas_udf(BooleanType())
-        def _check(sig: pd.Series) -> pd.Series:
-            return pd.Series(bcast.value.might_contain_array(sig.to_numpy()))
+        @arrow_udf(BooleanType())
+        def _check(sig: pa.Array) -> pa.Array:
+            sigs = sig.to_numpy(zero_copy_only=False)
+            return pa.array(bcast.value.might_contain_array(sigs))
 
         return df.withColumn(
             out_col, _check(key_sig_expr(key_col, self.salt, self.key_mode))
@@ -367,14 +370,15 @@ class XorFilter:
 
     def register_sql(self, spark, name: str = "xor_might_contain") -> None:
         """SQL scalar function ``<name>(key)`` over the broadcast filter."""
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import BooleanType
 
         bcast = spark.sparkContext.broadcast(self)
 
-        @pandas_udf(BooleanType())
-        def _probe(sig: pd.Series) -> pd.Series:
-            return pd.Series(bcast.value.might_contain_array(sig.to_numpy()))
+        @arrow_udf(BooleanType())
+        def _probe(sig: pa.Array) -> pa.Array:
+            sigs = sig.to_numpy(zero_copy_only=False)
+            return pa.array(bcast.value.might_contain_array(sigs))
 
         spark.udf.register(f"_{name}_probe", _probe)
         cast = "BIGINT" if self.key_mode == 1 else "STRING"

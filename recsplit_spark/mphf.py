@@ -50,6 +50,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .codecs import rice_split_decode, rice_split_encode, unzigzag, zigzag
 from .kernel import build_buckets, eval_bucket
@@ -90,6 +91,21 @@ def key_sig_expr(key_col: str, salt: int, key_mode: int):
     col = F.col(key_col)
     cast = col.cast("long") if key_mode == 1 else col.cast("string")
     return F.xxhash64(cast, F.lit(salt))
+
+
+def gather_sig_array(df, key_col: str, salt: int, key_mode: int) -> np.ndarray:
+    """Driver-side gather of the signature column as ONE contiguous int64
+    numpy array via the Arrow path (``DataFrame.toArrow``).
+
+    This is the supported gather for the driver-global constructions
+    (standalone BDZ, XorFilter): 8 bytes/key on the wire and in driver
+    memory — a 10^8-key gather is ~800 MB of Arrow buffers, vs tens of GB
+    of Row objects through ``collect()`` (the round-2 implementation).
+    Beyond ~10^8 keys use the blocked builders, which never gather keys.
+    """
+    tbl = df.select(key_sig_expr(key_col, salt, key_mode).alias("sig")).toArrow()
+    arr = tbl.column("sig").combine_chunks().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(arr, dtype=np.int64)
 
 
 def bucket_log2_for(n: int, avg_bucket_size: int) -> int:
@@ -277,7 +293,7 @@ class MPHFDescriptor:
     def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
         """Append the MPHF index column to a DataFrame.
 
-        JVM-side ``xxhash64`` recomputes the signature; a scalar pandas UDF
+        JVM-side ``xxhash64`` recomputes the signature; a scalar Arrow UDF
         does the bucket-grouped tree walk (reference:
         ``RecSplitEvaluator.evaluate``, broadcast-join pattern of SURVEY
         §3.2). The Rice streams are decoded ONCE on the driver and the
@@ -285,9 +301,15 @@ class MPHFDescriptor:
         gets broadcast — N executors re-decoding the same descriptor was
         measured DRAM-latency-bound once the stream outgrew L2. Beyond
         ~10^8 keys use BlockedMPHF (per-block streams stay cache-sized).
+
+        ``arrow_udf`` (not ``pandas_udf``): the walk reads/writes plain
+        int64 arrays, so the pandas Series construction on both sides of
+        the old plumbing was pure tax — a NOOP pandas UDF cost as much as
+        the walk itself (round-2 control experiment, BASELINE.md); the
+        Arrow-native path measured ~2x end-to-end on a 16M-key eval.
         """
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import LongType
 
         if self.n == 0:  # empty key set: any result is unspecified
@@ -295,10 +317,12 @@ class MPHFDescriptor:
         spark = df.sparkSession
         bcast = spark.sparkContext.broadcast(self._evaluator())
 
-        @pandas_udf(LongType())
-        def _mphf_eval(sig: pd.Series) -> pd.Series:
-            sigs = np.ascontiguousarray(sig.to_numpy(), dtype=np.int64)
-            return pd.Series(bcast.value.evaluate(sigs))
+        @arrow_udf(LongType())
+        def _mphf_eval(sig: pa.Array) -> pa.Array:
+            sigs = np.ascontiguousarray(
+                sig.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
 
         return df.withColumn(
             out_col, _mphf_eval(key_sig_expr(key_col, self.salt, self.key_mode))
@@ -310,20 +334,21 @@ class MPHFDescriptor:
         Two-layer registration keeps the plan shape identical to
         ``evaluate``: the raw key is hashed JVM-side inside a SQL UDF
         wrapper (``xxhash64(cast(key), salt)`` — no Python touches raw
-        keys), which forwards the signature to a registered pandas UDF
+        keys), which forwards the signature to a registered Arrow UDF
         over the broadcast decoded evaluator. After this,
         ``SELECT <name>(doc_id) FROM t`` works anywhere SQL does."""
         import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import LongType
 
         bcast = spark.sparkContext.broadcast(self._evaluator())
 
-        @pandas_udf(LongType())
-        def _walk(sig: pd.Series) -> pd.Series:
-            sigs = np.ascontiguousarray(sig.to_numpy(), dtype=np.int64)
-            return pd.Series(bcast.value.evaluate(sigs))
+        @arrow_udf(LongType())
+        def _walk(sig: pa.Array) -> pa.Array:
+            sigs = np.ascontiguousarray(
+                sig.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
 
         spark.udf.register(f"_{name}_walk", _walk)
         cast = "BIGINT" if self.key_mode == 1 else "STRING"
