@@ -55,6 +55,20 @@ def _committed_waves(spark, path: str) -> set[int]:
         return set()
 
 
+def _sketch_fingerprint(sk: MergeableSketch) -> str:
+    """Config fingerprint: type name + hex of the serialized EMPTY state.
+
+    Every sketch's serialization header carries its configuration (magic +
+    k/p/width/depth/...; ``from_bytes`` raises on mismatch), so the empty
+    state is a stable digest of (sketch type, parameters) — two sketches
+    whose states may NOT be folded together fingerprint differently. The
+    bytes are sha256'd because an empty Bloom/CMS state is table-sized."""
+    import hashlib
+
+    digest = hashlib.sha256(sk.to_bytes(sk.new_state())).hexdigest()
+    return f"{type(sk).__name__}:{digest}"
+
+
 class CheckpointedBuild:
     """Waved, resumable fold of a DataFrame column into one sketch state."""
 
@@ -73,6 +87,7 @@ class CheckpointedBuild:
 
         spark = df.sparkSession
         sk = self.sketch
+        self._check_or_write_manifest(spark, path)
         done = _committed_waves(spark, path)
         run_id = f"run-{int(time.time())}"
         committed = 0
@@ -124,6 +139,35 @@ class CheckpointedBuild:
             if _stop_after is not None and committed >= _stop_after:
                 return None  # simulated crash: waves committed so far persist
         return self.merged_state(spark, path)
+
+    def _check_or_write_manifest(self, spark, path: str) -> None:
+        """Pin (waves, sketch fingerprint) at first commit; raise on resume
+        mismatch.
+
+        Wave membership is ``pmod(hash, waves)`` — a function of the DATA
+        and of ``waves`` — so resuming an 8-wave checkpoint with waves=4
+        would re-index wave membership: wave dirs that "look done" cover
+        DIFFERENT row subsets, and the fold would silently drop or
+        double-count rows for linear-merge sketches (CMS/MG/KLL). Same for
+        a changed sketch config: states/wave=* would be folded into an
+        incompatible (or worse, compatible-looking) state. Both are user-
+        plausible re-runs (the CLI exposes --waves), so they must fail
+        loudly, not proceed."""
+        fp = _sketch_fingerprint(self.sketch)
+        try:
+            row = spark.read.parquet(f"{path}/manifest").collect()[0]
+        except Exception:  # noqa: BLE001 — first run: no manifest yet
+            spark.createDataFrame(
+                [(int(self.waves), fp)], "waves int, fingerprint string"
+            ).write.mode("overwrite").parquet(f"{path}/manifest")
+            return
+        if int(row["waves"]) != self.waves or row["fingerprint"] != fp:
+            raise ValueError(
+                "checkpoint manifest mismatch: committed build used "
+                f"waves={row['waves']} fingerprint={row['fingerprint']}, "
+                f"resume requested waves={self.waves} fingerprint={fp}; "
+                "resume with the original settings or use a fresh path"
+            )
 
     def merged_state(self, spark, path: str):
         """Merge every committed state under ``path`` (order-independent)."""

@@ -54,9 +54,13 @@ class MisraGries(MergeableSketch):
             raise ValueError("k must be >= 1")
         self.k = k
 
-    def approx_state_bytes(self) -> int:
-        # k entries x (12-byte entry header + ~48-byte item)
-        return _HDR.size + 60 * self.k
+    def approx_state_bytes(self) -> None:
+        # Unknown: items are unbounded strings (URLs, long tokens), so no
+        # fixed per-entry constant upper-bounds a serialized state — a hint
+        # that undershoots would let build() skip the distributed pre-merge
+        # while the real collect blows the 64 MB budget. None makes the
+        # pre-merge decision conservative (pre-merge whenever P > 4).
+        return None
 
     # -- monoid ----------------------------------------------------------------
     def new_state(self) -> MGState:
@@ -75,9 +79,15 @@ class MisraGries(MergeableSketch):
         state.dec += pivot
 
     def update(self, state: MGState, arr: np.ndarray) -> None:
+        """Fold a batch of items. NULLs are NOT items: they are dropped
+        before counting and excluded from ``state.n`` (so the certificate
+        ``n/(k+1)`` bounds undercounts over actual items). Lineage row
+        counts (e.g. CheckpointedBuild metrics ``n_rows``) count raw rows
+        including nulls and may legitimately exceed ``state.n`` on
+        nullable columns."""
         if len(arr) == 0:
             return
-        vc = pd.Series(arr).value_counts()
+        vc = pd.Series(arr).dropna().value_counts()
         state.n += int(vc.sum())
         counts = state.counts
         for item, c in vc.items():

@@ -119,12 +119,17 @@ class ThetaSketch(MergeableSketch):
         return _normalize(state.r[-1]) if len(state.r) == self.k else 1.0
 
     def _restricted(self, a: ThetaState, b: ThetaState):
-        theta = min(self._theta(a), self._theta(b))
-        if theta >= 1.0:
+        # The cut is computed in uint64 space, NOT by round-tripping theta
+        # through float64: for h_max >= 2^53 float(h_max)+1.0 == float(h_max)
+        # and int(theta*2^64)-1 can drift ~2^11 from h_max, excluding the
+        # defining sketch's own k-th element (or admitting foreign values
+        # just above it). The inclusive cut IS the smaller full sketch's
+        # h_max by integer compare; float only scales the final estimate.
+        fulls = [st.r[-1] for st in (a, b) if len(st.r) == self.k]
+        if not fulls:
             return a.r, b.r, 1.0
-        # exclusive cut: theta*2^64 = float(h_max)+1 is integral and <= 2^64
-        cut = np.uint64(int(theta * _FULL_RANGE) - 1)  # inclusive max retained
-        return a.r[a.r <= cut], b.r[b.r <= cut], theta
+        cut = min(fulls)  # uint64 integer compare: exact
+        return a.r[a.r <= cut], b.r[b.r <= cut], _normalize(cut)
 
     def union_estimate(self, a: ThetaState, b: ThetaState) -> float:
         return self.estimate(self.merge(a, b))

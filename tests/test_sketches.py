@@ -380,7 +380,6 @@ def test_approx_state_bytes_upper_bounds_serialized_size():
         (ThetaSketch(k=4096), h),
         (KLL(k=256), vals),
         (TDigest(compression=200), vals),
-        (MisraGries(k=256), toks),
     ]
     for sk, data in cases:
         st = sk.new_state()
@@ -390,3 +389,45 @@ def test_approx_state_bytes_upper_bounds_serialized_size():
         est = sk.approx_state_bytes()
         actual = len(sk.to_bytes(st))
         assert actual <= est, (type(sk).__name__, actual, est)
+    # Misra-Gries holds unbounded strings — no fixed constant upper-bounds
+    # its state, so the hint must be None (conservative pre-merge), not a
+    # number that long items (URLs) would overshoot
+    assert MisraGries(k=256).approx_state_bytes() is None
+
+
+def test_theta_restricted_cut_is_exact_above_2_53():
+    """The set-op restriction cut must be the defining sketch's own k-th
+    minimum by INTEGER compare: a float64 round-trip of h_max >= 2^53 can
+    drift ~2^11 and exclude that very element (ADVICE r2). Construct two
+    full sketches whose h_max sits just above 2^63 and check the defining
+    sketch keeps exactly its own k elements."""
+    from recsplit_spark.sketches import ThetaSketch
+    from recsplit_spark.sketches.theta import ThetaState
+
+    sk = ThetaSketch(k=8)
+    base = np.uint64(1) << np.uint64(63)
+    # a's retained set ends at base+1001 (odd: float64 rounds it away)
+    ra = np.sort(np.array([base + np.uint64(2 * i) for i in range(7)]
+                          + [base + np.uint64(1001)], dtype=np.uint64))
+    rb = np.sort(np.array([base + np.uint64(2 * i + 1) for i in range(7)]
+                          + [base + np.uint64(4001)], dtype=np.uint64))
+    a, b = ThetaState(ra), ThetaState(rb)
+    res_a, res_b, theta = sk._restricted(a, b)
+    cut = min(ra[-1], rb[-1])  # integer compare
+    assert res_a.tolist() == ra[ra <= cut].tolist()
+    assert res_b.tolist() == rb[rb <= cut].tolist()
+    # the defining sketch retains its own h_max (the float path could drop it)
+    assert cut in np.concatenate([res_a, res_b])
+
+
+def test_mg_nulls_are_not_items():
+    """MG drops nulls before counting: neither the counters nor state.n see
+    them (documented contract; lineage n_rows counts raw rows instead)."""
+    from recsplit_spark.sketches import MisraGries
+
+    mg = MisraGries(k=8)
+    st = mg.new_state()
+    arr = np.array(["a", None, "b", "a", None, np.nan], dtype=object)
+    mg.update(st, arr)
+    assert st.n == 3
+    assert st.counts == {"a": 2, "b": 1}

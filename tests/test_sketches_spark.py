@@ -320,3 +320,31 @@ def test_checkpointed_crash_between_states_and_metrics(spark, sf_dir, tmp_path):
     st2 = cb.run(li, "l_orderkey", path)
     assert cms.total(st2) == li.count()  # not doubled
     assert cms.to_bytes(st2) == cms.to_bytes(st)
+
+
+def test_checkpointed_resume_validates_waves_and_config(spark, sf_dir, tmp_path):
+    """A manifest pins (waves, sketch config) at first commit: resuming a
+    partially-committed build with a different --waves would re-index wave
+    membership (pmod changes) and silently drop/double-count rows; a
+    different sketch config would fold incompatible states. Both must
+    raise, and a correct resume must still work afterwards."""
+    import pytest
+
+    from recsplit_spark.sketches import CheckpointedBuild, CountMinSketch, ThetaSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = ThetaSketch(k=256)
+    path = str(tmp_path / "ck_manifest")
+    assert CheckpointedBuild(sk, waves=8).run(li, "l_orderkey", path, _stop_after=2) is None
+
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        CheckpointedBuild(sk, waves=4).run(li, "l_orderkey", path)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        CheckpointedBuild(ThetaSketch(k=512), waves=8).run(li, "l_orderkey", path)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        CheckpointedBuild(CountMinSketch(eps=1e-3, delta=0.01), waves=8).run(
+            li, "l_orderkey", path
+        )
+
+    st = CheckpointedBuild(sk, waves=8).run(li, "l_orderkey", path)  # correct resume
+    assert sk.to_bytes(st) == sk.to_bytes(sk.build(li, "l_orderkey"))
