@@ -374,6 +374,38 @@ _BLOCK_SCHEMA = (
 )
 
 
+def _range_membership_udf(spark, ranges: list[tuple[int, int]]):
+    """Boolean Column fn: is ``bucket`` inside any committed [lo, hi] range?
+
+    The committed checkpoint is a list of disjoint bucket RANGES (one per
+    kernel partition), so resume membership is an interval lookup. The
+    round-2 version OR-chained per-range predicates — at thousands of
+    ranges the Catalyst expression tree gets deep (planner blowup) and
+    evaluation is O(ranges) per row; a broadcast nested-loop anti-join has
+    the same O(ranges)-per-row cost. Spark has no searchsorted builtin, so
+    the lookup rides a vectorized Arrow UDF over broadcast sorted bounds:
+    O(log ranges) per key, flat plan at any range count, and only the
+    bucket column crosses into Python."""
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import BooleanType
+
+    bounds = np.array(sorted(ranges), dtype=np.int64)  # (R, 2) lo-sorted
+    bcast = spark.sparkContext.broadcast((
+        np.ascontiguousarray(bounds[:, 0]),
+        np.ascontiguousarray(bounds[:, 1]),
+    ))
+
+    @arrow_udf(BooleanType())
+    def _in_done(bucket: pa.Array) -> pa.Array:
+        los, his = bcast.value
+        b = bucket.to_numpy(zero_copy_only=False)
+        j = np.searchsorted(los, b, side="right") - 1
+        hit = (j >= 0) & (b <= his[np.maximum(j, 0)])
+        return pa.array(hit)
+
+    return _in_done
+
+
 def _make_kernel(leaf_size: int, avg_bucket_size: int):
     """Partition kernel closure. The Settings rule table is derived ONCE on
     the driver and shipped inside the closure (plain lists pickle fast);
@@ -538,11 +570,9 @@ class RecSplitBuilder:
         except Exception:  # noqa: BLE001 — no checkpoint yet
             pass
         if done_ranges:
-            cond = None
-            for lo, hi in done_ranges:
-                c = (F.col("bucket") >= lo) & (F.col("bucket") <= hi)
-                cond = c if cond is None else (cond | c)
-            remaining = sig_df.filter(~cond)
+            remaining = sig_df.filter(
+                ~_range_membership_udf(spark, done_ranges)(F.col("bucket"))
+            )
             if remaining.limit(1).count() > 0:
                 # rebuild only missing ranges, preserving the kernel chain
                 rebuilt = self._rebuild_blocks(remaining, salt)

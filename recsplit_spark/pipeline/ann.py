@@ -42,6 +42,23 @@ def brute_force_topk(df, vec_col: str, query: np.ndarray, k: int = 10):
     )
 
 
+def _make_assign_fn(bcast):
+    """Centroid-assignment batch fn closing over ONLY the broadcast handle.
+
+    Factored out so the closure's pickled size is testable: a Broadcast
+    pickles as a tiny id reference, so the task binary stays KB-sized no
+    matter how large the centroid matrix is (the matrix itself moves once
+    per executor via the broadcast mechanism)."""
+
+    def _assign(v: pd.Series) -> pd.Series:
+        cent_t = bcast.value
+        x = np.array(v.tolist(), dtype=np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), np.float32(1e-12))
+        return pd.Series((x @ cent_t).argmax(axis=1).astype(np.int32))
+
+    return _assign
+
+
 class IVFIndex:
     """Inverted-file ANN: sample -> k-means centroids -> bucketed table.
 
@@ -90,19 +107,26 @@ class IVFIndex:
         return self
 
     def assign(self, df, vec_col: str, out_col: str = "centroid_id"):
+        """Add the nearest-centroid id column.
+
+        The centroid matrix rides an EXPLICIT ``sparkContext.broadcast``
+        (torrent-distributed once per executor, unpickled once per worker
+        process), NOT the UDF closure: a closure ships with every task
+        binary, and at the auto-sqrt(n) operating point the matrix is
+        task-prohibitive (10^6 centroids x 768 dims ≈ 3 GB even at
+        float32). float32 halves both the broadcast and the per-batch
+        matmul traffic; assignment only compares similarity ranks, so the
+        precision loss is immaterial (ties are already arbitrary centroid
+        choices)."""
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import IntegerType
 
-        cent = self.centroids
-        if cent is None:
+        if self.centroids is None:
             raise RuntimeError("fit() first")
-
-        @pandas_udf(IntegerType())
-        def _assign(v: pd.Series) -> pd.Series:
-            x = np.array(v.tolist(), dtype=np.float64)
-            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
-
+        bcast = df.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(self.centroids.T, dtype=np.float32)
+        )
+        _assign = pandas_udf(_make_assign_fn(bcast), IntegerType())
         return df.withColumn(out_col, _assign(vec_col))
 
     def search(self, indexed_df, vec_col: str, query: np.ndarray, k: int = 10,

@@ -208,3 +208,43 @@ def test_register_sql_function(spark, sf_dir):
         "SELECT o_orderkey, mphf_eval_t(o_orderkey) AS mphf_index FROM ok_keys"
     )
     assert df_path.exceptAll(sql_path).count() == 0
+
+
+def test_checkpoint_resume_at_1024_ranges(spark, tmp_path):
+    """Resume must stay cheap when the checkpoint holds >= 1024 committed
+    bucket ranges: the round-2 OR-chain of per-range predicates built a
+    Catalyst expression tree thousands of nodes deep; the membership test
+    is now a broadcast-bounds binary search (flat plan at any range
+    count). Build with partitions=1024, drop a few ranges, resume — the
+    result must stay byte-identical to a direct build."""
+    import glob as _glob
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    n = 1 << 17  # bucket count 1024 at avg_bucket_size=128
+    df = spark.range(0, n, 1, 32).select(F.xxhash64("id").alias("key")).cache()
+    df.count()
+    direct = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(df, "key", n=n)
+
+    ckpt = str(tmp_path / "ckpt1024")
+    b = RecSplitBuilder(
+        leaf_size=8, avg_bucket_size=128, partitions=1024, checkpoint_dir=ckpt
+    )
+    full = b.build(df, "key", n=n)
+    assert full.to_bytes() == direct.to_bytes()
+    import pyarrow.parquet as pq
+
+    n_ranges = sum(
+        pq.read_table(f, columns=["min_bucket"]).num_rows
+        for f in _glob.glob(f"{ckpt}/salt=0/part-*")
+    )
+    assert n_ranges >= 1000, n_ranges  # repartitionByRange may fuse a boundary
+
+    part_files = sorted(_glob.glob(f"{ckpt}/salt=0/part-*"))
+    for f in part_files[: max(1, len(part_files) // 8)]:
+        _os.remove(f)
+    resumed = RecSplitBuilder(
+        leaf_size=8, avg_bucket_size=128, partitions=1024, checkpoint_dir=ckpt
+    ).build(df, "key", n=n)
+    assert resumed.to_bytes() == direct.to_bytes()
