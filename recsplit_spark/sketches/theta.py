@@ -154,35 +154,142 @@ class ThetaSketch(MergeableSketch):
     def count_distinct(self, df, col: str) -> float:
         return self.estimate(self.build(df, col))
 
-    def pairwise_set_estimates(self, df, col: str, key: str):
+    _PAIRS_SCHEMA = (
+        "key_a string, key_b string, union_est double,"
+        " inter_est double, jaccard_est double"
+    )
+
+    def _pair_rows(self, ga: list, gb: list | None):
+        """Estimate rows for group-list x group-list (or within one list).
+
+        ``gb is None`` -> all i<j pairs within ``ga``; else every cross
+        combination, emitted with (min_key, max_key) orientation so each
+        unordered pair appears exactly once with a deterministic layout."""
+        out = []
+        if gb is None:
+            ga = sorted(ga, key=lambda kv: kv[0])
+            combos = [
+                (ga[i], ga[j])
+                for i in range(len(ga))
+                for j in range(i + 1, len(ga))
+            ]
+        else:
+            combos = [
+                ((ka, sa), (kb, sb)) if ka < kb else ((kb, sb), (ka, sa))
+                for ka, sa in ga
+                for kb, sb in gb
+            ]
+        for (ka, sa), (kb, sb) in combos:
+            out.append(
+                (
+                    ka,
+                    kb,
+                    float(self.union_estimate(sa, sb)),
+                    float(self.intersect_estimate(sa, sb)),
+                    float(self.jaccard_estimate(sa, sb)),
+                )
+            )
+        return out
+
+    def pairwise_set_estimates(self, df, col: str, key: str,
+                               max_driver_groups: int = 1024):
         """All-pairs group overlap: DataFrame[key_a, key_b, union_est,
         inter_est, jaccard_est] for every unordered pair of ``key`` groups.
 
-        One distributed pass builds a state per group (states_by_key); the
-        driver then combines G states into G(G-1)/2 pairs — at <= 8k+16
-        bytes per state this handles thousands of groups, and the pair
-        math is numpy set ops on <= k elements. For the 10^12-row case the
-        data-sized work is entirely in the single partial-agg scan."""
-        rows = self.states_by_key(df, col, (key,)).collect()
-        groups = sorted(
-            ((r[key], self.from_bytes(bytes(r["state"]))) for r in rows),
-            key=lambda kv: kv[0],
-        )
-        out = []
-        for i in range(len(groups)):
-            ka, sa = groups[i]
-            for kb, sb in groups[i + 1 :]:
-                out.append(
-                    (
-                        ka,
-                        kb,
-                        float(self.union_estimate(sa, sb)),
-                        float(self.intersect_estimate(sa, sb)),
-                        float(self.jaccard_estimate(sa, sb)),
-                    )
-                )
+        One distributed pass builds a state per group (states_by_key). Up
+        to ``max_driver_groups`` groups the G(G-1)/2 pair estimates run on
+        the driver (numpy set ops on <= k elements each — fine to ~10^3
+        groups at <= 8k+16 bytes per state). Beyond that the pairs run
+        DISTRIBUTED via ``pairwise_set_estimates_distributed`` — identical
+        rows, block-parallel. Estimates are deterministic functions of the
+        (deterministic) states, so both paths agree exactly."""
+        states = self.states_by_key(df, col, (key,)).collect()
+        if len(states) > max_driver_groups:
+            return self._pairwise_distributed_from_states(
+                df.sparkSession, states, key
+            )
+        groups = [(r[key], self.from_bytes(bytes(r["state"]))) for r in states]
         return df.sparkSession.createDataFrame(
-            out,
-            "key_a string, key_b string, union_est double,"
-            " inter_est double, jaccard_est double",
+            self._pair_rows(groups, None), self._PAIRS_SCHEMA
         )
+
+    def pairwise_set_estimates_distributed(self, df, col: str, key: str,
+                                           n_blocks: int | None = None):
+        """Distributed all-pairs group overlap (many-groups path).
+
+        Block nested-loop over STATES, not rows: groups are hashed into
+        B ~ sqrt(G) blocks, each block's states are packed into one row,
+        and the B(B+1)/2 block pairs fan out as tasks — each task
+        deserializes 2 blocks (~G/B states) and emits its pair estimates.
+        The shuffle carries each state B times (G x B x state_bytes
+        total), NOT G^2 rows of state pairs; at G=10^4, k=256 that is
+        ~2 GB spread over tasks vs ~100 GB for a row-level cross join.
+        Output rows are identical to the driver path (same estimator on
+        the same states; (min,max) key orientation)."""
+        rows = self.states_by_key(df, col, (key,)).collect()
+        return self._pairwise_distributed_from_states(
+            df.sparkSession, rows, key, n_blocks
+        )
+
+    def _pairwise_distributed_from_states(self, spark, rows, key: str,
+                                          n_blocks: int | None = None):
+        import math
+
+        import pandas as pd
+
+        sk = self
+        g = len(rows)
+        if g < 2:
+            return spark.createDataFrame([], self._PAIRS_SCHEMA)
+        b = n_blocks or max(2, math.isqrt(g))
+        blocks: list[list] = [[] for _ in range(b)]
+        for i, r in enumerate(sorted(rows, key=lambda r: r[key])):
+            blocks[i % b].append((r[key], bytes(r["state"])))
+        packed = spark.createDataFrame(
+            [
+                (bi, [k for k, _ in blk], [s for _, s in blk])
+                for bi, blk in enumerate(blocks)
+                if blk
+            ],
+            "blk int, keys array<string>, states array<binary>",
+        )
+        from pyspark.sql import functions as F
+
+        a, c = packed.alias("a"), packed.alias("b")
+        joined = a.join(
+            F.broadcast(c), F.col("a.blk") <= F.col("b.blk"), "inner"
+        ).select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.keys").alias("keys_a"),
+            F.col("a.states").alias("states_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.keys").alias("keys_b"),
+            F.col("b.states").alias("states_b"),
+        ).repartition(max(2, b * (b + 1) // 2 // 4))
+
+        def _pairs(batches):
+            for pdf in batches:
+                rows_out: list[tuple] = []
+                for _, row in pdf.iterrows():
+                    ga = [
+                        (k, sk.from_bytes(bytes(s)))
+                        for k, s in zip(row["keys_a"], row["states_a"])
+                    ]
+                    if row["blk_a"] == row["blk_b"]:
+                        rows_out.extend(sk._pair_rows(ga, None))
+                    else:
+                        gb = [
+                            (k, sk.from_bytes(bytes(s)))
+                            for k, s in zip(row["keys_b"], row["states_b"])
+                        ]
+                        rows_out.extend(sk._pair_rows(ga, gb))
+                if rows_out:
+                    yield pd.DataFrame(
+                        rows_out,
+                        columns=[
+                            "key_a", "key_b", "union_est", "inter_est",
+                            "jaccard_est",
+                        ],
+                    )
+
+        return joined.mapInPandas(_pairs, schema=self._PAIRS_SCHEMA)
