@@ -847,9 +847,85 @@ def _q_sketch_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mphf_leaf12_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-leaf split rule (leaf 12 / bucket 256 — the round-3 relaxed
+    DP time weight, ``settings.LARGE_LEAF_TIME_WEIGHT``): build +
+    serialized round-trip + full bijection over the orders key universe,
+    plus a space gate at the large-leaf operating point (measured 1.742
+    bits/key at 16M keys; small-n runs pay more header amortization, so
+    the gate is the round-2 value this rule must beat)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    desc = RecSplitBuilder(leaf_size=12, avg_bucket_size=256).build(
+        orders, "o_orderkey"
+    )
+    out = MPHFDescriptor.from_bytes(desc.to_bytes()).evaluate(orders, "o_orderkey")
+    return out.agg(
+        F.count("*").alias("n_keys"),
+        F.countDistinct("mphf_index").alias("distinct_idx"),
+        F.min("mphf_index").alias("min_idx"),
+        F.max("mphf_index").alias("max_idx"),
+    ).withColumn("space_ok", F.lit(bool(desc.bits_per_key <= 1.797)))
+
+
+def _q_theta_pairwise_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed all-pairs group overlap (round-3 block path, forced
+    explicitly regardless of group count): pairwise distinct-custkey
+    union estimates across the order priorities, each within 5x the
+    published KMV RSE of the exact union. Deterministic bottom-k states
+    => stable booleans under any partitioning."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import ThetaSketch
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = ThetaSketch(k=256)
+    est = {
+        (r["key_a"], r["key_b"]): r["union_est"]
+        for r in sk.pairwise_set_estimates_distributed(
+            orders, "o_custkey", "o_orderpriority"
+        ).collect()
+    }
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    combos = [
+        (pa, pb) for i, pa in enumerate(prios) for pb in prios[i + 1 :]
+    ]
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("o_orderpriority").isin(pa, pb), F.col("o_custkey"))
+        ).alias(f"u{j}")
+        for j, (pa, pb) in enumerate(combos)
+    ]
+    exact = orders.agg(*aggs).collect()[0]
+    tol = 5 * sk.relative_error
+    rows = [
+        (
+            pa,
+            pb,
+            bool(abs(est[(pa, pb)] - exact[f"u{j}"]) <= max(tol * exact[f"u{j}"], 1.0)),
+        )
+        for j, (pa, pb) in enumerate(combos)
+    ]
+    return spark.createDataFrame(
+        rows, "key_a string, key_b string, union_within_bound boolean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
+        "mphf_leaf12_bijection": _q_mphf_leaf12_bijection,
+        "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
@@ -916,6 +992,18 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mphf_leaf12_bijection": (
+            "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_idx,"
+            " CAST(0 AS BIGINT) AS min_idx,"
+            " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
+            " TRUE AS space_ok FROM orders"
+        ),
+        "theta_pairwise_priorities": (
+            "WITH p AS (SELECT DISTINCT o_orderpriority AS k FROM orders)"
+            " SELECT a.k AS key_a, b.k AS key_b, TRUE AS union_within_bound"
+            " FROM p a JOIN p b ON a.k < b.k"
+        ),
         "mphf_bijection_lineitem": (
             "SELECT CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS n_keys,"
             " CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT) AS distinct_idx,"
