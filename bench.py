@@ -181,9 +181,15 @@ def run_suite(cores: int) -> dict:
     extra["mphf_build_keys_per_sec"] = round(n_keys / timings["mphf_build"], 1)
 
     desc2 = MPHFDescriptor.from_bytes(desc.to_bytes())
+    # ~1.5 tasks/core for the Arrow-eval stage: per-task transport overhead
+    # dominates the eval NOOP (BASELINE.md round-3 controls: 16M keys at
+    # p=48 beats p=128 by 1.6x on 32 cores); coalesce is a narrow dep —
+    # no shuffle — and the input is cached so upstream width is moot
+    keys_eval = keys.coalesce(max(2, (3 * cores) // 2)).cache()
+    keys_eval.count()
     stats = timed(
         "mphf_eval",
-        lambda: desc2.evaluate(keys, "pk")
+        lambda: desc2.evaluate(keys_eval, "pk")
         .agg(
             F.countDistinct("mphf_index").alias("d"),
             F.max("mphf_index").alias("mx"),
@@ -329,10 +335,12 @@ def run_scaling_child(cores: int, n_keys: int) -> dict:
     t0 = time.time()
     desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(keys, "key", n=n_keys)
     build_s = time.time() - t0
+    keys_eval = keys.coalesce(max(2, (3 * cores) // 2)).cache()
+    keys_eval.count()  # ~1.5 tasks/core: see run_suite note + BASELINE.md
     t0 = time.time()
     stats = (
         MPHFDescriptor.from_bytes(desc.to_bytes())
-        .evaluate(keys, "key")
+        .evaluate(keys_eval, "key")
         .agg({"mphf_index": "max"})
         .collect()[0][0]
     )
