@@ -28,6 +28,7 @@ import struct
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 
 from .hashing import GOLDEN, mix64_inplace, reduce_to
@@ -149,9 +150,9 @@ class BDZDescriptor:
         return np.searchsorted(used, v).astype(np.int64)
 
     def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
-        """Append the BDZ index via broadcast descriptor + pandas UDF
+        """Append the BDZ index via broadcast descriptor + Arrow UDF
         (same shape as MPHFDescriptor.evaluate)."""
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import LongType
 
         from .mphf import key_sig_expr
@@ -160,12 +161,13 @@ class BDZDescriptor:
             object.__setattr__(self, "_used", np.flatnonzero(self.g < 3))
         # broadcast the descriptor object (with its driver-computed rank
         # index) — deserialized once per executor process; batches do no
-        # re-parse / re-derivation
+        # re-parse / re-derivation. Arrow-native UDF (no pandas wrapping).
         bcast = df.sparkSession.sparkContext.broadcast(self)
 
-        @pandas_udf(LongType())
-        def _bdz_eval(sig: pd.Series) -> pd.Series:
-            return pd.Series(bcast.value.evaluate_array(sig.to_numpy()))
+        @arrow_udf(LongType())
+        def _bdz_eval(sig: pa.Array) -> pa.Array:
+            sigs = sig.to_numpy(zero_copy_only=False)
+            return pa.array(bcast.value.evaluate_array(sigs), type=pa.int64())
 
         return df.withColumn(
             out_col, _bdz_eval(key_sig_expr(key_col, self.salt, self.key_mode))

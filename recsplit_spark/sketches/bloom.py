@@ -14,6 +14,7 @@ import math
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 
 from ..hashing import mix64
@@ -83,16 +84,18 @@ class BloomFilter(MergeableSketch):
         """Append a boolean membership column (broadcast filter, JVM-side
         hashing — the classic semi-join pre-filter at scale)."""
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import BooleanType
 
         sk = self
         # broadcast the bit array itself — deserialized once per executor
-        # process; no per-batch from_bytes copy
+        # process; no per-batch from_bytes copy. Arrow-native UDF: the
+        # probe is pure int64/bit array math (no pandas wrapping tax).
         bcast = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(state))
 
-        @pandas_udf(BooleanType())
-        def _q(h: pd.Series) -> pd.Series:
-            return pd.Series(sk.contains_hashes(bcast.value, h.to_numpy()))
+        @arrow_udf(BooleanType())
+        def _q(h: pa.Array) -> pa.Array:
+            hs = h.to_numpy(zero_copy_only=False)
+            return pa.array(sk.contains_hashes(bcast.value, hs))
 
         return df.withColumn(out_col, _q(F.xxhash64(F.col(col).cast("string"))))

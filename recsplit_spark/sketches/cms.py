@@ -13,6 +13,7 @@ import math
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 
 from ..hashing import mix64, reduce_to
@@ -94,18 +95,20 @@ class CountMinSketch(MergeableSketch):
         ``update``, so driver code never re-implements xxhash64.
         """
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import LongType
 
         sk = self
         # broadcast the counter matrix itself: bcast.value deserializes once
         # per executor process, so probe batches skip the per-batch
-        # from_bytes copy (~d*w*8 bytes per batch at round 1)
+        # from_bytes copy (~d*w*8 bytes per batch at round 1). Arrow-native
+        # UDF: pure int64 gather math, no pandas wrapping.
         bcast = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(state))
 
-        @pandas_udf(LongType())
-        def _q(h: pd.Series) -> pd.Series:
-            return pd.Series(sk.query_hashes(bcast.value, h.to_numpy()))
+        @arrow_udf(LongType())
+        def _q(h: pa.Array) -> pa.Array:
+            hs = h.to_numpy(zero_copy_only=False)
+            return pa.array(sk.query_hashes(bcast.value, hs), type=pa.int64())
 
         hashed = F.xxhash64(F.col(col).cast("string"))
         return df.select(col).distinct().withColumn("freq_est", _q(hashed))
