@@ -125,3 +125,23 @@ def test_theta_pairwise_single_shuffle(spark, sf_dir):
     parts = sk.states_by_key(orders, "o_custkey", ("o_orderpriority",))
     plan = _formatted_plan(parts)
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_mphf_eval_is_arrow_native_and_jvm_hashed(spark, li):
+    """The eval stage must plan as ArrowEvalPython (SQL_SCALAR_ARROW_UDF —
+    the round-3 pyarrow-native path), with xxhash64 hashing staying
+    JVM-side and only the signature column crossing into Python; a
+    regression to BatchEvalPython (row-at-a-time) or to hashing inside
+    the UDF is a 100-TB problem."""
+    from recsplit_spark.mphf import RecSplitBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    keys = li.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("pk")
+    ).distinct()
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(keys, "pk")
+    plan = _formatted_plan(desc.evaluate(keys, "pk"))
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert _nodes(plan, "BatchEvalPython") == 0
+    assert "xxhash64" in plan  # hashing is a JVM expression, not in the UDF
