@@ -203,12 +203,13 @@ class ThetaSketch(MergeableSketch):
         DISTRIBUTED via ``pairwise_set_estimates_distributed`` — identical
         rows, block-parallel. Estimates are deterministic functions of the
         (deterministic) states, so both paths agree exactly."""
-        states = self.states_by_key(df, col, (key,)).collect()
-        if len(states) > max_driver_groups:
-            return self._pairwise_distributed_from_states(
-                df.sparkSession, states, key
-            )
-        groups = [(r[key], self.from_bytes(bytes(r["state"]))) for r in states]
+        states = self.states_by_key(df, col, (key,))
+        g = states.count()
+        if g > max_driver_groups:
+            return self._pairwise_distributed(states, key, g)
+        groups = [
+            (r[key], self.from_bytes(bytes(r["state"]))) for r in states.collect()
+        ]
         return df.sparkSession.createDataFrame(
             self._pair_rows(groups, None), self._PAIRS_SCHEMA
         )
@@ -218,42 +219,52 @@ class ThetaSketch(MergeableSketch):
         """Distributed all-pairs group overlap (many-groups path).
 
         Block nested-loop over STATES, not rows: groups are hashed into
-        B ~ sqrt(G) blocks, each block's states are packed into one row,
-        and the B(B+1)/2 block pairs fan out as tasks — each task
-        deserializes 2 blocks (~G/B states) and emits its pair estimates.
-        The shuffle carries each state B times (G x B x state_bytes
-        total), NOT G^2 rows of state pairs; at G=10^4, k=256 that is
-        ~2 GB spread over tasks vs ~100 GB for a row-level cross join.
-        Output rows are identical to the driver path (same estimator on
-        the same states; (min,max) key orientation)."""
-        rows = self.states_by_key(df, col, (key,)).collect()
-        return self._pairwise_distributed_from_states(
-            df.sparkSession, rows, key, n_blocks
-        )
+        B ~ sqrt(G) blocks, each block's states are packed into one row
+        (distributed ``applyInPandas`` — no state ever visits the
+        driver), and the B(B+1)/2 block pairs fan out as tasks — each
+        task deserializes 2 blocks (~G/B states) and emits its pair
+        estimates. The shuffle carries each state B times
+        (G x B x state_bytes total), NOT G^2 rows of state pairs; at
+        G=10^4, k=256 that is ~2 GB spread over tasks vs ~100 GB for a
+        row-level cross join. Output rows are identical to the driver
+        path (same estimator on the same states; (min,max) key
+        orientation)."""
+        states = self.states_by_key(df, col, (key,))
+        return self._pairwise_distributed(states, key, states.count(), n_blocks)
 
-    def _pairwise_distributed_from_states(self, spark, rows, key: str,
-                                          n_blocks: int | None = None):
+    def _pairwise_distributed(self, states, key: str, g: int,
+                              n_blocks: int | None = None):
         import math
 
         import pandas as pd
 
+        from pyspark.sql import functions as F
+
+        spark = states.sparkSession
         sk = self
-        g = len(rows)
         if g < 2:
             return spark.createDataFrame([], self._PAIRS_SCHEMA)
         b = n_blocks or max(2, math.isqrt(g))
-        blocks: list[list] = [[] for _ in range(b)]
-        for i, r in enumerate(sorted(rows, key=lambda r: r[key])):
-            blocks[i % b].append((r[key], bytes(r["state"])))
-        packed = spark.createDataFrame(
-            [
-                (bi, [k for k, _ in blk], [s for _, s in blk])
-                for bi, blk in enumerate(blocks)
-                if blk
-            ],
-            "blk int, keys array<string>, states array<binary>",
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = pdf[key].argsort()
+            return pd.DataFrame(
+                {
+                    "blk": [int(pdf["blk"].iloc[0])],
+                    "keys": [pdf[key].iloc[order].tolist()],
+                    "states": [[bytes(s) for s in pdf["state"].iloc[order]]],
+                }
+            )
+
+        packed = (
+            states.withColumn(
+                "blk", F.pmod(F.xxhash64(F.col(key)), F.lit(b)).cast("int")
+            )
+            .groupBy("blk")
+            .applyInPandas(
+                _pack, schema="blk int, keys array<string>, states array<binary>"
+            )
         )
-        from pyspark.sql import functions as F
 
         a, c = packed.alias("a"), packed.alias("b")
         joined = a.join(
