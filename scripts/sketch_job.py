@@ -61,6 +61,12 @@ def main() -> int:
     ap.add_argument("--theta-k", type=int, default=4096)
     ap.add_argument("--mg-k", type=int, default=1024)
     ap.add_argument("--top", type=int, default=20, help="mg: top items to print")
+    ap.add_argument(
+        "--pairwise-out",
+        default=None,
+        help="write --pairwise rows to this parquet dir instead of the JSON"
+        " line (the many-groups scale path: 10^4 groups = 50M pair rows)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -97,7 +103,18 @@ def main() -> int:
     if args.pairwise:
         if args.sketch != "theta":
             raise SystemExit("--pairwise requires --sketch theta")
-        rows = sk.pairwise_set_estimates(df, args.col, args.pairwise).collect()
+        pairs_df = sk.pairwise_set_estimates(df, args.col, args.pairwise)
+        if args.pairwise_out:
+            # many-groups scale path: G(G-1)/2 rows belong in parquet, not
+            # in a driver-collected JSON blob (10^4 groups = 50M pairs)
+            pairs_df.write.mode("overwrite").parquet(args.pairwise_out)
+            out["pairs_out"] = args.pairwise_out
+            out["n_pairs"] = spark.read.parquet(args.pairwise_out).count()
+            out["wall_sec"] = round(time.time() - t0, 3)
+            print(json.dumps(out))
+            spark.stop()
+            return 0
+        rows = pairs_df.collect()
         out["pairs"] = [
             {
                 "a": r["key_a"],
