@@ -921,11 +921,32 @@ def _q_theta_pairwise_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup deliverable: `dedup_corpus` keeps one
+    representative per verified near-dup cluster (exact 5-gram Jaccard >=
+    0.8) plus every unpaired doc. The oracle recomputes the exact clusters
+    with a recursive CTE and checks both the kept count and the sum of
+    kept ids (an order-insensitive content fingerprint)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.dedup import dedup_corpus
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_corpus(docs, "doc_id", "text")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("doc_id").cast("bigint")).alias("kept_id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
         "mphf_leaf12_bijection": _q_mphf_leaf12_bijection,
         "theta_pairwise_priorities": _q_theta_pairwise_priorities,
+        "dedup_corpus_documents": _q_dedup_corpus_documents,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
@@ -1199,6 +1220,28 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
         ),
         "lang_id_documents": _lang_id_oracle(),
+        "dedup_corpus_documents": (
+            "WITH RECURSIVE sh AS ("
+            " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
+            " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3)) AS i) g),"
+            " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+            " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id),"
+            " pairs AS (SELECT id_a, id_b FROM inter"
+            "  JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b"
+            "  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " cc(id, label) AS ("
+            "  SELECT DISTINCT src, src FROM edges"
+            "  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id),"
+            " labels AS (SELECT id, min(label) AS rep FROM cc GROUP BY id),"
+            " dropped AS (SELECT id FROM labels WHERE id <> rep)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_kept,"
+            " CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS kept_id_sum"
+            " FROM documents"
+            " WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT id FROM dropped)"
+        ),
         "near_dup_clusters": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"

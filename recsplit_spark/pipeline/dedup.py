@@ -482,6 +482,31 @@ def near_dup_clusters(
     return connected_components(verified.select("id_a", "id_b"))
 
 
+def dedup_corpus(
+    df,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle: int = 5,
+    bucket_cap: int = 1000,
+):
+    """End-to-end near-dedup: the corpus a training pipeline feeds
+    downstream. Keeps one representative (min id) per verified near-dup
+    cluster plus every unpaired document; drops the rest with one anti-join
+    on id — the only data-sized exchange beyond the LSH banding itself."""
+    from pyspark.sql import functions as F
+
+    clusters = near_dup_clusters(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle, bucket_cap
+    )
+    drop = clusters.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
