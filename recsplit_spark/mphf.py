@@ -63,7 +63,11 @@ _MAGIC = b"RSMP"
 # split-Rice deltas (sizes vs the mean; byte lengths vs an alpha*size linear
 # predictor) — reference analogue of the Elias-Delta+fold header codes
 # (BitBuffer.java:245-276); ~0.04 bits/key smaller at 16M keys.
-_VERSION = 3
+#: v4 (round 3): appends a rule-generation byte after the fixed header —
+#: the DP split rule is part of the wire format, and v4 headers pin which
+#: generation encoded the streams. v3 (rounds 1-2) is still read: it
+#: implies rule generation 0 (the uniform time weight those rounds used).
+_VERSION = 4
 _HDR = struct.Struct("<4sBBBBQqIId")  # ..., mean_size u32, alpha f64
 
 
@@ -140,6 +144,7 @@ def build_descriptor_from_sigs(
         return MPHFDescriptor(
             leaf_size, avg_bucket_size, salt, 0, 0,
             np.zeros(1, np.int64), np.zeros(1, np.int64), b"",
+            rule_gen=settings.rule_gen,
         )
     blog2 = bucket_log2_for(n, avg_bucket_size)
     bc = 1 << blog2
@@ -157,7 +162,8 @@ def build_descriptor_from_sigs(
     byte_starts = np.zeros(bc + 1, dtype=np.int64)
     np.cumsum(byte_lens, out=byte_starts[1:])
     return MPHFDescriptor(
-        leaf_size, avg_bucket_size, salt, n, blog2, offsets, byte_starts, blob
+        leaf_size, avg_bucket_size, salt, n, blog2, offsets, byte_starts, blob,
+        rule_gen=settings.rule_gen,
     )
 
 
@@ -176,6 +182,10 @@ class MPHFDescriptor:
     #: 0 = keys hashed as strings (universal), 1 = native long keys (no
     #: per-row string allocation JVM-side; ~30% less GC pressure at build)
     key_mode: int = 0
+    #: split-rule generation the streams were encoded under (settings.py
+    #: RULE_GEN): evaluate re-derives the rule table, so this IS part of
+    #: the format — a v3 descriptor decodes with generation 0
+    rule_gen: int = 1
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -203,6 +213,7 @@ class MPHFDescriptor:
         )
         return (
             head
+            + struct.pack("<B", self.rule_gen)
             + struct.pack("<I", len(enc_sizes))
             + enc_sizes
             + struct.pack("<I", len(enc_blens))
@@ -215,11 +226,18 @@ class MPHFDescriptor:
         magic, ver, leaf, blog2, key_mode, n, salt, avg, mean_size, alpha = (
             _HDR.unpack_from(data, 0)
         )
-        if magic != _MAGIC or ver != _VERSION:
+        if magic != _MAGIC or ver not in (3, _VERSION):
             raise ValueError("bad descriptor header")
         if key_mode not in (0, 1):
             raise ValueError(f"unknown key_mode {key_mode}")
         off = _HDR.size
+        if ver == 3:  # rounds 1-2: uniform time weight for every leaf size
+            rule_gen = 0
+        else:
+            (rule_gen,) = struct.unpack_from("<B", data, off)
+            off += 1
+        if rule_gen not in (0, 1):
+            raise ValueError(f"unknown rule generation {rule_gen}")
         (l1,) = struct.unpack_from("<I", data, off)
         off += 4
         sizes = unzigzag(rice_split_decode(data[off : off + l1])) + mean_size
@@ -235,7 +253,8 @@ class MPHFDescriptor:
         byte_starts = np.zeros(bc + 1, dtype=np.int64)
         np.cumsum(blens, out=byte_starts[1:])
         return cls(
-            leaf, avg, salt, n, blog2, offsets, byte_starts, data[off:], key_mode
+            leaf, avg, salt, n, blog2, offsets, byte_starts, data[off:],
+            key_mode, rule_gen,
         )
 
     def save(self, path: str) -> None:
@@ -258,7 +277,7 @@ class MPHFDescriptor:
 
     @property
     def settings(self) -> Settings:
-        return get_settings(self.leaf_size)
+        return get_settings(self.leaf_size, self.rule_gen)
 
     # -- evaluation ----------------------------------------------------------
     def _evaluator(self):
@@ -304,28 +323,44 @@ class MPHFDescriptor:
 
         ``arrow_udf`` (not ``pandas_udf``): the walk reads/writes plain
         int64 arrays, so the pandas Series construction on both sides of
-        the old plumbing was pure tax — a NOOP pandas UDF cost as much as
-        the walk itself (round-2 control experiment, BASELINE.md); the
-        Arrow-native path measured ~2x end-to-end on a 16M-key eval.
+        the old plumbing was pure tax (round-2 control experiment; in
+        degraded-bandwidth windows it measured 2x end-to-end). The index
+        crosses back as int32 when n fits (75% of the round-trip payload
+        is the outbound sigs; the return leg halves) and is cast to long
+        JVM-side, so the output schema is unchanged.
         """
         from pyspark.sql import functions as F
         from pyspark.sql.functions import arrow_udf
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import IntegerType, LongType
 
         if self.n == 0:  # empty key set: any result is unspecified
             return df.withColumn(out_col, F.lit(0).cast("long"))
         spark = df.sparkSession
         bcast = spark.sparkContext.broadcast(self._evaluator())
+        narrow = self.n <= (1 << 31)
 
-        @arrow_udf(LongType())
-        def _mphf_eval(sig: pa.Array) -> pa.Array:
-            sigs = np.ascontiguousarray(
-                sig.to_numpy(zero_copy_only=False), dtype=np.int64
-            )
-            return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
+        if narrow:
+
+            @arrow_udf(IntegerType())
+            def _mphf_eval(sig: pa.Array) -> pa.Array:
+                sigs = np.ascontiguousarray(
+                    sig.to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                out = bcast.value.evaluate(sigs)
+                return pa.array(out.astype(np.int32), type=pa.int32())
+
+        else:
+
+            @arrow_udf(LongType())
+            def _mphf_eval(sig: pa.Array) -> pa.Array:
+                sigs = np.ascontiguousarray(
+                    sig.to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
 
         return df.withColumn(
-            out_col, _mphf_eval(key_sig_expr(key_col, self.salt, self.key_mode))
+            out_col,
+            _mphf_eval(key_sig_expr(key_col, self.salt, self.key_mode)).cast("long"),
         )
 
     def register_sql(self, spark, name: str = "mphf_eval") -> None:
@@ -385,14 +420,30 @@ def _range_membership_udf(spark, ranges: list[tuple[int, int]]):
     the same O(ranges)-per-row cost. Spark has no searchsorted builtin, so
     the lookup rides a vectorized Arrow UDF over broadcast sorted bounds:
     O(log ranges) per key, flat plan at any range count, and only the
-    bucket column crosses into Python."""
+    bucket column crosses into Python.
+
+    Committed spans can OVERLAP: a resume's rebuild partitions span
+    contiguous ranges of the *remaining* buckets, so their [min, max] can
+    straddle already-committed holes (every bucket inside such a span is
+    covered by either the new or an earlier span — union semantics, which
+    the old OR-chain implemented implicitly). The binary search requires
+    disjoint intervals, so spans are union-merged first; skipping this
+    made a second resume misclassify buckets inside straddled spans as
+    uncovered and double-build them (caught in review)."""
     from pyspark.sql.functions import arrow_udf
     from pyspark.sql.types import BooleanType
 
-    bounds = np.array(sorted(ranges), dtype=np.int64)  # (R, 2) lo-sorted
+    los: list[int] = []
+    his: list[int] = []
+    for lo, hi in sorted(ranges):
+        if los and lo <= his[-1]:
+            his[-1] = max(his[-1], hi)
+        else:
+            los.append(lo)
+            his.append(hi)
     bcast = spark.sparkContext.broadcast((
-        np.ascontiguousarray(bounds[:, 0]),
-        np.ascontiguousarray(bounds[:, 1]),
+        np.array(los, dtype=np.int64),
+        np.array(his, dtype=np.int64),
     ))
 
     @arrow_udf(BooleanType())

@@ -104,6 +104,10 @@ class IVFIndex:
                     v = x[m].mean(axis=0)
                     c[j] = v / max(np.linalg.norm(v), 1e-12)
         self.centroids = c
+        old = getattr(self, "_bcast", None)
+        if old is not None:  # refit invalidates the cached broadcast
+            old.unpersist()
+            self._bcast = None
         return self
 
     def assign(self, df, vec_col: str, out_col: str = "centroid_id"):
@@ -123,9 +127,15 @@ class IVFIndex:
 
         if self.centroids is None:
             raise RuntimeError("fit() first")
-        bcast = df.sparkSession.sparkContext.broadcast(
-            np.ascontiguousarray(self.centroids.T, dtype=np.float32)
-        )
+        # one broadcast per fitted index, reused across assign() calls —
+        # re-broadcasting a multi-GB matrix per call would pin a fresh copy
+        # in every block manager for the session lifetime
+        bcast = getattr(self, "_bcast", None)
+        if bcast is None:
+            bcast = df.sparkSession.sparkContext.broadcast(
+                np.ascontiguousarray(self.centroids.T, dtype=np.float32)
+            )
+            self._bcast = bcast
         _assign = pandas_udf(_make_assign_fn(bcast), IntegerType())
         return df.withColumn(out_col, _assign(vec_col))
 

@@ -289,7 +289,6 @@ def _batch_pair_intersections(
             rows = rows_all[lo:hi]
             ln = sizes[nd[rows]]
             tot = int(ln.sum())
-            pid = np.repeat(np.arange(len(rows), dtype=np.int64), ln)
             seg = np.cumsum(ln) - ln
             loc = np.arange(tot, dtype=np.int64) - np.repeat(seg, ln)
             needles = hu[np.repeat(offs[nd[rows]], ln) + loc]

@@ -156,7 +156,20 @@ class CheckpointedBuild:
         fp = _sketch_fingerprint(self.sketch)
         try:
             row = spark.read.parquet(f"{path}/manifest").collect()[0]
-        except Exception:  # noqa: BLE001 — first run: no manifest yet
+        except Exception:  # noqa: BLE001 — no readable manifest
+            # A missing manifest is only a FIRST run if nothing is
+            # committed yet. A path with committed waves but no manifest
+            # (pre-manifest checkpoint, or a manifest lost to corruption)
+            # must NOT be silently adopted under the resume's settings —
+            # that is precisely the waves-mismatch hole the manifest
+            # exists to close.
+            if _committed_waves(spark, path):
+                raise ValueError(
+                    f"checkpoint at {path} has committed waves but no "
+                    "readable manifest (pre-manifest checkpoint or corrupt "
+                    "manifest); re-run against a fresh path, or restore the "
+                    "manifest recording the original waves + sketch config"
+                ) from None
             spark.createDataFrame(
                 [(int(self.waves), fp)], "waves int, fingerprint string"
             ).write.mode("overwrite").parquet(f"{path}/manifest")

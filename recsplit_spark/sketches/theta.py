@@ -203,13 +203,17 @@ class ThetaSketch(MergeableSketch):
         DISTRIBUTED via ``pairwise_set_estimates_distributed`` — identical
         rows, block-parallel. Estimates are deterministic functions of the
         (deterministic) states, so both paths agree exactly."""
-        states = self.states_by_key(df, col, (key,))
+        # persist: the G-row states relation is tiny but its lineage is the
+        # full data-sized aggregation — without caching, the count plus the
+        # collect (or the self-join's two sides) would re-run that scan
+        states = self.states_by_key(df, col, (key,)).persist()
         g = states.count()
         if g > max_driver_groups:
             return self._pairwise_distributed(states, key, g)
         groups = [
             (r[key], self.from_bytes(bytes(r["state"]))) for r in states.collect()
         ]
+        states.unpersist()
         return df.sparkSession.createDataFrame(
             self._pair_rows(groups, None), self._PAIRS_SCHEMA
         )
@@ -229,7 +233,7 @@ class ThetaSketch(MergeableSketch):
         row-level cross join. Output rows are identical to the driver
         path (same estimator on the same states; (min,max) key
         orientation)."""
-        states = self.states_by_key(df, col, (key,))
+        states = self.states_by_key(df, col, (key,)).persist()  # see above
         return self._pairwise_distributed(states, key, states.count(), n_blocks)
 
     def _pairwise_distributed(self, states, key: str, g: int,

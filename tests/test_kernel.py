@@ -189,3 +189,40 @@ def test_large_leaf_rule_space_and_invariance():
         st8,
     )
     assert measured[3].sum() * 8 / 6400 < 1.85
+
+
+def test_descriptor_rule_generation_versioning():
+    """The derived split rule is part of the wire format: v4 headers carry
+    the rule generation, and v3 (rounds 1-2) bytes decode under generation
+    0 — the uniform time weight those rounds built with. Without this, the
+    round-3 large-leaf rule change would silently misdecode every
+    persisted leaf>=10 descriptor (review finding)."""
+    from recsplit_spark.mphf import _HDR, MPHFDescriptor, build_descriptor_from_sigs
+    from recsplit_spark.settings import Settings
+
+    rng = np.random.default_rng(17)
+    sigs = np.unique(rng.integers(-(2**63), 2**63, 50_000, dtype=np.int64))
+    n = len(sigs)
+    st0 = Settings(12, initial_max=1200, rule_gen=0)
+    st1 = Settings(12, initial_max=1200, rule_gen=1)
+    # the generations genuinely differ at leaf 12 (else this test is vacuous)
+    assert st0.parts[:1200] != st1.parts[:1200]
+
+    d0 = build_descriptor_from_sigs(sigs, 12, 256, settings=st0)
+    d1 = build_descriptor_from_sigs(sigs, 12, 256, settings=st1)
+    assert (d0.rule_gen, d1.rule_gen) == (0, 1)
+    assert d0.to_bytes() != d1.to_bytes()
+
+    # v4 round-trip preserves the generation and the bijection, both gens
+    for d in (d0, d1):
+        rt = MPHFDescriptor.from_bytes(d.to_bytes())
+        assert rt.rule_gen == d.rule_gen
+        assert sorted(rt.evaluate_array(sigs).tolist()) == list(range(n))
+
+    # craft the v3 equivalent of the gen-0 bytes (ver byte 3, no rule byte):
+    # a round-2 persisted descriptor must decode under generation 0
+    b4 = d0.to_bytes()
+    b3 = b4[:4] + bytes([3]) + b4[5 : _HDR.size] + b4[_HDR.size + 1 :]
+    d3 = MPHFDescriptor.from_bytes(b3)
+    assert d3.rule_gen == 0
+    assert sorted(d3.evaluate_array(sigs).tolist()) == list(range(n))

@@ -248,3 +248,26 @@ def test_checkpoint_resume_at_1024_ranges(spark, tmp_path):
         leaf_size=8, avg_bucket_size=128, partitions=1024, checkpoint_dir=ckpt
     ).build(df, "key", n=n)
     assert resumed.to_bytes() == direct.to_bytes()
+
+
+def test_range_membership_handles_overlapping_spans(spark):
+    """Resume rebuild partitions span contiguous ranges of the REMAINING
+    buckets, so committed spans can straddle earlier holes — membership is
+    the UNION of spans (the semantics the round-2 OR-chain had). The
+    binary-search filter must union-merge overlaps or a second resume
+    double-builds buckets inside straddled spans (review finding)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import _range_membership_udf
+
+    ranges = [(10, 20), (0, 30), (40, 45), (44, 50), (60, 60)]
+    udf = _range_membership_udf(spark, ranges)
+    rows = (
+        spark.range(0, 70)
+        .select(F.col("id").alias("bucket"))
+        .withColumn("hit", udf(F.col("bucket")))
+        .collect()
+    )
+    got = {r["bucket"] for r in rows if r["hit"]}
+    want = {b for b in range(70) if any(lo <= b <= hi for lo, hi in ranges)}
+    assert got == want

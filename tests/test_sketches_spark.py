@@ -377,3 +377,23 @@ def test_theta_pairwise_distributed_matches_driver(spark):
     assert len(rows_a) == g * (g - 1) // 2
     assert rows_a == rows_b
     df.unpersist()
+
+
+def test_checkpoint_refuses_manifestless_committed_path(spark, sf_dir, tmp_path):
+    """A path with committed waves but no readable manifest (pre-manifest
+    checkpoint, or corruption) must NOT be silently adopted under the
+    resume's settings — that would reopen the waves-mismatch hole the
+    manifest closes (review finding). A truly fresh path still works."""
+    import shutil
+
+    import pytest
+
+    from recsplit_spark.sketches import CheckpointedBuild, ThetaSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = ThetaSketch(k=256)
+    path = str(tmp_path / "ck_nomanifest")
+    CheckpointedBuild(sk, waves=4).run(li, "l_orderkey", path)
+    shutil.rmtree(f"{path}/manifest")
+    with pytest.raises(ValueError, match="no readable manifest"):
+        CheckpointedBuild(sk, waves=8).run(li, "l_orderkey", path)
