@@ -54,7 +54,7 @@ import pyarrow as pa
 
 from .codecs import rice_split_decode, rice_split_encode, unzigzag, zigzag
 from .kernel import build_buckets, eval_bucket
-from .settings import Settings, get_settings
+from .settings import RULE_GEN, Settings, get_settings
 
 _MAGIC = b"RSMP"
 # v2: the former pad byte now carries key_mode (0=string, 1=long). Bumped so
@@ -184,8 +184,10 @@ class MPHFDescriptor:
     key_mode: int = 0
     #: split-rule generation the streams were encoded under (settings.py
     #: RULE_GEN): evaluate re-derives the rule table, so this IS part of
-    #: the format — a v3 descriptor decodes with generation 0
-    rule_gen: int = 1
+    #: the format — a v3 descriptor decodes with generation 0. The default
+    #: tracks RULE_GEN so a future generation bump cannot leave Spark-built
+    #: descriptors stamped with a stale literal (review finding)
+    rule_gen: int = RULE_GEN
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -231,7 +233,12 @@ class MPHFDescriptor:
         if key_mode not in (0, 1):
             raise ValueError(f"unknown key_mode {key_mode}")
         off = _HDR.size
-        if ver == 3:  # rounds 1-2: uniform time weight for every leaf size
+        if ver == 3:
+            # rounds 1-2: uniform time weight for every leaf size. (Known
+            # hole: leaf>=10 descriptors serialized in the brief dev window
+            # where the per-leaf rule existed but the header was still v3
+            # are byte-indistinguishable from gen-0 and unsupported; none
+            # were persisted outside throwaway test dirs.)
             rule_gen = 0
         else:
             (rule_gen,) = struct.unpack_from("<B", data, off)
@@ -653,19 +660,28 @@ class RecSplitBuilder:
         self, rows, n: int, salt: int, blog2: int, key_mode: int = 0
     ) -> MPHFDescriptor:
         """Associative merge: scatter per-bucket (n_keys, byte_len) into
-        dense arrays, recompute prefix sums, concatenate streams in bucket
-        order (M1-M3 of SURVEY §2.4 — order-independent by construction)."""
+        dense arrays, recompute prefix sums, and scatter each row's blob
+        into the global stream AT ITS BUCKETS' OFFSETS (M1-M3 of SURVEY
+        §2.4 — order-independent by construction).
+
+        The scatter (not a sorted concatenation) matters on resume: a
+        rebuild partition spans contiguous ranges of the REMAINING
+        buckets, so one committed row's blob can hold several
+        NON-ADJACENT bucket bands laid out back-to-back — a min_bucket-
+        sorted blob join would interleave other rows' bands at the wrong
+        offsets while both the key-count and stream-length checks still
+        pass (silently non-bijective; review finding). Each row is copied
+        as runs of consecutive bucket ids — global offsets within such a
+        run are contiguous by construction — so the normal no-resume case
+        stays one memcpy per row."""
         bc = 1 << blog2
         sizes = np.zeros(bc, dtype=np.int64)
         byte_lens = np.zeros(bc, dtype=np.int64)
-        rows = sorted(rows, key=lambda r: r["min_bucket"])
-        stream_parts: list[bytes] = []
         total_keys = 0
         for r in rows:
             bids = np.asarray(r["bucket_ids"], dtype=np.int64)
             sizes[bids] = np.asarray(r["n_keys"], dtype=np.int64)
             byte_lens[bids] = np.asarray(r["byte_lens"], dtype=np.int64)
-            stream_parts.append(bytes(r["blob"]))
             total_keys += int(r["n_keys_total"])
         if total_keys != n:
             raise RuntimeError(
@@ -675,8 +691,24 @@ class RecSplitBuilder:
         np.cumsum(sizes, out=offsets[1:])
         byte_starts = np.zeros(bc + 1, dtype=np.int64)
         np.cumsum(byte_lens, out=byte_starts[1:])
-        stream = b"".join(stream_parts)
-        if len(stream) != int(byte_starts[-1]):
+        buf = bytearray(int(byte_starts[-1]))
+        written = 0
+        for r in rows:
+            bids = np.asarray(r["bucket_ids"], dtype=np.int64)
+            blens = np.asarray(r["byte_lens"], dtype=np.int64)
+            local = np.zeros(len(bids) + 1, dtype=np.int64)
+            np.cumsum(blens, out=local[1:])
+            blob = bytes(r["blob"])
+            breaks = np.flatnonzero(np.diff(bids) != 1) + 1
+            run_lo = np.concatenate([[0], breaks])
+            run_hi = np.concatenate([breaks, [len(bids)]])
+            for s_i, e_i in zip(run_lo, run_hi):
+                g0 = int(byte_starts[bids[s_i]])
+                lo, hi = int(local[s_i]), int(local[e_i])
+                buf[g0 : g0 + (hi - lo)] = blob[lo:hi]
+                written += hi - lo
+        stream = bytes(buf)
+        if written != len(stream):
             raise RuntimeError("stream length mismatch during merge")
         return MPHFDescriptor(
             self.leaf_size,

@@ -106,8 +106,12 @@ class IVFIndex:
         self.centroids = c
         old = getattr(self, "_bcast", None)
         if old is not None:  # refit invalidates the cached broadcast
-            old.unpersist()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — originating context may be gone
+                pass
             self._bcast = None
+            self._bcast_sc = None
         return self
 
     def assign(self, df, vec_col: str, out_col: str = "centroid_id"):
@@ -129,15 +133,28 @@ class IVFIndex:
             raise RuntimeError("fit() first")
         # one broadcast per fitted index, reused across assign() calls —
         # re-broadcasting a multi-GB matrix per call would pin a fresh copy
-        # in every block manager for the session lifetime
+        # in every block manager for the session lifetime. Keyed on the
+        # SparkContext: a cached broadcast from a stopped/replaced session
+        # would fail on the executors of the new one (review finding)
+        sc = df.sparkSession.sparkContext
         bcast = getattr(self, "_bcast", None)
-        if bcast is None:
-            bcast = df.sparkSession.sparkContext.broadcast(
+        if bcast is None or getattr(self, "_bcast_sc", None) is not sc:
+            bcast = sc.broadcast(
                 np.ascontiguousarray(self.centroids.T, dtype=np.float32)
             )
             self._bcast = bcast
+            self._bcast_sc = sc
         _assign = pandas_udf(_make_assign_fn(bcast), IntegerType())
         return df.withColumn(out_col, _assign(vec_col))
+
+    def __getstate__(self):
+        # Broadcast handles are not driver-side picklable and are
+        # session-bound anyway: drop the cache so a fitted index can be
+        # pickled/deep-copied and will re-broadcast lazily after load
+        state = self.__dict__.copy()
+        state.pop("_bcast", None)
+        state.pop("_bcast_sc", None)
+        return state
 
     def search(self, indexed_df, vec_col: str, query: np.ndarray, k: int = 10,
                centroid_col: str = "centroid_id"):

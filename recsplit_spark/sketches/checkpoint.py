@@ -55,6 +55,15 @@ def _committed_waves(spark, path: str) -> set[int]:
         return set()
 
 
+def _has_states(spark, path: str) -> bool:
+    try:
+        return (
+            spark.read.parquet(f"{path}/states").limit(1).count() > 0
+        )
+    except Exception:  # noqa: BLE001 — no states dir yet
+        return False
+
+
 def _sketch_fingerprint(sk: MergeableSketch) -> str:
     """Config fingerprint: type name + hex of the serialized EMPTY state.
 
@@ -162,8 +171,11 @@ class CheckpointedBuild:
             # (pre-manifest checkpoint, or a manifest lost to corruption)
             # must NOT be silently adopted under the resume's settings —
             # that is precisely the waves-mismatch hole the manifest
-            # exists to close.
-            if _committed_waves(spark, path):
+            # exists to close. Checked against BOTH the metrics dir and
+            # the states dirs: losing metrics+manifest while states/wave=*
+            # survive would otherwise re-fold over orphaned wave dirs that
+            # merged_state still reads (review finding).
+            if _committed_waves(spark, path) or _has_states(spark, path):
                 raise ValueError(
                     f"checkpoint at {path} has committed waves but no "
                     "readable manifest (pre-manifest checkpoint or corrupt "

@@ -210,10 +210,12 @@ class ThetaSketch(MergeableSketch):
         g = states.count()
         if g > max_driver_groups:
             return self._pairwise_distributed(states, key, g)
-        groups = [
-            (r[key], self.from_bytes(bytes(r["state"]))) for r in states.collect()
-        ]
-        states.unpersist()
+        try:
+            groups = [
+                (r[key], self.from_bytes(bytes(r["state"]))) for r in states.collect()
+            ]
+        finally:
+            states.unpersist()
         return df.sparkSession.createDataFrame(
             self._pair_rows(groups, None), self._PAIRS_SCHEMA
         )
@@ -268,7 +270,13 @@ class ThetaSketch(MergeableSketch):
             .applyInPandas(
                 _pack, schema="blk int, keys array<string>, states array<binary>"
             )
+            # eager materialization cuts the lineage to the (persisted)
+            # states relation, which can then be released immediately —
+            # otherwise every _pairwise call would pin a cached relation
+            # for the session lifetime (review finding)
+            .localCheckpoint()
         )
+        states.unpersist()
 
         a, c = packed.alias("a"), packed.alias("b")
         joined = a.join(

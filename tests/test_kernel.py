@@ -226,3 +226,49 @@ def test_descriptor_rule_generation_versioning():
     d3 = MPHFDescriptor.from_bytes(b3)
     assert d3.rule_gen == 0
     assert sorted(d3.evaluate_array(sigs).tolist()) == list(range(n))
+
+
+def test_finalize_scatters_interleaved_resume_rows():
+    """Resume rebuild rows can hold NON-ADJACENT bucket bands in one blob
+    (the rebuild partitions span contiguous ranges of the REMAINING
+    buckets). _finalize must scatter each band to its global offsets — a
+    min_bucket-sorted concatenation interleaves wrong bytes while the
+    key-count and length checks still pass (review finding)."""
+    from recsplit_spark.kernel import build_buckets
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+
+    rng = np.random.default_rng(23)
+    st = get_settings(8)
+    bc_log2, bc, per = 5, 32, 40  # 32 buckets x 40 keys
+    sigs_by_bucket = {}
+    for b in range(bc):
+        lo = np.int64(b) << np.int64(64 - bc_log2)
+        offs = rng.integers(0, 1 << 40, per, dtype=np.int64)
+        sigs_by_bucket[b] = np.unique(lo + offs).astype(np.int64)
+
+    def make_row(buckets):
+        bids = np.concatenate(
+            [np.full(len(sigs_by_bucket[b]), b, dtype=np.int64) for b in buckets]
+        )
+        sigs = np.concatenate([sigs_by_bucket[b] for b in buckets])
+        uniq, n_keys, _b, byte_lens, blob = build_buckets(bids, sigs, st)
+        return {
+            "min_bucket": int(uniq[0]),
+            "bucket_ids": uniq.tolist(),
+            "n_keys": n_keys.tolist(),
+            "byte_lens": byte_lens.tolist(),
+            "n_keys_total": int(n_keys.sum()),
+            "blob": blob,
+        }
+
+    # row A covers bands [0..9] and [20..31] (straddles the hole), row B
+    # fills the interior hole [10..19] — min_bucket order is A then B
+    rows = [make_row(list(range(10)) + list(range(20, 32))),
+            make_row(list(range(10, 20)))]
+    n = sum(len(s) for s in sigs_by_bucket.values())
+    b = RecSplitBuilder(leaf_size=8, avg_bucket_size=128)
+    desc = b._finalize(rows, n, salt=0, blog2=bc_log2, key_mode=1)
+    rt = MPHFDescriptor.from_bytes(desc.to_bytes())
+    all_sigs = np.concatenate([sigs_by_bucket[b_] for b_ in range(bc)])
+    out = rt.evaluate_array(all_sigs)
+    assert sorted(out.tolist()) == list(range(n))
