@@ -272,3 +272,31 @@ def test_finalize_scatters_interleaved_resume_rows():
     all_sigs = np.concatenate([sigs_by_bucket[b_] for b_ in range(bc)])
     out = rt.evaluate_array(all_sigs)
     assert sorted(out.tolist()) == list(range(n))
+
+
+def test_skewed_buckets_grow_rule_table_and_biject():
+    """FIXTURES.md F1's implied skew fixture: ~5% of buckets carry 10x
+    mass. Oversized buckets must grow the rule table on demand and build
+    correctly — not fail or re-roll (the reference's overflow diversion,
+    Generator.java:465-469, re-expressed as table growth)."""
+    from recsplit_spark.mphf import MPHFDescriptor, build_descriptor_from_sigs
+
+    rng = np.random.default_rng(31)
+    blog2, bc = 7, 128
+    hot = rng.choice(bc, size=6, replace=False)
+    counts = np.full(bc, 80, dtype=np.int64)
+    counts[hot] = 800  # 10x the mean, beyond the pre-derived table span
+    sigs = []
+    for b in range(bc):
+        lo = np.int64(b) << np.int64(64 - blog2)
+        offs = rng.integers(0, 1 << 40, counts[b] * 2, dtype=np.int64)
+        sigs.append(np.unique(lo + offs)[: counts[b]])
+    sigs = np.concatenate(sigs)
+    n = len(sigs)
+    desc = build_descriptor_from_sigs(sigs, 8, 128)
+    assert desc.bucket_log2 == blog2  # the skew landed where engineered
+    sizes = np.diff(desc.offsets)
+    assert sizes.max() >= 800
+    rt = MPHFDescriptor.from_bytes(desc.to_bytes())
+    assert sorted(rt.evaluate_array(sigs).tolist()) == list(range(n))
+    assert desc.bits_per_key < 2.2  # skew costs a little space, not blowup
