@@ -53,7 +53,18 @@ class _WalkTables:
             child_add_off = bounds - parts_arr  # key-range start per child
             sub = np.array([st.subtree_nodes[a] for a in parts], dtype=np.int64)
             child_dfs_off = 1 + np.concatenate([[0], np.cumsum(sub[:-1])])
-            t = (bounds, child_size, child_add_off, child_dfs_off)
+            # child-index shortcut for the two shapes the DP emits almost
+            # exclusively: equal m-way splits (child = pos // t, exact
+            # floor-divide replaces the binary search) and asymmetric
+            # 2-way splits (child = pos >= a). Both are provably equal to
+            # searchsorted(bounds, pos, 'right') for pos in [0, s).
+            if len(parts) > 1 and all(p == parts[0] for p in parts):
+                kind, arg = 1, np.int64(parts[0])
+            elif len(parts) == 2:
+                kind, arg = 2, np.int64(parts[0])
+            else:
+                kind, arg = 0, np.int64(0)
+            t = (bounds, child_size, child_add_off, child_dfs_off, kind, arg)
             self._by_size[s] = t
         return t
 
@@ -222,8 +233,15 @@ class VectorEvaluator:
                 if s <= leaf:
                     out[rows] = add[rows] + pos
                     continue
-                bounds, child_size, child_add_off, child_dfs_off = self.tables.get(s)
-                child = np.searchsorted(bounds, pos, side="right")
+                bounds, child_size, child_add_off, child_dfs_off, kind, arg = (
+                    self.tables.get(s)
+                )
+                if kind == 1:  # equal m-way split
+                    child = pos // arg
+                elif kind == 2:  # asymmetric 2-way split
+                    child = (pos >= arg).astype(np.int64)
+                else:
+                    child = np.searchsorted(bounds, pos, side="right")
                 add[rows] += child_add_off[child]
                 dfs[rows] += child_dfs_off[child]
                 size[rows] = child_size[child]
