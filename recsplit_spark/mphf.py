@@ -612,18 +612,88 @@ class RecSplitBuilder:
         blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
 
         if self.checkpoint_dir:
-            rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt)
+            rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt, blog2)
         else:
             rows = blocks_df.collect()
         return self._finalize(rows, n, salt, blog2, key_mode)
 
-    def _run_with_checkpoint(self, spark, blocks_df, sig_df, salt):
+    def _check_or_write_manifest(self, spark, blog2: int) -> None:
+        """Pin (leaf_size, avg_bucket_size, rule_gen, blog2) at first commit
+        under the checkpoint path; raise on resume mismatch.
+
+        The committed blocks are Rice streams encoded under a specific rule
+        table: resuming with a different ``leaf_size`` (same bucket
+        geometry), or resuming a checkpoint whose blobs were encoded under
+        an older rule generation, would merge incompatible blobs with newly
+        built ones — key-count and stream-length checks still pass, so the
+        descriptor silently misdecodes (non-bijective). Same failure class
+        the sketch CheckpointedBuild manifest closes
+        (``sketches/checkpoint.py:_check_or_write_manifest``); ``blog2``
+        additionally pins the bucket geometry, so a changed input size or
+        ``avg_bucket_size`` fails loudly instead of scattering blobs at the
+        wrong offsets. The manifest lives at ``<dir>/_manifest`` (the
+        underscore keeps Hadoop/Spark file listings from treating it as
+        data under a future recursive read)."""
+        rule_gen = get_settings(self.leaf_size).rule_gen
+        mpath = f"{self.checkpoint_dir}/_manifest"
+        try:
+            row = spark.read.parquet(mpath).collect()[0]
+        except Exception:  # noqa: BLE001 — no readable manifest
+            # A missing manifest is only a FIRST run if no salt=* blocks
+            # are committed yet: adopting pre-manifest blocks under the
+            # resume's settings is exactly the hole the manifest closes.
+            if self._has_committed_blocks(spark):
+                raise ValueError(
+                    f"checkpoint at {self.checkpoint_dir} has committed "
+                    "blocks but no readable manifest (pre-manifest "
+                    "checkpoint or corrupt manifest); re-run against a "
+                    "fresh path, or restore the manifest recording the "
+                    "original leaf_size/avg_bucket_size/rule_gen/blog2"
+                ) from None
+            spark.createDataFrame(
+                [(self.leaf_size, self.avg_bucket_size, rule_gen, blog2)],
+                "leaf_size int, avg_bucket_size int, rule_gen int, blog2 int",
+            ).write.mode("overwrite").parquet(mpath)
+            return
+        want = (self.leaf_size, self.avg_bucket_size, rule_gen, blog2)
+        got = (
+            int(row["leaf_size"]), int(row["avg_bucket_size"]),
+            int(row["rule_gen"]), int(row["blog2"]),
+        )
+        if got != want:
+            raise ValueError(
+                "MPHF checkpoint manifest mismatch: committed build used "
+                f"(leaf_size, avg_bucket_size, rule_gen, blog2)={got}, "
+                f"resume requested {want}; resume with the original "
+                "settings or use a fresh path"
+            )
+
+    def _has_committed_blocks(self, spark) -> bool:
+        """True if any ``salt=*`` block dir under the checkpoint path holds
+        data (Hadoop FS listing, so it works on any supported filesystem)."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.checkpoint_dir)
+        try:
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return False
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("salt="):
+                    if fs.listStatus(st.getPath()):
+                        return True
+            return False
+        except Exception:  # noqa: BLE001 — unlistable path: treat as empty
+            return False
+
+    def _run_with_checkpoint(self, spark, blocks_df, sig_df, salt, blog2):
         """Resume-aware execution: completed bucket ranges are read from the
         checkpoint parquet; only missing ranges are rebuilt (reference
         analogue: the restartable HEM block loop, ``HemGenerator.java:48-70``).
         """
         from pyspark.sql import functions as F
 
+        self._check_or_write_manifest(spark, blog2)
         path = f"{self.checkpoint_dir}/salt={salt}"
         done_ranges: list[tuple[int, int]] = []
         try:

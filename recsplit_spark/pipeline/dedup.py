@@ -269,7 +269,17 @@ def _batch_pair_intersections(
     nd = np.where(swapped, ub, ua)
     hy = np.where(swapped, ua, ub)
     u_out = np.empty(m, dtype=np.int64)
-    order = np.argsort(hy, kind="stable")
+    # zero-size needle docs intersect to 0 directly: they would otherwise
+    # produce duplicate/out-of-range segment starts for np.add.reduceat
+    # (misattributed sums, or IndexError on a trailing empty segment).
+    # _batch_shingle_hashes pads every doc to >=1 shingle so jaccard_pairs
+    # never hits this, but the kernel's contract is general.
+    nonempty = np.flatnonzero(sizes[nd] > 0)
+    u_out[sizes[nd] == 0] = 0
+    order = nonempty[np.argsort(hy[nonempty], kind="stable")]
+    m = len(order)
+    if m == 0:
+        return u_out[inv]
     hy_sorted = hy[order]
     bounds = np.flatnonzero(np.diff(hy_sorted)) + 1
     starts = np.concatenate([[0], bounds])

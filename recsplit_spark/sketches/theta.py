@@ -249,6 +249,10 @@ class ThetaSketch(MergeableSketch):
         spark = states.sparkSession
         sk = self
         if g < 2:
+            # both public entry points persist states before calling here —
+            # release it on the early return too, or the cached relation
+            # stays pinned in the block managers for the session lifetime
+            states.unpersist()
             return spark.createDataFrame([], self._PAIRS_SCHEMA)
         b = n_blocks or max(2, math.isqrt(g))
 
@@ -293,17 +297,23 @@ class ThetaSketch(MergeableSketch):
         def _pairs(batches):
             for pdf in batches:
                 rows_out: list[tuple] = []
-                for _, row in pdf.iterrows():
+                # rows here are BLOCK PAIRS (~B^2/2 ≈ G/2 total), not data,
+                # so plain zip iteration is fine — but itertuples/zip beats
+                # iterrows' per-row Series construction anyway
+                for blk_a, keys_a, states_a, blk_b, keys_b, states_b in zip(
+                    pdf["blk_a"], pdf["keys_a"], pdf["states_a"],
+                    pdf["blk_b"], pdf["keys_b"], pdf["states_b"],
+                ):
                     ga = [
                         (k, sk.from_bytes(bytes(s)))
-                        for k, s in zip(row["keys_a"], row["states_a"])
+                        for k, s in zip(keys_a, states_a)
                     ]
-                    if row["blk_a"] == row["blk_b"]:
+                    if blk_a == blk_b:
                         rows_out.extend(sk._pair_rows(ga, None))
                     else:
                         gb = [
                             (k, sk.from_bytes(bytes(s)))
-                            for k, s in zip(row["keys_b"], row["states_b"])
+                            for k, s in zip(keys_b, states_b)
                         ]
                         rows_out.extend(sk._pair_rows(ga, gb))
                 if rows_out:

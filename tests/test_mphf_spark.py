@@ -143,6 +143,43 @@ def test_checkpoint_resume_byte_identical(spark, tmp_path):
     assert resumed.to_bytes() == direct.to_bytes()
 
 
+def test_build_checkpoint_manifest_guards(spark, tmp_path):
+    """The build checkpoint pins (leaf_size, avg_bucket_size, rule_gen,
+    blog2): resuming with a different leaf_size (same bucket geometry)
+    would merge blobs encoded under a different rule table with newly
+    built blocks — key-count and stream-length checks still pass, so the
+    descriptor silently misdecodes. Must fail loudly instead; same for a
+    pre-manifest checkpoint (committed blocks, no manifest)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+
+    import pytest
+
+    df = sequences(spark, 4_000, partitions=4).cache()
+    df.count()
+    ckpt = str(tmp_path / "ckpt_manifest")
+    RecSplitBuilder(leaf_size=8, avg_bucket_size=128, checkpoint_dir=ckpt).build(
+        df, "doc_id"
+    )
+    # drop a block file so a resume actually has work to do
+    part_files = sorted(_glob.glob(f"{ckpt}/salt=0/part-*"))
+    assert part_files
+    _os.remove(part_files[0])
+    # changed leaf_size -> loud mismatch, not a silent mixed-rule merge
+    with pytest.raises(Exception, match="manifest mismatch"):
+        RecSplitBuilder(
+            leaf_size=10, avg_bucket_size=128, checkpoint_dir=ckpt
+        ).build(df, "doc_id")
+    # pre-manifest checkpoint (blocks committed, manifest gone) -> loud
+    shutil.rmtree(f"{ckpt}/_manifest")
+    with pytest.raises(Exception, match="no readable manifest"):
+        RecSplitBuilder(
+            leaf_size=8, avg_bucket_size=128, checkpoint_dir=ckpt
+        ).build(df, "doc_id")
+    df.unpersist()
+
+
 def test_sequence_batch_deterministic():
     a = sequence_batch(100, 200)
     b = sequence_batch(100, 200)

@@ -503,6 +503,53 @@ def test_batch_pair_intersections_match_intersect1d():
     assert np.array_equal(got, want)
 
 
+def test_batch_pair_intersections_zero_size_docs():
+    """The kernel's contract is general ('value-identical to per-pair
+    np.intersect1d'), so zero-size doc slices must intersect to 0 instead
+    of corrupting np.add.reduceat segment sums (misattribution, or
+    IndexError on a trailing empty segment). Unreachable from
+    jaccard_pairs (shingle batching pads every doc to >= 1 hash) but the
+    guard keeps the documented contract true (review finding)."""
+    import numpy as np
+
+    from recsplit_spark.pipeline import dedup
+
+    rng = np.random.default_rng(23)
+    n_docs = 50
+    sets = [
+        np.unique(rng.integers(0, 200, size=int(sz)).astype(np.uint64))
+        if sz else np.empty(0, dtype=np.uint64)
+        # empties at doc 0, every 5th doc, and the LAST doc — covers the
+        # leading, scattered, and trailing-empty-segment reduceat cases
+        for sz in [
+            0 if (i % 5 == 0 or i == n_docs - 1) else int(rng.integers(1, 40))
+            for i in range(n_docs)
+        ]
+    ]
+    hu = np.concatenate(sets) if any(len(s) for s in sets) else np.empty(0, np.uint64)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=offs[1:])
+    n_pairs = 4_000
+    ca = rng.integers(0, n_docs, size=n_pairs).astype(np.int64)
+    cb = rng.integers(0, n_docs, size=n_pairs).astype(np.int64)
+    got = dedup._batch_pair_intersections(hu, offs, ca, cb)
+    want = np.array(
+        [
+            len(np.intersect1d(sets[ca[i]], sets[cb[i]], assume_unique=True))
+            for i in range(n_pairs)
+        ],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, want)
+    # all-empty batch: must not raise and must return all zeros
+    empty_offs = np.zeros(4, dtype=np.int64)
+    out = dedup._batch_pair_intersections(
+        np.empty(0, np.uint64), empty_offs,
+        np.array([0, 1, 2], dtype=np.int64), np.array([1, 2, 0], dtype=np.int64),
+    )
+    assert np.array_equal(out, np.zeros(3, dtype=np.int64))
+
+
 def test_ivf_centroids_ride_broadcast_not_closure(spark, emb):
     """The assignment UDF must close over only a Broadcast handle: a
     closure-captured centroid matrix ships with EVERY task binary, which

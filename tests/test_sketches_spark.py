@@ -379,6 +379,25 @@ def test_theta_pairwise_distributed_matches_driver(spark):
     df.unpersist()
 
 
+def test_theta_pairwise_single_group_releases_states(spark):
+    """The g < 2 early return must still unpersist the states relation —
+    both public entry points persist it before calling the distributed
+    path, and leaking it pins a cached relation in the block managers for
+    the session lifetime (review finding)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import ThetaSketch
+
+    df = spark.range(0, 100).select(
+        F.lit("only").alias("grp"), F.col("id").alias("val")
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = ThetaSketch(k=8).pairwise_set_estimates_distributed(df, "val", "grp")
+    assert out.count() == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
 def test_checkpoint_refuses_manifestless_committed_path(spark, sf_dir, tmp_path):
     """A path with committed waves but no readable manifest (pre-manifest
     checkpoint, or corruption) must NOT be silently adopted under the
