@@ -316,7 +316,13 @@ class MPHFDescriptor:
             return np.zeros(len(sigs), dtype=np.int64)
         return self._evaluator().evaluate(sigs)
 
-    def evaluate(self, df, key_col: str, out_col: str = "mphf_index"):
+    def evaluate(
+        self,
+        df,
+        key_col: str,
+        out_col: str = "mphf_index",
+        coalesce: int | str | None = None,
+    ):
         """Append the MPHF index column to a DataFrame.
 
         JVM-side ``xxhash64`` recomputes the signature; a scalar Arrow UDF
@@ -335,6 +341,18 @@ class MPHFDescriptor:
         crosses back as int32 when n fits (75% of the round-trip payload
         is the outbound sigs; the return leg halves) and is cast to long
         JVM-side, so the output schema is unchanged.
+
+        ``coalesce``: partition-count discipline for the Arrow stage. The
+        walk itself is no longer the limiter (225 ns/key single-core);
+        the residual end-to-end cost is PER-TASK Arrow transport overhead,
+        so many small partitions lose to few large ones (round-3
+        controls: 16M keys at 48 partitions beat 128 by 1.6x on 32
+        cores). ``'auto'`` coalesces to ~1.5 tasks per core
+        (``max(2, 3 * defaultParallelism // 2)``), an int coalesces to
+        that count, ``None`` (default) leaves partitioning alone.
+        ``coalesce`` is a NARROW dependency — no shuffle is introduced —
+        and it never increases the partition count, so already-coarse
+        inputs pass through unchanged.
         """
         from pyspark.sql import functions as F
         from pyspark.sql.functions import arrow_udf
@@ -343,6 +361,10 @@ class MPHFDescriptor:
         if self.n == 0:  # empty key set: any result is unspecified
             return df.withColumn(out_col, F.lit(0).cast("long"))
         spark = df.sparkSession
+        if coalesce == "auto":
+            coalesce = max(2, (3 * spark.sparkContext.defaultParallelism) // 2)
+        if coalesce is not None:
+            df = df.coalesce(int(coalesce))
         bcast = spark.sparkContext.broadcast(self._evaluator())
         narrow = self.n <= (1 << 31)
 
@@ -377,20 +399,36 @@ class MPHFDescriptor:
         ``evaluate``: the raw key is hashed JVM-side inside a SQL UDF
         wrapper (``xxhash64(cast(key), salt)`` — no Python touches raw
         keys), which forwards the signature to a registered Arrow UDF
-        over the broadcast decoded evaluator. After this,
+        over the broadcast decoded evaluator. Like ``evaluate``, the index
+        crosses back from Python as int32 when n fits 2^31 (the return
+        leg halves) and the SQL wrapper casts it to BIGINT, so the
+        function's result type is stable either way. After this,
         ``SELECT <name>(doc_id) FROM t`` works anywhere SQL does."""
         import numpy as np
         from pyspark.sql.functions import arrow_udf
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import IntegerType, LongType
 
         bcast = spark.sparkContext.broadcast(self._evaluator())
+        narrow = self.n <= (1 << 31)
 
-        @arrow_udf(LongType())
-        def _walk(sig: pa.Array) -> pa.Array:
-            sigs = np.ascontiguousarray(
-                sig.to_numpy(zero_copy_only=False), dtype=np.int64
-            )
-            return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
+        if narrow:
+
+            @arrow_udf(IntegerType())
+            def _walk(sig: pa.Array) -> pa.Array:
+                sigs = np.ascontiguousarray(
+                    sig.to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                out = bcast.value.evaluate(sigs)
+                return pa.array(out.astype(np.int32), type=pa.int32())
+
+        else:
+
+            @arrow_udf(LongType())
+            def _walk(sig: pa.Array) -> pa.Array:
+                sigs = np.ascontiguousarray(
+                    sig.to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                return pa.array(bcast.value.evaluate(sigs), type=pa.int64())
 
         spark.udf.register(f"_{name}_walk", _walk)
         cast = "BIGINT" if self.key_mode == 1 else "STRING"
@@ -405,7 +443,8 @@ class MPHFDescriptor:
         )
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k {cast})"
-            f" RETURNS BIGINT RETURN _{name}_walk(xxhash64({arg}, {salt_lit}))"
+            f" RETURNS BIGINT RETURN "
+            f"CAST(_{name}_walk(xxhash64({arg}, {salt_lit})) AS BIGINT)"
         )
 
 

@@ -2,16 +2,83 @@
 
 Baseline: brute-force cosine top-k as pure Column expressions (zip_with +
 aggregate — JVM, codegen, no Python). Scale path: IVF (inverted-file) —
-k-means centroids fitted on a driver-side sample, every vector assigned to
-its nearest centroid JVM-side-ish (small pandas UDF), queries probe the
-top-p closest centroid buckets only; at 1000 executors the probe filter is
-a partition-prunable predicate over the centroid-id column.
+k-means centroids fitted either on a driver-side Arrow-gathered sample
+(small k) or fully distributed (large k: hash-ordered seeding + Lloyd
+rounds as mapInArrow partial-sum kernels, the driver touching only the
+k x d centroid matrix); every vector is assigned to its nearest centroid
+by a vectorized pandas UDF, and queries probe the top-``nprobe`` closest
+centroid buckets only. At 1000 executors the probe filter is a
+partition-prunable predicate over the centroid-id column.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+#: elements (rows x centroids) per score-matrix chunk in the assignment
+#: matmul: bounds the per-batch working set so 32-way executor concurrency
+#: doesn't blow aggregate DRAM (same rationale as kernel.CHUNK_ELEMS) and
+#: keeps assignment viable at large k, where an unchunked Arrow batch of
+#: 10k rows x 10^6 centroids would materialize a 40 GB score matrix
+_SCORE_CHUNK_ELEMS = 1 << 20
+
+#: fit() runs the driver-side Lloyd path up to this many centroids; above
+#: it the distributed path is used (driver Lloyd is O(sample * k * d)
+#: flops with sample >= 40k vectors — past ~1k centroids the driver is the
+#: bottleneck and the sample no longer fits a single machine comfortably)
+_DRIVER_FIT_MAX_K = 1024
+
+#: distributed fit: partial-sum dict entries per kernel partition before a
+#: flush — bounds worker memory to ~cap x d float64 regardless of how many
+#: distinct centroids a partition touches (the groupBy-cid reduce merges
+#: flushed fragments)
+_FIT_FLUSH_ENTRIES = 1 << 16
+
+
+def _list_col_to_matrix(col, dtype=np.float32) -> np.ndarray:
+    """pyarrow (Chunked)Array of list<float> -> contiguous (n, d) matrix.
+
+    Zero-copy flatten of the Arrow list buffer (no per-row Python), with a
+    fixed-width check: ragged embedding columns are a data bug and must
+    fail loudly, not silently mis-reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("embedding column is ragged (fixed dim required)")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    out = np.ascontiguousarray(flat.reshape(n, d), dtype=dtype)
+    if not out.flags.writeable:  # zero-copy of an Arrow buffer is read-only
+        out = out.copy()
+    return out
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    x /= np.maximum(
+        np.linalg.norm(x, axis=1, keepdims=True), x.dtype.type(1e-12)
+    )
+    return x
+
+
+def _chunked_argmax_scores(x: np.ndarray, cent_t: np.ndarray) -> np.ndarray:
+    """argmax_j (x @ cent_t)[:, j] with the score matrix chunked to
+    _SCORE_CHUNK_ELEMS elements (see above)."""
+    k = cent_t.shape[1]
+    rows = max(1, _SCORE_CHUNK_ELEMS // max(1, k))
+    if len(x) <= rows:
+        return (x @ cent_t).argmax(axis=1)
+    out = np.empty(len(x), dtype=np.int64)
+    for lo in range(0, len(x), rows):
+        hi = min(len(x), lo + rows)
+        out[lo:hi] = (x[lo:hi] @ cent_t).argmax(axis=1)
+    return out
 
 
 def _cosine_expr(vec_col, qvec):
@@ -52,20 +119,92 @@ def _make_assign_fn(bcast):
 
     def _assign(v: pd.Series) -> pd.Series:
         cent_t = bcast.value
-        x = np.array(v.tolist(), dtype=np.float32)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), np.float32(1e-12))
-        return pd.Series((x @ cent_t).argmax(axis=1).astype(np.int32))
+        x = _normalize_rows(np.array(v.tolist(), dtype=np.float32))
+        return pd.Series(_chunked_argmax_scores(x, cent_t).astype(np.int32))
 
     return _assign
 
 
-class IVFIndex:
-    """Inverted-file ANN: sample -> k-means centroids -> bucketed table.
+def _make_fit_partial_fn(bcast):
+    """One-pass Lloyd-round kernel for ``mapInArrow``: assign each vector
+    to its nearest centroid AND accumulate per-centroid (count, sum)
+    partials, emitting one row per centroid seen (flushed in bounded
+    fragments). No per-row Python: the list column flattens zero-copy to
+    a matrix, assignment is a chunked matmul, and the per-centroid sums
+    are a sort + ``np.add.reduceat``."""
 
-    ``fit`` samples vectors to the driver and runs a few Lloyd iterations in
-    numpy; ``assign`` adds a centroid-id column (vectorized pandas UDF, one
-    matmul per Arrow batch); ``search`` probes the ``nprobe`` nearest
-    centroid buckets and brute-forces inside them.
+    def _partial(batches):
+        cent_t = bcast.value
+        acc: dict[int, list] = {}  # cid -> [count, sum_vec float64]
+
+        def _flush():
+            if not acc:
+                return None
+            cids = np.fromiter(acc.keys(), dtype=np.int32, count=len(acc))
+            ns = np.fromiter(
+                (e[0] for e in acc.values()), dtype=np.int64, count=len(acc)
+            )
+            blobs = [e[1].tobytes() for e in acc.values()]
+            acc.clear()
+            return pa.record_batch(
+                [pa.array(cids), pa.array(ns), pa.array(blobs, type=pa.binary())],
+                names=["cid", "n", "s"],
+            )
+
+        for b in batches:
+            x = _normalize_rows(_list_col_to_matrix(b.column(0), np.float32))
+            if not len(x):
+                continue
+            a = _chunked_argmax_scores(x, cent_t)
+            order = np.argsort(a, kind="stable")
+            cs = a[order]
+            xs = x[order].astype(np.float64)
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1])
+            sums = np.add.reduceat(xs, starts, axis=0)
+            counts = np.diff(np.append(starts, len(cs)))
+            for cid, cnt, sv in zip(cs[starts], counts, sums):
+                e = acc.get(int(cid))
+                if e is None:
+                    acc[int(cid)] = [int(cnt), sv.copy()]
+                else:
+                    e[0] += int(cnt)
+                    e[1] += sv
+            if len(acc) >= _FIT_FLUSH_ENTRIES:
+                out = _flush()
+                if out is not None:
+                    yield out
+        out = _flush()
+        if out is not None:
+            yield out
+
+    return _partial
+
+
+def _reduce_cid_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """groupBy(cid) reduce: merge one centroid's partial (count, sum)
+    fragments (at most one per flushed kernel fragment) into one row."""
+    vecs = [np.frombuffer(bytes(s), dtype=np.float64) for s in pdf["s"]]
+    total = vecs[0].copy()
+    for v in vecs[1:]:
+        total += v
+    return pd.DataFrame(
+        {
+            "cid": [int(pdf["cid"].iloc[0])],
+            "n": [int(pdf["n"].sum())],
+            "s": [total.tobytes()],
+        }
+    )
+
+
+class IVFIndex:
+    """Inverted-file ANN: k-means centroids -> bucketed table.
+
+    ``fit`` trains centroids — driver-side numpy Lloyd over an
+    Arrow-gathered sample for small k, or fully distributed (see
+    ``_fit_distributed``) above ``_DRIVER_FIT_MAX_K``; ``assign`` adds a
+    centroid-id column (vectorized pandas UDF, one chunked matmul per
+    Arrow batch); ``search`` probes the ``nprobe`` nearest centroid
+    buckets and brute-forces inside them.
     """
 
     def __init__(
@@ -84,26 +223,46 @@ class IVFIndex:
         self.seed = seed
         self.centroids: np.ndarray | None = None
 
-    def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "IVFIndex":
+    def fit(
+        self,
+        df,
+        vec_col: str,
+        sample_size: int = 20_000,
+        mode: str = "auto",
+    ) -> "IVFIndex":
+        """Train the centroids.
+
+        ``mode='driver'``: sample -> ONE Arrow gather (8 B/elem columnar
+        buffers, no Row objects) -> vectorized numpy Lloyd (scatter-add
+        centroid update, no Python loop over centroids). Right up to
+        ~``_DRIVER_FIT_MAX_K`` centroids.
+
+        ``mode='distributed'``: hash-ordered deterministic seeding + Lloyd
+        rounds where each round is one scan (``mapInArrow`` partial sums)
+        + one ~k-row shuffle (groupBy cid) — the driver only ever holds
+        the k x d centroid matrix, which it must hold anyway to broadcast
+        for ``assign``. This is the path that reaches the auto-sqrt(n)
+        operating point (10^6 centroids at 10^12 vectors): sample_size
+        grows to 40k vectors ≈ 10^7·d floats, which stays a DataFrame —
+        never driver-resident.
+
+        ``mode='auto'`` picks by centroid count."""
+        if mode not in ("auto", "driver", "distributed"):
+            raise ValueError(f"unknown fit mode {mode!r}")
         n = df.count()
         if self.n_centroids == "auto":
             self.n_centroids = max(1, int(np.sqrt(n)))
             sample_size = max(sample_size, 40 * self.n_centroids)
-        frac = min(1.0, sample_size / max(1, n))
-        rows = df.select(vec_col).sample(frac, seed=self.seed).collect()
-        x = np.array([r[0] for r in rows], dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        rng = np.random.default_rng(self.seed)
-        c = x[rng.choice(len(x), size=min(self.n_centroids, len(x)), replace=False)]
-        for _ in range(self.iters):
-            sims = x @ c.T
-            assign = sims.argmax(axis=1)
-            for j in range(len(c)):
-                m = assign == j
-                if m.any():
-                    v = x[m].mean(axis=0)
-                    c[j] = v / max(np.linalg.norm(v), 1e-12)
-        self.centroids = c
+        if mode == "auto":
+            mode = (
+                "distributed"
+                if self.n_centroids > _DRIVER_FIT_MAX_K
+                else "driver"
+            )
+        if mode == "driver":
+            self._fit_driver(df, vec_col, sample_size, n)
+        else:
+            self._fit_distributed(df, vec_col, sample_size, n)
         old = getattr(self, "_bcast", None)
         if old is not None:  # refit invalidates the cached broadcast
             try:
@@ -113,6 +272,93 @@ class IVFIndex:
             self._bcast = None
             self._bcast_sc = None
         return self
+
+    def _fit_driver(self, df, vec_col: str, sample_size: int, n: int) -> None:
+        frac = min(1.0, sample_size / max(1, n))
+        tbl = df.select(vec_col).sample(frac, seed=self.seed).toArrow()
+        x = _list_col_to_matrix(tbl.column(0), np.float64)
+        _normalize_rows(x)
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_centroids, len(x))
+        c = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(self.iters):
+            assign = _chunked_argmax_scores(x, c.T)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
+            _normalize_rows(c)
+        self.centroids = c
+
+    def _fit_distributed(self, df, vec_col: str, sample_size: int, n: int) -> None:
+        """Distributed spherical k-means (k-means with renormalized means).
+
+        Seeding: the k lowest ``xxhash64(vec, seed)`` vectors — a
+        deterministic uniform draw that Spark executes as a TakeOrdered
+        (per-partition top-k, no global sort), independent of
+        partitioning. Each Lloyd round = one training scan emitting
+        per-centroid (count, sum) partials + a groupBy(cid) reduce whose
+        output is <= k rows, Arrow-gathered. Empty clusters keep their
+        previous centroid. Per-round float32 centroid broadcasts are
+        unpersisted as soon as the round's gather lands.
+
+        NOTE on the assignment cost: nearest-of-k by brute force is
+        O(k·d) per vector; at k=10^6 production systems use a coarse
+        quantizer (hierarchical / HNSW over the centroids) for the inner
+        argmax — here the matmul is chunked (``_SCORE_CHUNK_ELEMS``) so
+        it is memory-safe at any k, just not sublinear in k."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        vec = df.select(F.col(vec_col).alias("v"))
+        frac = min(1.0, sample_size / max(1, n))
+        train = vec if frac >= 1.0 else vec.sample(frac, seed=self.seed)
+        train = train.persist()
+        try:
+            k = self.n_centroids
+            seed_tbl = (
+                train.orderBy(F.xxhash64(F.col("v"), F.lit(self.seed)))
+                .limit(k)
+                .toArrow()
+            )
+            c = _list_col_to_matrix(seed_tbl.column(0), np.float64)
+            if len(c) == 0:
+                raise ValueError("cannot fit IVF on an empty DataFrame")
+            _normalize_rows(c)
+            k = len(c)  # fewer training vectors than requested centroids
+            d = c.shape[1]
+            out_schema = pa.schema(
+                [("cid", pa.int32()), ("n", pa.int64()), ("s", pa.binary())]
+            )
+            for _ in range(self.iters):
+                bcast = sc.broadcast(
+                    np.ascontiguousarray(c.T, dtype=np.float32)
+                )
+                partials = train.mapInArrow(
+                    _make_fit_partial_fn(bcast),
+                    schema="cid int, n long, s binary",
+                )
+                reduced = (
+                    partials.groupBy("cid")
+                    .applyInPandas(
+                        _reduce_cid_partials, schema="cid int, n long, s binary"
+                    )
+                    .toArrow()
+                )
+                bcast.unpersist()
+                cids = reduced.column("cid").to_numpy(zero_copy_only=False)
+                ns = reduced.column("n").to_numpy(zero_copy_only=False)
+                blobs = reduced.column("s").to_pylist()
+                c_new = c.copy()  # empty clusters keep their centroid
+                for cid, cnt, blob in zip(cids, ns, blobs):
+                    c_new[cid] = np.frombuffer(blob, dtype=np.float64) / cnt
+                _normalize_rows(c_new)
+                c = c_new
+            self.centroids = c
+        finally:
+            train.unpersist()
 
     def assign(self, df, vec_col: str, out_col: str = "centroid_id"):
         """Add the nearest-centroid id column.

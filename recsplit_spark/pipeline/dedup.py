@@ -39,6 +39,42 @@ def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
 _CHUNK_DOCS = 256
 
 
+def _rolling_hash_batch(
+    buf: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared rolling-hash core over ONE concatenated uint64 element
+    buffer: per-doc distinct mixed k-window polynomial hashes.
+
+    ``buf`` holds every (already padded to >= k elements) doc
+    back-to-back; ``lens`` the per-doc element counts. Returns
+    ``(hashes, offsets)`` with doc i's sorted distinct hashes at
+    ``hashes[offsets[i]:offsets[i+1]]``. Elements are bytes for the char
+    kernel and token ids for the token kernel — the window hash
+    ``sum(elem[j] * PRIME^j)`` + mix is element-agnostic."""
+    n_docs = len(lens)
+    n_sh = lens - k + 1
+    total = int(n_sh.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    ends = np.cumsum(n_sh)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - n_sh, n_sh)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = starts[doc_of] + local  # global window-start element positions
+    pows = _SHINGLE_PRIME ** np.arange(k, dtype=np.uint64)
+    raw = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        raw += buf[pos + j] * pows[j]
+    h = mix64(raw)
+    # per-doc distinct, sorted (np.unique order): one global lexsort
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+    hu, du = hs[keep], ds[keep]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(du, minlength=n_docs), out=offsets[1:])
+    return hu, offsets
+
+
 def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc distinct shingle hashes for a WHOLE batch in one pass.
 
@@ -60,44 +96,60 @@ def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
         bufs.append(b)
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     buf = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
-    n_sh = lens - k + 1
-    total = int(n_sh.sum())
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
-    ends = np.cumsum(n_sh)
-    local = np.arange(total, dtype=np.int64) - np.repeat(ends - n_sh, n_sh)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    pos = starts[doc_of] + local  # global window-start byte positions
+    return _rolling_hash_batch(buf, lens, k)
+
+
+def _token_shingle_hashes(tokens, k: int) -> np.ndarray:
+    """Distinct rolling-hash values of all k-TOKEN shingles of one int
+    token array (per-doc reference kernel for the batched one — same
+    polynomial/mix as the char kernel, over token ids instead of bytes;
+    the north-rule payload is ``tokens:array<int32>``, so token-level
+    shingling needs no UTF-8 encode at all). Docs shorter than k are
+    padded with token id 0 (the analogue of the char kernel's spaces)."""
+    t = np.asarray(tokens, dtype=np.int64).astype(np.uint64)
+    if len(t) < k:
+        t = np.pad(t, (0, k - len(t)))
+    n = len(t) - k + 1
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    windows = t[idx]
     pows = _SHINGLE_PRIME ** np.arange(k, dtype=np.uint64)
-    raw = np.zeros(total, dtype=np.uint64)
-    for j in range(k):
-        raw += buf[pos + j] * pows[j]
-    h = mix64(raw)
-    # per-doc distinct, sorted (np.unique order): one global lexsort
-    order = np.lexsort((h, doc_of))
-    hs, ds = h[order], doc_of[order]
-    keep = np.ones(total, dtype=bool)
-    keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
-    hu, du = hs[keep], ds[keep]
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(np.bincount(du, minlength=n_docs), out=offsets[1:])
-    return hu, offsets
+    raw = (windows * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(mix64(raw))
 
 
-def minhash_signatures_batch(
-    texts, num_hashes: int, shingle: int = 5
-) -> np.ndarray:
-    """(n_docs, num_hashes) uint64 MinHash signatures for a batch — same
-    values as ``minhash_signature`` per doc, one ``minimum.reduceat`` per
-    hash function instead of a per-doc matrix."""
-    n_docs = len(texts)
+def _batch_token_shingle_hashes(token_lists, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct k-token shingle hashes for a WHOLE batch — the
+    token-array analogue of ``_batch_shingle_hashes`` (value-identical to
+    ``_token_shingle_hashes`` per doc, tested). Fully vectorizable: the
+    residual per-doc Python in the char kernel is the text->bytes encode,
+    which token arrays don't have."""
+    n_docs = len(token_lists)
+    if n_docs == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    arrs = []
+    for t in token_lists:
+        a = np.asarray(t if t is not None else [], dtype=np.int64)
+        if len(a) < k:
+            a = np.pad(a, (0, k - len(a)))
+        arrs.append(a)
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    buf = np.concatenate(arrs).astype(np.uint64)
+    return _rolling_hash_batch(buf, lens, k)
+
+
+def _minhash_batch(items, num_hashes: int, shingle: int, batch_hashes_fn) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures for a batch, over
+    whichever shingle kernel ``batch_hashes_fn`` provides (char or
+    token)."""
+    n_docs = len(items)
     out = np.empty((n_docs, num_hashes), dtype=np.uint64)
     # int64 views + in-place mix with reused buffers: xor/mix are
     # bit-identical across signed/unsigned and the hot loop allocates
     # nothing (2.3x vs the mix64-with-copy variant on sf0.1 docs)
     seeds = mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)).view(np.int64)
     for lo in range(0, n_docs, _CHUNK_DOCS):
-        chunk = texts[lo : lo + _CHUNK_DOCS]
-        hu, offsets = _batch_shingle_hashes(chunk, shingle)
+        chunk = items[lo : lo + _CHUNK_DOCS]
+        hu, offsets = batch_hashes_fn(chunk, shingle)
         hi = hu.view(np.int64)
         seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
         buf = np.empty_like(hi)
@@ -107,6 +159,25 @@ def minhash_signatures_batch(
             mix64_inplace(buf, scratch)
             out[lo : lo + len(chunk), i] = np.minimum.reduceat(buf.view(np.uint64), seg)
     return out
+
+
+def minhash_signatures_batch(
+    texts, num_hashes: int, shingle: int = 5
+) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures for a batch — same
+    values as ``minhash_signature`` per doc, one ``minimum.reduceat`` per
+    hash function instead of a per-doc matrix."""
+    return _minhash_batch(texts, num_hashes, shingle, _batch_shingle_hashes)
+
+
+def token_minhash_signatures_batch(
+    token_lists, num_hashes: int, shingle: int = 5
+) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures over k-TOKEN
+    shingles of int token arrays (see ``_token_shingle_hashes``)."""
+    return _minhash_batch(
+        token_lists, num_hashes, shingle, _batch_token_shingle_hashes
+    )
 
 
 def simhash64_batch(texts, shingle: int = 4) -> np.ndarray:
@@ -194,6 +265,43 @@ def _bucket_candidate_pairs(banded, id_col: str, bucket_cap: int):
     return small_pairs.unionByName(star_pairs).distinct()
 
 
+def derive_banding(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Threshold-matched (bands, rows_per_band) via the standard S-curve
+    fit: a pair colliding in >= 1 of ``b`` bands of ``r`` rows has
+    detection probability 1-(1-j^r)^b, whose transition midpoint is
+    t* ≈ (1/b)^(1/r). Among the divisor pairs b*r = num_hashes, pick the
+    one whose t* is closest to ``threshold`` FROM BELOW (recall-leaning:
+    pairs at the threshold are caught with >= ~50% per the S-curve, and
+    well-above-threshold near-dups with ~certainty); if no divisor lands
+    below, the overall closest.
+
+    This is the candidate-volume dial at scale: the round-1-3 default
+    (num_hashes=64, bands=32 -> r=2, t* = 0.18) fires on huge numbers of
+    low-Jaccard pairs in boilerplate-heavy corpora — 4.8M candidates for
+    5K sf0.1 docs at threshold 0.8 — and candidate count drives both the
+    banding shuffle and the verify stage. At threshold 0.8 / 64 hashes
+    this derives (8, 8): t* = 0.77, which measured a >10x candidate drop
+    on the boilerplate fixture with identical verified output (the
+    recall trade only affects BARELY-above-threshold pairs; near-exact
+    dups keep ~1.0 detection: j=0.95 -> 1-(1-0.95^8)^8 = 0.9997).
+    Callers wanting recall ~1 at low Jaccard pin bands explicitly (the
+    oracle queries do)."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    pairs = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    scored = [((1.0 / b) ** (1.0 / r), b, r) for b, r in pairs]
+    below = [s for s in scored if s[0] <= threshold]
+    pool = below or scored
+    tstar, b, r = min(pool, key=lambda s: abs(s[0] - threshold))
+    return b, r
+
+
 def minhash_lsh_pairs(
     df,
     id_col: str,
@@ -209,12 +317,17 @@ def minhash_lsh_pairs(
     rows match => detection prob 1-(1-j^r)^b for Jaccard j. Buckets larger
     than ``bucket_cap`` are star-linked (see _bucket_candidate_pairs).
     """
+    sig = add_minhash(df, id_col, text_col, num_hashes, shingle)
+    return _banded_pairs(sig, id_col, num_hashes, bands, bucket_cap)
+
+
+def _banded_pairs(sig, id_col: str, num_hashes: int, bands: int, bucket_cap: int):
+    """LSH banding over a precomputed ``minhash`` signature column."""
     from pyspark.sql import functions as F
 
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = add_minhash(df, id_col, text_col, num_hashes, shingle)
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -227,6 +340,86 @@ def minhash_lsh_pairs(
         ).alias("band", "band_key"),
     )
     return _bucket_candidate_pairs(banded, id_col, bucket_cap)
+
+
+def add_token_minhash(
+    df, id_col: str, tokens_col: str, num_hashes: int = 64, shingle: int = 5
+):
+    """DataFrame[id, minhash array<long>] over k-TOKEN shingles of an
+    ``array<int>`` column (the north-rule payload) — no UTF-8 encode loop,
+    the whole kernel is vectorized numpy over the concatenated token
+    buffer."""
+
+    def _sig(batches):
+        for pdf in batches:
+            mat = token_minhash_signatures_batch(
+                list(pdf[tokens_col]), num_hashes, shingle
+            ).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "minhash": list(mat)})
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        _sig, schema=f"{id_col} long, minhash array<long>"
+    )
+
+
+def token_minhash_lsh_pairs(
+    df,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle: int = 5,
+    bucket_cap: int = 1000,
+):
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding over
+    TOKEN-shingle MinHash (same S-curve semantics as
+    ``minhash_lsh_pairs``; see ``derive_banding`` for threshold-matched
+    band selection)."""
+    sig = add_token_minhash(df, id_col, tokens_col, num_hashes, shingle)
+    return _banded_pairs(sig, id_col, num_hashes, bands, bucket_cap)
+
+
+def token_jaccard_pairs(df, pairs, id_col: str, tokens_col: str, shingle: int = 5):
+    """Exact token-shingle-set Jaccard for candidate pairs (verification
+    step — token analogue of ``jaccard_pairs``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    toks = df.select(F.col(id_col), F.col(tokens_col))
+    joined = (
+        pairs.join(toks.withColumnsRenamed({id_col: "id_a", tokens_col: "tok_a"}), "id_a")
+        .join(toks.withColumnsRenamed({id_col: "id_b", tokens_col: "tok_b"}), "id_b")
+    )
+
+    @pandas_udf(DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        n = len(ta)
+        if n == 0:
+            return pd.Series(np.empty(0))
+        # candidate pairs repeat the same docs: shingle each distinct doc
+        # ONCE per batch, then batch-count intersections. Token arrays
+        # aren't hashable, so the factorize key is the raw bytes view.
+        alla = [np.asarray(t if t is not None else [], dtype=np.int64) for t in ta]
+        allb = [np.asarray(t if t is not None else [], dtype=np.int64) for t in tb]
+        codes, uidx = pd.factorize(
+            pd.Series([a.tobytes() for a in alla] + [b.tobytes() for b in allb])
+        )
+        first = {}
+        for i, c in enumerate(codes):
+            if c not in first:
+                first[c] = alla[i] if i < n else allb[i - n]
+        uniques = [first[c] for c in range(len(uidx))]
+        hu, offs = _batch_token_shingle_hashes(uniques, shingle)
+        sizes = offs[1:] - offs[:-1]
+        ca, cb = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+        inter = _batch_pair_intersections(hu, offs, ca, cb)
+        union = sizes[ca] + sizes[cb] - inter
+        return pd.Series(np.where(union > 0, inter / np.maximum(union, 1), 1.0))
+
+    return joined.withColumn("jaccard", _jac("tok_a", "tok_b")).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 #: total gathered needle hashes per vectorized sub-chunk (~4 MB of uint64) —
@@ -472,15 +665,24 @@ def near_dup_clusters(
     text_col: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     shingle: int = 5,
     bucket_cap: int = 1000,
 ):
     """DataFrame[id, rep]: duplicate-cluster membership for every document
     that has at least one verified near-duplicate (exact shingle-Jaccard >=
     ``threshold``). The standard near-dedup deliverable: keep rows where
-    id == rep (plus all unpaired docs) to deduplicate a corpus."""
+    id == rep (plus all unpaired docs) to deduplicate a corpus.
+
+    ``bands=None`` (default) derives threshold-matched banding via
+    ``derive_banding`` — the scale-sane default (candidate volume is the
+    100-TB cost driver). Pass ``bands`` explicitly for recall-first
+    banding (e.g. 32 with 64 hashes -> r=2, catches nearly every pair
+    down to Jaccard ~0.2 at a large candidate-volume cost)."""
     from pyspark.sql import functions as F
+
+    if bands is None:
+        bands, _r = derive_banding(threshold, num_hashes)
 
     # persist the two intermediates: the banding self-join re-derives the
     # minhash signatures on BOTH join sides and the CC edge checkpoint
@@ -507,14 +709,16 @@ def dedup_corpus(
     text_col: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     shingle: int = 5,
     bucket_cap: int = 1000,
 ):
     """End-to-end near-dedup: the corpus a training pipeline feeds
     downstream. Keeps one representative (min id) per verified near-dup
     cluster plus every unpaired document; drops the rest with one anti-join
-    on id — the only data-sized exchange beyond the LSH banding itself."""
+    on id — the only data-sized exchange beyond the LSH banding itself.
+    ``bands=None`` derives threshold-matched banding (see
+    ``near_dup_clusters``/``derive_banding``)."""
     from pyspark.sql import functions as F
 
     clusters = near_dup_clusters(

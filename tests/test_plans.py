@@ -145,3 +145,34 @@ def test_mphf_eval_is_arrow_native_and_jvm_hashed(spark, li):
     assert _nodes(plan, "ArrowEvalPython") == 1
     assert _nodes(plan, "BatchEvalPython") == 0
     assert "xxhash64" in plan  # hashing is a JVM expression, not in the UDF
+
+    # coalesce='auto' (the library-side eval partition discipline) must add
+    # a narrow Coalesce node and NOTHING else — the same shuffle count as
+    # the bare plan; a shuffle here would cost more than the task-overhead
+    # saving it exists to buy (round-3 BASELINE.md controls)
+    plan_auto = _formatted_plan(desc.evaluate(keys, "pk", coalesce="auto"))
+    assert _nodes(plan_auto, "Coalesce") == 1
+    assert _nodes(plan_auto, "Exchange") == _nodes(plan, "Exchange")
+    assert _nodes(plan_auto, "ArrowEvalPython") == 1
+
+
+def test_register_sql_uses_int32_return_leg(spark, li):
+    """register_sql mirrors evaluate's narrow return leg: when n < 2^31
+    the Arrow walk UDF returns int32 (halving the return-leg payload) and
+    the SQL wrapper casts to BIGINT JVM-side — visible in the plan as a
+    cast of the Python UDF output. The function's observable result type
+    stays BIGINT (test_register_sql_function checks values)."""
+    from recsplit_spark.mphf import RecSplitBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    keys = li.select(F.col("l_orderkey").cast("long").alias("k")).distinct()
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=64).build(keys, "k")
+    desc.register_sql(spark, "mphf_eval_plan_t")
+    keys.createOrReplaceTempView("plan_t_keys")
+    out = spark.sql("SELECT mphf_eval_plan_t(k) AS idx FROM plan_t_keys")
+    assert out.schema["idx"].dataType.typeName() == "long"
+    plan = _formatted_plan(out)
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    # the int32 UDF output is cast to bigint by the SQL wrapper
+    assert "cast(pythonUDF" in plan and "as bigint" in plan
