@@ -115,12 +115,21 @@ def _make_assign_fn(bcast):
     Factored out so the closure's pickled size is testable: a Broadcast
     pickles as a tiny id reference, so the task binary stays KB-sized no
     matter how large the centroid matrix is (the matrix itself moves once
-    per executor via the broadcast mechanism)."""
+    per executor via the broadcast mechanism).
 
-    def _assign(v: pd.Series) -> pd.Series:
+    Arrow-native (``arrow_udf``, round 4): the list column flattens
+    zero-copy to the (n, d) matrix — the old pandas path paid a per-ROW
+    ``tolist`` Python loop on the assign scan, which at 100 TB is the
+    whole table."""
+
+    def _assign(v: pa.Array) -> pa.Array:
         cent_t = bcast.value
-        x = _normalize_rows(np.array(v.tolist(), dtype=np.float32))
-        return pd.Series(_chunked_argmax_scores(x, cent_t).astype(np.int32))
+        x = _normalize_rows(_list_col_to_matrix(v, np.float32))
+        if len(x) == 0:
+            return pa.array(np.empty(0, dtype=np.int32), type=pa.int32())
+        return pa.array(
+            _chunked_argmax_scores(x, cent_t).astype(np.int32), type=pa.int32()
+        )
 
     return _assign
 
@@ -372,7 +381,7 @@ class IVFIndex:
         matmul traffic; assignment only compares similarity ranks, so the
         precision loss is immaterial (ties are already arbitrary centroid
         choices)."""
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import IntegerType
 
         if self.centroids is None:
@@ -390,7 +399,7 @@ class IVFIndex:
             )
             self._bcast = bcast
             self._bcast_sc = sc
-        _assign = pandas_udf(_make_assign_fn(bcast), IntegerType())
+        _assign = arrow_udf(_make_assign_fn(bcast), IntegerType())
         return df.withColumn(out_col, _assign(vec_col))
 
     def __getstate__(self):

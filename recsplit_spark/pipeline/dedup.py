@@ -703,6 +703,61 @@ def near_dup_clusters(
     return out
 
 
+def token_near_dup_clusters(
+    df,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle: int = 5,
+    bucket_cap: int = 1000,
+):
+    """``near_dup_clusters`` over the TOKEN-array payload (north-rule
+    ``tokens:array<int32>``): token-shingle LSH candidates -> exact
+    token-shingle-Jaccard verify -> connected components. Same
+    threshold-derived banding default and persist/release discipline as
+    the text path."""
+    from pyspark.sql import functions as F
+
+    if bands is None:
+        bands, _r = derive_banding(threshold, num_hashes)
+    cand = token_minhash_lsh_pairs(
+        df, id_col, tokens_col, num_hashes, bands, shingle, bucket_cap
+    ).persist()
+    verified = token_jaccard_pairs(df, cand, id_col, tokens_col, shingle).filter(
+        F.col("jaccard") >= threshold
+    ).persist()
+    out = connected_components(verified.select("id_a", "id_b"))
+    cand.unpersist()
+    verified.unpersist()
+    return out
+
+
+def token_dedup_corpus(
+    df,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle: int = 5,
+    bucket_cap: int = 1000,
+):
+    """One-call near-dedup over token arrays: keep the min-id
+    representative per verified cluster plus every unpaired sequence
+    (token analogue of ``dedup_corpus``)."""
+    from pyspark.sql import functions as F
+
+    clusters = token_near_dup_clusters(
+        df, id_col, tokens_col, threshold, num_hashes, bands, shingle, bucket_cap
+    )
+    drop = clusters.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def dedup_corpus(
     df,
     id_col: str,

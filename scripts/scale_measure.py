@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Round-4 controlled scale measurements (healthy-window-gated).
+
+Each task first waits for a healthy host-bandwidth window (the probe
+discipline from bench.py / BASELINE.md: par8_ms <= 3000), then measures
+with probe brackets so the sample carries its own evidence. One JSON line
+per task is appended to --out.
+
+  python scripts/scale_measure.py --task eval1e9  [--n 1000000000]
+  python scripts/scale_measure.py --task ivffit   [--n 1000000] [--k 1000]
+  python scripts/scale_measure.py --task dedup01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import DEGRADED_PAR8_MS, host_probe_ms  # noqa: E402
+
+
+def wait_healthy(max_wait_s: float, sleep_s: float = 240.0) -> dict:
+    """Probe until healthy or the deadline; returns the final probe with
+    the wait record (a still-degraded sample proceeds but says so)."""
+    t0 = time.time()
+    attempts = []
+    while True:
+        p = host_probe_ms()
+        attempts.append(p["par8_ms"])
+        if p["par8_ms"] <= DEGRADED_PAR8_MS or time.time() - t0 > max_wait_s:
+            return {
+                "probe": p,
+                "degraded": p["par8_ms"] > DEGRADED_PAR8_MS,
+                "attempts_par8_ms": attempts,
+                "waited_s": round(time.time() - t0, 1),
+            }
+        time.sleep(sleep_s)
+
+
+def task_eval1e9(n: int, path: str, cores: int) -> dict:
+    """Blocked build at n keys, then the full-bijection cogroup verify —
+    the judge r3 #4 re-measure of the round-2 315.6 s verify with the
+    round-3 Arrow walk (target <= ~180 s at 10^9 in a healthy window)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.blocked import BlockedMPHFBuilder
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-eval1e9", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    keys = spark.range(0, n, 1, cores * 8).select(F.xxhash64("id").alias("key"))
+
+    probe_build = host_probe_ms()
+    t0 = time.time()
+    bm = BlockedMPHFBuilder(
+        leaf_size=8,
+        avg_bucket_size=128,
+        block_log2=10,
+        checkpoint_waves=4,
+    ).build(keys, "key", path, n=n)
+    build_s = time.time() - t0
+
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    stats = (
+        bm.evaluate(keys, "key")
+        .agg(
+            F.countDistinct("mphf_index").alias("d"),
+            F.min("mphf_index").alias("mn"),
+            F.max("mphf_index").alias("mx"),
+        )
+        .collect()[0]
+    )
+    verify_s = time.time() - t0
+    probe_after = host_probe_ms()
+    assert stats["d"] == n and stats["mn"] == 0 and stats["mx"] == n - 1, stats
+    out = {
+        "task": "eval1e9",
+        "n": n,
+        "build_sec": round(build_s, 1),
+        "build_keys_per_sec": round(n / build_s, 1),
+        "verify_sec": round(verify_s, 1),
+        "verify_keys_per_sec": round(n / verify_s, 1),
+        "bits_per_key": round(bm.bits_per_key, 4),
+        "verified_bijection": True,
+        "probe_build": probe_build,
+        "probe_before_verify": probe_before,
+        "probe_after_verify": probe_after,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
+def task_ivffit(n: int, k: int, dim: int, cores: int) -> dict:
+    """Distributed IVF fit wall time at n vectors (judge r3 #1 done
+    criterion: a BASELINE.md row for distributed-fit at 10^6+ vectors).
+    Vectors are generated deterministically executor-side (seeded per
+    Arrow batch from the first id) — no driver materialization anywhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-ivffit", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 17)
+            x = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            yield pa.record_batch(
+                [pa.array(list(x), type=pa.list_(pa.float32()))],
+                names=["embedding"],
+            )
+
+    vec = (
+        spark.range(0, n, 1, cores * 2)
+        .mapInArrow(_gen, schema="embedding array<float>")
+        .persist()
+    )
+    n_rows = vec.count()
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    idx = IVFIndex(n_centroids=k, iters=5).fit(
+        vec, "embedding", sample_size=n, mode="distributed"
+    )
+    fit_s = time.time() - t0
+    probe_after = host_probe_ms()
+    assert idx.centroids.shape == (k, dim)
+    # index usability: assign a slice and count buckets
+    t0 = time.time()
+    nb = (
+        idx.assign(vec.limit(100_000), "embedding")
+        .select("centroid_id")
+        .distinct()
+        .count()
+    )
+    assign_s = time.time() - t0
+    out = {
+        "task": "ivffit",
+        "n_vectors": n_rows,
+        "dim": dim,
+        "k": k,
+        "iters": 5,
+        "fit_sec": round(fit_s, 1),
+        "assign_100k_sec": round(assign_s, 1),
+        "buckets_touched_100k": nb,
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+    vec.unpersist()
+    spark.stop()
+    return out
+
+
+def task_dedup01(cores: int) -> dict:
+    """dedup_corpus on sf0.1 documents under the NEW threshold-derived
+    banding default (judge r3 #3 done criterion: re-measured row; round-3
+    row was 41.5 s under recall-first r=2 banding)."""
+    from recsplit_spark.pipeline.dedup import dedup_corpus
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-dedup01", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+    n_docs = docs.count()
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    kept = dedup_corpus(docs, "doc_id", "text").count()
+    derived_s = time.time() - t0
+    t0 = time.time()
+    kept_rf = dedup_corpus(docs, "doc_id", "text", num_hashes=64, bands=32).count()
+    rf_s = time.time() - t0
+    probe_after = host_probe_ms()
+    out = {
+        "task": "dedup01",
+        "n_docs": n_docs,
+        "kept_derived_banding": kept,
+        "wall_derived_banding_sec": round(derived_s, 1),
+        "kept_recall_first": kept_rf,
+        "wall_recall_first_sec": round(rf_s, 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", required=True, choices=["eval1e9", "ivffit", "dedup01"])
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r04.jsonl"))
+    ap.add_argument("--path", default="/root/repo/.scale_tmp/blocked_1e9")
+    ap.add_argument("--max-wait-s", type=float, default=10800.0)
+    args = ap.parse_args()
+
+    gate = wait_healthy(args.max_wait_s)
+    if args.task == "eval1e9":
+        res = task_eval1e9(args.n or 1_000_000_000, args.path, args.cores)
+    elif args.task == "ivffit":
+        res = task_ivffit(args.n or 1_000_000, args.k, args.dim, args.cores)
+    else:
+        res = task_dedup01(args.cores)
+    res["gate"] = gate
+    line = json.dumps(res)
+    with open(args.out, "a") as f:
+        f.write(line + "\n")
+    print(line)

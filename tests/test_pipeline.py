@@ -594,6 +594,24 @@ def test_token_minhash_near_dup_end_to_end(spark):
     assert got == want and len(want) >= 8
 
 
+def test_token_dedup_corpus_one_call(spark):
+    """token_dedup_corpus keeps the min-id representative per cluster plus
+    unpaired sequences — the north-rule payload's one-call dedup."""
+    rng = np.random.default_rng(29)
+    base = [rng.integers(0, 8_000, size=250).astype(np.int32) for _ in range(20)]
+    rows = [(i, b.tolist()) for i, b in enumerate(base)]
+    for j in range(6):  # exact copies of docs 0..5 under higher ids
+        rows.append((50 + j, base[j].tolist()))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    kept = dedup.token_dedup_corpus(df, "doc_id", "tokens", threshold=0.9)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == set(range(20))  # copies dropped, min-id reps kept
+    # clusters resolve to min id
+    cc = dedup.token_near_dup_clusters(df, "doc_id", "tokens", threshold=0.9)
+    got = {r["id"]: r["rep"] for r in cc.collect()}
+    assert all(got[50 + j] == j for j in range(6))
+
+
 def test_lsh_hot_bucket_star_linking(spark):
     """Scale gate (VERDICT round-1 item 4): 10K copies of one document — a
     degenerate band bucket — must complete with O(N) star edges linking the

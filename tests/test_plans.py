@@ -156,6 +156,21 @@ def test_mphf_eval_is_arrow_native_and_jvm_hashed(spark, li):
     assert _nodes(plan_auto, "ArrowEvalPython") == 1
 
 
+def test_ivf_assign_is_arrow_native(spark, sf_dir):
+    """The IVF assign scan — at 100 TB, the whole table — must plan as
+    ArrowEvalPython (zero-copy list flatten), not BatchEvalPython, with
+    only the vector column crossing into Python."""
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFIndex(n_centroids=4, iters=2).fit(emb, "embedding")
+    plan = _formatted_plan(idx.assign(emb, "embedding"))
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert _nodes(plan, "BatchEvalPython") == 0
+
+
 def test_register_sql_uses_int32_return_leg(spark, li):
     """register_sql mirrors evaluate's narrow return leg: when n < 2^31
     the Arrow walk UDF returns int32 (halving the return-leg payload) and
