@@ -304,13 +304,19 @@ class IVFIndex:
         """Distributed spherical k-means (k-means with renormalized means).
 
         Seeding: the k lowest ``xxhash64(vec, seed)`` vectors — a
-        deterministic uniform draw that Spark executes as a TakeOrdered
-        (per-partition top-k, no global sort), independent of
-        partitioning. Each Lloyd round = one training scan emitting
-        per-centroid (count, sum) partials + a groupBy(cid) reduce whose
-        output is <= k rows, Arrow-gathered. Empty clusters keep their
-        previous centroid. Per-round float32 centroid broadcasts are
-        unpersisted as soon as the round's gather lands.
+        deterministic uniform draw independent of partitioning. A naive
+        ``orderBy(h).limit(k)`` plans as TakeOrdered, whose driver merge
+        holds up to k rows PER PARTITION (k x P vectors at the auto
+        operating point — a driver killer); instead a hash-threshold
+        filter keeps ~8x the needed mass (a tiny fraction of the scan),
+        and the global k-smallest-of-the-filtered sort touches only that
+        remnant. The threshold doubles and retries in the (exponentially
+        unlikely) event the filter catches fewer than k rows. Each Lloyd
+        round = one training scan emitting per-centroid (count, sum)
+        partials + a groupBy(cid) reduce whose output is <= k rows,
+        Arrow-gathered. Empty clusters keep their previous centroid.
+        Per-round float32 centroid broadcasts are unpersisted as soon as
+        the round's gather lands.
 
         NOTE on the assignment cost: nearest-of-k by brute force is
         O(k·d) per vector; at k=10^6 production systems use a coarse
@@ -327,11 +333,50 @@ class IVFIndex:
         train = train.persist()
         try:
             k = self.n_centroids
-            seed_tbl = (
-                train.orderBy(F.xxhash64(F.col("v"), F.lit(self.seed)))
-                .limit(k)
-                .toArrow()
+            n_train_est = max(1, int(frac * n))
+            hashed = train.select(
+                "v", F.xxhash64(F.col("v"), F.lit(self.seed)).alias("__h")
             )
+            # k smallest hashes via threshold filter (see docstring): keep
+            # h below the ~8k/n quantile of the uniform int64 hash range
+            mult = 8.0
+            seed_tbl = None
+            for _ in range(4):
+                keep_frac = mult * k / n_train_est
+                if keep_frac >= 1.0:
+                    cand = hashed  # filter would keep everything anyway
+                else:
+                    cutoff = int(-(2**63) + 2.0**64 * keep_frac)
+                    cand = hashed.filter(F.col("__h") < F.lit(cutoff))
+                # exact k-th smallest hash from the HASH column alone
+                # (8 B/row: ~mult*k rows ≈ 64 MB at k=10^6), so the only
+                # vector gather is the final <= ~k-row one — never the
+                # ~mult*k remnant through a TakeOrdered driver merge
+                harr = (
+                    cand.select("__h")
+                    .toArrow()
+                    .column("__h")
+                    .to_numpy(zero_copy_only=False)
+                )
+                if len(harr) >= min(k, n_train_est) or keep_frac >= 1.0:
+                    kth = (
+                        np.partition(harr, k - 1)[k - 1]
+                        if len(harr) > k
+                        else (harr.max() if len(harr) else 0)
+                    )
+                    seed_tbl = (
+                        hashed.filter(F.col("__h") <= F.lit(int(kth)))
+                        .orderBy("__h")
+                        .limit(k)
+                        .select("v")
+                        .toArrow()
+                    )
+                    break
+                mult *= 4.0
+            if seed_tbl is None:  # pathological: use whatever the filter kept
+                seed_tbl = (
+                    cand.orderBy("__h").limit(k).select("v").toArrow()
+                )
             c = _list_col_to_matrix(seed_tbl.column(0), np.float64)
             if len(c) == 0:
                 raise ValueError("cannot fit IVF on an empty DataFrame")
