@@ -382,10 +382,6 @@ class IVFIndex:
                 raise ValueError("cannot fit IVF on an empty DataFrame")
             _normalize_rows(c)
             k = len(c)  # fewer training vectors than requested centroids
-            d = c.shape[1]
-            out_schema = pa.schema(
-                [("cid", pa.int32()), ("n", pa.int64()), ("s", pa.binary())]
-            )
             for _ in range(self.iters):
                 bcast = sc.broadcast(
                     np.ascontiguousarray(c.T, dtype=np.float32)
