@@ -453,6 +453,40 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same recall contract as ann_ivf_recall, but through the DISTRIBUTED
+    training path (round 4: hash-threshold seeding + mapInArrow Lloyd
+    partial sums + groupBy(cid) reduce — driver holds only the k x d
+    matrix). Proves the scale path produces centroids of driver-path
+    quality end-to-end on the fixture."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    idx = ann.IVFIndex(n_centroids=8, nprobe=3).fit(
+        emb, "embedding", mode="distributed"
+    )
+    indexed = idx.assign(emb, "embedding").cache()
+    hits = total = 0
+    for qid in (3, 50, 200):
+        q = np.array(
+            emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0],
+            dtype=np.float64,
+        )
+        exact = {r["vec_id"] for r in ann.brute_force_topk(emb, "embedding", q, 10).collect()}
+        got = {r["vec_id"] for r in idx.search(indexed, "embedding", q, 10).collect()}
+        hits += len(exact & got)
+        total += 10
+    return spark.createDataFrame(
+        [(float(3 / 8), bool(hits / total >= 0.5))],
+        "probe_frac double, recall_above_half boolean",
+    )
+
+
 def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-oracle check: LSH candidates exact-verified by shingle-Jaccard.
     Precision is exact by construction (every emitted pair passes the true
@@ -1014,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
@@ -1258,6 +1293,9 @@ def oracle_sql() -> dict[str, str]:
             " LIMIT 5"
         ),
         "ann_ivf_recall": (
+            "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
+        ),
+        "ann_ivf_distributed_recall": (
             "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
         ),
         "top_tokens": (
