@@ -117,24 +117,83 @@ def _token_shingle_hashes(tokens, k: int) -> np.ndarray:
     return np.unique(mix64(raw))
 
 
+def _pad_flat_token_buf(
+    flat: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad every doc in a flat concatenated token buffer to >= k
+    elements, WITHOUT a per-doc Python loop (vectorized scatter): returns
+    the (possibly new) buffer and the padded lengths. No-op (zero copies)
+    when every doc already has >= k tokens — the common case."""
+    if len(lens) == 0 or (lens >= k).all():
+        return np.ascontiguousarray(flat, dtype=np.uint64), lens
+    out_lens = np.maximum(lens, k)
+    total = int(lens.sum())
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ends = np.cumsum(lens)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    new_starts = np.concatenate([[0], np.cumsum(out_lens)[:-1]])
+    buf = np.zeros(int(out_lens.sum()), dtype=np.uint64)
+    buf[new_starts[doc_of] + local] = flat
+    return buf, out_lens
+
+
+def _flat_token_shingle_hashes(
+    flat: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct k-token shingle hashes from an ALREADY-FLAT token
+    buffer (the Arrow list-column layout) — value-identical to
+    ``_batch_token_shingle_hashes`` on the same docs, zero per-doc
+    Python."""
+    if len(lens) == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    buf, out_lens = _pad_flat_token_buf(flat, lens, k)
+    return _rolling_hash_batch(buf, out_lens, k)
+
+
 def _batch_token_shingle_hashes(token_lists, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc distinct k-token shingle hashes for a WHOLE batch — the
     token-array analogue of ``_batch_shingle_hashes`` (value-identical to
     ``_token_shingle_hashes`` per doc, tested). Fully vectorizable: the
     residual per-doc Python in the char kernel is the text->bytes encode,
-    which token arrays don't have."""
+    which token arrays don't have (and the Arrow path,
+    ``_flat_token_shingle_hashes``, has none at all)."""
     n_docs = len(token_lists)
     if n_docs == 0:
         return np.empty(0, np.uint64), np.zeros(1, np.int64)
-    arrs = []
-    for t in token_lists:
-        a = np.asarray(t if t is not None else [], dtype=np.int64)
-        if len(a) < k:
-            a = np.pad(a, (0, k - len(a)))
-        arrs.append(a)
+    arrs = [
+        np.asarray(t if t is not None else [], dtype=np.int64)
+        for t in token_lists
+    ]
     lens = np.array([len(a) for a in arrs], dtype=np.int64)
-    buf = np.concatenate(arrs).astype(np.uint64)
-    return _rolling_hash_batch(buf, lens, k)
+    flat = (
+        np.concatenate(arrs).astype(np.uint64)
+        if lens.sum()
+        else np.empty(0, np.uint64)
+    )
+    return _flat_token_shingle_hashes(flat, lens, k)
+
+
+def _minhash_seeds(num_hashes: int) -> np.ndarray:
+    return mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)).view(np.int64)
+
+
+def _minhash_rows(hu: np.ndarray, offsets: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """(n_docs, len(seeds)) uint64 MinHash matrix from per-doc distinct
+    shingle hashes. int64 views + in-place mix with reused buffers:
+    xor/mix are bit-identical across signed/unsigned and the hot loop
+    allocates nothing (2.3x vs the mix64-with-copy variant on sf0.1
+    docs)."""
+    n_docs = len(offsets) - 1
+    out = np.empty((n_docs, len(seeds)), dtype=np.uint64)
+    hi = hu.view(np.int64)
+    seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
+    buf = np.empty_like(hi)
+    scratch = np.empty_like(hi)
+    for i in range(len(seeds)):
+        np.bitwise_xor(hi, seeds[i], out=buf)
+        mix64_inplace(buf, scratch)
+        out[:, i] = np.minimum.reduceat(buf.view(np.uint64), seg)
+    return out
 
 
 def _minhash_batch(items, num_hashes: int, shingle: int, batch_hashes_fn) -> np.ndarray:
@@ -143,21 +202,31 @@ def _minhash_batch(items, num_hashes: int, shingle: int, batch_hashes_fn) -> np.
     token)."""
     n_docs = len(items)
     out = np.empty((n_docs, num_hashes), dtype=np.uint64)
-    # int64 views + in-place mix with reused buffers: xor/mix are
-    # bit-identical across signed/unsigned and the hot loop allocates
-    # nothing (2.3x vs the mix64-with-copy variant on sf0.1 docs)
-    seeds = mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)).view(np.int64)
+    seeds = _minhash_seeds(num_hashes)
     for lo in range(0, n_docs, _CHUNK_DOCS):
         chunk = items[lo : lo + _CHUNK_DOCS]
         hu, offsets = batch_hashes_fn(chunk, shingle)
-        hi = hu.view(np.int64)
-        seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
-        buf = np.empty_like(hi)
-        scratch = np.empty_like(hi)
-        for i in range(num_hashes):
-            np.bitwise_xor(hi, seeds[i], out=buf)
-            mix64_inplace(buf, scratch)
-            out[lo : lo + len(chunk), i] = np.minimum.reduceat(buf.view(np.uint64), seg)
+        out[lo : lo + len(chunk)] = _minhash_rows(hu, offsets, seeds)
+    return out
+
+
+def _token_minhash_from_flat(
+    flat: np.ndarray, lens: np.ndarray, num_hashes: int, shingle: int
+) -> np.ndarray:
+    """MinHash signatures straight from the Arrow list-column layout
+    (flat value buffer + per-doc lengths) — value-identical to
+    ``token_minhash_signatures_batch``, zero per-doc Python."""
+    n_docs = len(lens)
+    out = np.empty((n_docs, num_hashes), dtype=np.uint64)
+    seeds = _minhash_seeds(num_hashes)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    for lo in range(0, n_docs, _CHUNK_DOCS):
+        hi_doc = min(n_docs, lo + _CHUNK_DOCS)
+        hu, offsets = _flat_token_shingle_hashes(
+            flat[starts[lo] : starts[hi_doc]], lens[lo:hi_doc], shingle
+        )
+        out[lo:hi_doc] = _minhash_rows(hu, offsets, seeds)
     return out
 
 
@@ -346,18 +415,43 @@ def add_token_minhash(
     df, id_col: str, tokens_col: str, num_hashes: int = 64, shingle: int = 5
 ):
     """DataFrame[id, minhash array<long>] over k-TOKEN shingles of an
-    ``array<int>`` column (the north-rule payload) — no UTF-8 encode loop,
-    the whole kernel is vectorized numpy over the concatenated token
-    buffer."""
+    ``array<int>`` column (the north-rule payload).
+
+    Arrow-native end to end (``mapInArrow``): the token list column's
+    flat value buffer + offsets feed the vectorized kernel directly and
+    the signature matrix leaves as ``ListArray.from_arrays`` — no per-row
+    Python anywhere (the char path can't do this: its per-doc text→bytes
+    encode is inherent). Null token slots behave as empty docs (Arrow
+    gives them zero-length offsets), matching the pandas-path ``None``
+    contract."""
+    import pyarrow as pa
 
     def _sig(batches):
-        for pdf in batches:
-            mat = token_minhash_signatures_batch(
-                list(pdf[tokens_col]), num_hashes, shingle
-            ).view(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "minhash": list(mat)})
+        for b in batches:
+            ids = b.column(0)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):  # defensive; batches are flat
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offs)
+            flat = (
+                col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            mat = _token_minhash_from_flat(flat, lens, num_hashes, shingle)
+            n = len(lens)
+            out_offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * np.int32(num_hashes)
+            )
+            values = pa.array(mat.reshape(-1).view(np.int64))
+            yield pa.record_batch(
+                [
+                    ids.cast(pa.int64()),
+                    pa.ListArray.from_arrays(out_offsets, values),
+                ],
+                names=[id_col, "minhash"],
+            )
 
-    return df.select(id_col, tokens_col).mapInPandas(
+    return df.select(id_col, tokens_col).mapInArrow(
         _sig, schema=f"{id_col} long, minhash array<long>"
     )
 

@@ -594,6 +594,42 @@ def test_token_minhash_near_dup_end_to_end(spark):
     assert got == want and len(want) >= 8
 
 
+def test_flat_token_kernel_matches_batch_kernel():
+    """The Arrow-layout kernel (flat buffer + lens) must be value-identical
+    to the list-of-arrays batch kernel, including short and empty docs
+    (the vectorized zero-padding path)."""
+    rng = np.random.default_rng(41)
+    docs = [
+        rng.integers(0, 9000, size=int(n)).astype(np.int32)
+        for n in [120, 2, 0, 7, 300, 1, 4, 50]
+    ]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    flat = np.concatenate([d.astype(np.int64) for d in docs]).astype(np.uint64)
+    hu_f, off_f = dedup._flat_token_shingle_hashes(flat, lens, 5)
+    hu_b, off_b = dedup._batch_token_shingle_hashes(docs, 5)
+    assert np.array_equal(hu_f, hu_b) and np.array_equal(off_f, off_b)
+    mat_f = dedup._token_minhash_from_flat(flat, lens, 16, 5)
+    mat_b = dedup.token_minhash_signatures_batch(docs, 16, 5)
+    assert np.array_equal(mat_f, mat_b)
+
+
+def test_add_token_minhash_arrow_path_values(spark):
+    """The mapInArrow Spark surface emits exactly the kernel signatures
+    (incl. a null tokens row, which behaves as an empty doc)."""
+    rng = np.random.default_rng(43)
+    rows = [(i, rng.integers(0, 9000, size=60).astype(np.int32).tolist()) for i in range(30)]
+    rows.append((30, None))
+    rows.append((31, [1, 2]))  # shorter than the shingle width
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(3)
+    got = {
+        r["doc_id"]: np.array(r["minhash"], dtype=np.int64).view(np.uint64)
+        for r in dedup.add_token_minhash(df, "doc_id", "tokens", num_hashes=16).collect()
+    }
+    for i, toks in rows:
+        want = dedup.token_minhash_signatures_batch([toks], 16, 5)[0]
+        assert np.array_equal(got[i], want), i
+
+
 def test_token_dedup_corpus_one_call(spark):
     """token_dedup_corpus keeps the min-id representative per cluster plus
     unpaired sequences — the north-rule payload's one-call dedup."""
