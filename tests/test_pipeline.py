@@ -330,6 +330,62 @@ def test_ivf_distributed_fit_large_k_no_driver_rows(spark, monkeypatch):
     df.unpersist()
 
 
+def test_ivf_fit_partial_flush_fragments_merge_correctly(monkeypatch):
+    """The Lloyd partial-sum kernel flushes its accumulator in bounded
+    fragments (_FIT_FLUSH_ENTRIES caps worker memory at ~cap x d floats);
+    the groupBy(cid) reduce must merge fragments to the same per-centroid
+    (count, sum) as an unflushed pass. Driven in-process with a fake
+    broadcast so the cap patch is visible (executor workers import the
+    module fresh, so a Spark-side patch would not propagate)."""
+    import pandas as pdl
+    import pyarrow as pa
+
+    from recsplit_spark.pipeline import ann
+
+    class FakeBcast:
+        def __init__(self, v):
+            self.value = v
+
+    rng = np.random.default_rng(53)
+    d, k = 8, 40
+    cent_t = np.ascontiguousarray(
+        rng.standard_normal((d, k)), dtype=np.float32
+    )
+    batches = [
+        pa.record_batch(
+            [pa.array(list(rng.standard_normal((500, d)).astype(np.float32)),
+                      type=pa.list_(pa.float32()))],
+            names=["v"],
+        )
+        for _ in range(4)
+    ]
+
+    def run(cap):
+        monkeypatch.setattr(ann, "_FIT_FLUSH_ENTRIES", cap)
+        rows = {"cid": [], "n": [], "s": []}
+        for rb in ann._make_fit_partial_fn(FakeBcast(cent_t))(iter(batches)):
+            rows["cid"] += rb.column(0).to_pylist()
+            rows["n"] += rb.column(1).to_pylist()
+            rows["s"] += rb.column(2).to_pylist()
+        pdf = pdl.DataFrame(rows)
+        merged = {}
+        for cid, grp in pdf.groupby("cid"):
+            out = ann._reduce_cid_partials(grp)
+            merged[int(cid)] = (
+                int(out["n"].iloc[0]),
+                np.frombuffer(out["s"].iloc[0], dtype=np.float64),
+            )
+        return pdf, merged
+
+    pdf_flush, m_flush = run(cap=8)  # forces many mid-partition flushes
+    pdf_none, m_none = run(cap=1 << 30)
+    assert len(pdf_flush) > len(pdf_none)  # fragments actually happened
+    assert set(m_flush) == set(m_none)
+    for cid in m_none:
+        assert m_flush[cid][0] == m_none[cid][0]
+        assert np.allclose(m_flush[cid][1], m_none[cid][1], rtol=1e-9)
+
+
 def test_ivf_list_col_to_matrix_rejects_ragged():
     import pyarrow as pa
     import pytest
