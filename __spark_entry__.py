@@ -1020,6 +1020,160 @@ def _q_dedup_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_onepass_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-pass profiling: HLL(doc_id) + CMS(source) + KLL(n_chars)
+    + Bloom(doc_id) folded in a SINGLE scan of documents
+    (sketches/multi.profile — at 100 TB the scan count IS the cost of a
+    profile). Each sketch's estimate is checked against the exact answer;
+    the oracle recomputes the exact distinct-doc count and pins the bound
+    booleans (the bound work happens in-engine, precedent:
+    hll_distinct_tokens / kll_price_quantiles)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import (
+        KLL,
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        SketchSpec,
+        profile,
+    )
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").cache()
+    n = docs.count()
+    hll = HyperLogLog(p=14)
+    cms = CountMinSketch(eps=0.0005, delta=0.01)
+    kll = KLL(k=256)
+    bloom = BloomFilter(n_expected=max(n, 1), fpr=0.01)
+    states = profile(
+        docs,
+        [
+            SketchSpec("docs", hll, "doc_id"),
+            SketchSpec("sources", cms, "source"),
+            SketchSpec("chars", kll, "n_chars"),
+            SketchSpec("members", bloom, "doc_id"),
+        ],
+    )
+    exact_docs = docs.select("doc_id").distinct().count()
+    hll_ok = abs(hll.estimate(states["docs"]) - exact_docs) <= max(
+        3 * hll.relative_error * exact_docs, 3.0
+    )
+    # every source's CMS estimate within [exact, exact + eps * N]
+    srcs = docs.groupBy("source").agg(F.count("*").alias("exact")).collect()
+    cms_ok = True
+    for r in srcs:
+        est = cms.frequencies(
+            spark.createDataFrame([(r["source"],)], "source string"), "source",
+            states["sources"],
+        ).collect()[0]["freq_est"]
+        cms_ok = cms_ok and r["exact"] <= est <= r["exact"] + cms.eps * n
+    med = kll.quantile(states["chars"], 0.5)
+    rank = docs.filter(F.col("n_chars") <= med).count() / max(n, 1)
+    kll_ok = abs(rank - 0.5) <= kll.epsilon + 1.0 / max(n, 1)
+    # Bloom: zero false negatives over every inserted doc_id
+    probed = bloom.might_contain(docs, "doc_id", states["members"])
+    bloom_ok = probed.filter(~F.col("might_contain")).count() == 0
+    docs.unpersist()
+    return spark.createDataFrame(
+        [(int(exact_docs), bool(hll_ok), bool(cms_ok), bool(kll_ok), bool(bloom_ok))],
+        "n_docs bigint, hll_within_bound boolean, cms_within_eps boolean,"
+        " kll_within_eps boolean, bloom_no_false_neg boolean",
+    )
+
+
+def _q_ngram_profile_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token n-gram sketching over the north-rule payload
+    (tokens:array<int32>) WITHOUT exploding rows: one fused pass computes
+    HLL(distinct 5-grams) + CMS(5-gram frequencies) from rolling-window
+    hashes inside the kernel (sketches/multi, ngram=5 — the same window
+    hash as the dedup shingle kernels). Checks: CMS total == the exact
+    window count (an exact integer identity: sum(n_tok) - 4 * n_rows for
+    n_tok >= 16 everywhere), HLL within bound of the exact distinct count
+    (computed via the per-doc reference kernel distributed, then a
+    countDistinct), and CMS point estimates >= the true document
+    frequency of sampled grams. Generator is seed-pinned, so the oracle's
+    constants are fully determined (precedent:
+    sequences_tokens_roundtrip)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import (
+        CountMinSketch,
+        HyperLogLog,
+        SketchSpec,
+        profile,
+    )
+
+    ship_package(spark)
+    n_rows = 20_000
+    seq = sequences(spark, n_rows, partitions=8).cache()
+    hll = HyperLogLog(p=14)
+    cms = CountMinSketch(eps=0.0001, delta=0.01)
+    states = profile(
+        seq,
+        [
+            SketchSpec("grams", hll, "tokens", ngram=5),
+            SketchSpec("freqs", cms, "tokens", ngram=5),
+        ],
+    )
+    # exact window count: every doc has n_tok >= 16 > 5 windows of n_tok-4
+    windows_exact = seq.agg(
+        F.sum(F.col("n_tok").cast("bigint") - F.lit(4)).alias("w")
+    ).collect()[0]["w"]
+    cms_total_ok = cms.total(states["freqs"]) == windows_exact
+
+    # exact distinct 5-gram hashes: per-doc distinct kernel, distributed,
+    # then one countDistinct — no token arrays visit the driver
+    def _doc_hashes(batches):
+        import numpy as np
+
+        from recsplit_spark.pipeline.dedup import _batch_token_shingle_hashes
+
+        for pdf in batches:
+            hu, _ = _batch_token_shingle_hashes(pdf["tokens"].tolist(), 5)
+            yield pd.DataFrame({"h": hu.view(np.int64)})
+
+    hashes = seq.select("tokens").mapInPandas(_doc_hashes, "h long").cache()
+    distinct_exact = hashes.agg(
+        F.countDistinct("h").alias("d")
+    ).collect()[0]["d"]
+    hll_ok = abs(hll.estimate(states["grams"]) - distinct_exact) <= (
+        3 * hll.relative_error * distinct_exact
+    )
+    # CMS lower bound: estimate >= true document frequency on the 100
+    # most document-frequent grams (term freq >= doc freq; CMS never
+    # undercounts)
+    import numpy as np
+
+    top = (
+        hashes.groupBy("h").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "h").limit(100).collect()
+    )
+    ests = cms.query_hashes(
+        states["freqs"], np.array([r["h"] for r in top], dtype=np.int64)
+    )
+    cms_lb_ok = bool((ests >= np.array([r["df"] for r in top])).all())
+    hashes.unpersist()
+    seq.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(distinct_exact),
+                bool(hll_ok),
+                bool(cms_total_ok),
+                bool(cms_lb_ok),
+            )
+        ],
+        "n_rows bigint, distinct_5grams bigint, hll_within_bound boolean,"
+        " cms_total_matches_windows boolean, cms_doc_freq_lower_bound boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -1057,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
+        "onepass_profile_documents": _q_onepass_profile_documents,
+        "ngram_profile_sequences": _q_ngram_profile_sequences,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
@@ -1366,5 +1522,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(20000 AS BIGINT) AS n_rows,"
             " TRUE AS token_arrays_equal,"
             " TRUE AS hll_within_bound, TRUE AS kll_within_bound"
+        ),
+        # fused one-pass profile: the oracle recomputes the exact distinct
+        # doc count; each sketch's bound boolean is checked in-engine
+        # against exact answers (precedent: hll_distinct_tokens)
+        "onepass_profile_documents": (
+            "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+            " TRUE AS hll_within_bound, TRUE AS cms_within_eps,"
+            " TRUE AS kll_within_eps, TRUE AS bloom_no_false_neg"
+            " FROM documents"
+        ),
+        # seed-pinned sequences generator: the exact distinct-5-gram count
+        # is a deterministic constant (verified in-engine via the per-doc
+        # reference kernel + countDistinct); bound booleans as above
+        "ngram_profile_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " CAST(5192251 AS BIGINT) AS distinct_5grams,"
+            " TRUE AS hll_within_bound,"
+            " TRUE AS cms_total_matches_windows,"
+            " TRUE AS cms_doc_freq_lower_bound"
         ),
     }

@@ -64,7 +64,7 @@ class MergeableSketch(ABC):
         return None
 
     # -- Spark plumbing ------------------------------------------------------
-    def _input_expr(self, col: str):
+    def _input_expr(self, col: str, alias: str = "__in"):
         from pyspark.sql import functions as F
 
         if self.input_kind == "hash":
@@ -75,10 +75,10 @@ class MergeableSketch(ABC):
             # mapping would silently poison persisted states — treat it
             # like a serialization-format change (bump every hash-sketch
             # magic) if ever revisited.
-            return F.xxhash64(F.col(col).cast("string")).alias("__in")
+            return F.xxhash64(F.col(col).cast("string")).alias(alias)
         if self.input_kind == "string":
-            return F.col(col).cast("string").alias("__in")
-        return F.col(col).cast("double").alias("__in")
+            return F.col(col).cast("string").alias(alias)
+        return F.col(col).cast("double").alias(alias)
 
     def partials(self, df, col: str, keys: tuple[str, ...] = ()):
         """Stage 1: DataFrame[keys..., state binary] — one row per

@@ -1,0 +1,251 @@
+"""One-pass fused multi-sketch profiling — S sketches, ONE scan.
+
+At 100 TB the table scan *is* the cost of a sketch build: every
+``MergeableSketch.build`` call re-reads the input, so profiling a corpus
+with HLL + CMS + KLL + Bloom pays four full scans for four states whose
+combined size is a few MB. ``profile`` folds any number of sketch specs
+into a single ``mapInPandas`` pass over one projection of the input —
+one scan, one stage-1 task set, per-(partition x spec) serialized states
+out — then merges exactly like the single-sketch path (distributed
+salt pre-merge when the collect would be heavy, driver fold otherwise).
+Because every sketch is a commutative monoid, the fused fold is
+value-identical to S independent builds (byte-identical for
+batch-order-insensitive states: HLL register max, CMS counter sums,
+Bloom bit ors — tested).
+
+Token n-gram feeds: a spec may target the ``tokens:array<int32>``
+payload directly (``ngram=n``). The stage-1 kernel then computes ALL
+n-token window hashes per document — the same polynomial/mix window
+hash as the dedup shingle kernels (``pipeline.dedup._rolling_hash_batch``),
+so states built here stay compatible with hashes produced there — and
+feeds them to the sketch without ever exploding the token arrays into
+rows (a posexplode at 10^12 sequences x ~500 tokens would 500x the rows
+through the scan; here the windows live only as a transient uint64
+array inside the kernel). Unlike the dedup kernels (which pad short
+docs for set semantics), counting semantics apply: a doc shorter than
+n contributes no n-grams.
+
+Reference scope note: the reference library (minperf) has no multi-sketch
+or n-gram surface — this module exists for the north-rule training-data
+pipeline (distinct token/n-gram cardinality + frequency in one pass).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import mix64
+from .base import MergeableSketch
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to fold during the single profiling scan.
+
+    ``col`` is a scalar column (hashed/cast JVM-side exactly as the
+    sketch's own ``build`` would) unless ``ngram`` is set, in which case
+    ``col`` must be an ``array<int>`` token column and the sketch (which
+    must be ``input_kind == 'hash'``) is fed every n-token window hash.
+    """
+
+    name: str
+    sketch: MergeableSketch
+    col: str
+    ngram: int | None = None
+
+
+def _flat_ngram_hashes(flat: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
+    """ALL n-token window hashes of a flat concatenated token buffer
+    (``lens`` = per-doc token counts). Same window polynomial + mix64 as
+    ``pipeline.dedup._rolling_hash_batch`` so hashes interoperate with
+    the shingle/MinHash kernels; no padding and no per-doc dedup —
+    counting semantics (docs with < n tokens emit nothing)."""
+    from ..pipeline.dedup import _SHINGLE_PRIME
+
+    if len(lens) == 0:
+        return np.empty(0, np.uint64)
+    buf = np.ascontiguousarray(flat, dtype=np.uint64)
+    n_sh = np.maximum(lens - n + 1, 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
+    ends = np.cumsum(n_sh)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - n_sh, n_sh)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = starts[doc_of] + local
+    pows = _SHINGLE_PRIME ** np.arange(n, dtype=np.uint64)
+    raw = np.zeros(total, dtype=np.uint64)
+    for j in range(n):
+        raw += buf[pos + j] * pows[j]
+    return mix64(raw)
+
+
+def token_ngram_hashes(tokens, n: int) -> np.ndarray:
+    """All n-gram window hashes of ONE token array (int64 view) — the
+    query-side companion: hash an n-gram with this to point-query a CMS
+    state built by ``profile`` over the same column."""
+    t = np.asarray(tokens, dtype=np.int64)
+    return _flat_ngram_hashes(
+        t.astype(np.uint64), np.array([len(t)], dtype=np.int64), n
+    ).view(np.int64)
+
+
+def _series_to_flat(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a pandas Series of token arrays (mapInPandas list-column
+    layout: one numpy array per row; None → empty)."""
+    arrs = [
+        np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+        for a in series
+    ]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = (
+        np.concatenate(arrs).astype(np.uint64)
+        if arrs
+        else np.empty(0, np.uint64)
+    )
+    return flat, lens
+
+
+def _validate(specs: list[SketchSpec]) -> None:
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    for s in specs:
+        if s.ngram is not None:
+            if s.sketch.input_kind != "hash":
+                raise ValueError(
+                    f"spec {s.name!r}: ngram feeds need a hash-input sketch,"
+                    f" got input_kind={s.sketch.input_kind!r}"
+                )
+            if s.ngram < 1:
+                raise ValueError(f"spec {s.name!r}: ngram must be >= 1")
+
+
+def _stage1(df, specs: list[SketchSpec]):
+    """The single-scan partial fold: DataFrame[name string, state binary],
+    one row per (input partition x spec). Exposed for plan tests (the
+    profile contract is exactly ONE scan of ``df``)."""
+    from pyspark.sql import functions as F
+
+    _validate(specs)
+    # Deduplicate projections: scalar specs sharing (col, input_kind) read
+    # one column; ngram specs sharing a col read the raw array once.
+    proj: dict[tuple, str] = {}
+    exprs = []
+    spec_alias: list[str] = []
+    for s in specs:
+        if s.ngram is None:
+            key = ("scalar", s.col, s.sketch.input_kind)
+            if key not in proj:
+                alias = f"__in_{len(proj)}"
+                proj[key] = alias
+                exprs.append(s.sketch._input_expr(s.col, alias=alias))
+        else:
+            key = ("array", s.col)
+            if key not in proj:
+                alias = f"__arr_{len(proj)}"
+                proj[key] = alias
+                exprs.append(F.col(s.col).alias(alias))
+        spec_alias.append(proj[key])
+
+    src = df.select(*exprs)
+    sketches = [s.sketch for s in specs]
+    names = [s.name for s in specs]
+    ngrams = [s.ngram for s in specs]
+
+    def _fold(batches):
+        states = [None] * len(names)
+        for pdf in batches:
+            flat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for i, sk in enumerate(sketches):
+                if states[i] is None:
+                    states[i] = sk.new_state()
+                if ngrams[i] is None:
+                    sk.update(states[i], pdf[spec_alias[i]].to_numpy())
+                else:
+                    alias = spec_alias[i]
+                    if alias not in flat_cache:
+                        flat_cache[alias] = _series_to_flat(pdf[alias])
+                    flat, lens = flat_cache[alias]
+                    h = _flat_ngram_hashes(flat, lens, ngrams[i])
+                    sk.update(states[i], h.view(np.int64))
+        got = [i for i, st in enumerate(states) if st is not None]
+        if got:
+            yield pd.DataFrame(
+                {
+                    "name": [names[i] for i in got],
+                    "state": [sketches[i].to_bytes(states[i]) for i in got],
+                }
+            )
+
+    return src.mapInPandas(_fold, schema="name string, state binary")
+
+
+def profile(df, specs: list[SketchSpec]) -> dict[str, object]:
+    """Build every spec's sketch state in ONE scan of ``df``.
+
+    Merge topology mirrors ``MergeableSketch.build``: when the stage-1
+    collect would be heavy (P partitions x total state bytes > ~64 MB), a
+    salted ``groupBy(name, salt).applyInPandas`` pre-merge folds states
+    distributed first (the shuffle carries states, not rows); the driver
+    then folds the <= S x sqrt(P) survivors. Associativity makes the
+    topology invisible in the result."""
+    from pyspark.sql import functions as F
+
+    specs = list(specs)
+    parts = _stage1(df, specs)
+    by_name = {s.name: s.sketch for s in specs}
+
+    p = df.rdd.getNumPartitions()
+    per_part = sum(
+        (s.sketch.approx_state_bytes() or (1 << 20)) for s in specs
+    )
+    fan = math.isqrt(max(1, p))
+    if p * per_part > (64 << 20) and fan > 1:
+
+        def _pre_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            nm = pdf["name"].iloc[0]
+            sk = by_name[nm]
+            state = None
+            for b in pdf["state"]:
+                s = sk.from_bytes(bytes(b))
+                state = s if state is None else sk.merge(state, s)
+            return pd.DataFrame({"name": [nm], "state": [sk.to_bytes(state)]})
+
+        parts = (
+            parts.withColumn(
+                "salt", F.pmod(F.spark_partition_id(), F.lit(fan))
+            )
+            .groupBy("name", "salt")
+            .applyInPandas(_pre_merge, schema="name string, state binary")
+        )
+
+    out: dict[str, object] = {}
+    for row in parts.collect():
+        nm = row["name"]
+        sk = by_name[nm]
+        st = sk.from_bytes(bytes(row["state"]))
+        out[nm] = st if nm not in out else sk.merge(out[nm], st)
+    for s in specs:  # empty input: every sketch still yields a state
+        if s.name not in out:
+            out[s.name] = s.sketch.new_state()
+    return out
+
+
+def profile_estimates(df, specs: list[SketchSpec]) -> dict[str, float]:
+    """``profile`` + per-spec scalar ``estimate()`` (sketches without an
+    estimate — e.g. Bloom — are omitted; fetch their state via
+    ``profile`` directly)."""
+    states = profile(df, specs)
+    out: dict[str, float] = {}
+    for s in specs:
+        try:
+            out[s.name] = float(s.sketch.estimate(states[s.name]))
+        except NotImplementedError:
+            pass
+    return out
