@@ -1174,6 +1174,102 @@ def _q_ngram_profile_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_ngrams_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest token n-grams via the two-scan Misra-Gries path
+    (sketches/multi.heavy_ngrams): fold every 3-token window hash into a
+    k-entry MG state per partition (no row explosion — at 10^12 docs a
+    posexplode+groupBy shuffles ~5x10^14 gram rows; this shuffles k-entry
+    states), then resolve the top retained hashes back to actual token
+    grams in one more scan. Three boilerplate trigrams are planted
+    Spark-side at deterministic 1-in-{2,3,5} document rates (xxhash64
+    selector over doc_id), giving true counts far above the MG certified
+    bound total_windows/(k+1), so the top-3 resolved grams and their
+    order are deterministic. Checks, all against EXACT distributed
+    counts (window-hash filter + groupBy over the same corpus):
+    certificate count_est <= true <= count_est + max_undercount for
+    every returned row; each resolved gram re-hashes to its gram_hash
+    (token_ngram_hashes — the shared window-hash contract); top-3 ==
+    planted grams in frequency order. The generator and selectors are
+    seed-pinned, so the planted exact counts are constants (precedent:
+    ngram_profile_sequences)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import heavy_ngrams
+    from recsplit_spark.sketches.multi import token_ngram_hashes
+
+    ship_package(spark)
+    n_rows = 20_000
+    seq = sequences(spark, n_rows, partitions=8)
+    planted = [((1, 5, 9), 2), ((3, 1, 4), 3), ((2, 6, 5), 5)]
+    toks = F.col("tokens")
+    for gram, mod in planted:
+        sel = F.pmod(F.xxhash64(F.lit(mod), F.col("doc_id")), F.lit(mod)) == 0
+        toks = F.when(
+            sel, F.concat(toks, F.array(*[F.lit(t) for t in gram]))
+        ).otherwise(toks)
+    corpus = seq.withColumn("tokens", toks).cache()
+
+    rows = heavy_ngrams(corpus, "tokens", n=3, k=4096, top=8).collect()
+    tops = np.sort(np.array([r["gram_hash"] for r in rows], dtype=np.int64))
+
+    def _hits(batches):
+        from recsplit_spark.sketches.multi import (
+            _flat_ngram_hashes,
+            _series_to_flat,
+        )
+
+        for pdf in batches:
+            flat, lens = _series_to_flat(pdf["__arr"])
+            h = _flat_ngram_hashes(flat, lens, 3).view(np.int64)
+            idx = np.searchsorted(tops, h)
+            idx[idx == len(tops)] = 0
+            hit = tops[idx] == h
+            if hit.any():
+                yield pd.DataFrame({"h": h[hit]})
+
+    exact = {
+        r["h"]: r["c"]
+        for r in corpus.select(F.col("tokens").alias("__arr"))
+        .mapInPandas(_hits, "h long")
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    corpus.unpersist()
+    certificate_ok = all(
+        r["count_est"]
+        <= exact[r["gram_hash"]]
+        <= r["count_est"] + r["max_undercount"]
+        for r in rows
+    )
+    rehash_ok = all(
+        int(token_ngram_hashes(r["gram"], 3)[0]) == r["gram_hash"]
+        for r in rows
+    )
+    ph = [int(token_ngram_hashes(list(g), 3)[0]) for g, _ in planted]
+    top3_ok = [r["gram_hash"] for r in rows[:3]] == ph
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(exact[ph[0]]),
+                int(exact[ph[1]]),
+                int(exact[ph[2]]),
+                bool(top3_ok),
+                bool(certificate_ok),
+                bool(rehash_ok),
+            )
+        ],
+        "n_rows bigint, top1_count bigint, top2_count bigint,"
+        " top3_count bigint, top3_planted_in_order boolean,"
+        " certificate_ok boolean, rehash_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -1213,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
+        "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
@@ -1541,5 +1638,17 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS hll_within_bound,"
             " TRUE AS cms_total_matches_windows,"
             " TRUE AS cms_doc_freq_lower_bound"
+        ),
+        # seed-pinned generator + xxhash64 plant selectors: the exact
+        # counts of the three planted trigrams are deterministic
+        # constants (verified in-engine via exact distributed counting)
+        "heavy_ngrams_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " CAST(9888 AS BIGINT) AS top1_count,"
+            " CAST(6587 AS BIGINT) AS top2_count,"
+            " CAST(4012 AS BIGINT) AS top3_count,"
+            " TRUE AS top3_planted_in_order,"
+            " TRUE AS certificate_ok,"
+            " TRUE AS rehash_ok"
         ),
     }

@@ -10,6 +10,12 @@ from .cms import CountMinSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLL, KLLState  # noqa: F401
 from .mg import MisraGries, MGState  # noqa: F401
-from .multi import SketchSpec, profile, profile_estimates, token_ngram_hashes  # noqa: F401
+from .multi import (  # noqa: F401
+    SketchSpec,
+    heavy_ngrams,
+    profile,
+    profile_estimates,
+    token_ngram_hashes,
+)
 from .tdigest import TDigest, TDigestState  # noqa: F401
 from .theta import ThetaSketch, ThetaState  # noqa: F401

@@ -80,18 +80,62 @@ class MergeableSketch(ABC):
             return F.col(col).cast("string").alias(alias)
         return F.col(col).cast("double").alias(alias)
 
-    def partials(self, df, col: str, keys: tuple[str, ...] = ()):
+    #: a sketch that meaningfully folds a batch of int64 n-gram window
+    #: hashes (``partials(..., ngram=n)`` feeds). True for hash-input
+    #: sketches by construction; value sketches (KLL/t-digest) would
+    #: compute quantiles OF hashes — meaningless — so they stay out.
+    #: MisraGries overrides: its items become the gram hashes themselves
+    #: (exact per-hash counting is exactly heavy-hitting over grams).
+    @property
+    def accepts_ngram_hashes(self) -> bool:
+        return self.input_kind == "hash"
+
+    def _check_ngram(self, ngram: int | None) -> None:
+        if ngram is None:
+            return
+        if ngram < 1:
+            raise ValueError("ngram must be >= 1")
+        if not self.accepts_ngram_hashes:
+            raise ValueError(
+                f"{type(self).__name__} cannot fold n-gram window hashes"
+                f" (input_kind={self.input_kind!r})"
+            )
+
+    def partials(self, df, col: str, keys: tuple[str, ...] = (),
+                 ngram: int | None = None):
         """Stage 1: DataFrame[keys..., state binary] — one row per
-        (partition x key)."""
+        (partition x key).
+
+        ``ngram=n`` switches the feed from the scalar ``col`` to ALL
+        n-token window hashes of ``col`` (an ``array<int>`` token
+        column), computed inside the kernel — the token arrays are never
+        exploded into rows (see sketches/multi.py for the window-hash
+        contract shared with the dedup shingle kernels)."""
         sk = self
+        self._check_ngram(ngram)
         key_list = list(keys)
-        sel = [self._input_expr(col)] + key_list
+        if ngram is None:
+            sel = [self._input_expr(col)] + key_list
+            in_col = "__in"
+        else:
+            from pyspark.sql import functions as F
+
+            sel = [F.col(col).alias("__arr")] + key_list
+            in_col = "__arr"
         src = df.select(*sel)
         schema = (
             ", ".join(f"{k} string" for k in key_list)
             + (", " if key_list else "")
             + "state binary"
         )
+
+        def _batch_input(series: pd.Series) -> np.ndarray:
+            if ngram is None:
+                return series.to_numpy()
+            from .multi import _flat_ngram_hashes, _series_to_flat
+
+            flat, lens = _series_to_flat(series)
+            return _flat_ngram_hashes(flat, lens, ngram).view(np.int64)
 
         def _fold(batches):
             states: dict[tuple, object] = {}
@@ -103,13 +147,13 @@ class MergeableSketch(ABC):
                         if st is None:
                             st = sk.new_state()
                             states[kt] = st
-                        sk.update(st, grp["__in"].to_numpy())
+                        sk.update(st, _batch_input(grp[in_col]))
                 else:
                     st = states.get(())
                     if st is None:
                         st = sk.new_state()
                         states[()] = st
-                    sk.update(st, pdf["__in"].to_numpy())
+                    sk.update(st, _batch_input(pdf[in_col]))
             if states:
                 rows = {
                     k: [str(kt[i]) for kt in states] for i, k in enumerate(key_list)
@@ -119,7 +163,7 @@ class MergeableSketch(ABC):
 
         return src.mapInPandas(_fold, schema=schema)
 
-    def build(self, df, col: str):
+    def build(self, df, col: str, ngram: int | None = None):
         """Global aggregate: fold the whole DataFrame into one state.
 
         Tree merge: with P input partitions the driver would otherwise
@@ -138,7 +182,7 @@ class MergeableSketch(ABC):
         import math
 
         sk = self
-        parts = self.partials(df, col)
+        parts = self.partials(df, col, ngram=ngram)
         p = parts.rdd.getNumPartitions()
         fan = math.isqrt(max(1, p))
         nbytes = self.approx_state_bytes()
@@ -165,11 +209,12 @@ class MergeableSketch(ABC):
             state = self.merge(state, self.from_bytes(bytes(r["state"])))
         return state
 
-    def aggregate(self, df, col: str, keys, est_col: str = "estimate"):
+    def aggregate(self, df, col: str, keys, est_col: str = "estimate",
+                  ngram: int | None = None):
         """Per-group estimates: DataFrame[keys..., est_col double]."""
         sk = self
         keys = tuple(keys)
-        parts = self.partials(df, col, keys)
+        parts = self.partials(df, col, keys, ngram=ngram)
         schema = ", ".join(f"{k} string" for k in keys) + f", {est_col} double"
 
         def _final(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -182,11 +227,11 @@ class MergeableSketch(ABC):
 
         return parts.groupBy(*keys).applyInPandas(_final, schema=schema)
 
-    def states_by_key(self, df, col: str, keys):
+    def states_by_key(self, df, col: str, keys, ngram: int | None = None):
         """Per-group merged states: DataFrame[keys..., state binary]."""
         sk = self
         keys = tuple(keys)
-        parts = self.partials(df, col, keys)
+        parts = self.partials(df, col, keys, ngram=ngram)
         schema = ", ".join(f"{k} string" for k in keys) + ", state binary"
 
         def _final(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -48,6 +48,11 @@ class MGState:
 
 class MisraGries(MergeableSketch):
     input_kind = "string"
+    #: n-gram feeds are meaningful for MG even though it is item-identity:
+    #: the items become the int64 gram hashes themselves (decimal-string
+    #: keys), and exact per-hash counting IS heavy-hitting over grams —
+    #: multi.heavy_ngrams resolves the top hashes back to token grams.
+    accepts_ngram_hashes = True
 
     def __init__(self, k: int = 128) -> None:
         if k < 1:

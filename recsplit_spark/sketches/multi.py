@@ -58,21 +58,25 @@ class SketchSpec:
     ngram: int | None = None
 
 
-def _flat_ngram_hashes(flat: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
+def _flat_ngram_hashes_pos(
+    flat: np.ndarray, lens: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
     """ALL n-token window hashes of a flat concatenated token buffer
-    (``lens`` = per-doc token counts). Same window polynomial + mix64 as
-    ``pipeline.dedup._rolling_hash_batch`` so hashes interoperate with
-    the shingle/MinHash kernels; no padding and no per-doc dedup —
-    counting semantics (docs with < n tokens emit nothing)."""
+    (``lens`` = per-doc token counts), plus each window's start offset
+    into ``flat`` (the resolve kernels slice the actual gram back out).
+    Same window polynomial + mix64 as ``pipeline.dedup._rolling_hash_batch``
+    so hashes interoperate with the shingle/MinHash kernels; no padding
+    and no per-doc dedup — counting semantics (docs with < n tokens emit
+    nothing)."""
     from ..pipeline.dedup import _SHINGLE_PRIME
 
     if len(lens) == 0:
-        return np.empty(0, np.uint64)
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
     buf = np.ascontiguousarray(flat, dtype=np.uint64)
     n_sh = np.maximum(lens - n + 1, 0)
     total = int(n_sh.sum())
     if total == 0:
-        return np.empty(0, np.uint64)
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
     doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
     ends = np.cumsum(n_sh)
     local = np.arange(total, dtype=np.int64) - np.repeat(ends - n_sh, n_sh)
@@ -82,7 +86,11 @@ def _flat_ngram_hashes(flat: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray
     raw = np.zeros(total, dtype=np.uint64)
     for j in range(n):
         raw += buf[pos + j] * pows[j]
-    return mix64(raw)
+    return mix64(raw), pos
+
+
+def _flat_ngram_hashes(flat: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
+    return _flat_ngram_hashes_pos(flat, lens, n)[0]
 
 
 def token_ngram_hashes(tokens, n: int) -> np.ndarray:
@@ -117,10 +125,11 @@ def _validate(specs: list[SketchSpec]) -> None:
         raise ValueError(f"duplicate spec names: {names}")
     for s in specs:
         if s.ngram is not None:
-            if s.sketch.input_kind != "hash":
+            if not s.sketch.accepts_ngram_hashes:
                 raise ValueError(
-                    f"spec {s.name!r}: ngram feeds need a hash-input sketch,"
-                    f" got input_kind={s.sketch.input_kind!r}"
+                    f"spec {s.name!r}: {type(s.sketch).__name__} cannot fold"
+                    f" n-gram window hashes"
+                    f" (input_kind={s.sketch.input_kind!r})"
                 )
             if s.ngram < 1:
                 raise ValueError(f"spec {s.name!r}: ngram must be >= 1")
@@ -235,6 +244,81 @@ def profile(df, specs: list[SketchSpec]) -> dict[str, object]:
         if s.name not in out:
             out[s.name] = s.sketch.new_state()
     return out
+
+
+def heavy_ngrams(df, col: str, n: int, k: int = 4096, top: int = 100):
+    """Heaviest token n-grams of a corpus WITHOUT exploding rows:
+    DataFrame[gram_hash long, gram array<int>, count_est long,
+    max_undercount long], heaviest first.
+
+    At 10^12 sequences x ~500 tokens a naive ``posexplode + groupBy``
+    heavy-hitter query shuffles ~5x10^14 gram rows. This runs in two
+    scans and shuffles only k-entry states:
+
+      1. a Misra-Gries sketch folds every n-token window hash per
+         partition (``MisraGries.build(..., ngram=n)`` — the gram hashes
+         ARE the MG items); the merged state certifies, for every gram,
+         ``count_est <= true <= count_est + max_undercount`` with
+         ``max_undercount <= total_windows / (k + 1)``, and retains any
+         gram whose true count exceeds that bound;
+      2. a resolve scan maps the top retained hashes back to actual
+         token grams (broadcast hash set, windows sliced from the flat
+         token buffer in-kernel) — no token array ever visits the driver.
+
+    ``gram_hash`` is the shared window-hash contract
+    (``token_ngram_hashes``), so rows can be cross-checked against CMS
+    point queries over the same column. Choose ``k`` >> the expected
+    number of interesting grams: the bound tightens as 1/(k+1).
+    Deterministic given the input (MG retained sets depend on merge
+    order only through the bound, which is reported per call)."""
+    from pyspark.sql import functions as F
+
+    from .mg import MisraGries
+
+    mg = MisraGries(k)
+    state = mg.build(df, col, ngram=n)
+    items = mg.top_items(state, top)
+    spark = df.sparkSession
+    if not items:
+        return spark.createDataFrame(
+            [], "gram_hash long, gram array<int>, count_est long,"
+            " max_undercount long"
+        )
+    top_sorted = np.sort(np.array([int(h) for h, _ in items], dtype=np.int64))
+    dec = int(mg.error_bound(state))
+
+    def _resolve(batches):
+        for pdf in batches:
+            flat, lens = _series_to_flat(pdf["__arr"])
+            h, pos = _flat_ngram_hashes_pos(flat, lens, n)
+            hs = h.view(np.int64)
+            if len(hs) == 0:
+                continue
+            idx = np.searchsorted(top_sorted, hs)
+            idx[idx == len(top_sorted)] = 0
+            hit = top_sorted[idx] == hs
+            if not hit.any():
+                continue
+            hh, pp = hs[hit], pos[hit]
+            uh, first = np.unique(hh, return_index=True)
+            grams = [
+                flat[p : p + n].astype(np.int32).tolist() for p in pp[first]
+            ]
+            yield pd.DataFrame({"gram_hash": uh, "gram": grams})
+
+    resolved = (
+        df.select(F.col(col).alias("__arr"))
+        .mapInPandas(_resolve, schema="gram_hash long, gram array<int>")
+        .dropDuplicates(["gram_hash"])  # grams agree per 64-bit hash
+    )
+    counts = spark.createDataFrame(
+        [(int(h), int(c)) for h, c in items], "gram_hash long, count_est long"
+    )
+    return (
+        resolved.join(F.broadcast(counts), "gram_hash")
+        .withColumn("max_undercount", F.lit(dec).cast("long"))
+        .orderBy(F.desc("count_est"), "gram_hash")
+    )
 
 
 def profile_estimates(df, specs: list[SketchSpec]) -> dict[str, float]:

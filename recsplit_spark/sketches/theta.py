@@ -192,7 +192,8 @@ class ThetaSketch(MergeableSketch):
         return out
 
     def pairwise_set_estimates(self, df, col: str, key: str,
-                               max_driver_groups: int = 1024):
+                               max_driver_groups: int = 1024,
+                               ngram: int | None = None):
         """All-pairs group overlap: DataFrame[key_a, key_b, union_est,
         inter_est, jaccard_est] for every unordered pair of ``key`` groups.
 
@@ -206,7 +207,7 @@ class ThetaSketch(MergeableSketch):
         # persist: the G-row states relation is tiny but its lineage is the
         # full data-sized aggregation — without caching, the count plus the
         # collect (or the self-join's two sides) would re-run that scan
-        states = self.states_by_key(df, col, (key,)).persist()
+        states = self.states_by_key(df, col, (key,), ngram=ngram).persist()
         g = states.count()
         if g > max_driver_groups:
             return self._pairwise_distributed(states, key, g)
@@ -221,7 +222,8 @@ class ThetaSketch(MergeableSketch):
         )
 
     def pairwise_set_estimates_distributed(self, df, col: str, key: str,
-                                           n_blocks: int | None = None):
+                                           n_blocks: int | None = None,
+                                           ngram: int | None = None):
         """Distributed all-pairs group overlap (many-groups path).
 
         Block nested-loop over STATES, not rows: groups are hashed into
@@ -235,7 +237,7 @@ class ThetaSketch(MergeableSketch):
         row-level cross join. Output rows are identical to the driver
         path (same estimator on the same states; (min,max) key
         orientation)."""
-        states = self.states_by_key(df, col, (key,)).persist()  # see above
+        states = self.states_by_key(df, col, (key,), ngram=ngram).persist()  # see above
         return self._pairwise_distributed(states, key, states.count(), n_blocks)
 
     def _pairwise_distributed(self, states, key: str, g: int,

@@ -157,5 +157,5 @@ def test_profile_empty_and_validation(spark):
     assert hll.estimate(st) == 0.0
     with pytest.raises(ValueError, match="duplicate"):
         profile(df, [SketchSpec("a", hll, "doc_id"), SketchSpec("a", hll, "doc_id")])
-    with pytest.raises(ValueError, match="hash-input"):
+    with pytest.raises(ValueError, match="cannot fold n-gram window hashes"):
         profile(df, [SketchSpec("g", KLL(), "tokens", ngram=3)])
