@@ -132,10 +132,9 @@ class MergeableSketch(ABC):
         def _batch_input(series: pd.Series) -> np.ndarray:
             if ngram is None:
                 return series.to_numpy()
-            from .multi import _flat_ngram_hashes, _series_to_flat
+            from .multi import series_window_hashes
 
-            flat, lens = _series_to_flat(series)
-            return _flat_ngram_hashes(flat, lens, ngram).view(np.int64)
+            return series_window_hashes(series, ngram)
 
         def _fold(batches):
             states: dict[tuple, object] = {}

@@ -103,6 +103,15 @@ def token_ngram_hashes(tokens, n: int) -> np.ndarray:
     ).view(np.int64)
 
 
+def series_window_hashes(series: pd.Series, n: int) -> np.ndarray:
+    """int64 window hashes of a pandas Series of token arrays — the batch
+    feed behind every ``ngram=n`` entry point (batch partials and the
+    streaming stateful operators share this exact kernel, which is what
+    makes stream-vs-batch state byte-identity hold)."""
+    flat, lens = _series_to_flat(series)
+    return _flat_ngram_hashes(flat, lens, n).view(np.int64)
+
+
 def _series_to_flat(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a pandas Series of token arrays (mapInPandas list-column
     layout: one numpy array per row; None → empty)."""

@@ -27,6 +27,18 @@ import pandas as pd
 from .sketches.base import MergeableSketch
 
 
+def _feed(series, ngram: int | None):
+    """The per-micro-batch feed: scalar values, or (``ngram=n``) all
+    n-token window hashes — the same kernel as the batch ``ngram``
+    entry points, so stream-vs-batch byte-identity holds. With a
+    window feed, ``n_total`` counts windows, not rows."""
+    if ngram is None:
+        return series.to_numpy()
+    from .sketches.multi import series_window_hashes
+
+    return series_window_hashes(series, ngram)
+
+
 class StreamingSketch:
     """Incrementally folds a stream into one sketch state via foreachBatch.
 
@@ -44,9 +56,12 @@ class StreamingSketch:
         sketch: MergeableSketch,
         col: str,
         state_path: str | None = None,
+        ngram: int | None = None,
     ) -> None:
+        sketch._check_ngram(ngram)
         self.sketch = sketch
         self.col = col
+        self.ngram = ngram
         self.state_path = state_path
         self.state = sketch.new_state()
         self.last_batch_id = -1
@@ -73,7 +88,7 @@ class StreamingSketch:
     def foreach_batch(self, batch_df, batch_id: int) -> None:
         if batch_id <= self.last_batch_id:
             return  # replayed micro-batch: already folded
-        part = self.sketch.build(batch_df, self.col)
+        part = self.sketch.build(batch_df, self.col, ngram=self.ngram)
         self.state = self.sketch.merge(self.state, part)
         self.last_batch_id = batch_id
         if self.state_path:
@@ -103,6 +118,7 @@ def windowed_sketch(
     ts_col: str,
     window: str = "10 minutes",
     watermark: str = "10 minutes",
+    ngram: int | None = None,
 ):
     """Event-time windowed sketch aggregation with late-data handling — the
     Structured Streaming 'watermark + windowed agg' shape with a custom
@@ -115,14 +131,24 @@ def windowed_sketch(
     bounded by the number of OPEN windows, not stream length. Rows later
     than ``watermark`` are dropped by the engine before reaching the
     operator (standard late-data semantics).
+
+    ``ngram=n`` feeds the sketch every n-token window hash of ``col``
+    (an ``array<int>`` token column) instead of the scalar value — the
+    same in-kernel feed as the batch ``ngram`` entry points, so e.g. a
+    per-window distinct-trigram HLL over a live token stream needs no
+    row explosion.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    sketch._check_ngram(ngram)
+    in_expr = (
+        sketch._input_expr(col)
+        if ngram is None
+        else F.col(col).alias("__in")
+    )
     src = (
-        stream_df.select(
-            F.window(F.col(ts_col), window).alias("__w"), sketch._input_expr(col)
-        )
+        stream_df.select(F.window(F.col(ts_col), window).alias("__w"), in_expr)
         .select(
             F.col("__w.start").alias("window_start"),
             F.col("__w.end").alias("__w_end"),
@@ -157,7 +183,7 @@ def windowed_sketch(
         else:
             st, n = sketch.new_state(), 0
         for pdf in pdf_iter:
-            arr = pdf["__in"].to_numpy()
+            arr = _feed(pdf["__in"], ngram)
             sketch.update(st, arr)
             n += len(arr)
         state.update((sketch.to_bytes(st), n))
@@ -176,7 +202,8 @@ def windowed_sketch(
     )
 
 
-def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col: str):
+def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str,
+                           key_col: str, ngram: int | None = None):
     """Per-key incremental sketch over a stream — a custom stateful operator
     on ``applyInPandasWithState`` (per-group state = the serialized sketch).
 
@@ -185,11 +212,14 @@ def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col
     monoid and the state store is exactly-once, the per-key state after any
     prefix of the stream equals a batch build over the same rows — the test
     oracle. Use for e.g. live per-source distinct-doc_id tracking while a
-    crawl ingests.
+    crawl ingests; with ``ngram=n`` the feed is every n-token window hash
+    of ``col`` (live per-source distinct-n-gram tracking, no row
+    explosion).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    sketch._check_ngram(ngram)
     out_schema = f"{key_col} string, estimate double, n_total long"
     state_schema = "blob binary, n long"
 
@@ -200,7 +230,7 @@ def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col
         else:
             st, n = sketch.new_state(), 0
         for pdf in pdf_iter:
-            arr = pdf["__in"].to_numpy()
+            arr = _feed(pdf["__in"], ngram)
             sketch.update(st, arr)
             n += len(arr)
         state.update((sketch.to_bytes(st), n))
@@ -212,8 +242,13 @@ def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str, key_col
             }
         )
 
+    in_expr = (
+        sketch._input_expr(col)
+        if ngram is None
+        else F.col(col).alias("__in")
+    )
     src = stream_df.select(
-        sketch._input_expr(col), F.col(key_col).cast("string").alias(key_col)
+        in_expr, F.col(key_col).cast("string").alias(key_col)
     )
     return src.groupBy(key_col).applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

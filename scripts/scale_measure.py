@@ -98,6 +98,55 @@ def task_eval1e9(n: int, path: str, cores: int) -> dict:
     return out
 
 
+def task_verify1e9(n: int, path: str, cores: int, reps: int = 2) -> dict:
+    """Verify-only re-measure over an ALREADY-BUILT blocked function at
+    ``path`` (the build survives on disk) — isolates the cogroup-eval
+    timing from the 25-minute build so a healthy window can be used
+    end-to-end, and repeats best-of-N per the measurement discipline."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.blocked import BlockedMPHF
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-verify1e9", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    bm = BlockedMPHF.load(spark, path)
+    keys = spark.range(0, n, 1, cores * 8).select(F.xxhash64("id").alias("key"))
+
+    samples = []
+    for _ in range(reps):
+        pb = host_probe_ms()
+        t0 = time.time()
+        stats = (
+            bm.evaluate(keys, "key")
+            .agg(
+                F.countDistinct("mphf_index").alias("d"),
+                F.min("mphf_index").alias("mn"),
+                F.max("mphf_index").alias("mx"),
+            )
+            .collect()[0]
+        )
+        wall = time.time() - t0
+        pa_ = host_probe_ms()
+        assert stats["d"] == n and stats["mn"] == 0 and stats["mx"] == n - 1, stats
+        samples.append(
+            {"verify_sec": round(wall, 1), "probe_before": pb, "probe_after": pa_}
+        )
+    best = min(s["verify_sec"] for s in samples)
+    out = {
+        "task": "verify1e9",
+        "n": n,
+        "verify_sec_best": best,
+        "verify_keys_per_sec": round(n / best, 1),
+        "verified_bijection": True,
+        "samples": samples,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
 def task_ivffit(n: int, k: int, dim: int, cores: int) -> dict:
     """Distributed IVF fit wall time at n vectors (judge r3 #1 done
     criterion: a BASELINE.md row for distributed-fit at 10^6+ vectors).
@@ -201,7 +250,10 @@ def task_dedup01(cores: int) -> dict:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", required=True, choices=["eval1e9", "ivffit", "dedup01"])
+    ap.add_argument(
+        "--task", required=True,
+        choices=["eval1e9", "verify1e9", "ivffit", "dedup01"],
+    )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--dim", type=int, default=64)
@@ -214,6 +266,8 @@ if __name__ == "__main__":
     gate = wait_healthy(args.max_wait_s)
     if args.task == "eval1e9":
         res = task_eval1e9(args.n or 1_000_000_000, args.path, args.cores)
+    elif args.task == "verify1e9":
+        res = task_verify1e9(args.n or 1_000_000_000, args.path, args.cores)
     elif args.task == "ivffit":
         res = task_ivffit(args.n or 1_000_000, args.k, args.dim, args.cores)
     else:

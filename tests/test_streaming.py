@@ -250,3 +250,96 @@ def test_windowed_sketch_theta(spark, timed_dir, tmp_path):
     for _wstart, row in last.iterrows():
         assert row["n_total"] == 5000
         assert row["estimate"] == 5000.0  # distinct doc_ids, exact regime
+
+
+# -- n-gram feeds over a token stream (round 4) ------------------------------
+
+
+@pytest.fixture(scope="module")
+def token_staged_dir(spark, tmp_path_factory):
+    """Three parquet files carrying the tokens:array<int32> payload."""
+    ship_package(spark)
+    root = tmp_path_factory.mktemp("stream_tok_src")
+    import pandas as pd
+
+    for i, (lo, hi) in enumerate([(0, 4_000), (4_000, 8_000), (8_000, 12_000)]):
+        doc_ids, tokens, n_tok, src = sequence_batch(lo, hi)
+        pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "tokens": [t.tolist() for t in tokens],
+                "source": src,
+            }
+        ).to_parquet(root / f"part-{i}.parquet", index=False)
+    return str(root)
+
+
+def _read_token_stream(spark, path):
+    return (
+        spark.readStream.schema(
+            "doc_id string, tokens array<long>, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_streaming_ngram_hll_equals_batch(spark, token_staged_dir):
+    """Incremental trigram-cardinality state over a token stream is
+    byte-identical to the batch ngram build — the stream never explodes
+    token arrays into rows."""
+    agg = StreamingSketch(HyperLogLog(p=12), "tokens", ngram=3)
+    q = agg.start(_read_token_stream(spark, token_staged_dir))
+    q.awaitTermination(120)
+    batch_state = HyperLogLog(p=12).build(
+        spark.read.parquet(token_staged_dir), "tokens", ngram=3
+    )
+    assert agg.sketch.to_bytes(agg.state) == agg.sketch.to_bytes(batch_state)
+    assert agg.estimate() > 100_000
+
+
+def test_streaming_ngram_rejects_value_sketch(spark):
+    with pytest.raises(ValueError, match="cannot fold n-gram window hashes"):
+        StreamingSketch(KLL(), "tokens", ngram=3)
+
+
+def test_stateful_by_key_ngram_matches_batch_aggregate(
+    spark, token_staged_dir, tmp_path
+):
+    """Live per-source distinct-trigram tracking: after draining the
+    stream, every source's estimate equals the batch per-key ngram
+    aggregate (same states by monoid order-independence)."""
+    from recsplit_spark.streaming import stateful_sketch_by_key
+
+    sk = HyperLogLog(p=12)
+    out = stateful_sketch_by_key(
+        _read_token_stream(spark, token_staged_dir), sk, "tokens", "source",
+        ngram=3,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bykey_ngram")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bykey_ngram"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql(
+            "SELECT source, estimate, n_total FROM bykey_ngram"
+        )
+        .toPandas()
+        .sort_values("n_total")
+        .groupby("source")
+        .last()
+    )
+    batch = spark.read.parquet(token_staged_dir)
+    want = (
+        sk.aggregate(batch, "tokens", ("source",), ngram=3)
+        .toPandas()
+        .set_index("source")
+    )
+    assert len(got) == 4
+    for srcname, row in got.iterrows():
+        assert row["estimate"] == pytest.approx(want.loc[srcname, "estimate"])
