@@ -278,6 +278,52 @@ def run_suite(cores: int) -> dict:
             n_docs / timings["minhash_signatures_docs"], 1
         )
 
+        # -- token n-gram sketch surface (round 4): fused one-pass
+        # HLL+CMS 5-gram profile and certified MG heavy trigrams over the
+        # deterministic sequences corpus (tokens never explode into rows)
+        from recsplit_spark.data import sequences
+        from recsplit_spark.sketches import SketchSpec, heavy_ngrams, profile
+
+        seq = sequences(spark, 20_000, partitions=cores).cache()
+        n_windows = seq.agg(
+            F.sum(F.col("n_tok").cast("bigint") - F.lit(4))
+        ).collect()[0][0]
+        timed(
+            "ngram_profile_seq20k",
+            lambda: profile(
+                seq,
+                [
+                    SketchSpec("g", HyperLogLog(p=14), "tokens", ngram=5),
+                    SketchSpec(
+                        "f", CountMinSketch(eps=0.0001, delta=0.01),
+                        "tokens", ngram=5,
+                    ),
+                ],
+            ),
+        )
+        extra["ngram_windows_per_sec"] = round(
+            n_windows / timings["ngram_profile_seq20k"], 1
+        )
+        # plant boilerplate trigrams (same selectors as the driver query) so
+        # the MG state is non-empty and the resolve scan actually executes —
+        # on the uniform corpus no gram is certifiably heavy and the second
+        # scan would short-circuit
+        toks = F.col("tokens")
+        for gram, mod in [((1, 5, 9), 2), ((3, 1, 4), 3), ((2, 6, 5), 5)]:
+            sel = F.pmod(F.xxhash64(F.lit(mod), F.col("doc_id")), F.lit(mod)) == 0
+            toks = F.when(
+                sel, F.concat(toks, F.array(*[F.lit(t) for t in gram]))
+            ).otherwise(toks)
+        planted = seq.withColumn("tokens", toks).cache()
+        planted.count()
+        timed(
+            "heavy_ngrams_seq20k",
+            lambda: heavy_ngrams(planted, "tokens", n=3, k=4096, top=20)
+            .collect(),
+        )
+        planted.unpersist()
+        seq.unpersist()
+
     measure()
     probe_after = host_probe_ms()
     # self-healing bracket (judge r3 #2): a suite whose BEFORE probe was

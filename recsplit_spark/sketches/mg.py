@@ -92,6 +92,9 @@ class MisraGries(MergeableSketch):
         nullable columns."""
         if len(arr) == 0:
             return
+        a = np.asarray(arr)
+        if a.dtype.kind in "iu" and self._update_int(state, a):
+            return
         vc = pd.Series(arr).dropna().value_counts()
         state.n += int(vc.sum())
         counts = state.counts
@@ -99,6 +102,49 @@ class MisraGries(MergeableSketch):
             key = str(item)
             counts[key] = counts.get(key, 0) + int(c)
         self._trim(state)
+
+    def _update_int(self, state: MGState, a: np.ndarray) -> bool:
+        """Vectorized fold for integer item batches (the n-gram hash feed:
+        millions of int64 window hashes per partition). Value-identical to
+        the generic path — same combined multiset, same single trim with
+        the (k+1)-th-largest pivot — but the per-item work is numpy
+        sort/reduceat instead of a Python dict loop, and only the <= k
+        survivors ever become dict entries. Returns False (caller falls
+        back) when existing state keys aren't decimal integers (a state
+        previously fed string items)."""
+        counts = state.counts
+        if counts:
+            try:
+                ek = np.fromiter(
+                    (int(s) for s in counts), dtype=np.int64, count=len(counts)
+                )
+            except ValueError:
+                return False
+            ev = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        else:
+            ek = ev = None
+        u, c = np.unique(a.astype(np.int64, copy=False), return_counts=True)
+        c = c.astype(np.int64, copy=False)
+        state.n += int(len(a))
+        if ek is not None:
+            u = np.concatenate([u, ek])
+            c = np.concatenate([c, ev])
+            order = np.argsort(u, kind="stable")
+            u, c = u[order], c[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], u[1:] != u[:-1]])
+            )
+            u = u[starts]
+            c = np.add.reduceat(c, starts)
+        if len(u) > self.k:
+            pivot = int(
+                np.partition(c, len(c) - self.k - 1)[len(c) - self.k - 1]
+            )
+            keep = c > pivot
+            u, c = u[keep], c[keep] - pivot
+            state.dec += pivot
+        state.counts = {str(int(x)): int(v) for x, v in zip(u, c)}
+        return True
 
     def merge(self, a: MGState, b: MGState) -> MGState:
         if len(a.counts) < len(b.counts):

@@ -420,6 +420,43 @@ def test_theta_restricted_cut_is_exact_above_2_53():
     assert cut in np.concatenate([res_a, res_b])
 
 
+def test_mg_int_fast_path_matches_generic():
+    """The vectorized int64 fold (_update_int — the n-gram hash feed's hot
+    path) must stay VALUE-IDENTICAL to the generic dict path: same counts,
+    same n, same certified dec, under repeated updates and trims. Both
+    sides are exercised through public update() — int64 arrays take the
+    fast path, object arrays the generic one."""
+    rng = np.random.default_rng(23)
+    for k in (1, 4, 64, 1000):
+        mg = MisraGries(k)
+        batches = [
+            np.concatenate(
+                [rng.integers(0, 40, 4000), rng.integers(0, 2**62, 20000)]
+            ),
+            rng.integers(0, 2**62, 15000),
+            rng.integers(0, 25, 500),
+        ]
+        fast, slow = mg.new_state(), mg.new_state()
+        for b in batches:
+            mg.update(fast, b.astype(np.int64))
+            mg.update(slow, b.astype(object))
+        assert fast.n == slow.n
+        assert fast.dec == slow.dec, k
+        assert fast.counts == slow.counts, k
+
+
+def test_mg_int_then_string_feed_falls_back():
+    """A state previously fed non-numeric string items can't ride the int
+    fast path (keys aren't parseable) — update must fall back to the
+    generic path, not raise."""
+    mg = MisraGries(k=8)
+    st = mg.new_state()
+    mg.update(st, np.array(["a", "b", "a"], dtype=object))
+    mg.update(st, np.arange(20, dtype=np.int64))
+    assert st.n == 23
+    assert mg.error_bound(st) <= st.n // (mg.k + 1) + 1
+
+
 def test_mg_nulls_are_not_items():
     """MG drops nulls before counting: neither the counters nor state.n see
     them (documented contract; lineage n_rows counts raw rows instead)."""
