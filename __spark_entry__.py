@@ -1174,6 +1174,90 @@ def _q_ngram_profile_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_by_source_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED one-pass profiling over the north-rule payload: per-source
+    HLL(distinct doc_id) + HLL(distinct token trigrams, ngram=3 in-kernel)
+    from a SINGLE scan (sketches/multi.profile_estimates_by_key — S
+    sketches x G groups, one pass, states-not-rows shuffle; the per-sketch
+    states_by_key path pays S scans). Checks per source, against EXACT
+    distributed answers (countDistinct doc_id; per-doc shingle kernel +
+    countDistinct over gram hashes — set semantics equal counting
+    semantics for distinct): both HLL estimates within 3x relative error.
+    Generator is seed-pinned so the exact per-source constants are fully
+    determined (precedent: ngram_profile_sequences)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import (
+        HyperLogLog,
+        SketchSpec,
+        profile_estimates_by_key,
+    )
+
+    ship_package(spark)
+    seq = sequences(spark, 20_000, partitions=8).cache()
+    hll_d = HyperLogLog(p=14)
+    hll_g = HyperLogLog(p=14)
+    est = {
+        r["source"]: r
+        for r in profile_estimates_by_key(
+            seq,
+            ["source"],
+            [
+                SketchSpec("docs", hll_d, "doc_id"),
+                SketchSpec("grams", hll_g, "tokens", ngram=3),
+            ],
+        ).collect()
+    }
+    exact_docs = {
+        r["source"]: r["d"]
+        for r in seq.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+
+    def _doc_hashes(batches):
+        import numpy as np
+
+        from recsplit_spark.pipeline.dedup import _batch_token_shingle_hashes
+
+        for pdf in batches:
+            for src, grp in pdf.groupby("source"):
+                hu, _ = _batch_token_shingle_hashes(grp["tokens"].tolist(), 3)
+                yield pd.DataFrame({"source": src, "h": hu.view(np.int64)})
+
+    exact_grams = {
+        r["source"]: r["dg"]
+        for r in seq.select("source", "tokens")
+        .mapInPandas(_doc_hashes, "source string, h long")
+        .groupBy("source")
+        .agg(F.countDistinct("h").alias("dg"))
+        .collect()
+    }
+    seq.unpersist()
+    rows = []
+    for src in sorted(exact_docs):
+        d, g = exact_docs[src], exact_grams[src]
+        rows.append(
+            (
+                src,
+                int(d),
+                int(g),
+                bool(abs(est[src]["docs"] - d) <= 3 * hll_d.relative_error * d),
+                bool(
+                    abs(est[src]["grams"] - g) <= 3 * hll_g.relative_error * g
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, distinct_trigrams bigint,"
+        " docs_within_bound boolean, grams_within_bound boolean",
+    )
+
+
 def _q_heavy_ngrams_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaviest token n-grams via the two-scan Misra-Gries path
     (sketches/multi.heavy_ngrams): fold every 3-token window hash into a
@@ -1309,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
+        "profile_by_source_sequences": _q_profile_by_source_sequences,
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
@@ -1638,6 +1723,22 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS hll_within_bound,"
             " TRUE AS cms_total_matches_windows,"
             " TRUE AS cms_doc_freq_lower_bound"
+        ),
+        # seed-pinned generator: per-source exact distinct-doc and
+        # distinct-trigram counts are deterministic constants (verified
+        # in-engine via countDistinct + the per-doc shingle kernel)
+        "profile_by_source_sequences": (
+            "SELECT * FROM (VALUES"
+            " ('books', CAST(4968 AS BIGINT), CAST(1308179 AS BIGINT),"
+            "  TRUE, TRUE),"
+            " ('code', CAST(4926 AS BIGINT), CAST(1287940 AS BIGINT),"
+            "  TRUE, TRUE),"
+            " ('web', CAST(4964 AS BIGINT), CAST(1302103 AS BIGINT),"
+            "  TRUE, TRUE),"
+            " ('wiki', CAST(5142 AS BIGINT), CAST(1334029 AS BIGINT),"
+            "  TRUE, TRUE)"
+            ") AS t(source, n_docs, distinct_trigrams, docs_within_bound,"
+            " grams_within_bound)"
         ),
         # seed-pinned generator + xxhash64 plant selectors: the exact
         # counts of the three planted trigrams are deterministic

@@ -14,7 +14,9 @@ from .multi import (  # noqa: F401
     SketchSpec,
     heavy_ngrams,
     profile,
+    profile_by_key,
     profile_estimates,
+    profile_estimates_by_key,
     token_ngram_hashes,
 )
 from .tdigest import TDigest, TDigestState  # noqa: F401

@@ -255,6 +255,159 @@ def profile(df, specs: list[SketchSpec]) -> dict[str, object]:
     return out
 
 
+def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
+    """Grouped single-scan partial fold: DataFrame[keys... string, name
+    string, state binary] — one row per (partition x key-tuple x spec).
+    Key values are stringified exactly like ``MergeableSketch.partials``
+    so the two families stay join-compatible."""
+    from pyspark.sql import functions as F
+
+    _validate(specs)
+    if not keys:
+        raise ValueError("profile_by_key needs at least one key column")
+    clash = set(keys) & {s.name for s in specs}
+    if clash:
+        raise ValueError(f"spec names shadow key columns: {sorted(clash)}")
+    proj: dict[tuple, str] = {}
+    exprs = [F.col(k) for k in keys]
+    spec_alias: list[str] = []
+    for s in specs:
+        if s.ngram is None:
+            pk = ("scalar", s.col, s.sketch.input_kind)
+            if pk not in proj:
+                alias = f"__in_{len(proj)}"
+                proj[pk] = alias
+                exprs.append(s.sketch._input_expr(s.col, alias=alias))
+        else:
+            pk = ("array", s.col)
+            if pk not in proj:
+                alias = f"__arr_{len(proj)}"
+                proj[pk] = alias
+                exprs.append(F.col(s.col).alias(alias))
+        spec_alias.append(proj[pk])
+
+    src = df.select(*exprs)
+    sketches = [s.sketch for s in specs]
+    names = [s.name for s in specs]
+    ngrams = [s.ngram for s in specs]
+    key_list = list(keys)
+    schema = (
+        ", ".join(f"{k} string" for k in key_list)
+        + ", name string, state binary"
+    )
+
+    def _fold(batches):
+        states: dict[tuple, list] = {}
+        for pdf in batches:
+            for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
+                kt = kv if isinstance(kv, tuple) else (kv,)
+                sts = states.get(kt)
+                if sts is None:
+                    sts = [None] * len(specs)
+                    states[kt] = sts
+                flat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+                for i, sk in enumerate(sketches):
+                    if sts[i] is None:
+                        sts[i] = sk.new_state()
+                    if ngrams[i] is None:
+                        sk.update(sts[i], grp[spec_alias[i]].to_numpy())
+                    else:
+                        alias = spec_alias[i]
+                        if alias not in flat_cache:
+                            flat_cache[alias] = _series_to_flat(grp[alias])
+                        flat, lens = flat_cache[alias]
+                        h = _flat_ngram_hashes(flat, lens, ngrams[i])
+                        sk.update(sts[i], h.view(np.int64))
+        if states:
+            cols: dict[str, list] = {k: [] for k in key_list}
+            cols["name"] = []
+            cols["state"] = []
+            for kt, sts in states.items():
+                for i, st in enumerate(sts):
+                    if st is None:
+                        continue
+                    for j, k in enumerate(key_list):
+                        cols[k].append(str(kt[j]))
+                    cols["name"].append(names[i])
+                    cols["state"].append(sketches[i].to_bytes(st))
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(_fold, schema=schema)
+
+
+def profile_by_key(df, keys, specs: list[SketchSpec]):
+    """Per-group fused profile: every spec's merged state for every key
+    group, from ONE scan of ``df`` — DataFrame[keys... string, name
+    string, state binary].
+
+    The grouped analogue of ``profile``: S calls to
+    ``MergeableSketch.states_by_key`` pay S full table scans; this pays
+    one. Stage 2 is a single ``groupBy(keys, name)`` whose shuffle
+    carries (G x S x P') serialized states, never rows — at 10^12
+    sequences the scan emits per-(partition x group x spec) states only,
+    and the reduce output is G x S rows. Merge associativity makes the
+    result value-identical to the per-sketch path (byte-identical for
+    batch-order-insensitive states; tested)."""
+    specs = list(specs)
+    keys = list(keys)
+    parts = _stage1_by_key(df, keys, specs)
+    by_name = {s.name: s.sketch for s in specs}
+    schema = (
+        ", ".join(f"{k} string" for k in keys) + ", name string, state binary"
+    )
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = by_name[pdf["name"].iloc[0]]
+        state = None
+        for b in pdf["state"]:
+            s = sk.from_bytes(bytes(b))
+            state = s if state is None else sk.merge(state, s)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["name"] = [pdf["name"].iloc[0]]
+        out["state"] = [sk.to_bytes(state)]
+        return pd.DataFrame(out)
+
+    return parts.groupBy(*keys, "name").applyInPandas(_final, schema=schema)
+
+
+def profile_estimates_by_key(df, keys, specs: list[SketchSpec]):
+    """Per-group scalar estimates for every spec from ONE scan:
+    DataFrame[keys... string, <spec.name> double ...] — one output row
+    per key group, one column per spec (names must be valid column
+    names). Stage 2 groups by keys only, so each group's S states merge
+    and estimate inside a single task. Specs whose sketch has no scalar
+    ``estimate`` (e.g. Bloom) are rejected — fetch their states via
+    ``profile_by_key``."""
+    specs = list(specs)
+    keys = list(keys)
+    for s in specs:
+        if type(s.sketch).estimate is MergeableSketch.estimate:
+            raise ValueError(
+                f"spec {s.name!r}: {type(s.sketch).__name__} has no scalar"
+                f" estimate — use profile_by_key for raw states"
+            )
+    parts = _stage1_by_key(df, keys, specs)
+    by_name = {s.name: s.sketch for s in specs}
+    names = [s.name for s in specs]
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", "
+        + ", ".join(f"{n} double" for n in names)
+    )
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        for nm in names:
+            sk = by_name[nm]
+            state = sk.new_state()
+            for b in pdf.loc[pdf["name"] == nm, "state"]:
+                state = sk.merge(state, sk.from_bytes(bytes(b)))
+            out[nm] = [float(sk.estimate(state))]
+        return pd.DataFrame(out)
+
+    return parts.groupBy(*keys).applyInPandas(_final, schema=schema)
+
+
 def heavy_ngrams(df, col: str, n: int, k: int = 4096, top: int = 100):
     """Heaviest token n-grams of a corpus WITHOUT exploding rows:
     DataFrame[gram_hash long, gram array<int>, count_est long,

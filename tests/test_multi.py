@@ -159,3 +159,117 @@ def test_profile_empty_and_validation(spark):
         profile(df, [SketchSpec("a", hll, "doc_id"), SketchSpec("a", hll, "doc_id")])
     with pytest.raises(ValueError, match="cannot fold n-gram window hashes"):
         profile(df, [SketchSpec("g", KLL(), "tokens", ngram=3)])
+
+
+def test_profile_by_key_matches_states_by_key(spark, seq_df):
+    """Grouped fused profile == per-sketch states_by_key, byte-identical
+    per (key, spec) for batch-order-insensitive states (HLL max, CMS
+    sum) — one scan replacing S."""
+    from recsplit_spark.sketches import profile_by_key
+
+    hll = HyperLogLog(p=12)
+    cms = CountMinSketch(eps=0.01, delta=0.01)
+    fused = {
+        (r["source"], r["name"]): bytes(r["state"])
+        for r in profile_by_key(
+            seq_df,
+            ["source"],
+            [
+                SketchSpec("docs", hll, "doc_id"),
+                SketchSpec("freq", cms, "doc_id"),
+            ],
+        ).collect()
+    }
+    for name, sk in (("docs", hll), ("freq", cms)):
+        solo = {
+            r["source"]: bytes(r["state"])
+            for r in sk.states_by_key(seq_df, "doc_id", ["source"]).collect()
+        }
+        assert set(solo) == {k for k, n in fused if n == name}
+        for src, blob in solo.items():
+            assert fused[(src, name)] == blob, (name, src)
+
+
+def test_profile_estimates_by_key_vs_exact(spark, seq_df):
+    """Per-group one-pass estimates: HLL distinct docs per source within
+    bound of the exact groupBy answer, and per-source distinct-trigram
+    HLL within bound of the exact distributed kernel count."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import profile_estimates_by_key
+
+    hll_docs = HyperLogLog(p=12)
+    hll_g = HyperLogLog(p=12)
+    est = {
+        r["source"]: r
+        for r in profile_estimates_by_key(
+            seq_df,
+            ["source"],
+            [
+                SketchSpec("docs", hll_docs, "doc_id"),
+                SketchSpec("grams", hll_g, "tokens", ngram=3),
+            ],
+        ).collect()
+    }
+    exact_docs = {
+        r["source"]: r["d"]
+        for r in seq_df.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact_docs)
+    for src, d in exact_docs.items():
+        assert abs(est[src]["docs"] - d) <= 3 * hll_docs.relative_error * d
+
+    # exact per-source distinct trigram hashes via the per-doc kernel
+    rows = seq_df.select("source", "tokens").collect()
+    seen: dict = {}
+    for r in rows:
+        seen.setdefault(r["source"], set()).update(
+            _token_shingle_hashes(np.array(r["tokens"]), 3).tolist()
+        )
+    for src, grams in seen.items():
+        assert (
+            abs(est[src]["grams"] - len(grams))
+            <= 3 * hll_g.relative_error * len(grams)
+        ), src
+
+
+def test_profile_by_key_is_single_scan(spark, tmp_path, seq_df):
+    import contextlib
+    import io
+    import re
+
+    from recsplit_spark.sketches.multi import _stage1_by_key
+
+    path = str(tmp_path / "seqk")
+    seq_df.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    specs = [
+        SketchSpec("docs", HyperLogLog(p=12), "doc_id"),
+        SketchSpec("grams", HyperLogLog(p=12), "tokens", ngram=5),
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _stage1_by_key(df, ["source"], specs).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+
+
+def test_profile_by_key_validation(spark, seq_df):
+    from recsplit_spark.sketches import (
+        profile_by_key,
+        profile_estimates_by_key,
+    )
+
+    hll = HyperLogLog(p=12)
+    with pytest.raises(ValueError, match="at least one key"):
+        profile_by_key(seq_df, [], [SketchSpec("docs", hll, "doc_id")])
+    with pytest.raises(ValueError, match="shadow key columns"):
+        profile_by_key(seq_df, ["source"], [SketchSpec("source", hll, "doc_id")])
+    with pytest.raises(ValueError, match="no scalar estimate"):
+        profile_estimates_by_key(
+            seq_df,
+            ["source"],
+            [SketchSpec("m", BloomFilter(n_expected=100, fpr=0.01), "doc_id")],
+        )
