@@ -87,16 +87,24 @@ class CheckpointedBuild:
         self.sketch = sketch
         self.waves = waves
 
-    def run(self, df, col: str, path: str, _stop_after: int | None = None):
+    def run(self, df, col: str, path: str, ngram: int | None = None,
+            _stop_after: int | None = None):
         """Fold df[col]; commit per-wave states+metrics under ``path``;
         return the merged state. Re-running with the same path resumes.
-        ``_stop_after`` aborts after that many wave commits (crash
-        simulation for the resume tests) and returns None."""
+        ``ngram=n`` feeds ALL n-token window hashes of an ``array<int>``
+        column instead of the scalar (the shared window-hash contract,
+        sketches/multi.series_window_hashes); wave membership stays a
+        function of the raw column value, and the manifest pins ``ngram``
+        so a resume can't mix scalar and window-hash states (they merge
+        cleanly but mean different things). ``_stop_after`` aborts after
+        that many wave commits (crash simulation for the resume tests)
+        and returns None."""
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         sk = self.sketch
-        self._check_or_write_manifest(spark, path)
+        sk._check_ngram(ngram)
+        self._check_or_write_manifest(spark, path, ngram)
         done = _committed_waves(spark, path)
         run_id = f"run-{int(time.time())}"
         committed = 0
@@ -104,15 +112,22 @@ class CheckpointedBuild:
             if w in done:
                 continue
             t0 = time.time()
-            src = df.filter(_wave_expr(col, self.waves) == w).select(
-                sk._input_expr(col)
-            )
+            wave_rows = df.filter(_wave_expr(col, self.waves) == w)
+            if ngram is None:
+                src = wave_rows.select(sk._input_expr(col))
+            else:
+                src = wave_rows.select(F.col(col).alias("__arr"))
 
             def _fold(batches):
+                from .multi import series_window_hashes
+
                 st, n = sk.new_state(), 0
                 for pdf in batches:
                     n += len(pdf)
-                    sk.update(st, pdf["__in"].to_numpy())
+                    if ngram is None:
+                        sk.update(st, pdf["__in"].to_numpy())
+                    else:
+                        sk.update(st, series_window_hashes(pdf["__arr"], ngram))
                 yield pd.DataFrame({"state": [sk.to_bytes(st)], "n_rows": [n]})
 
             wave_dir = f"{path}/states/wave={w}"
@@ -149,9 +164,11 @@ class CheckpointedBuild:
                 return None  # simulated crash: waves committed so far persist
         return self.merged_state(spark, path)
 
-    def _check_or_write_manifest(self, spark, path: str) -> None:
-        """Pin (waves, sketch fingerprint) at first commit; raise on resume
-        mismatch.
+    def _check_or_write_manifest(
+        self, spark, path: str, ngram: int | None = None
+    ) -> None:
+        """Pin (waves, sketch fingerprint, ngram feed) at first commit;
+        raise on resume mismatch.
 
         Wave membership is ``pmod(hash, waves)`` — a function of the DATA
         and of ``waves`` — so resuming an 8-wave checkpoint with waves=4
@@ -183,14 +200,25 @@ class CheckpointedBuild:
                     "manifest recording the original waves + sketch config"
                 ) from None
             spark.createDataFrame(
-                [(int(self.waves), fp)], "waves int, fingerprint string"
+                [(int(self.waves), fp, int(ngram or 0))],
+                "waves int, fingerprint string, ngram int",
             ).write.mode("overwrite").parquet(f"{path}/manifest")
             return
-        if int(row["waves"]) != self.waves or row["fingerprint"] != fp:
+        # pre-ngram manifests lack the column: those checkpoints were
+        # scalar-feed builds, so they pin ngram=None
+        committed_ngram = (
+            int(row["ngram"]) if "ngram" in row.__fields__ else 0
+        )
+        if (
+            int(row["waves"]) != self.waves
+            or row["fingerprint"] != fp
+            or committed_ngram != int(ngram or 0)
+        ):
             raise ValueError(
                 "checkpoint manifest mismatch: committed build used "
-                f"waves={row['waves']} fingerprint={row['fingerprint']}, "
-                f"resume requested waves={self.waves} fingerprint={fp}; "
+                f"waves={row['waves']} fingerprint={row['fingerprint']} "
+                f"ngram={committed_ngram or None}, resume requested "
+                f"waves={self.waves} fingerprint={fp} ngram={ngram}; "
                 "resume with the original settings or use a fresh path"
             )
 

@@ -416,3 +416,33 @@ def test_checkpoint_refuses_manifestless_committed_path(spark, sf_dir, tmp_path)
     shutil.rmtree(f"{path}/manifest")
     with pytest.raises(ValueError, match="no readable manifest"):
         CheckpointedBuild(sk, waves=8).run(li, "l_orderkey", path)
+
+
+def test_checkpointed_ngram_build_equals_direct(spark, tmp_path):
+    """Waved checkpointed n-gram fold == direct ngram build (byte-identical
+    for HLL), crash-resume included, and the manifest pins the ngram feed:
+    resuming a scalar checkpoint with ngram=n (or vice versa) must raise —
+    the states merge cleanly but mean different things."""
+    import pytest as _pytest
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.sketches import CheckpointedBuild, HyperLogLog
+
+    seq = sequences(spark, 3_000, partitions=6).cache()
+    hll = HyperLogLog(p=12)
+    cb = CheckpointedBuild(hll, waves=4)
+    path = str(tmp_path / "ck_ngram")
+    # crash after 2 waves, then resume
+    assert cb.run(seq, "tokens", path, ngram=3, _stop_after=2) is None
+    st = cb.run(seq, "tokens", path, ngram=3)
+    direct = hll.build(seq, "tokens", ngram=3)
+    assert hll.to_bytes(st) == hll.to_bytes(direct)
+    m = cb.metrics(spark, path).collect()
+    assert {r["wave"] for r in m} == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in m) == 3_000
+    # feed mismatch on resume must fail loudly
+    with _pytest.raises(ValueError, match="ngram"):
+        cb.run(seq, "tokens", path, ngram=5)
+    with _pytest.raises(ValueError, match="ngram"):
+        CheckpointedBuild(hll, waves=4).run(seq, "doc_id", path)
+    seq.unpersist()
