@@ -1258,6 +1258,102 @@ def _q_profile_by_source_sequences(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_theta_source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source token n-gram OVERLAP via theta/KMV states over gram
+    hashes: which corpus slices share phrasing, without materializing any
+    gram set (at 10^12 sequences the per-source distinct-gram relation is
+    itself petabytes; the theta states are k hashes each). One scan builds
+    a per-source state over ALL trigram window hashes (states_by_key
+    ngram=3 in-kernel), then all source pairs get
+    union/intersection/jaccard estimates. Tokens are folded mod 128 first
+    so the trigram space (128^3 ~ 2.1M) saturates and sources genuinely
+    overlap — raw 50k-vocab trigrams over random data are pairwise
+    disjoint and the query would be degenerate. Exact answers are computed
+    in-engine (per-doc shingle kernel -> per-source distinct gram hashes
+    -> pair join), so the booleans pin union within 5x RSE of exact,
+    intersection within 5x RSE x union (set-op error scales with union),
+    and jaccard within 5x RSE absolute. Seed-pinned constants
+    (precedent: profile_by_source_sequences)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import ThetaSketch
+
+    ship_package(spark)
+    seq = (
+        sequences(spark, 10_000, partitions=8)
+        .withColumn(
+            "toks", F.transform("tokens", lambda t: t % F.lit(128))
+        )
+        .cache()
+    )
+    sk = ThetaSketch(k=4096)
+    est = {
+        (r["key_a"], r["key_b"]): r
+        for r in sk.pairwise_set_estimates(
+            seq, "toks", "source", ngram=3
+        ).collect()
+    }
+
+    def _doc_hashes(batches):
+        import numpy as np
+
+        from recsplit_spark.pipeline.dedup import _batch_token_shingle_hashes
+
+        for pdf in batches:
+            for src, grp in pdf.groupby("source"):
+                hu, _ = _batch_token_shingle_hashes(grp["toks"].tolist(), 3)
+                yield pd.DataFrame({"source": src, "h": hu.view(np.int64)})
+
+    grams = (
+        seq.select("source", "toks")
+        .mapInPandas(_doc_hashes, "source string, h long")
+        .distinct()
+        .cache()
+    )
+    sizes = {
+        r["source"]: r["d"]
+        for r in grams.groupBy("source").agg(F.count("*").alias("d")).collect()
+    }
+    a, b = grams.alias("a"), grams.alias("b")
+    inters = {
+        (r["sa"], r["sb"]): r["i"]
+        for r in a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count("*").alias("i"))
+        .collect()
+    }
+    grams.unpersist()
+    seq.unpersist()
+    tol = 5 * sk.relative_error
+    rows = []
+    for (sa, sb), r in sorted(est.items()):
+        ei = int(inters.get((sa, sb), 0))
+        eu = int(sizes[sa] + sizes[sb] - ei)
+        rows.append(
+            (
+                sa,
+                sb,
+                ei,
+                eu,
+                bool(abs(r["union_est"] - eu) <= tol * eu),
+                bool(abs(r["inter_est"] - ei) <= tol * eu),
+                bool(abs(r["jaccard_est"] - ei / eu) <= tol),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "source_a string, source_b string, exact_inter bigint,"
+        " exact_union bigint, union_within_bound boolean,"
+        " inter_within_bound boolean, jaccard_within_bound boolean",
+    )
+
+
 def _q_heavy_ngrams_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaviest token n-grams via the two-scan Misra-Gries path
     (sketches/multi.heavy_ngrams): fold every 3-token window hash into a
@@ -1394,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
+        "theta_source_gram_overlap": _q_theta_source_gram_overlap,
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
@@ -1739,6 +1836,27 @@ def oracle_sql() -> dict[str, str]:
             "  TRUE, TRUE)"
             ") AS t(source, n_docs, distinct_trigrams, docs_within_bound,"
             " grams_within_bound)"
+        ),
+        # seed-pinned generator + mod-128 token fold: exact per-pair
+        # distinct-trigram intersections/unions are deterministic
+        # constants (verified in-engine via the shingle kernel + a
+        # distinct-gram pair join)
+        "theta_source_gram_overlap": (
+            "SELECT * FROM (VALUES"
+            " ('books', 'code', CAST(153018 AS BIGINT),"
+            "  CAST(979462 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('books', 'web', CAST(150339 AS BIGINT),"
+            "  CAST(974480 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('books', 'wiki', CAST(156564 AS BIGINT),"
+            "  CAST(991480 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('code', 'web', CAST(144931 AS BIGINT),"
+            "  CAST(957886 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('code', 'wiki', CAST(150620 AS BIGINT),"
+            "  CAST(975422 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('web', 'wiki', CAST(149044 AS BIGINT),"
+            "  CAST(969337 AS BIGINT), TRUE, TRUE, TRUE)"
+            ") AS t(source_a, source_b, exact_inter, exact_union,"
+            " union_within_bound, inter_within_bound, jaccard_within_bound)"
         ),
         # seed-pinned generator + xxhash64 plant selectors: the exact
         # counts of the three planted trigrams are deterministic
