@@ -67,6 +67,15 @@ def main() -> int:
         help="write --pairwise rows to this parquet dir instead of the JSON"
         " line (the many-groups scale path: 10^4 groups = 50M pair rows)",
     )
+    ap.add_argument(
+        "--ngram",
+        type=int,
+        default=None,
+        metavar="N",
+        help="feed ALL N-token window hashes of an array<int> --col instead"
+        " of the scalar value (hash-input sketches only; mg items become"
+        " gram hashes — resolve them with sketches.heavy_ngrams)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,7 +112,9 @@ def main() -> int:
     if args.pairwise:
         if args.sketch != "theta":
             raise SystemExit("--pairwise requires --sketch theta")
-        pairs_df = sk.pairwise_set_estimates(df, args.col, args.pairwise)
+        pairs_df = sk.pairwise_set_estimates(
+            df, args.col, args.pairwise, ngram=args.ngram
+        )
         if args.pairwise_out:
             # many-groups scale path: G(G-1)/2 rows belong in parquet, not
             # in a driver-collected JSON blob (10^4 groups = 50M pairs)
@@ -127,7 +138,9 @@ def main() -> int:
         ]
     elif args.group_by:
         if args.sketch == "mg":
-            rows = sk.states_by_key(df, args.col, (args.group_by,)).collect()
+            rows = sk.states_by_key(
+                df, args.col, (args.group_by,), ngram=args.ngram
+            ).collect()
             out["groups"] = {}
             for r in rows:
                 st = sk.from_bytes(bytes(r["state"]))
@@ -136,14 +149,16 @@ def main() -> int:
                     "error_bound": sk.error_bound(st),
                 }
         else:
-            rows = sk.aggregate(df, args.col, [args.group_by]).collect()
+            rows = sk.aggregate(
+                df, args.col, [args.group_by], ngram=args.ngram
+            ).collect()
             out["groups"] = {r[args.group_by]: r["estimate"] for r in rows}
     else:
         if args.checkpoint:
             from recsplit_spark.sketches import CheckpointedBuild
 
             cb = CheckpointedBuild(sk, waves=args.waves)
-            state = cb.run(df, args.col, args.checkpoint)
+            state = cb.run(df, args.col, args.checkpoint, ngram=args.ngram)
             out["checkpoint"] = args.checkpoint
             out["waves"] = [
                 {
@@ -157,7 +172,7 @@ def main() -> int:
                 .collect()
             ]
         else:
-            state = sk.build(df, args.col)
+            state = sk.build(df, args.col, ngram=args.ngram)
         if args.sketch in ("kll", "tdigest"):
             out["quantiles"] = {str(q): float(sk.quantile(state, q)) for q in qs}
         elif args.sketch == "cms":
