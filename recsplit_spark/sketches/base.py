@@ -242,3 +242,36 @@ class MergeableSketch(ABC):
             return pd.DataFrame(out)
 
         return parts.groupBy(*keys).applyInPandas(_final, schema=schema)
+
+    def merge_state_tables(self, tables, keys):
+        """Merge several per-key state tables (the ``states_by_key`` /
+        ``profile_by_key`` output shape: DataFrame[keys... string, state
+        binary]) into one — the incremental-profiling primitive: persist
+        each ingest batch's states to parquet, then fold any set of them
+        without rescanning the underlying rows. At 10^12 sequences the
+        state tables are G rows regardless of corpus size, so an
+        incremental daily update costs one scan of the NEW data plus this
+        G-row merge. Merge associativity makes the result value-identical
+        to a single build over the concatenated inputs (byte-identical
+        for batch-order-insensitive states; tested). A key present in
+        only some tables merges over the tables that have it. States must
+        come from this sketch's config — ``from_bytes`` raises on a
+        config mismatch (serialization headers carry the parameters)."""
+        sk = self
+        keys = tuple(keys)
+        if not tables:
+            raise ValueError("merge_state_tables needs at least one table")
+        df = tables[0]
+        for t in tables[1:]:
+            df = df.unionByName(t)
+        schema = ", ".join(f"{k} string" for k in keys) + ", state binary"
+
+        def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = sk.new_state()
+            for b in pdf["state"]:
+                state = sk.merge(state, sk.from_bytes(bytes(b)))
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out["state"] = [sk.to_bytes(state)]
+            return pd.DataFrame(out)
+
+        return df.groupBy(*keys).applyInPandas(_final, schema=schema)

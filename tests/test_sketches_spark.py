@@ -446,3 +446,55 @@ def test_checkpointed_ngram_build_equals_direct(spark, tmp_path):
     with _pytest.raises(ValueError, match="ngram"):
         CheckpointedBuild(hll, waves=4).run(seq, "doc_id", path)
     seq.unpersist()
+
+
+def test_merge_state_tables_incremental(spark, tmp_path):
+    """Incremental profiling: per-key state tables built from disjoint
+    corpus slices, persisted to parquet, then merged — byte-identical to
+    one build over the full corpus (HLL/CMS), including keys missing from
+    a slice, and config mismatches fail loudly via the state header."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.sketches import CountMinSketch, HyperLogLog
+
+    seq = sequences(spark, 4_000, partitions=8).cache()
+    lo = seq.filter(F.xxhash64("doc_id") % 2 == 0)
+    hi = seq.filter(F.xxhash64("doc_id") % 2 != 0)
+    for sk in (HyperLogLog(p=12), CountMinSketch(eps=0.01, delta=0.01)):
+        t_lo = str(tmp_path / f"lo_{type(sk).__name__}")
+        t_hi = str(tmp_path / f"hi_{type(sk).__name__}")
+        sk.states_by_key(lo, "tokens", ["source"], ngram=3).write.parquet(t_lo)
+        sk.states_by_key(hi, "tokens", ["source"], ngram=3).write.parquet(t_hi)
+        merged = {
+            r["source"]: bytes(r["state"])
+            for r in sk.merge_state_tables(
+                [spark.read.parquet(t_lo), spark.read.parquet(t_hi)],
+                ["source"],
+            ).collect()
+        }
+        full = {
+            r["source"]: bytes(r["state"])
+            for r in sk.states_by_key(seq, "tokens", ["source"], ngram=3)
+            .collect()
+        }
+        assert merged == full, type(sk).__name__
+    # key present in only one table still comes through
+    hll = HyperLogLog(p=12)
+    only_books = hll.states_by_key(
+        seq.filter(F.col("source") == "books"), "doc_id", ["source"]
+    )
+    rest = hll.states_by_key(
+        seq.filter(F.col("source") != "books"), "doc_id", ["source"]
+    )
+    out = {r["source"] for r in hll.merge_state_tables([only_books, rest], ["source"]).collect()}
+    assert out == {"books", "code", "web", "wiki"}
+    # config mismatch: p=12 states folded under a p=13 sketch must raise
+    t = str(tmp_path / "mismatch")
+    hll.states_by_key(seq, "doc_id", ["source"]).write.parquet(t)
+    with _pytest.raises(Exception):
+        HyperLogLog(p=13).merge_state_tables(
+            [spark.read.parquet(t)], ["source"]
+        ).collect()
+    seq.unpersist()
