@@ -229,6 +229,112 @@ class BlockedMPHF:
             .applyInPandas(_eval, schema=out_schema)
         )
 
+    def verify_bijection(self, df, key_col: str) -> dict:
+        """Full-bijection check WITHOUT the distinct shuffle: one row per
+        BLOCK comes back, not one per key.
+
+        ``evaluate(keys).agg(countDistinct(idx))`` re-shuffles all n
+        evaluated indices into a hash aggregate — at 10^9 keys that is a
+        second ~16 GB/leg exchange whose sort/agg spill can exceed local
+        disk (observed: ENOSPC on a 69 GB-free box). But every block owns
+        the contiguous global range [offsets[b], offsets[b+1]), so
+        bijectivity is checkable INSIDE the existing eval cogroup: each
+        block kernel bincounts its local indices and asserts every count
+        is exactly 1 and the key count equals the block size. The only
+        exchange is the eval's own 16 B/key cogroup; the output is
+        2^block_log2 rows. Raises AssertionError-free — returns
+        {'ok': bool, 'n_keys', 'n_blocks', 'bad_blocks': [...]}. Keys
+        outside the build set make their block fail (as they should: the
+        check is "these n keys biject onto [0, n)")."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        offsets_b = spark.sparkContext.broadcast(self.block_offsets)
+        salt, blog2 = self.salt, self.block_log2
+
+        keyed = df.select(
+            key_sig_expr(key_col, salt, self.key_mode).alias("__sig"),
+            key_sig_expr(key_col, salt ^ SALT2_MIX, self.key_mode).alias(
+                "__sig2"
+            ),
+        )
+        if blog2 == 0:
+            keyed = keyed.withColumn("__block", F.lit(0).cast("long"))
+        else:
+            keyed = keyed.withColumn(
+                "__block", F.shiftrightunsigned(F.col("__sig"), 64 - blog2)
+            )
+        blocks_raw = spark.read.parquet(self.blocks_path)
+        if "attempt" not in blocks_raw.columns:
+            blocks_raw = blocks_raw.withColumn("attempt", F.lit(0))
+        blocks = blocks_raw.select("block", "attempt", "blob")
+
+        def _check(keys_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(keys_pdf) == 0 and len(blocks_pdf) == 0:
+                return pd.DataFrame(
+                    {"block": pd.Series(dtype="int64"),
+                     "n_keys": pd.Series(dtype="int64"),
+                     "ok": pd.Series(dtype="bool")}
+                )
+            offs = offsets_b.value
+            descs = {
+                int(b): (parse_descriptor(bytes(blob)), int(att))
+                for b, att, blob in zip(
+                    blocks_pdf["__block"], blocks_pdf["attempt"], blocks_pdf["blob"]
+                )
+            }
+            rows = []
+            if len(keys_pdf):
+                sig0 = keys_pdf["__sig"].to_numpy()
+                sig2 = keys_pdf["__sig2"].to_numpy()
+                blk = keys_pdf["__block"].to_numpy()
+                order = np.argsort(blk, kind="stable")
+                bounds = np.flatnonzero(np.diff(blk[order])) + 1
+                for grp in np.split(order, bounds):
+                    b = int(blk[grp[0]])
+                    size = int(offs[b + 1] - offs[b])
+                    entry = descs.pop(b, None)
+                    if entry is None or len(grp) != size:
+                        rows.append((b, len(grp), False))
+                        continue
+                    desc, att = entry
+                    local = desc.evaluate_array(
+                        _working_sigs(sig0[grp], sig2[grp], b, att)
+                    )
+                    ok = bool(
+                        (local >= 0).all()
+                        and (local < size).all()
+                        and (np.bincount(local, minlength=size) == 1).all()
+                    )
+                    rows.append((b, len(grp), ok))
+            for b in descs:  # blocks that saw no keys
+                size = int(offs[b + 1] - offs[b])
+                rows.append((int(b), 0, size == 0))
+            return pd.DataFrame(rows, columns=["block", "n_keys", "ok"])
+
+        per_block = (
+            keyed.groupBy("__block")
+            .cogroup(blocks.withColumnRenamed("block", "__block").groupBy("__block"))
+            .applyInPandas(_check, schema="block long, n_keys long, ok boolean")
+        )
+        agg = per_block.agg(
+            F.sum("n_keys").alias("n"),
+            F.count("*").alias("b"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("bad"),
+        ).collect()[0]
+        ok = int(agg["bad"] or 0) == 0 and int(agg["n"] or 0) == self.n
+        out = {
+            "ok": bool(ok),
+            "n_keys": int(agg["n"] or 0),
+            "n_blocks": int(agg["b"] or 0),
+        }
+        if not ok:
+            out["bad_blocks"] = [
+                int(r["block"])
+                for r in per_block.filter(~F.col("ok")).limit(20).collect()
+            ]
+        return out
+
 
 class BlockedMPHFBuilder:
     """Distributed blocked-MPHF construction (reference: ``HemGenerator``).

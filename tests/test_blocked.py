@@ -184,3 +184,29 @@ def test_working_sigs_attempt0_matches_legacy():
             sig0 + (np.array([b + 1], dtype=np.int64) * GOLDEN)[0]
         )
         assert np.array_equal(_working_sigs(sig0, None, b, 0), legacy)
+
+
+def test_blocked_verify_bijection_in_kernel(spark, seq20k, tmp_path):
+    """verify_bijection checks the bijection INSIDE the eval cogroup (one
+    output row per block, no distinct shuffle of n indices — at 10^9 keys
+    the countDistinct agg spill exceeded local disk). Must agree with the
+    countDistinct oracle on the positive case and catch: a missing key
+    (block short), an extra non-member key (block over / local collision),
+    and a wrong-n load."""
+    path = str(tmp_path / "bmv")
+    bm = BlockedMPHFBuilder(block_log2=4, partitions=4).build(
+        seq20k, "doc_id", path
+    )
+    res = bm.verify_bijection(seq20k, "doc_id")
+    assert res == {"ok": True, "n_keys": 20_000, "n_blocks": 16}
+
+    # dropping one key: its block sees size-1 keys -> that block fails
+    res = bm.verify_bijection(seq20k.limit(19_999), "doc_id")
+    assert not res["ok"] and res["n_keys"] == 19_999 and res["bad_blocks"]
+
+    # adding a non-member key: its block is over-size (or collides) -> fails
+    extra = seq20k.select("doc_id").union(
+        spark.createDataFrame([("not-a-member",)], "doc_id string")
+    )
+    res = bm.verify_bijection(extra, "doc_id")
+    assert not res["ok"] and res["n_keys"] == 20_001
