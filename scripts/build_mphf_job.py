@@ -91,11 +91,22 @@ def main() -> int:
     }
     if args.verify:
         t0 = time.time()
-        out = mphf.evaluate(keys, args.key_col)
-        row = out.agg(
-            F.countDistinct("mphf_index").alias("d"), F.max("mphf_index").alias("mx")
-        ).collect()[0]
-        result["verified_bijection"] = bool(row["d"] == n and row["mx"] == n - 1)
+        if args.blocked:
+            # in-kernel per-block check: no second shuffle of n indices
+            # (the countDistinct agg spill exceeds local disk at 10^9)
+            res = mphf.verify_bijection(keys, args.key_col)
+            result["verified_bijection"] = bool(
+                res["ok"] and res["n_keys"] == n
+            )
+        else:
+            out = mphf.evaluate(keys, args.key_col)
+            row = out.agg(
+                F.countDistinct("mphf_index").alias("d"),
+                F.max("mphf_index").alias("mx"),
+            ).collect()[0]
+            result["verified_bijection"] = bool(
+                row["d"] == n and row["mx"] == n - 1
+            )
         result["verify_sec"] = round(time.time() - t0, 2)
     print(json.dumps(result))
     spark.stop()
