@@ -1060,15 +1060,18 @@ def _q_onepass_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_ok = abs(hll.estimate(states["docs"]) - exact_docs) <= max(
         3 * hll.relative_error * exact_docs, 3.0
     )
-    # every source's CMS estimate within [exact, exact + eps * N]
+    # every source's CMS estimate within [exact, exact + eps * N] — one
+    # frequencies job over all sources, not a job per source
     srcs = docs.groupBy("source").agg(F.count("*").alias("exact")).collect()
-    cms_ok = True
-    for r in srcs:
-        est = cms.frequencies(
-            spark.createDataFrame([(r["source"],)], "source string"), "source",
-            states["sources"],
-        ).collect()[0]["freq_est"]
-        cms_ok = cms_ok and r["exact"] <= est <= r["exact"] + cms.eps * n
+    ests = {
+        r["source"]: r["freq_est"]
+        for r in cms.frequencies(
+            docs.select("source").distinct(), "source", states["sources"]
+        ).collect()
+    }
+    cms_ok = all(
+        r["exact"] <= ests[r["source"]] <= r["exact"] + cms.eps * n for r in srcs
+    )
     med = kll.quantile(states["chars"], 0.5)
     rank = docs.filter(F.col("n_chars") <= med).count() / max(n, 1)
     kll_ok = abs(rank - 0.5) <= kll.epsilon + 1.0 / max(n, 1)

@@ -79,17 +79,29 @@ def host_probe_ms(reps: int = 3) -> dict:
 DEGRADED_PAR8_MS = 3000.0
 
 
-def wait_for_healthy_probe(max_attempts: int = 3, sleep_s: float = 60.0) -> dict:
+def wait_for_healthy_probe(
+    max_attempts: int = 3,
+    sleep_s: float = 60.0,
+    max_wait_s: float | None = None,
+) -> dict:
     """Probe; if the host is in a degraded-bandwidth window, wait and
-    retry up to ``max_attempts`` times so the suite sample is
-    interpretable at face value. Returns the final probe plus the retry
-    policy record — if still degraded after the retries, the suite runs
-    anyway but the JSON line carries an explicit marker (judge round-2
-    #7: a degraded sample must say so, not look like a regression)."""
+    retry — up to ``max_attempts`` times, or until a ``max_wait_s``
+    deadline when given (the deadline overrides the attempt count; it is
+    the long-job gate ``scripts/scale_measure.py`` uses) — so the suite
+    sample is interpretable at face value. Returns the final probe plus
+    the retry policy record — if still degraded after the retries, the
+    suite runs anyway but the JSON line carries an explicit marker (judge
+    round-2 #7: a degraded sample must say so, not look like a
+    regression)."""
+    t0 = time.time()
     attempts = []
     probe = host_probe_ms()
     attempts.append(probe["par8_ms"])
-    while probe["par8_ms"] > DEGRADED_PAR8_MS and len(attempts) < max_attempts:
+    while probe["par8_ms"] > DEGRADED_PAR8_MS and (
+        (time.time() - t0 < max_wait_s)
+        if max_wait_s is not None
+        else (len(attempts) < max_attempts)
+    ):
         time.sleep(sleep_s)
         probe = host_probe_ms()
         attempts.append(probe["par8_ms"])
@@ -100,6 +112,7 @@ def wait_for_healthy_probe(max_attempts: int = 3, sleep_s: float = 60.0) -> dict
             "attempts_par8_ms": attempts,
             "sleep_s": sleep_s,
             "threshold_par8_ms": DEGRADED_PAR8_MS,
+            "waited_s": round(time.time() - t0, 1),
         },
     }
 

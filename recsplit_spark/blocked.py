@@ -317,22 +317,29 @@ class BlockedMPHF:
             .cogroup(blocks.withColumnRenamed("block", "__block").groupBy("__block"))
             .applyInPandas(_check, schema="block long, n_keys long, ok boolean")
         )
-        agg = per_block.agg(
-            F.sum("n_keys").alias("n"),
-            F.count("*").alias("b"),
-            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("bad"),
-        ).collect()[0]
-        ok = int(agg["bad"] or 0) == 0 and int(agg["n"] or 0) == self.n
-        out = {
-            "ok": bool(ok),
-            "n_keys": int(agg["n"] or 0),
-            "n_blocks": int(agg["b"] or 0),
-        }
-        if not ok:
-            out["bad_blocks"] = [
-                int(r["block"])
-                for r in per_block.filter(~F.col("ok")).limit(20).collect()
-            ]
+        # persist the (one-row-per-block) result so a failed verify's
+        # bad_blocks listing reads the cached rows instead of re-running
+        # the whole 16 B/key cogroup a second time
+        per_block = per_block.persist()
+        try:
+            agg = per_block.agg(
+                F.sum("n_keys").alias("n"),
+                F.count("*").alias("b"),
+                F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("bad"),
+            ).collect()[0]
+            ok = int(agg["bad"] or 0) == 0 and int(agg["n"] or 0) == self.n
+            out = {
+                "ok": bool(ok),
+                "n_keys": int(agg["n"] or 0),
+                "n_blocks": int(agg["b"] or 0),
+            }
+            if not ok:
+                out["bad_blocks"] = [
+                    int(r["block"])
+                    for r in per_block.filter(~F.col("ok")).limit(20).collect()
+                ]
+        finally:
+            per_block.unpersist()
         return out
 
 

@@ -386,18 +386,23 @@ class IVFIndex:
                 bcast = sc.broadcast(
                     np.ascontiguousarray(c.T, dtype=np.float32)
                 )
-                partials = train.mapInArrow(
-                    _make_fit_partial_fn(bcast),
-                    schema="cid int, n long, s binary",
-                )
-                reduced = (
-                    partials.groupBy("cid")
-                    .applyInPandas(
-                        _reduce_cid_partials, schema="cid int, n long, s binary"
+                try:
+                    partials = train.mapInArrow(
+                        _make_fit_partial_fn(bcast),
+                        schema="cid int, n long, s binary",
                     )
-                    .toArrow()
-                )
-                bcast.unpersist()
+                    reduced = (
+                        partials.groupBy("cid")
+                        .applyInPandas(
+                            _reduce_cid_partials,
+                            schema="cid int, n long, s binary",
+                        )
+                        .toArrow()
+                    )
+                finally:
+                    # a failed round must not pin ~k*d*4 bytes of centroids
+                    # in every executor for the session lifetime
+                    bcast.unpersist()
                 cids = reduced.column("cid").to_numpy(zero_copy_only=False)
                 ns = reduced.column("n").to_numpy(zero_copy_only=False)
                 blobs = reduced.column("s").to_pylist()

@@ -256,7 +256,11 @@ class MergeableSketch(ABC):
         for batch-order-insensitive states; tested). A key present in
         only some tables merges over the tables that have it. States must
         come from this sketch's config — ``from_bytes`` raises on a
-        config mismatch (serialization headers carry the parameters)."""
+        config mismatch (serialization headers carry the parameters).
+        ``profile_by_key`` tables carry an extra ``name`` column (one row
+        per spec per group); it is treated as an implicit extra group key
+        and kept in the output, so two same-config specs never silently
+        merge into one state."""
         sk = self
         keys = tuple(keys)
         if not tables:
@@ -264,14 +268,17 @@ class MergeableSketch(ABC):
         df = tables[0]
         for t in tables[1:]:
             df = df.unionByName(t)
-        schema = ", ".join(f"{k} string" for k in keys) + ", state binary"
+        group_cols = list(keys)
+        if "name" in df.columns and "name" not in group_cols:
+            group_cols.append("name")
+        schema = ", ".join(f"{k} string" for k in group_cols) + ", state binary"
 
         def _final(pdf: pd.DataFrame) -> pd.DataFrame:
             state = sk.new_state()
             for b in pdf["state"]:
                 state = sk.merge(state, sk.from_bytes(bytes(b)))
-            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out = {k: [pdf[k].iloc[0]] for k in group_cols}
             out["state"] = [sk.to_bytes(state)]
             return pd.DataFrame(out)
 
-        return df.groupBy(*keys).applyInPandas(_final, schema=schema)
+        return df.groupBy(*group_cols).applyInPandas(_final, schema=schema)

@@ -93,7 +93,12 @@ class MisraGries(MergeableSketch):
         if len(arr) == 0:
             return
         a = np.asarray(arr)
-        if a.dtype.kind in "iu" and self._update_int(state, a):
+        # uint64 stays on the generic path: casting to int64 would wrap
+        # values > 2^63 while str(item) keys them unsigned
+        int_ok = a.dtype.kind == "i" or (
+            a.dtype.kind == "u" and a.dtype.itemsize < 8
+        )
+        if int_ok and self._update_int(state, a):
             return
         vc = pd.Series(arr).dropna().value_counts()
         state.n += int(vc.sum())
@@ -110,15 +115,20 @@ class MisraGries(MergeableSketch):
         the (k+1)-th-largest pivot — but the per-item work is numpy
         sort/reduceat instead of a Python dict loop, and only the <= k
         survivors ever become dict entries. Returns False (caller falls
-        back) when existing state keys aren't decimal integers (a state
-        previously fed string items)."""
+        back) when existing state keys aren't CANONICAL int64 decimals (a
+        state previously fed string items): '007', '+3', ' 3' or out-of-
+        int64-range keys parse via int() but the final dict rebuild would
+        rewrite them to canonical form, silently merging keys the generic
+        path keeps distinct."""
         counts = state.counts
         if counts:
             try:
                 ek = np.fromiter(
                     (int(s) for s in counts), dtype=np.int64, count=len(counts)
                 )
-            except ValueError:
+            except (ValueError, OverflowError):
+                return False
+            if any(str(int(v)) != s for s, v in zip(counts, ek)):
                 return False
             ev = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
         else:

@@ -21,25 +21,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import DEGRADED_PAR8_MS, host_probe_ms  # noqa: E402
+from bench import host_probe_ms, wait_for_healthy_probe  # noqa: E402
 
 
 def wait_healthy(max_wait_s: float, sleep_s: float = 240.0) -> dict:
-    """Probe until healthy or the deadline; returns the final probe with
-    the wait record (a still-degraded sample proceeds but says so)."""
-    t0 = time.time()
-    attempts = []
-    while True:
-        p = host_probe_ms()
-        attempts.append(p["par8_ms"])
-        if p["par8_ms"] <= DEGRADED_PAR8_MS or time.time() - t0 > max_wait_s:
-            return {
-                "probe": p,
-                "degraded": p["par8_ms"] > DEGRADED_PAR8_MS,
-                "attempts_par8_ms": attempts,
-                "waited_s": round(time.time() - t0, 1),
-            }
-        time.sleep(sleep_s)
+    """Probe until healthy or the deadline (bench's canonical policy loop;
+    a still-degraded sample proceeds but says so)."""
+    r = wait_for_healthy_probe(sleep_s=sleep_s, max_wait_s=max_wait_s)
+    return {
+        "probe": r["probe"],
+        "degraded": r["degraded"],
+        "attempts_par8_ms": r["policy"]["attempts_par8_ms"],
+        "waited_s": r["policy"]["waited_s"],
+    }
 
 
 def task_eval1e9(n: int, path: str, cores: int) -> dict:
@@ -68,18 +62,13 @@ def task_eval1e9(n: int, path: str, cores: int) -> dict:
 
     probe_before = host_probe_ms()
     t0 = time.time()
-    stats = (
-        bm.evaluate(keys, "key")
-        .agg(
-            F.countDistinct("mphf_index").alias("d"),
-            F.min("mphf_index").alias("mn"),
-            F.max("mphf_index").alias("mx"),
-        )
-        .collect()[0]
-    )
+    # in-kernel per-block bijection check (same rationale as verify1e9):
+    # the countDistinct verify re-shuffles all n evaluated indices into a
+    # hash agg whose spill blew local disk at 10^9 (ENOSPC, 69 GB free)
+    res = bm.verify_bijection(keys, "key")
     verify_s = time.time() - t0
     probe_after = host_probe_ms()
-    assert stats["d"] == n and stats["mn"] == 0 and stats["mx"] == n - 1, stats
+    assert res["ok"] and res["n_keys"] == n, res
     out = {
         "task": "eval1e9",
         "n": n,

@@ -273,3 +273,31 @@ def test_profile_by_key_validation(spark, seq_df):
             ["source"],
             [SketchSpec("m", BloomFilter(n_expected=100, fpr=0.01), "doc_id")],
         )
+
+
+def test_merge_state_tables_keeps_profile_names_separate(spark, seq_df):
+    """merge_state_tables documents accepting profile_by_key tables; the
+    extra ``name`` column must ride as an implicit group key — two
+    same-config HLL specs over DIFFERENT columns must NOT fold into one
+    state per source (that would silently union their registers)."""
+    from recsplit_spark.sketches import profile_by_key
+
+    hll = HyperLogLog(p=12)
+    tbl = profile_by_key(
+        seq_df,
+        ["source"],
+        [
+            SketchSpec("docs", hll, "doc_id"),
+            SketchSpec("lens", hll, "n_tok"),
+        ],
+    )
+    merged = hll.merge_state_tables([tbl], ["source"]).collect()
+    assert {r["name"] for r in merged} == {"docs", "lens"}
+    by_key = {(r["source"], r["name"]): bytes(r["state"]) for r in merged}
+    assert len(by_key) == len(merged)  # one row per (source, spec)
+    solo = {
+        r["source"]: bytes(r["state"])
+        for r in hll.states_by_key(seq_df, "doc_id", ["source"]).collect()
+    }
+    for src, blob in solo.items():
+        assert by_key[(src, "docs")] == blob, src  # unchanged, not unioned

@@ -457,6 +457,36 @@ def test_mg_int_then_string_feed_falls_back():
     assert mg.error_bound(st) <= st.n // (mg.k + 1) + 1
 
 
+def test_mg_non_canonical_decimal_keys_fall_back():
+    """Decimal-PARSABLE but non-canonical string keys ('007', '+3', ' 3')
+    must force the generic path: the fast path's final dict rebuild keys
+    on str(int64), which would silently rewrite '007' -> '7' and merge
+    keys the generic path keeps distinct."""
+    for bad in ("007", "+3", " 3", "1_0"):
+        mg = MisraGries(k=8)
+        fast, slow = mg.new_state(), mg.new_state()
+        first = np.array([bad, bad, "7"], dtype=object)
+        second = np.array([7, 3, 10], dtype=np.int64)
+        mg.update(fast, first)
+        mg.update(fast, second)  # int batch: must NOT canonicalize keys
+        mg.update(slow, first)
+        mg.update(slow, second.astype(object))  # generic path reference
+        assert fast.counts == slow.counts, bad
+        assert bad in fast.counts, bad
+
+
+def test_mg_uint64_feed_keys_unsigned():
+    """uint64 items above 2^63 must key by their UNSIGNED decimal (the
+    generic-path str(item)), not the int64-wrapped negative value."""
+    mg = MisraGries(k=8)
+    st = mg.new_state()
+    big = np.array([2**64 - 1, 2**63, 5], dtype=np.uint64)
+    mg.update(st, big)
+    assert str(2**64 - 1) in st.counts
+    assert str(2**63) in st.counts
+    assert "-1" not in st.counts and str(-(2**63)) not in st.counts
+
+
 def test_mg_nulls_are_not_items():
     """MG drops nulls before counting: neither the counters nor state.n see
     them (documented contract; lineage n_rows counts raw rows instead)."""
