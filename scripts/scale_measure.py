@@ -9,6 +9,7 @@ per task is appended to --out.
   python scripts/scale_measure.py --task eval1e9  [--n 1000000000]
   python scripts/scale_measure.py --task ivffit   [--n 1000000] [--k 1000]
   python scripts/scale_measure.py --task dedup01
+  python scripts/scale_measure.py --task ngramscale [--n 100000] --cores 2
 """
 
 from __future__ import annotations
@@ -198,6 +199,69 @@ def task_ivffit(n: int, k: int, dim: int, cores: int) -> dict:
     return out
 
 
+def task_ngramscale(n_docs: int, cores: int, ngram: int = 5) -> dict:
+    """Tokens-axis sketch-scaling rung: one fused profile pass (HLL
+    distinct n-grams + CMS n-gram frequencies, the north-rule sketch
+    surface) over a deterministic ``sequences`` corpus. Run at two
+    ``--cores`` values on the SAME corpus; the N->4N efficiency is
+    (windows_per_sec_4N / windows_per_sec_N) / 4. Unlike the MPHF build
+    ladder this path has NO row shuffle — one scan emitting per-partition
+    states plus a states-only reduce — so it isolates the sketch
+    pipeline's scaling from the build's exchange."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import get_spark, ship_package
+    from recsplit_spark.sketches import (
+        CountMinSketch,
+        HyperLogLog,
+        SketchSpec,
+        profile,
+    )
+
+    spark = get_spark(app_name=f"scale-ngram-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    df = sequences(spark, n_docs, partitions=max(cores * 2, 8)).persist()
+    windows = int(
+        df.select(
+            F.sum(F.greatest(F.col("n_tok") - (ngram - 1), F.lit(0))).alias("w")
+        ).collect()[0]["w"]
+    )
+    specs = [
+        SketchSpec("grams", HyperLogLog(p=14), "tokens", ngram=ngram),
+        SketchSpec(
+            "freq", CountMinSketch(eps=0.0005, delta=0.01), "tokens", ngram=ngram
+        ),
+    ]
+    samples = []
+    for _ in range(2):  # best-of-2 per the measurement discipline
+        pb = host_probe_ms()
+        t0 = time.time()
+        states = profile(df, specs)
+        wall = time.time() - t0
+        pa_ = host_probe_ms()
+        hll_est = HyperLogLog(p=14).estimate(states["grams"])
+        samples.append(
+            {"wall_sec": round(wall, 1), "probe_before": pb, "probe_after": pa_}
+        )
+    best = min(s["wall_sec"] for s in samples)
+    out = {
+        "task": "ngramscale",
+        "n_docs": n_docs,
+        "ngram": ngram,
+        "windows": windows,
+        "profile_sec_best": best,
+        "windows_per_sec": round(windows / best, 1),
+        "hll_distinct_grams": round(hll_est, 1),
+        "samples": samples,
+        "cores": cores,
+    }
+    df.unpersist()
+    spark.stop()
+    return out
+
+
 def task_dedup01(cores: int) -> dict:
     """dedup_corpus on sf0.1 documents under the NEW threshold-derived
     banding default (judge r3 #3 done criterion: re-measured row; round-3
@@ -237,7 +301,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
-        choices=["eval1e9", "verify1e9", "ivffit", "dedup01"],
+        choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--k", type=int, default=1000)
@@ -255,6 +319,8 @@ if __name__ == "__main__":
         res = task_verify1e9(args.n or 1_000_000_000, args.path, args.cores)
     elif args.task == "ivffit":
         res = task_ivffit(args.n or 1_000_000, args.k, args.dim, args.cores)
+    elif args.task == "ngramscale":
+        res = task_ngramscale(args.n or 100_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
