@@ -22,6 +22,13 @@ from .base import MergeableSketch
 
 _HDR = struct.Struct("<4sQB")
 _MAGIC = b"BLM1"
+# Sparse form (round 4): a filter sized for the global key universe but
+# serialized per group (states_by_key / profile_by_key) is nearly all
+# zero bytes for small groups. BLS1 writes (byte-index, byte) pairs when
+# smaller; dense BLM1 bytes are still read. The byte-index dtype is
+# derived from the bitmap byte length (uint32 below 2^32).
+_MAGIC_SPARSE = b"BLS1"
+_SP_N = struct.Struct("<I")
 
 
 def _probe_positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
@@ -65,14 +72,38 @@ class BloomFilter(MergeableSketch):
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return a | b
 
+    def _idx_dtype(self):
+        return np.uint32 if (self.m + 7) // 8 < (1 << 32) else np.uint64
+
     def to_bytes(self, state: np.ndarray) -> bytes:
+        nz = np.flatnonzero(state)
+        idx_isz = np.dtype(self._idx_dtype()).itemsize
+        sparse_len = _SP_N.size + nz.size * (idx_isz + 1)
+        if sparse_len < state.size:
+            return (
+                _HDR.pack(_MAGIC_SPARSE, self.m, self.k)
+                + _SP_N.pack(nz.size)
+                + nz.astype(self._idx_dtype()).tobytes()
+                + state[nz].tobytes()
+            )
         return _HDR.pack(_MAGIC, self.m, self.k) + state.tobytes()
 
     def from_bytes(self, data: bytes) -> np.ndarray:
         magic, m, k = _HDR.unpack_from(data, 0)
-        if magic != _MAGIC or (m, k) != (self.m, self.k):
+        if magic not in (_MAGIC, _MAGIC_SPARSE) or (m, k) != (self.m, self.k):
             raise ValueError("Bloom state mismatch")
-        return np.frombuffer(data, dtype=np.uint8, offset=_HDR.size).copy()
+        if magic == _MAGIC:
+            return np.frombuffer(data, dtype=np.uint8, offset=_HDR.size).copy()
+        (nnz,) = _SP_N.unpack_from(data, _HDR.size)
+        off = _HDR.size + _SP_N.size
+        idx_dt = self._idx_dtype()
+        idx = np.frombuffer(data, dtype=idx_dt, count=nnz, offset=off)
+        vals = np.frombuffer(
+            data, dtype=np.uint8, count=nnz, offset=off + nnz * np.dtype(idx_dt).itemsize
+        )
+        state = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        state[idx] = vals
+        return state
 
     # -- queries ----------------------------------------------------------------
     def contains_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:

@@ -24,6 +24,18 @@ _HDR = struct.Struct("<4sII")
 # so states serialized under CMS1 occupy an incompatible layout; the magic
 # bump makes from_bytes reject them instead of merging wrong estimates.
 _MAGIC = b"CMS2"
+# CMS3 (round 4): compact encoding — counts are downcast to the smallest
+# unsigned dtype that holds the state's max, and when few counters are
+# nonzero (the per-key grouped-profiling regime: most groups see a handful
+# of items while w is sized for the global stream) the state is written as
+# (flat-index, count) pairs instead of the d*w matrix. Layout after the
+# CMS3 header: mode u8 (0 dense / 1 sparse), dtype-code u8 (log2 of the
+# count item size), then the payload. The flat-index dtype is derived from
+# d*w (uint32 below 2^32). CMS2 dense-int64 bytes (rounds 1-3) are still
+# read; in-memory state and kernels are unchanged (int64 d x w).
+_MAGIC_C = b"CMS3"
+_SP_N = struct.Struct("<I")
+_COUNT_DTYPES = (np.uint8, np.uint16, np.uint32, np.int64)
 
 
 def _rows_cols(h: np.ndarray, d: int, w: int) -> np.ndarray:
@@ -65,18 +77,60 @@ class CountMinSketch(MergeableSketch):
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return a + b
 
+    def _idx_dtype(self):
+        return np.uint32 if self.d * self.w < (1 << 32) else np.uint64
+
     def to_bytes(self, state: np.ndarray) -> bytes:
-        return _HDR.pack(_MAGIC, self.d, self.w) + state.tobytes()
+        flat = state.ravel()
+        mx = int(flat.max(initial=0))
+        code = next(
+            i for i, dt in enumerate(_COUNT_DTYPES) if mx <= np.iinfo(dt).max
+        )
+        dt = _COUNT_DTYPES[code]
+        isz = np.dtype(dt).itemsize
+        nz = np.flatnonzero(flat)
+        idx_isz = np.dtype(self._idx_dtype()).itemsize
+        sparse_sz = _SP_N.size + nz.size * (idx_isz + isz)
+        hdr = _HDR.pack(_MAGIC_C, self.d, self.w)
+        if sparse_sz < flat.size * isz:
+            return (
+                hdr
+                + bytes((1, code))
+                + _SP_N.pack(nz.size)
+                + nz.astype(self._idx_dtype()).tobytes()
+                + flat[nz].astype(dt).tobytes()
+            )
+        return hdr + bytes((0, code)) + flat.astype(dt).tobytes()
 
     def from_bytes(self, data: bytes) -> np.ndarray:
         magic, d, w = _HDR.unpack_from(data, 0)
-        if magic != _MAGIC or (d, w) != (self.d, self.w):
+        if magic not in (_MAGIC, _MAGIC_C) or (d, w) != (self.d, self.w):
             raise ValueError("CMS state mismatch")
-        return (
-            np.frombuffer(data, dtype=np.int64, offset=_HDR.size)
-            .reshape(d, w)
-            .copy()
+        if magic == _MAGIC:  # legacy dense int64
+            return (
+                np.frombuffer(data, dtype=np.int64, offset=_HDR.size)
+                .reshape(d, w)
+                .copy()
+            )
+        mode, code = data[_HDR.size], data[_HDR.size + 1]
+        dt = _COUNT_DTYPES[code]
+        off = _HDR.size + 2
+        if mode == 0:
+            return (
+                np.frombuffer(data, dtype=dt, count=d * w, offset=off)
+                .astype(np.int64)
+                .reshape(d, w)
+            )
+        (nnz,) = _SP_N.unpack_from(data, off)
+        off += _SP_N.size
+        idx_dt = self._idx_dtype()
+        idx = np.frombuffer(data, dtype=idx_dt, count=nnz, offset=off)
+        counts = np.frombuffer(
+            data, dtype=dt, count=nnz, offset=off + nnz * np.dtype(idx_dt).itemsize
         )
+        flat = np.zeros(d * w, dtype=np.int64)
+        flat[idx] = counts
+        return flat.reshape(d, w)
 
     def total(self, state: np.ndarray) -> int:
         return int(state[0].sum())

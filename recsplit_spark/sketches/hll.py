@@ -22,6 +22,16 @@ from .base import MergeableSketch
 
 _HDR = struct.Struct("<4sB")
 _MAGIC = b"HLL1"
+# Sparse form (round 4): states are the shuffle currency of grouped
+# profiling — at 10^12 rows a per-key ``states_by_key``/``profile_by_key``
+# table holds G states, and a dense p=14 state is 16 KB even for a group
+# with 3 distinct values. ``to_bytes`` writes (register, rank) pairs when
+# that is smaller; dense HLL1 bytes (rounds 1-3, and any large state) are
+# still read. The in-memory state, update/merge kernels, and estimates are
+# unchanged — the encoding is chosen per state at serialization time, so
+# the choice is invisible to merge order (same state -> same bytes).
+_MAGIC_SPARSE = b"HLS1"
+_SP_N = struct.Struct("<I")
 
 
 def _alpha(m: int) -> float:
@@ -79,14 +89,38 @@ class HyperLogLog(MergeableSketch):
     def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.maximum(a, b)
 
+    def _idx_dtype(self):
+        return np.uint16 if self.p <= 16 else np.uint32
+
     def to_bytes(self, state: np.ndarray) -> bytes:
+        nz = np.flatnonzero(state)
+        idx_dt = self._idx_dtype()
+        sparse_len = _HDR.size + _SP_N.size + nz.size * (np.dtype(idx_dt).itemsize + 1)
+        if sparse_len < _HDR.size + self.m:
+            return (
+                _HDR.pack(_MAGIC_SPARSE, self.p)
+                + _SP_N.pack(nz.size)
+                + nz.astype(idx_dt).tobytes()
+                + state[nz].tobytes()
+            )
         return _HDR.pack(_MAGIC, self.p) + state.tobytes()
 
     def from_bytes(self, data: bytes) -> np.ndarray:
         magic, p = _HDR.unpack_from(data, 0)
-        if magic != _MAGIC or p != self.p:
+        if magic not in (_MAGIC, _MAGIC_SPARSE) or p != self.p:
             raise ValueError("HLL state mismatch")
-        return np.frombuffer(data, dtype=np.uint8, offset=_HDR.size).copy()
+        if magic == _MAGIC:
+            return np.frombuffer(data, dtype=np.uint8, offset=_HDR.size).copy()
+        (nnz,) = _SP_N.unpack_from(data, _HDR.size)
+        idx_dt = self._idx_dtype()
+        off = _HDR.size + _SP_N.size
+        idx = np.frombuffer(data, dtype=idx_dt, count=nnz, offset=off)
+        ranks = np.frombuffer(
+            data, dtype=np.uint8, count=nnz, offset=off + nnz * np.dtype(idx_dt).itemsize
+        )
+        state = np.zeros(self.m, dtype=np.uint8)
+        state[idx] = ranks
+        return state
 
     def estimate(self, state: np.ndarray) -> float:
         m = self.m

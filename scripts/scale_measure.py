@@ -262,6 +262,64 @@ def task_ngramscale(n_docs: int, cores: int, ngram: int = 5) -> dict:
     return out
 
 
+def task_smallrungs(n_keys: int, reps: int = 2) -> dict:
+    """Healthy-window re-measure of the low-core scaling rungs (2 and 8
+    cores, 16M-key MPHF build — bench's --scaling-child job). The round-4
+    ladder's 2-core rung sat in a degraded window (136.0 s vs round-3's
+    healthy 82.8 s), which made the reported 2->8 efficiency superlinear
+    (1.52) — an honest sample needs both rungs probe-bracketed healthy.
+    Each rep is accepted only if its before AND after probes are healthy;
+    degraded reps are recorded but flagged."""
+    import subprocess
+
+    bench_py = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    points: dict[str, dict] = {}
+    samples = []
+    for cores in (2, 8):
+        best = None
+        clean_reps = 0
+        attempts = 0
+        while clean_reps < reps and attempts < reps * 3:
+            attempts += 1
+            before = host_probe_ms()
+            out = subprocess.run(
+                [sys.executable, bench_py, "--scaling-child",
+                 "--cores", str(cores), "--n", str(n_keys)],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            after = host_probe_ms()
+            clean = before["par8_ms"] <= 3000 and after["par8_ms"] <= 3000
+            samples.append({**r, "probe_before": before, "probe_after": after,
+                            "bracket_clean": clean})
+            if clean:
+                clean_reps += 1
+                if best is None or r["mphf_build_keys_per_sec"] > best["mphf_build_keys_per_sec"]:
+                    best = r
+            else:
+                # wait out the window before retrying
+                wait_for_healthy_probe(sleep_s=180.0, max_wait_s=3600.0)
+        if best is None:  # never caught a clean bracket: best-of-degraded
+            best = max(
+                (s for s in samples if s["cores"] == cores),
+                key=lambda s: s["mphf_build_keys_per_sec"],
+            )
+            best = {k: best[k] for k in best if not k.startswith("probe")}
+            best["bracket_clean"] = False
+        points[str(cores)] = best
+    r2, r8 = (points["2"]["mphf_build_keys_per_sec"],
+              points["8"]["mphf_build_keys_per_sec"])
+    return {
+        "task": "smallrungs",
+        "n_keys": n_keys,
+        "efficiency_2_to_8": round((r8 / r2) / 4.0, 3),
+        "points": points,
+        "samples": samples,
+    }
+
+
 def task_dedup01(cores: int) -> dict:
     """dedup_corpus on sf0.1 documents under the NEW threshold-derived
     banding default (judge r3 #3 done criterion: re-measured row; round-3
@@ -301,7 +359,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
-        choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale"],
+        choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
+                 "smallrungs"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--k", type=int, default=1000)
@@ -321,6 +380,8 @@ if __name__ == "__main__":
         res = task_ivffit(args.n or 1_000_000, args.k, args.dim, args.cores)
     elif args.task == "ngramscale":
         res = task_ngramscale(args.n or 100_000, args.cores)
+    elif args.task == "smallrungs":
+        res = task_smallrungs(args.n or 16_000_000)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
