@@ -35,6 +35,18 @@ class MergeableSketch(ABC):
     #: like Misra-Gries that must report the original item back)
     input_kind: str = "hash"
 
+    #: True when ``update(st, concat(A, B))`` is BIT-identical to
+    #: ``update(st, A); update(st, B)`` — i.e. the fold is per-element
+    #: (HLL register max, Bloom bit-or, CMS counter add, theta bottom-k
+    #: set union). Lets the grouped partial fold buffer raw inputs for
+    #: small groups and materialize each dense state one at a time at
+    #: emit, so peak memory is bounded by the partition's input column
+    #: (8 B/elem) + ONE state, not #groups x state_bytes (16 KB x 10^6
+    #: groups/partition = 16 GB under the old eager-allocation fold).
+    #: NOT true for KLL/t-digest (compaction points depend on batch
+    #: boundaries) or Misra-Gries (trims do) — those keep the eager path.
+    elementwise_update: bool = False
+
     # -- monoid core (numpy, Spark-free, unit-testable) ---------------------
     @abstractmethod
     def new_state(self): ...
@@ -136,28 +148,59 @@ class MergeableSketch(ABC):
 
             return series_window_hashes(series, ngram)
 
+        # Above this many buffered elements a group stops buffering and
+        # gets a real state: heavy groups cost one state each (there can
+        # be at most rows/FLUSH of them per partition), light groups cost
+        # 8 B/elem until emit. Only valid for elementwise_update sketches
+        # (single-shot update == per-batch updates, bit-identical).
+        flush_elems = 1 << 16
+        use_buf = self.elementwise_update
+
+        def _fold_group(acc: dict, kt: tuple, arr: np.ndarray) -> None:
+            cur = acc.get(kt)
+            if cur is None:
+                if use_buf and len(arr) < flush_elems:
+                    # own the buffered elements (a groupby slice view would
+                    # pin its whole source batch in memory)
+                    acc[kt] = ["buf", [np.array(arr)], len(arr)]
+                    return
+                st = sk.new_state()
+                sk.update(st, arr)
+                acc[kt] = ["st", st]
+                return
+            if cur[0] == "buf":
+                cur[1].append(np.array(arr))
+                cur[2] += len(arr)
+                if cur[2] >= flush_elems:
+                    st = sk.new_state()
+                    sk.update(st, np.concatenate(cur[1]))
+                    acc[kt] = ["st", st]
+                return
+            sk.update(cur[1], arr)
+
+        def _emit_bytes(cur: list) -> bytes:
+            if cur[0] == "st":
+                return sk.to_bytes(cur[1])
+            st = sk.new_state()
+            sk.update(st, np.concatenate(cur[1]) if len(cur[1]) > 1 else cur[1][0])
+            return sk.to_bytes(st)
+
         def _fold(batches):
-            states: dict[tuple, object] = {}
+            acc: dict[tuple, list] = {}
             for pdf in batches:
                 if key_list:
                     for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
                         kt = kv if isinstance(kv, tuple) else (kv,)
-                        st = states.get(kt)
-                        if st is None:
-                            st = sk.new_state()
-                            states[kt] = st
-                        sk.update(st, _batch_input(grp[in_col]))
+                        _fold_group(acc, kt, _batch_input(grp[in_col]))
                 else:
-                    st = states.get(())
-                    if st is None:
-                        st = sk.new_state()
-                        states[()] = st
-                    sk.update(st, _batch_input(pdf[in_col]))
-            if states:
+                    _fold_group(acc, (), _batch_input(pdf[in_col]))
+            if acc:
                 rows = {
-                    k: [str(kt[i]) for kt in states] for i, k in enumerate(key_list)
+                    k: [str(kt[i]) for kt in acc] for i, k in enumerate(key_list)
                 }
-                rows["state"] = [sk.to_bytes(s) for s in states.values()]
+                # materialize buffered groups one at a time: peak memory is
+                # one dense state, not one per group
+                rows["state"] = [_emit_bytes(cur) for cur in acc.values()]
                 yield pd.DataFrame(rows)
 
         return src.mapInPandas(_fold, schema=schema)

@@ -44,6 +44,7 @@ def _probe_positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
 
 class BloomFilter(MergeableSketch):
     input_kind = "hash"
+    elementwise_update = True  # bit-or is per-element
 
     def __init__(self, n_expected: int, fpr: float = 0.01) -> None:
         if n_expected <= 0:

@@ -52,6 +52,7 @@ def _rows_cols(h: np.ndarray, d: int, w: int) -> np.ndarray:
 
 class CountMinSketch(MergeableSketch):
     input_kind = "hash"
+    elementwise_update = True  # counter add is per-element
 
     def __init__(self, eps: float = 0.001, delta: float = 0.01) -> None:
         self.eps = eps

@@ -46,6 +46,7 @@ def _alpha(m: int) -> float:
 
 class HyperLogLog(MergeableSketch):
     input_kind = "hash"
+    elementwise_update = True  # register max is per-element
 
     def __init__(self, p: int = 14) -> None:
         if not (4 <= p <= 18):

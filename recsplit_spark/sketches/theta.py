@@ -55,6 +55,10 @@ class ThetaSketch(MergeableSketch):
     """Bottom-k distinct sketch over xxhash64(col) with set-op estimates."""
 
     input_kind = "hash"
+    #: bottom-k of a set union is batch-split invariant: the threshold
+    #: prune only skips hashes that could never enter, so the final
+    #: sorted-distinct array is bit-identical however the stream is cut
+    elementwise_update = True
 
     def __init__(self, k: int = 256) -> None:
         if k < 8:

@@ -203,3 +203,63 @@ def test_states_by_key_shrinks_for_small_groups(spark, sf_dir):
         # each group's state must round-trip and be far below dense size
         assert len(blob) < 4096
         assert sk.to_bytes(st) == blob
+
+
+# ------------------------------------------- buffered grouped partials ----
+
+
+def test_elementwise_update_is_batch_split_invariant():
+    """The contract behind the buffered grouped fold: one concatenated
+    update must be BIT-identical to per-batch updates."""
+    from recsplit_spark.sketches import ThetaSketch
+
+    data = _hashes(50_000, seed=11)
+    cuts = [0, 7, 1000, 30_000, 50_000]
+    for sk in (
+        HyperLogLog(p=12),
+        CountMinSketch(eps=0.001, delta=0.01),
+        BloomFilter(n_expected=100_000, fpr=0.01),
+        ThetaSketch(k=512),
+    ):
+        assert sk.elementwise_update
+        seq = sk.new_state()
+        for a, b in zip(cuts, cuts[1:]):
+            sk.update(seq, data[a:b])
+        oneshot = sk.new_state()
+        sk.update(oneshot, data)
+        assert sk.to_bytes(seq) == sk.to_bytes(oneshot), type(sk).__name__
+
+
+def test_buffered_grouped_partials_match_direct_updates(spark):
+    """Per-group states through the buffered fold (small groups stay
+    buffered; one group crosses the flush threshold mid-partition) equal
+    reference states built by direct update."""
+    import pyspark.sql.functions as F
+
+    n_heavy, n_small = 80_000, 50  # heavy group crosses flush_elems=65536
+    df = spark.range(n_heavy + 10 * n_small, numPartitions=1).select(
+        F.when(F.col("id") < n_heavy, F.lit("g_heavy"))
+        .otherwise(F.concat(F.lit("g"), ((F.col("id") - n_heavy) / n_small).cast("int").cast("string")))
+        .alias("grp"),
+        F.col("id").cast("string").alias("v"),
+    )
+    sk = HyperLogLog(p=14)
+    got = {r["grp"]: bytes(r["state"])
+           for r in sk.states_by_key(df, "v", keys=("grp",)).collect()}
+    rows = df.select("grp", F.xxhash64(F.col("v").cast("string")).alias("h")).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r["h"])
+    assert set(got) == set(by_grp)
+    for g, hs in by_grp.items():
+        ref = sk.new_state()
+        sk.update(ref, np.array(hs, dtype=np.int64))
+        assert got[g] == sk.to_bytes(ref), g
+
+
+def test_value_sketches_keep_eager_fold():
+    from recsplit_spark.sketches import KLL, MisraGries, TDigest
+
+    assert not KLL(k=128).elementwise_update
+    assert not TDigest(compression=100).elementwise_update
+    assert not MisraGries(k=16).elementwise_update
