@@ -296,40 +296,75 @@ def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
         + ", name string, state binary"
     )
 
+    # Same bounded-memory discipline as MergeableSketch.partials: for
+    # elementwise-update sketches, small groups buffer raw inputs (8
+    # B/elem) and the dense state is materialized one at a time at emit —
+    # otherwise peak memory is #groups x #specs x state_bytes, which OOMs
+    # on group count alone at high-cardinality keys. Bit-identical by
+    # batch-split invariance (the per-sketch contract, tested).
+    flush_elems = 1 << 16
+    elementwise = [sk.elementwise_update for sk in sketches]
+
     def _fold(batches):
-        states: dict[tuple, list] = {}
+        acc: dict[tuple, list] = {}
         for pdf in batches:
             for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
                 kt = kv if isinstance(kv, tuple) else (kv,)
-                sts = states.get(kt)
-                if sts is None:
-                    sts = [None] * len(specs)
-                    states[kt] = sts
+                cells = acc.get(kt)
+                if cells is None:
+                    cells = [None] * len(specs)
+                    acc[kt] = cells
                 flat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
                 for i, sk in enumerate(sketches):
-                    if sts[i] is None:
-                        sts[i] = sk.new_state()
                     if ngrams[i] is None:
-                        sk.update(sts[i], grp[spec_alias[i]].to_numpy())
+                        arr = grp[spec_alias[i]].to_numpy()
                     else:
                         alias = spec_alias[i]
                         if alias not in flat_cache:
                             flat_cache[alias] = _series_to_flat(grp[alias])
                         flat, lens = flat_cache[alias]
-                        h = _flat_ngram_hashes(flat, lens, ngrams[i])
-                        sk.update(sts[i], h.view(np.int64))
-        if states:
+                        arr = _flat_ngram_hashes(flat, lens, ngrams[i]).view(np.int64)
+                    cur = cells[i]
+                    if cur is None:
+                        if elementwise[i] and len(arr) < flush_elems:
+                            # own the buffered elements (a view would pin
+                            # the whole source batch)
+                            cells[i] = ["buf", [np.array(arr)], len(arr)]
+                            continue
+                        st = sk.new_state()
+                        sk.update(st, arr)
+                        cells[i] = ["st", st]
+                    elif cur[0] == "buf":
+                        cur[1].append(np.array(arr))
+                        cur[2] += len(arr)
+                        if cur[2] >= flush_elems:
+                            st = sk.new_state()
+                            sk.update(st, np.concatenate(cur[1]))
+                            cells[i] = ["st", st]
+                    else:
+                        sk.update(cur[1], arr)
+        if acc:
             cols: dict[str, list] = {k: [] for k in key_list}
             cols["name"] = []
             cols["state"] = []
-            for kt, sts in states.items():
-                for i, st in enumerate(sts):
-                    if st is None:
+            for kt, cells in acc.items():
+                for i, cur in enumerate(cells):
+                    if cur is None:
                         continue
+                    sk = sketches[i]
+                    if cur[0] == "st":
+                        blob = sk.to_bytes(cur[1])
+                    else:
+                        st = sk.new_state()
+                        sk.update(
+                            st,
+                            np.concatenate(cur[1]) if len(cur[1]) > 1 else cur[1][0],
+                        )
+                        blob = sk.to_bytes(st)
                     for j, k in enumerate(key_list):
                         cols[k].append(str(kt[j]))
                     cols["name"].append(names[i])
-                    cols["state"].append(sketches[i].to_bytes(st))
+                    cols["state"].append(blob)
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(_fold, schema=schema)

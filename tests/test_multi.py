@@ -301,3 +301,44 @@ def test_merge_state_tables_keeps_profile_names_separate(spark, seq_df):
     }
     for src, blob in solo.items():
         assert by_key[(src, "docs")] == blob, src  # unchanged, not unioned
+
+
+def test_profile_by_key_flush_crossover_matches_direct(spark):
+    """A group crossing the 64K buffered-elements flush threshold mid-scan
+    (buffer -> materialized state -> further direct updates) must produce
+    the same bytes as a one-shot reference update; a value spec (KLL, not
+    elementwise) rides the same scan through the eager path."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import KLL, profile_by_key
+
+    n_heavy, n_small = 80_000, 40
+    df = spark.range(n_heavy + 5 * n_small, numPartitions=1).select(
+        F.when(F.col("id") < n_heavy, F.lit("heavy"))
+        .otherwise(
+            F.concat(
+                F.lit("s"),
+                ((F.col("id") - n_heavy) / n_small).cast("int").cast("string"),
+            )
+        )
+        .alias("grp"),
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+    )
+    hll = HyperLogLog(p=14)
+    rows = profile_by_key(
+        df, ["grp"], [SketchSpec("ids", hll, "v"), SketchSpec("xs", KLL(k=128), "x")]
+    ).collect()
+    got = {(r["grp"], r["name"]): bytes(r["state"]) for r in rows}
+    hashed = df.select(
+        "grp", F.xxhash64(F.col("v").cast("string")).alias("h")
+    ).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in hashed:
+        by_grp.setdefault(r["grp"], []).append(r["h"])
+    for g, hs in by_grp.items():
+        ref = hll.new_state()
+        hll.update(ref, np.array(hs, dtype=np.int64))
+        assert got[(g, "ids")] == hll.to_bytes(ref), g
+        assert (g, "xs") in got  # KLL state present for every group
