@@ -27,6 +27,54 @@ import numpy as np
 import pandas as pd
 
 
+def _buffer_cap(sk) -> int:
+    """Max buffered elements per group before materializing a real state.
+
+    Buffering only wins while the buffered int64s (8 B/elem) cost less
+    than the dense in-memory state they defer — beyond state_bytes/8
+    elements the state IS the cheaper representation (theta k=256: cap
+    ~258 elems; HLL p=14: ~2048; CMS eps=1e-4: ~135k capped at 2^16)."""
+    nbytes = sk.approx_state_bytes() or (64 << 10)
+    return max(64, min(1 << 16, nbytes // 8))
+
+
+def _fold_cell(sk, cur, arr, cap: int, owned: bool):
+    """One (group x sketch) accumulation step of the bounded-memory fold.
+
+    ``cur`` is None | ["buf", [arrays], n] | ["st", state]; returns the
+    new cell. ``owned`` says ``arr`` is already a standalone array (a
+    groupby slice view would pin its whole source batch, so un-owned
+    arrays are copied before buffering). Only valid for
+    ``elementwise_update`` sketches — one concatenated update is
+    bit-identical to per-batch updates."""
+    if cur is None:
+        if sk.elementwise_update and len(arr) < cap:
+            return ["buf", [arr if owned else np.array(arr)], len(arr)]
+        st = sk.new_state()
+        sk.update(st, arr)
+        return ["st", st]
+    if cur[0] == "buf":
+        cur[1].append(arr if owned else np.array(arr))
+        cur[2] += len(arr)
+        if cur[2] >= cap:
+            st = sk.new_state()
+            sk.update(st, np.concatenate(cur[1]))
+            return ["st", st]
+        return cur
+    sk.update(cur[1], arr)
+    return cur
+
+
+def _emit_cell(sk, cur) -> bytes:
+    """Serialize a fold cell, materializing a buffered group's dense
+    state transiently (peak memory: ONE state, not one per group)."""
+    if cur[0] == "st":
+        return sk.to_bytes(cur[1])
+    st = sk.new_state()
+    sk.update(st, np.concatenate(cur[1]) if len(cur[1]) > 1 else cur[1][0])
+    return sk.to_bytes(st)
+
+
 class MergeableSketch(ABC):
     """A sketch monoid: (new_state, update, merge) + serialization."""
 
@@ -39,10 +87,12 @@ class MergeableSketch(ABC):
     #: ``update(st, A); update(st, B)`` — i.e. the fold is per-element
     #: (HLL register max, Bloom bit-or, CMS counter add, theta bottom-k
     #: set union). Lets the grouped partial fold buffer raw inputs for
-    #: small groups and materialize each dense state one at a time at
-    #: emit, so peak memory is bounded by the partition's input column
-    #: (8 B/elem) + ONE state, not #groups x state_bytes (16 KB x 10^6
-    #: groups/partition = 16 GB under the old eager-allocation fold).
+    #: small groups (capped at state_bytes/8 elements, past which the
+    #: state is the cheaper representation) and materialize each dense
+    #: state one at a time at emit, so peak memory is bounded by the
+    #: partition's input column (8 B/elem) + ONE state, not #groups x
+    #: state_bytes (16 KB x 10^6 groups/partition = 16 GB under the old
+    #: eager-allocation fold).
     #: NOT true for KLL/t-digest (compaction points depend on batch
     #: boundaries) or Misra-Gries (trims do) — those keep the eager path.
     elementwise_update: bool = False
@@ -148,42 +198,15 @@ class MergeableSketch(ABC):
 
             return series_window_hashes(series, ngram)
 
-        # Above this many buffered elements a group stops buffering and
-        # gets a real state: heavy groups cost one state each (there can
-        # be at most rows/FLUSH of them per partition), light groups cost
-        # 8 B/elem until emit. Only valid for elementwise_update sketches
-        # (single-shot update == per-batch updates, bit-identical).
-        flush_elems = 1 << 16
-        use_buf = self.elementwise_update
-
-        def _fold_group(acc: dict, kt: tuple, arr: np.ndarray) -> None:
-            cur = acc.get(kt)
-            if cur is None:
-                if use_buf and len(arr) < flush_elems:
-                    # own the buffered elements (a groupby slice view would
-                    # pin its whole source batch in memory)
-                    acc[kt] = ["buf", [np.array(arr)], len(arr)]
-                    return
-                st = sk.new_state()
-                sk.update(st, arr)
-                acc[kt] = ["st", st]
-                return
-            if cur[0] == "buf":
-                cur[1].append(np.array(arr))
-                cur[2] += len(arr)
-                if cur[2] >= flush_elems:
-                    st = sk.new_state()
-                    sk.update(st, np.concatenate(cur[1]))
-                    acc[kt] = ["st", st]
-                return
-            sk.update(cur[1], arr)
-
-        def _emit_bytes(cur: list) -> bytes:
-            if cur[0] == "st":
-                return sk.to_bytes(cur[1])
-            st = sk.new_state()
-            sk.update(st, np.concatenate(cur[1]) if len(cur[1]) > 1 else cur[1][0])
-            return sk.to_bytes(st)
+        # Bounded-memory grouped fold (_fold_cell/_emit_cell): small
+        # groups buffer raw inputs and materialize their dense state one
+        # at a time at emit; a group whose buffer would outgrow its own
+        # state (cap = state_bytes/8 elems) flushes to a real state, so
+        # heavy groups cost exactly what the eager fold charged them.
+        cap = _buffer_cap(self)
+        # the ngram feed returns freshly-built hash arrays; the scalar
+        # feed returns views into the batch, which buffering must copy
+        owned = ngram is not None
 
         def _fold(batches):
             acc: dict[tuple, list] = {}
@@ -191,16 +214,18 @@ class MergeableSketch(ABC):
                 if key_list:
                     for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
                         kt = kv if isinstance(kv, tuple) else (kv,)
-                        _fold_group(acc, kt, _batch_input(grp[in_col]))
+                        acc[kt] = _fold_cell(
+                            sk, acc.get(kt), _batch_input(grp[in_col]), cap, owned
+                        )
                 else:
-                    _fold_group(acc, (), _batch_input(pdf[in_col]))
+                    acc[()] = _fold_cell(
+                        sk, acc.get(()), _batch_input(pdf[in_col]), cap, owned
+                    )
             if acc:
                 rows = {
                     k: [str(kt[i]) for kt in acc] for i, k in enumerate(key_list)
                 }
-                # materialize buffered groups one at a time: peak memory is
-                # one dense state, not one per group
-                rows["state"] = [_emit_bytes(cur) for cur in acc.values()]
+                rows["state"] = [_emit_cell(sk, cur) for cur in acc.values()]
                 yield pd.DataFrame(rows)
 
         return src.mapInPandas(_fold, schema=schema)

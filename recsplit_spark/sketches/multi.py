@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 
 from ..hashing import mix64
-from .base import MergeableSketch
+from .base import MergeableSketch, _buffer_cap, _emit_cell, _fold_cell
 
 
 @dataclass(frozen=True)
@@ -296,14 +296,14 @@ def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
         + ", name string, state binary"
     )
 
-    # Same bounded-memory discipline as MergeableSketch.partials: for
-    # elementwise-update sketches, small groups buffer raw inputs (8
-    # B/elem) and the dense state is materialized one at a time at emit —
-    # otherwise peak memory is #groups x #specs x state_bytes, which OOMs
-    # on group count alone at high-cardinality keys. Bit-identical by
-    # batch-split invariance (the per-sketch contract, tested).
-    flush_elems = 1 << 16
-    elementwise = [sk.elementwise_update for sk in sketches]
+    # Bounded-memory grouped fold, shared with MergeableSketch.partials
+    # (base._fold_cell/_emit_cell): elementwise-update specs buffer small
+    # groups' raw inputs (capped at state_bytes/8 elems per group) and
+    # materialize dense states one at a time at emit — otherwise peak
+    # memory is #groups x #specs x state_bytes, which OOMs on group count
+    # alone at high-cardinality keys. Bit-identical by batch-split
+    # invariance (the per-sketch contract, tested).
+    caps = [_buffer_cap(sk) for sk in sketches]
 
     def _fold(batches):
         acc: dict[tuple, list] = {}
@@ -318,31 +318,15 @@ def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
                 for i, sk in enumerate(sketches):
                     if ngrams[i] is None:
                         arr = grp[spec_alias[i]].to_numpy()
+                        owned = False  # batch view: buffering must copy
                     else:
                         alias = spec_alias[i]
                         if alias not in flat_cache:
                             flat_cache[alias] = _series_to_flat(grp[alias])
                         flat, lens = flat_cache[alias]
                         arr = _flat_ngram_hashes(flat, lens, ngrams[i]).view(np.int64)
-                    cur = cells[i]
-                    if cur is None:
-                        if elementwise[i] and len(arr) < flush_elems:
-                            # own the buffered elements (a view would pin
-                            # the whole source batch)
-                            cells[i] = ["buf", [np.array(arr)], len(arr)]
-                            continue
-                        st = sk.new_state()
-                        sk.update(st, arr)
-                        cells[i] = ["st", st]
-                    elif cur[0] == "buf":
-                        cur[1].append(np.array(arr))
-                        cur[2] += len(arr)
-                        if cur[2] >= flush_elems:
-                            st = sk.new_state()
-                            sk.update(st, np.concatenate(cur[1]))
-                            cells[i] = ["st", st]
-                    else:
-                        sk.update(cur[1], arr)
+                        owned = True  # freshly built hash array
+                    cells[i] = _fold_cell(sk, cells[i], arr, caps[i], owned)
         if acc:
             cols: dict[str, list] = {k: [] for k in key_list}
             cols["name"] = []
@@ -351,20 +335,10 @@ def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
                 for i, cur in enumerate(cells):
                     if cur is None:
                         continue
-                    sk = sketches[i]
-                    if cur[0] == "st":
-                        blob = sk.to_bytes(cur[1])
-                    else:
-                        st = sk.new_state()
-                        sk.update(
-                            st,
-                            np.concatenate(cur[1]) if len(cur[1]) > 1 else cur[1][0],
-                        )
-                        blob = sk.to_bytes(st)
                     for j, k in enumerate(key_list):
                         cols[k].append(str(kt[j]))
                     cols["name"].append(names[i])
-                    cols["state"].append(blob)
+                    cols["state"].append(_emit_cell(sketches[i], cur))
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(_fold, schema=schema)

@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import host_probe_ms, wait_for_healthy_probe  # noqa: E402
+from bench import DEGRADED_PAR8_MS, host_probe_ms, wait_for_healthy_probe  # noqa: E402
 
 
 def wait_healthy(max_wait_s: float, sleep_s: float = 240.0) -> dict:
@@ -291,13 +291,14 @@ def task_smallrungs(n_keys: int, reps: int = 2) -> dict:
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             after = host_probe_ms()
-            clean = before["par8_ms"] <= 3000 and after["par8_ms"] <= 3000
+            clean = (before["par8_ms"] <= DEGRADED_PAR8_MS
+                     and after["par8_ms"] <= DEGRADED_PAR8_MS)
             samples.append({**r, "probe_before": before, "probe_after": after,
                             "bracket_clean": clean})
             if clean:
                 clean_reps += 1
                 if best is None or r["mphf_build_keys_per_sec"] > best["mphf_build_keys_per_sec"]:
-                    best = r
+                    best = {**r, "bracket_clean": True}
             else:
                 # wait out the window before retrying
                 wait_for_healthy_probe(sleep_s=180.0, max_wait_s=3600.0)

@@ -304,7 +304,7 @@ def test_merge_state_tables_keeps_profile_names_separate(spark, seq_df):
 
 
 def test_profile_by_key_flush_crossover_matches_direct(spark):
-    """A group crossing the 64K buffered-elements flush threshold mid-scan
+    """A group crossing its buffer cap (state_bytes/8 elems) mid-scan
     (buffer -> materialized state -> further direct updates) must produce
     the same bytes as a one-shot reference update; a value spec (KLL, not
     elementwise) rides the same scan through the eager path."""

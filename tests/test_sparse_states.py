@@ -232,11 +232,11 @@ def test_elementwise_update_is_batch_split_invariant():
 
 def test_buffered_grouped_partials_match_direct_updates(spark):
     """Per-group states through the buffered fold (small groups stay
-    buffered; one group crosses the flush threshold mid-partition) equal
+    buffered; one group crosses its buffer cap mid-partition) equal
     reference states built by direct update."""
     import pyspark.sql.functions as F
 
-    n_heavy, n_small = 80_000, 50  # heavy group crosses flush_elems=65536
+    n_heavy, n_small = 80_000, 50  # heavy group crosses the buffer cap (state_bytes/8)
     df = spark.range(n_heavy + 10 * n_small, numPartitions=1).select(
         F.when(F.col("id") < n_heavy, F.lit("g_heavy"))
         .otherwise(F.concat(F.lit("g"), ((F.col("id") - n_heavy) / n_small).cast("int").cast("string")))
