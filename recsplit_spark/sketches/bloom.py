@@ -67,6 +67,14 @@ class BloomFilter(MergeableSketch):
     def update(self, state: np.ndarray, arr: np.ndarray) -> None:
         if len(arr) == 0:
             return
+        # chunk so the (k x batch) probe-position matrix stays cache-sized
+        # instead of streaming DRAM (same discipline as HLL/CMS updates);
+        # bit-or commutes, so chunking is bit-identical
+        chunk = max(4096, (1 << 19) // self.k)
+        if len(arr) > chunk:
+            for i in range(0, len(arr), chunk):
+                self.update(state, arr[i : i + chunk])
+            return
         pos = _probe_positions(arr, self.k, self.m).ravel()
         np.bitwise_or.at(state, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 

@@ -67,8 +67,18 @@ class CountMinSketch(MergeableSketch):
     def new_state(self) -> np.ndarray:
         return np.zeros((self.d, self.w), dtype=np.int64)
 
+    # The (d x batch) column-index matrix is the DRAM hog (d=5 x 26M x 8 B
+    # = 1 GB of temporaries per one-shot update); chunking keeps it
+    # L2-resident (26M hashes: 3.44 s -> 1.05 s single-core on this box,
+    # more under concurrency). Bit-identical: counter adds commute.
+    _UPDATE_CHUNK = 1 << 16
+
     def update(self, state: np.ndarray, arr: np.ndarray) -> None:
         if len(arr) == 0:
+            return
+        if len(arr) > self._UPDATE_CHUNK:
+            for i in range(0, len(arr), self._UPDATE_CHUNK):
+                self.update(state, arr[i : i + self._UPDATE_CHUNK])
             return
         cols = _rows_cols(arr, self.d, self.w)
         for i in range(self.d):
