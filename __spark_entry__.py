@@ -797,6 +797,53 @@ def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform distinct sample (theta bottom-k +
+    broadcast resolve, sketches/theta.py distinct_sample_by_key): up to
+    k=10 doc_ids per source, two scans, no row shuffle. The sample SIZE
+    is exactly LEAST(k, n_distinct) per group (checked against the exact
+    oracle); membership and uniqueness are verified independently by
+    anti-joining back to the table. The sample CONTENT is
+    hash-deterministic, so the booleans are stable under any
+    partitioning."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import distinct_sample_by_key
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    samp = distinct_sample_by_key(docs, "doc_id", ["source"], k=10).cache()
+    ids = docs.select(
+        F.col("source").cast("string").alias("source"), "doc_id"
+    ).distinct()
+    non_members = (
+        samp.join(ids, ["source", "doc_id"], "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("bad"))
+    )
+    agg = (
+        samp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("doc_id").alias("n_unique"),
+        )
+        .join(non_members, ["source"], "left_outer")
+        .select(
+            "source",
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.coalesce(F.col("bad"), F.lit(0)).eqNullSafe(0).alias("all_members"),
+            (F.col("n_unique") == F.col("n_sampled")).alias("no_dups"),
+        )
+        .orderBy("source")
+    )
+    out = agg.collect()
+    samp.unpersist()
+    return spark.createDataFrame(
+        out, "source string, n_sampled long, all_members boolean, no_dups boolean"
+    )
+
+
 def _q_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation sketch: distinct-custkey overlap between
     urgent/high-priority orders and the rest. Union/intersection/difference
@@ -1472,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_quantiles": _q_kll_price_quantiles,
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
+        "distinct_sample_by_source": _q_distinct_sample_by_source,
         "mg_heavy_tokens": _q_mg_heavy_tokens,
         "sketch_checkpoint_resume": _q_sketch_checkpoint_resume,
         "dedup_exact_documents": _q_dedup_exact_documents,
@@ -1620,6 +1668,12 @@ def oracle_sql() -> dict[str, str]:
             " CAST(a + b - u AS BIGINT) AS exact_inter, CAST(u AS BIGINT) AS exact_union,"
             " TRUE AS union_within_bound, TRUE AS inter_within_bound,"
             " TRUE AS diff_within_bound FROM s"
+        ),
+        "distinct_sample_by_source": (
+            "SELECT CAST(source AS VARCHAR) AS source,"
+            " CAST(LEAST(10, count(DISTINCT doc_id)) AS BIGINT) AS n_sampled,"
+            " TRUE AS all_members, TRUE AS no_dups"
+            " FROM documents GROUP BY source ORDER BY source"
         ),
         "mg_heavy_tokens": (
             "SELECT tok, CAST(count(*) AS BIGINT) AS exact_freq,"

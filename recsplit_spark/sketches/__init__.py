@@ -20,4 +20,5 @@ from .multi import (  # noqa: F401
     token_ngram_hashes,
 )
 from .tdigest import TDigest, TDigestState  # noqa: F401
-from .theta import ThetaSketch, ThetaState  # noqa: F401
+from .theta import (ThetaSketch, ThetaState, distinct_sample,  # noqa: F401
+                    distinct_sample_by_key)

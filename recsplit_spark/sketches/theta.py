@@ -332,3 +332,70 @@ class ThetaSketch(MergeableSketch):
                     )
 
         return joined.mapInPandas(_pairs, schema=self._PAIRS_SCHEMA)
+
+
+def distinct_sample(df, col: str, k: int = 256):
+    """Deterministic uniform sample of ``k`` DISTINCT values of ``col``,
+    with the values resolved — DataFrame[col] of min(k, n_distinct) rows.
+
+    The bottom-k retained set of a theta sketch IS a uniform sample of
+    the distinct-value universe (each distinct value's xxhash64 is an
+    i.i.d. uniform draw; keeping the k smallest selects a simple random
+    subset, independent of duplication counts and arrival order). Two
+    scans, zero rows shuffled: scan 1 folds the bottom-k hash state
+    (states-not-rows), scan 2 resolves hashes back to values with a
+    broadcast semi-join on the k retained hashes — the classic
+    sample-then-resolve shape that works unchanged at 10^12 rows.
+
+    Deterministic: same input set -> same sample (and the sample of a
+    union of corpora is the bottom-k merge of their states, so samples
+    taken per-ingest-batch stay consistent under merging).
+
+    Training-data use: "pull 1,000 uniformly sampled documents for
+    manual QA" without a full-table orderBy(rand()) sort.
+    """
+    from pyspark.sql import functions as F
+
+    sk = ThetaSketch(k=max(8, k))
+    st = sk.build(df, col)
+    kept = st.r[:k]
+    hashes_df = df.sparkSession.createDataFrame(
+        [(int(h.view(np.int64)),) for h in kept], "h long"
+    )
+    hashed = F.xxhash64(F.col(col).cast("string"))
+    return (
+        df.select(col)
+        .distinct()
+        .join(F.broadcast(hashes_df), hashed == F.col("h"), "left_semi")
+    )
+
+
+def distinct_sample_by_key(df, col: str, keys, k: int = 64):
+    """Per-group deterministic uniform distinct samples —
+    DataFrame[keys..., col] with up to ``k`` sampled values per group.
+
+    Grouped variant of :func:`distinct_sample`: scan 1 builds per-group
+    bottom-k states (one ``states_by_key`` pass), the driver explodes
+    them into a (keys..., hash) relation of at most G x k rows (exactly
+    the state-table size it already collected), and scan 2 resolves
+    values with a broadcast join on (keys, hash). Keep G x k driver-
+    sized (it is the same footprint as the per-key state table itself);
+    for very large G, sample coarser groups or lower k.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    sk = ThetaSketch(k=max(8, k))
+    rows = sk.states_by_key(df, col, keys).collect()
+    out = []
+    for r in rows:
+        st = sk.from_bytes(bytes(r["state"]))
+        for h in st.r[:k]:
+            out.append(tuple(r[kc] for kc in keys) + (int(h.view(np.int64)),))
+    schema = ", ".join(f"{kc} string" for kc in keys) + ", h long"
+    hashes_df = df.sparkSession.createDataFrame(out, schema)
+    hashed = F.xxhash64(F.col(col).cast("string"))
+    sel = [F.col(kc).cast("string").alias(kc) for kc in keys] + [F.col(col)]
+    cand = df.select(*sel).distinct()
+    cond = [cand[kc] == hashes_df[kc] for kc in keys] + [hashed == hashes_df["h"]]
+    return cand.join(F.broadcast(hashes_df), cond, "left_semi")

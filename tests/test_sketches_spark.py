@@ -498,3 +498,79 @@ def test_merge_state_tables_incremental(spark, tmp_path):
             [spark.read.parquet(t)], ["source"]
         ).collect()
     seq.unpersist()
+
+
+def test_distinct_sample_uniform_and_deterministic(spark, sf_dir):
+    """Bottom-k hash sample: min(k, n_distinct) resolved values, all true
+    members, identical across runs and partitionings, and equal to the
+    bottom-k of the key universe by construction."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import distinct_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = docs.select("doc_id").distinct().count()
+    k = 50
+    s1 = sorted(r["doc_id"] for r in distinct_sample(docs, "doc_id", k=k).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in distinct_sample(docs.repartition(17), "doc_id", k=k).collect()
+    )
+    assert len(s1) == min(k, n_distinct)
+    assert s1 == s2  # deterministic + partitioning-invariant
+    # exact bottom-k by hash (ground truth via Spark itself)
+    expect = [
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .distinct()
+        .orderBy(
+            F.xxhash64(F.col("doc_id").cast("string")).cast("decimal(21,0)")
+            + F.when(
+                F.xxhash64(F.col("doc_id").cast("string")) < 0,
+                F.lit("18446744073709551616").cast("decimal(21,0)"),
+            ).otherwise(F.lit("0").cast("decimal(21,0)"))
+        )
+        .limit(k)
+        .collect()
+    ]
+    assert sorted(expect) == s1
+    # membership: every sampled id exists in the table
+    ids = {r["doc_id"] for r in docs.select("doc_id").distinct().collect()}
+    assert set(s1) <= ids
+
+
+def test_distinct_sample_small_universe_returns_all(spark):
+    from recsplit_spark.sketches import distinct_sample
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(7)] * 3, "x string")
+    got = sorted(r["x"] for r in distinct_sample(df, "x", k=64).collect())
+    assert got == sorted(f"v{i}" for i in range(7))
+
+
+def test_distinct_sample_by_key(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import distinct_sample_by_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 10
+    out = distinct_sample_by_key(docs, "doc_id", ["source"], k=k).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert set(per_src) == set(exact)
+    ids = {
+        (r["source"], r["doc_id"])
+        for r in docs.select("source", "doc_id").distinct().collect()
+    }
+    for src, sample in per_src.items():
+        assert len(sample) == min(k, exact[src])
+        assert len(set(sample)) == len(sample)
+        for d in sample:
+            assert (src, d) in ids
