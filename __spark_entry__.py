@@ -844,6 +844,78 @@ def _q_distinct_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental state-table maintenance (sketches/incremental.py —
+    the Iceberg-snapshot-diff analogue on parquet): documents is split
+    into two deterministic batches; two ``IncrementalProfile.update``
+    runs (second scans ONLY the second batch's files) must produce a
+    per-source HLL state table byte-identical to one full
+    ``profile_by_key`` over everything, with per-file lineage covering
+    every row, and per-source estimates within the published bound of
+    the exact distinct counts."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import HyperLogLog, IncrementalProfile
+    from recsplit_spark.sketches.multi import SketchSpec, profile_by_key
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    specs = [SketchSpec("docs", HyperLogLog(p=14), "doc_id")]
+    hll = specs[0].sketch
+    with tempfile.TemporaryDirectory() as tmp:
+        in_b2 = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1
+        docs.filter(~in_b2).write.parquet(f"{tmp}/b1")
+        docs.filter(in_b2).write.parquet(f"{tmp}/b2")
+        inc = IncrementalProfile(specs, ["source"], f"{tmp}/prof")
+        m1 = inc.update(spark, source=f"{tmp}/b1")
+        m2 = inc.update(spark, source=f"{tmp}/b2")
+        inc_states = {
+            (r["source"], bytes(r["state"])) for r in inc.states(spark).collect()
+        }
+        ests = {
+            r["source"]: r["estimate"] for r in inc.estimates(spark).collect()
+        }
+        lineage = inc.lineage(spark).collect()
+    full_states = {
+        (r["source"], bytes(r["state"]))
+        for r in profile_by_key(docs, ["source"], specs).collect()
+    }
+    exact = {
+        r["source"]: int(r["n"])
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    identical = bool(inc_states == full_states)
+    lineage_ok = bool(
+        m1["gen"] == 1
+        and m2["gen"] == 2
+        and m2["new_files"] > 0
+        and sum(r["n_rows"] for r in lineage) == docs.count()
+    )
+    rows = [
+        (
+            src,
+            exact[src],
+            bool(
+                abs(ests[src] - exact[src])
+                <= max(3 * hll.relative_error * exact[src], 3.0)
+            ),
+            identical,
+            lineage_ok,
+        )
+        for src in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, exact_distinct bigint, within_bound boolean,"
+        " incremental_equals_full boolean, lineage_ok boolean",
+    )
+
+
 def _q_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation sketch: distinct-custkey overlap between
     urgent/high-priority orders and the rest. Union/intersection/difference
@@ -1520,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
         "distinct_sample_by_source": _q_distinct_sample_by_source,
+        "incremental_profile_by_source": _q_incremental_profile_by_source,
         "mg_heavy_tokens": _q_mg_heavy_tokens,
         "sketch_checkpoint_resume": _q_sketch_checkpoint_resume,
         "dedup_exact_documents": _q_dedup_exact_documents,
@@ -1673,6 +1746,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(source AS VARCHAR) AS source,"
             " CAST(LEAST(10, count(DISTINCT doc_id)) AS BIGINT) AS n_sampled,"
             " TRUE AS all_members, TRUE AS no_dups"
+            " FROM documents GROUP BY source ORDER BY source"
+        ),
+        "incremental_profile_by_source": (
+            "SELECT CAST(source AS VARCHAR) AS source,"
+            " CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,"
+            " TRUE AS within_bound, TRUE AS incremental_equals_full,"
+            " TRUE AS lineage_ok"
             " FROM documents GROUP BY source ORDER BY source"
         ),
         "mg_heavy_tokens": (

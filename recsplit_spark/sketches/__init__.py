@@ -8,6 +8,10 @@ from .bloom import BloomFilter  # noqa: F401
 from .checkpoint import CheckpointedBuild  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
+from .incremental import (  # noqa: F401
+    IncrementalProfile,
+    merge_profile_tables,
+)
 from .kll import KLL, KLLState  # noqa: F401
 from .mg import MisraGries, MGState  # noqa: F401
 from .multi import (  # noqa: F401

@@ -1,0 +1,208 @@
+"""IncrementalProfile: incremental per-key state-table maintenance.
+
+The load-bearing invariants:
+  * incremental updates are VALUE-IDENTICAL (byte-identical states for
+    batch-order-insensitive sketches) to one full rebuild over all data;
+  * an update scans ONLY never-processed files (proven by deleting the
+    already-folded files from disk before the second update);
+  * the commit protocol survives the crash window between the state-table
+    write and the lineage append (orphaned generation dirs are ignored
+    and overwritten);
+  * the config manifest refuses mismatched or manifestless-but-committed
+    resumes (same failure mode as the checkpoint manifests).
+"""
+
+import shutil
+
+import pytest
+
+from recsplit_spark.data import sequences
+from recsplit_spark.sketches import CountMinSketch, HyperLogLog
+from recsplit_spark.sketches.incremental import (
+    IncrementalProfile,
+    _canon_file,
+    _list_data_files,
+    merge_profile_tables,
+)
+from recsplit_spark.sketches.multi import SketchSpec, profile_by_key
+
+
+def _specs():
+    return [
+        SketchSpec("docs", HyperLogLog(p=12), "doc_id"),
+        SketchSpec("grams3", HyperLogLog(p=12), "tokens", ngram=3),
+        SketchSpec("tok_freq", CountMinSketch(eps=1e-3, delta=1e-3), "n_tok"),
+    ]
+
+
+def _state_set(df):
+    return {
+        (r["source"], r["name"], bytes(r["state"])) for r in df.collect()
+    }
+
+
+def _write_batch(spark, lo, hi, path, parts=2):
+    # sequences(n) generates rows [0, n); slice [lo, hi) via doc row index
+    df = sequences(spark, hi, partitions=max(parts, 2))
+    if lo:
+        # regenerate deterministically: drop the rows of the earlier batch
+        earlier = sequences(spark, lo, partitions=2).select("doc_id")
+        df = df.join(earlier, "doc_id", "left_anti")
+    df.repartition(parts).write.mode("overwrite").parquet(path)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Two disjoint parquet batches + the concatenated full corpus df."""
+    root = tmp_path_factory.mktemp("inc_corpus")
+    b1, b2 = str(root / "b1"), str(root / "b2")
+    _write_batch(spark, 0, 400, b1, parts=2)
+    _write_batch(spark, 400, 650, b2, parts=3)
+    full = spark.read.parquet(b1, b2)
+    return {"b1": b1, "b2": b2, "full": full}
+
+
+def test_incremental_matches_full_rebuild(spark, corpus, tmp_path):
+    inc = IncrementalProfile(_specs(), ["source"], str(tmp_path / "prof"))
+    m1 = inc.update(spark, source=corpus["b1"])
+    assert m1["gen"] == 1 and m1["new_files"] == 2 and m1["rows"] == 400
+    m2 = inc.update(spark, source=corpus["b2"])
+    assert m2["gen"] == 2 and m2["new_files"] == 3 and m2["rows"] == 250
+    want = _state_set(profile_by_key(corpus["full"], ["source"], _specs()))
+    assert _state_set(inc.states(spark)) == want
+
+    # estimates read the committed table and dispatch per spec
+    ests = {
+        (r["source"], r["name"]): r["estimate"]
+        for r in inc.estimates(spark).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in corpus["full"]
+        .groupBy("source")
+        .agg({"doc_id": "count"})
+        .withColumnRenamed("count(doc_id)", "n")
+        .collect()
+    }
+    for src, n in exact.items():
+        assert ests[(src, "docs")] == pytest.approx(n, rel=0.15)
+
+    # lineage carries per-file rows + run metadata
+    lin = inc.lineage(spark).collect()
+    assert len(lin) == 5
+    assert sum(r["n_rows"] for r in lin) == 650
+    assert all(r["wall_sec"] > 0 and r["lineage"].startswith("run-") for r in lin)
+
+
+def test_update_scans_only_new_files(spark, corpus, tmp_path):
+    src_dir = str(tmp_path / "src")
+    shutil.copytree(corpus["b1"], src_dir)
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=src_dir)
+    # delete the folded files: any rescan of them would now fail loudly
+    shutil.rmtree(src_dir)
+    shutil.copytree(corpus["b2"], src_dir)
+    m = inc.update(spark, source=src_dir)
+    assert m["new_files"] == 3 and m["gen"] == 2
+    want = _state_set(profile_by_key(corpus["full"], ["source"], _specs()[:1]))
+    assert _state_set(inc.states(spark)) == want
+    # idempotent no-op third run
+    m3 = inc.update(spark, source=src_dir)
+    assert m3 == {"gen": 2, "new_files": 0, "rows": 0}
+
+
+def test_explicit_file_list_is_the_snapshot_diff_hook(spark, corpus, tmp_path):
+    files = _list_data_files(spark, corpus["b1"])
+    assert len(files) == 2 and all(f.startswith("file:///") for f in files)
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "prof"))
+    m = inc.update(spark, files=files)
+    assert m["new_files"] == 2 and m["rows"] == 400
+    b1 = spark.read.parquet(corpus["b1"])
+    want = _state_set(profile_by_key(b1, ["source"], _specs()[:1]))
+    assert _state_set(inc.states(spark)) == want
+    with pytest.raises(ValueError, match="exactly one"):
+        inc.update(spark, source=corpus["b1"], files=files)
+    with pytest.raises(ValueError, match="exactly one"):
+        inc.update(spark)
+
+
+def test_orphaned_generation_is_ignored_and_overwritten(spark, corpus, tmp_path):
+    path = str(tmp_path / "prof")
+    inc = IncrementalProfile(_specs()[:2], ["source"], path)
+    inc.update(spark, source=corpus["b1"])
+    # simulate the crash window: a gen=2 state dir committed but the
+    # lineage append lost — committed generation must remain 1
+    shutil.copytree(f"{path}/state/gen=1", f"{path}/state/gen=2")
+    assert inc._committed_gen(spark) == 1
+    m = inc.update(spark, source=corpus["b2"])
+    assert m["gen"] == 2
+    want = _state_set(profile_by_key(corpus["full"], ["source"], _specs()[:2]))
+    assert _state_set(inc.states(spark)) == want
+
+
+def test_manifest_refuses_mismatched_config(spark, corpus, tmp_path):
+    path = str(tmp_path / "prof")
+    IncrementalProfile(_specs(), ["source"], path).update(
+        spark, source=corpus["b1"]
+    )
+    # different sketch parameters under the same spec name
+    other = [SketchSpec("docs", HyperLogLog(p=13), "doc_id")] + _specs()[1:]
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        IncrementalProfile(other, ["source"], path).update(
+            spark, source=corpus["b2"]
+        )
+    # different group keys
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        IncrementalProfile(_specs(), ["doc_id"], path).update(
+            spark, source=corpus["b2"]
+        )
+    # committed generations but no manifest: refuse adoption
+    shutil.rmtree(f"{path}/manifest")
+    with pytest.raises(ValueError, match="no readable manifest"):
+        IncrementalProfile(_specs(), ["source"], path).update(
+            spark, source=corpus["b2"]
+        )
+
+
+def test_constructor_contracts():
+    with pytest.raises(ValueError, match="at least one group key"):
+        IncrementalProfile(_specs(), [], "/tmp/x")
+    with pytest.raises(ValueError, match="at least one spec"):
+        IncrementalProfile([], ["source"], "/tmp/x")
+    with pytest.raises(ValueError, match="duplicate spec names"):
+        IncrementalProfile(
+            [
+                SketchSpec("a", HyperLogLog(p=12), "doc_id"),
+                SketchSpec("a", HyperLogLog(p=12), "source"),
+            ],
+            ["source"],
+            "/tmp/x",
+        )
+
+
+def test_states_before_any_commit_raises(spark, tmp_path):
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="no committed updates"):
+        inc.states(spark)
+
+
+def test_merge_profile_tables_partitions_arbitrarily(spark, corpus):
+    """Merging per-batch profile tables == one build over everything —
+    the associativity that makes every incremental schedule equivalent."""
+    specs = _specs()
+    b1 = spark.read.parquet(corpus["b1"])
+    b2 = spark.read.parquet(corpus["b2"])
+    t1 = profile_by_key(b1, ["source"], specs)
+    t2 = profile_by_key(b2, ["source"], specs)
+    merged = merge_profile_tables([t1, t2], ["source"], specs)
+    want = _state_set(profile_by_key(corpus["full"], ["source"], specs))
+    assert _state_set(merged) == want
+
+
+def test_canon_file_unifies_local_uri_forms():
+    assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
+    assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
+    assert (
+        _canon_file("hdfs://nn:8020/a.parquet") == "hdfs://nn:8020/a.parquet"
+    )
+    assert _canon_file("s3a://bucket/a.parquet") == "s3a://bucket/a.parquet"
