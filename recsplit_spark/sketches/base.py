@@ -311,6 +311,87 @@ class MergeableSketch(ABC):
 
         return parts.groupBy(*keys).applyInPandas(_final, schema=schema)
 
+    def _require_estimate(self) -> None:
+        if type(self).estimate is MergeableSketch.estimate:
+            raise ValueError(
+                f"{type(self).__name__} has no scalar estimate — use "
+                "agg_state_column / states_by_key for raw states"
+            )
+
+    # -- literal grouped-agg UDAF surface ------------------------------------
+    def agg_estimate_column(self, col: str, alias: str | None = None):
+        """A real Spark aggregate expression:
+        ``df.groupBy(k).agg(sk.agg_estimate_column("doc_id"))``.
+
+        Convenience/interop surface ONLY. Grouped-agg pandas UDFs have NO
+        partial aggregation: the full (JVM-hashed) input column shuffles
+        and every group materializes as one pandas Series in one task —
+        fine for interactive use and moderate groups, wrong at 10^12
+        rows. The scale path remains ``aggregate()``/``states_by_key``
+        (map-side fold, states-not-rows shuffle). Estimates are identical
+        to ``build()`` for elementwise sketches (one concatenated update
+        == any partition split)."""
+        from pyspark.sql import functions as F
+
+        self._require_estimate()
+        sk = self
+
+        @F.pandas_udf("double")
+        def _agg(s: pd.Series) -> float:
+            st = sk.new_state()
+            sk.update(st, s.to_numpy())
+            return float(sk.estimate(st))
+
+        return _agg(self._input_expr(col)).alias(
+            alias or f"{type(self).__name__.lower()}_{col}"
+        )
+
+    def agg_state_column(self, col: str, alias: str | None = None):
+        """Like ``agg_estimate_column`` but returns the serialized state
+        (binary) — feed the resulting table to ``merge_state_tables`` or
+        persist it as an incremental-profile generation. Same no-partial-
+        aggregation caveat."""
+        from pyspark.sql import functions as F
+
+        sk = self
+
+        @F.pandas_udf("binary")
+        def _agg(s: pd.Series) -> bytes:
+            st = sk.new_state()
+            sk.update(st, s.to_numpy())
+            return sk.to_bytes(st)
+
+        return _agg(self._input_expr(col)).alias(alias or "state")
+
+    def register_sql_agg(self, spark, name: str):
+        """Register the estimate UDAF for Spark SQL. The registered
+        function takes the PRE-HASHED input (hash sketches) or the raw
+        value (value sketches) — SQL cannot apply the JVM-side input
+        prep inside a Python UDAF, so hash-input sketches are queried as::
+
+            SELECT source, <name>(xxhash64(CAST(doc_id AS STRING)))
+            FROM t GROUP BY source
+
+        which is exactly the cross-type hash contract the DataFrame
+        surface applies automatically (states stay mergeable with every
+        other build of the same config)."""
+        from pyspark.sql import functions as F
+
+        self._require_estimate()
+        sk = self
+
+        @F.pandas_udf("double")
+        def _agg(s: pd.Series) -> float:
+            st = sk.new_state()
+            arr = s.to_numpy()
+            if sk.input_kind == "value":
+                arr = arr.astype(np.float64, copy=False)
+            sk.update(st, arr)
+            return float(sk.estimate(st))
+
+        spark.udf.register(name, _agg)
+        return name
+
     def merge_state_tables(self, tables, keys):
         """Merge several per-key state tables (the ``states_by_key`` /
         ``profile_by_key`` output shape: DataFrame[keys... string, state

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""spark-submit entry point: incremental per-key sketch state-table
+maintenance over an append-only table (sketches/incremental.py).
+
+Cluster usage (the north-rule deployment shape, incremental side)::
+
+    python scripts/make_pyfiles_zip.py            # -> dist/recsplit_spark.zip
+    spark-submit --py-files dist/recsplit_spark.zip \
+        scripts/incremental_job.py \
+        --source <parquet dir of the growing table> \
+        --path   <state root (parquet dir: state/ lineage/ manifest/)> \
+        --keys source \
+        --spec docs=hll:doc_id --spec grams5=hll:tokens:ngram=5 \
+        [--estimates] [--hll-p 14] [--cms-eps 5e-4] [--cms-delta 0.01] \
+        [--theta-k 4096] [--files f1.parquet,f2.parquet]
+
+Each run folds ONLY the files never folded before (or exactly the
+``--files`` list — the Iceberg snapshot-diff integration point) and
+merges them into the committed state table. Prints ONE JSON line:
+update metrics (generation, new files, rows) + per-key estimates when
+``--estimates`` is set. Re-running with nothing new is a no-op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _parse_spec(text: str, args) -> "SketchSpec":
+    from recsplit_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        MisraGries,
+        ThetaSketch,
+    )
+    from recsplit_spark.sketches.multi import SketchSpec
+
+    try:
+        name, rest = text.split("=", 1)
+        parts = rest.split(":")
+        kind, col = parts[0], parts[1]
+        ngram = None
+        for extra in parts[2:]:
+            k, v = extra.split("=", 1)
+            if k != "ngram":
+                raise ValueError(f"unknown spec option {k!r}")
+            ngram = int(v)
+    except (ValueError, IndexError) as e:
+        raise SystemExit(
+            f"bad --spec {text!r} (want name=kind:col[:ngram=N]): {e}"
+        ) from None
+    mk = {
+        "hll": lambda: HyperLogLog(p=args.hll_p),
+        "cms": lambda: CountMinSketch(eps=args.cms_eps, delta=args.cms_delta),
+        "bloom": lambda: BloomFilter(
+            n_expected=args.bloom_n, fpr=args.bloom_fpr
+        ),
+        "theta": lambda: ThetaSketch(k=args.theta_k),
+        "mg": lambda: MisraGries(k=args.mg_k),
+    }.get(kind)
+    if mk is None:
+        raise SystemExit(f"bad --spec {text!r}: unknown sketch kind {kind!r}")
+    return SketchSpec(name, mk(), col, ngram=ngram)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--source", default=None, help="directory of the growing table"
+    )
+    ap.add_argument(
+        "--files",
+        default=None,
+        help="comma-separated explicit data-file list (Iceberg snapshot"
+        " diff hook) instead of diffing --source",
+    )
+    ap.add_argument("--path", required=True, help="state-table root")
+    ap.add_argument("--keys", required=True, help="comma-separated group keys")
+    ap.add_argument(
+        "--spec",
+        action="append",
+        required=True,
+        metavar="NAME=KIND:COL[:ngram=N]",
+        help="sketch spec (repeatable); kinds: hll cms bloom theta mg",
+    )
+    ap.add_argument(
+        "--estimates",
+        action="store_true",
+        help="also print per-key estimates from the committed table",
+    )
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--cms-eps", type=float, default=5e-4)
+    ap.add_argument("--cms-delta", type=float, default=0.01)
+    ap.add_argument("--bloom-n", type=int, default=1_000_000)
+    ap.add_argument("--bloom-fpr", type=float, default=0.01)
+    ap.add_argument("--theta-k", type=int, default=4096)
+    ap.add_argument("--mg-k", type=int, default=1024)
+    args = ap.parse_args()
+    if (args.source is None) == (args.files is None):
+        raise SystemExit("pass exactly one of --source or --files")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("recsplit-incremental").getOrCreate()
+    from recsplit_spark.sketches import IncrementalProfile
+
+    specs = [_parse_spec(s, args) for s in args.spec]
+    inc = IncrementalProfile(specs, args.keys.split(","), args.path)
+    t0 = time.time()
+    metrics = inc.update(
+        spark,
+        source=args.source,
+        files=args.files.split(",") if args.files else None,
+    )
+    out = {"path": args.path, **metrics}
+    if args.estimates:
+        rows = inc.estimates(spark).collect()
+        keys = args.keys.split(",")
+        out["estimates"] = [
+            {**{k: r[k] for k in keys}, "name": r["name"], "estimate": r["estimate"]}
+            for r in rows
+        ]
+    out["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
