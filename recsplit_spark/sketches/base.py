@@ -318,6 +318,20 @@ class MergeableSketch(ABC):
                 "agg_state_column / states_by_key for raw states"
             )
 
+    def _fold_series(self, s: pd.Series):
+        """One-group UDAF fold shared by every grouped-agg closure —
+        change the fold ONCE here (e.g. null handling) and the
+        DataFrame-estimate, state, and SQL surfaces stay in lockstep.
+        The astype is a no-op when the input was cast JVM-side
+        (``_input_expr``) and repairs the dtype for the SQL path, where
+        the raw column arrives unprepped."""
+        st = self.new_state()
+        arr = s.to_numpy()
+        if self.input_kind == "value":
+            arr = arr.astype(np.float64, copy=False)
+        self.update(st, arr)
+        return st
+
     # -- literal grouped-agg UDAF surface ------------------------------------
     def agg_estimate_column(self, col: str, alias: str | None = None):
         """A real Spark aggregate expression:
@@ -338,9 +352,7 @@ class MergeableSketch(ABC):
 
         @F.pandas_udf("double")
         def _agg(s: pd.Series) -> float:
-            st = sk.new_state()
-            sk.update(st, s.to_numpy())
-            return float(sk.estimate(st))
+            return float(sk.estimate(sk._fold_series(s)))
 
         return _agg(self._input_expr(col)).alias(
             alias or f"{type(self).__name__.lower()}_{col}"
@@ -357,9 +369,7 @@ class MergeableSketch(ABC):
 
         @F.pandas_udf("binary")
         def _agg(s: pd.Series) -> bytes:
-            st = sk.new_state()
-            sk.update(st, s.to_numpy())
-            return sk.to_bytes(st)
+            return sk.to_bytes(sk._fold_series(s))
 
         return _agg(self._input_expr(col)).alias(alias or "state")
 
@@ -382,12 +392,7 @@ class MergeableSketch(ABC):
 
         @F.pandas_udf("double")
         def _agg(s: pd.Series) -> float:
-            st = sk.new_state()
-            arr = s.to_numpy()
-            if sk.input_kind == "value":
-                arr = arr.astype(np.float64, copy=False)
-            sk.update(st, arr)
-            return float(sk.estimate(st))
+            return float(sk.estimate(sk._fold_series(s)))
 
         spark.udf.register(name, _agg)
         return name

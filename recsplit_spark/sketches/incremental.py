@@ -50,23 +50,39 @@ from .multi import SketchSpec, profile_by_key
 
 def _canon_file(p: str) -> str:
     """Canonicalize a data-file URI so Hadoop listing output
-    (``file:/root/x.parquet``) and ``input_file_name()`` output
-    (``file:///root/x.parquet``) compare equal. Schemes with a real
-    authority (hdfs://nn:8020/..., s3a://bucket/...) are already
-    identical on both sides and pass through unchanged."""
+    (``file:/root/x.parquet``, unescaped) and ``input_file_name()``
+    output (``file:///root/x.parquet``, URI-escaped: a space lists as
+    ``%20``) compare equal: normalize the local-scheme slashes and
+    percent-decode both sides. (A file name containing a LITERAL
+    percent-escape like ``%20`` decodes on the listing side only and
+    would mis-pair — that pathological case costs an ``n_rows=0``
+    lineage row, never a correctness error: the processed-file diff
+    compares listing-side paths with themselves.) Schemes with a real
+    authority (hdfs://nn:8020/..., s3a://bucket/...) pass through
+    bar the decode."""
+    from urllib.parse import unquote
+
     if p.startswith("file:"):
-        return "file:///" + p[5:].lstrip("/")
-    return p
+        p = "file:///" + p[5:].lstrip("/")
+    return unquote(p)
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _dir_exists(spark, path: str) -> bool:
+    fs, p, _ = _fs_for(spark, path)
+    return bool(fs.exists(p))
 
 
 def _list_data_files(spark, source: str) -> list[str]:
     """Recursively list data files under ``source`` via the Hadoop
     FileSystem API (works for any scheme Spark can read), skipping
     hidden/commit-protocol entries (``_SUCCESS``, ``.crc`` ...)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(source)
-    fs = root.getFileSystem(conf)
+    fs, root, _ = _fs_for(spark, source)
     out: list[str] = []
     stack = [root]
     while stack:
@@ -149,26 +165,32 @@ class IncrementalProfile:
     def _check_or_write_manifest(self, spark) -> None:
         rows = self._config_rows()
         schema = "keys string, name string, fingerprint string, col string, ngram int"
-        try:
-            have = sorted(
-                tuple(r) for r in spark.read.parquet(f"{self.path}/manifest")
-                .select("keys", "name", "fingerprint", "col", "ngram")
-                .collect()
-            )
-        except Exception:  # noqa: BLE001 — no readable manifest yet
-            # Like the checkpoint manifests: a path with committed work
-            # but no manifest must not be silently adopted under the
-            # current config.
-            if self._committed_gen(spark) > 0:
+        # "first run" is decided by directory EXISTENCE, never by a read
+        # failure: a transient IO error on an existing manifest/lineage
+        # must propagate, not silently re-adopt the path as fresh (which
+        # would overwrite the manifest and re-fold everything, doubling
+        # lineage rows).
+        if not _dir_exists(spark, f"{self.path}/manifest"):
+            if self._committed_gen(spark) > 0 or _dir_exists(
+                spark, f"{self.path}/state"
+            ):
+                # Like the checkpoint manifests: a path with committed
+                # work but no manifest must not be silently adopted
+                # under the current config.
                 raise ValueError(
                     f"incremental profile at {self.path} has committed "
                     "generations but no readable manifest; re-run against "
                     "a fresh path or restore the manifest"
-                ) from None
+                )
             spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
                 f"{self.path}/manifest"
             )
             return
+        have = sorted(
+            tuple(r) for r in spark.read.parquet(f"{self.path}/manifest")
+            .select("keys", "name", "fingerprint", "col", "ngram")
+            .collect()
+        )
         have = [(r[0], r[1], r[2], r[3], int(r[4])) for r in have]
         if have != rows:
             raise ValueError(
@@ -180,15 +202,46 @@ class IncrementalProfile:
     def _committed_gen(self, spark) -> int:
         from pyspark.sql import functions as F
 
-        try:
-            row = (
-                spark.read.parquet(f"{self.path}/lineage")
-                .agg(F.max("gen").alias("g"))
-                .collect()[0]
-            )
-            return int(row["g"] or 0)
-        except Exception:  # noqa: BLE001 — first run: no lineage yet
+        if not _dir_exists(spark, f"{self.path}/lineage"):
             return 0
+        row = (
+            spark.read.parquet(f"{self.path}/lineage")
+            .agg(F.max("gen").alias("g"))
+            .collect()[0]
+        )
+        return int(row["g"] or 0)
+
+    # -- writer lock ---------------------------------------------------------
+    def _acquire_lock(self, spark) -> None:
+        """Best-effort single-writer guard: atomically create
+        ``<path>/_lock`` (``FileSystem.create(overwrite=False)`` — atomic
+        on HDFS/local; object stores without atomic create should gate
+        writers externally, as with any non-catalog table format). Two
+        overlapping updates would both read the same committed
+        generation and the second state write would silently drop the
+        first's batch while its lineage rows mark the files processed —
+        the one failure the commit protocol cannot detect after the
+        fact."""
+        fs, _, jvm = _fs_for(spark, self.path)
+        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
+        try:
+            out = fs.create(lock, False)
+            out.close()
+        except Exception:
+            raise RuntimeError(
+                f"incremental profile at {self.path} is locked by another "
+                "writer (_lock exists); if a previous run crashed, remove "
+                f"the stale lock with break_lock()"
+            ) from None
+
+    def _release_lock(self, spark) -> None:
+        fs, _, jvm = _fs_for(spark, self.path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+
+    def break_lock(self, spark) -> None:
+        """Remove a stale writer lock left by a crashed update. Only
+        safe when no other writer is actually running."""
+        self._release_lock(spark)
 
     # -- update --------------------------------------------------------------
     def update(self, spark, source: str | None = None,
@@ -199,13 +252,26 @@ class IncrementalProfile:
         (recursive listing); ``files`` is an explicit list (the Iceberg
         snapshot-diff integration point — pass the files of a snapshot
         range). Returns ``{"gen", "new_files", "rows"}``; a no-op update
-        (nothing new) leaves the committed generation untouched."""
+        (nothing new) leaves the committed generation untouched.
+
+        Single-writer: a ``<path>/_lock`` file guards the whole
+        read-fold-commit sequence (see ``_acquire_lock``); concurrent
+        updates raise instead of silently losing a batch."""
         from pyspark.sql import functions as F
 
         if (source is None) == (files is None):
             raise ValueError("pass exactly one of source= or files=")
         t0 = time.time()
         self._check_or_write_manifest(spark)
+        self._acquire_lock(spark)
+        try:
+            return self._update_locked(spark, source, files, t0)
+        finally:
+            self._release_lock(spark)
+
+    def _update_locked(self, spark, source, files, t0) -> dict:
+        from pyspark.sql import functions as F
+
         cur_gen = self._committed_gen(spark)
         all_files = (
             sorted(_canon_file(f) for f in files)
@@ -250,13 +316,48 @@ class IncrementalProfile:
             .count()
             .collect()
         }
-        run_id = f"run-{int(time.time())}"
+        import uuid
+
+        run_id = f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
         wall = round(time.time() - t0, 3)
         spark.createDataFrame(
             [(f, gen, counts.get(f, 0), run_id, wall) for f in new],
             "file string, gen int, n_rows long, lineage string, wall_sec double",
         ).write.mode("append").parquet(f"{self.path}/lineage")
         return {"gen": gen, "new_files": len(new), "rows": sum(counts.values())}
+
+    def vacuum(self, spark, keep: int = 1) -> list[int]:
+        """Delete superseded generation directories, keeping the
+        committed one plus ``keep - 1`` predecessors (every update
+        writes a full new G x S table, so without vacuuming storage
+        grows by one table copy per update). Returns the deleted
+        generation numbers. Takes the writer lock — vacuuming while an
+        update is mid-commit could delete the generation it is merging
+        from."""
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        self._acquire_lock(spark)
+        try:
+            cur = self._committed_gen(spark)
+            cutoff = cur - (keep - 1)
+            fs, _, jvm = _fs_for(spark, self.path)
+            dropped = []
+            state_root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/state")
+            if not fs.exists(state_root):
+                return dropped
+            for st in fs.listStatus(state_root):
+                name = st.getPath().getName()
+                if not name.startswith("gen="):
+                    continue
+                g = int(name[4:])
+                # orphans ABOVE the committed gen are in-progress or
+                # crash leftovers; the commit protocol owns them
+                if g < cutoff:
+                    fs.delete(st.getPath(), True)
+                    dropped.append(g)
+            return sorted(dropped)
+        finally:
+            self._release_lock(spark)
 
     # -- reads ---------------------------------------------------------------
     def states(self, spark):

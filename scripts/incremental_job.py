@@ -91,6 +91,14 @@ def main() -> int:
         action="store_true",
         help="also print per-key estimates from the committed table",
     )
+    ap.add_argument(
+        "--vacuum",
+        type=int,
+        default=None,
+        metavar="KEEP",
+        help="after the update, delete superseded state generations,"
+        " keeping the committed one plus KEEP-1 predecessors",
+    )
     ap.add_argument("--hll-p", type=int, default=14)
     ap.add_argument("--cms-eps", type=float, default=5e-4)
     ap.add_argument("--cms-delta", type=float, default=0.01)
@@ -116,6 +124,8 @@ def main() -> int:
         files=args.files.split(",") if args.files else None,
     )
     out = {"path": args.path, **metrics}
+    if args.vacuum is not None:
+        out["vacuumed_gens"] = inc.vacuum(spark, keep=args.vacuum)
     if args.estimates:
         rows = inc.estimates(spark).collect()
         keys = args.keys.split(",")

@@ -199,6 +199,70 @@ def test_merge_profile_tables_partitions_arbitrarily(spark, corpus):
     assert _state_set(merged) == want
 
 
+def test_writer_lock_blocks_concurrent_update(spark, corpus, tmp_path):
+    path = str(tmp_path / "prof")
+    inc = IncrementalProfile(_specs()[:1], ["source"], path)
+    inc.update(spark, source=corpus["b1"])
+    # a crashed/concurrent writer left the lock: update must refuse
+    inc._acquire_lock(spark)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        inc.update(spark, source=corpus["b2"])
+    inc.break_lock(spark)
+    m = inc.update(spark, source=corpus["b2"])
+    assert m["gen"] == 2
+    # lock released after both success and refusal
+    inc._acquire_lock(spark)
+    inc.break_lock(spark)
+
+
+def test_vacuum_drops_superseded_generations(spark, corpus, tmp_path):
+    import os
+
+    path = str(tmp_path / "prof")
+    inc = IncrementalProfile(_specs()[:1], ["source"], path)
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    assert sorted(os.listdir(f"{path}/state")) == ["gen=1", "gen=2"]
+    assert inc.vacuum(spark) == [1]
+    assert sorted(os.listdir(f"{path}/state")) == ["gen=2"]
+    # committed table still reads; keep >= committed is a no-op
+    want = _state_set(profile_by_key(corpus["full"], ["source"], _specs()[:1]))
+    assert _state_set(inc.states(spark)) == want
+    assert inc.vacuum(spark, keep=5) == []
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        inc.vacuum(spark, keep=0)
+
+
+def test_corrupt_lineage_propagates_not_refolds(spark, corpus, tmp_path):
+    """An EXISTING but unreadable lineage dir is an error, never a
+    silent 'first run' re-adoption (that would re-fold everything and
+    double the lineage)."""
+    path = str(tmp_path / "prof")
+    inc = IncrementalProfile(_specs()[:1], ["source"], path)
+    inc.update(spark, source=corpus["b1"])
+    lineage_dir = f"{path}/lineage"
+    shutil.rmtree(lineage_dir)
+    import os
+
+    os.makedirs(lineage_dir)
+    with open(f"{lineage_dir}/garbage.parquet", "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        inc.update(spark, source=corpus["b2"])
+
+
+def test_run_ids_are_unique_across_updates(spark, corpus, tmp_path):
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    lin = inc.lineage(spark).collect()
+    by_gen = {}
+    for r in lin:
+        by_gen.setdefault(r["gen"], set()).add(r["lineage"])
+    assert all(len(v) == 1 for v in by_gen.values())  # one id per run
+    assert by_gen[1] != by_gen[2]  # distinct ids even within one second
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
@@ -206,3 +270,8 @@ def test_canon_file_unifies_local_uri_forms():
         _canon_file("hdfs://nn:8020/a.parquet") == "hdfs://nn:8020/a.parquet"
     )
     assert _canon_file("s3a://bucket/a.parquet") == "s3a://bucket/a.parquet"
+    # input_file_name URI-escapes; listing does not — both decode equal
+    assert (
+        _canon_file("file:///data/dt=2026-08-18%2000/p.parquet")
+        == _canon_file("file:/data/dt=2026-08-18 00/p.parquet")
+    )
