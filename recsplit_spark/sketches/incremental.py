@@ -360,20 +360,58 @@ class IncrementalProfile:
             self._release_lock(spark)
 
     # -- reads ---------------------------------------------------------------
-    def states(self, spark):
-        """Current committed state table: DataFrame[keys... string, name
-        string, state binary]."""
-        gen = self._committed_gen(spark)
-        if gen == 0:
-            raise ValueError(f"no committed updates under {self.path}")
-        return spark.read.parquet(f"{self.path}/state/gen={gen}")
+    def generations(self, spark) -> list[int]:
+        """Readable (non-vacuumed, committed) generation numbers,
+        ascending — the time-travel index for ``states(gen=...)``.
+        Excludes an orphaned in-progress/crashed gen above the committed
+        one."""
+        committed = self._committed_gen(spark)
+        if committed == 0 or not _dir_exists(spark, f"{self.path}/state"):
+            return []
+        fs, _, jvm = _fs_for(spark, self.path)
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/state")
+        gens = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("gen="):
+                g = int(name[4:])
+                if g <= committed:
+                    gens.append(g)
+        return sorted(gens)
 
-    def estimates(self, spark, names=None, est_col: str = "estimate"):
+    def states(self, spark, gen: int | None = None):
+        """State table: DataFrame[keys... string, name string, state
+        binary]. ``gen=None`` reads the committed (latest) generation;
+        an explicit ``gen`` time-travels to that historical snapshot —
+        each generation is the complete table as of its update, so old
+        generations answer "what did the profile say after batch N"
+        until ``vacuum`` reclaims them (``generations()`` lists what is
+        still readable)."""
+        committed = self._committed_gen(spark)
+        if committed == 0:
+            raise ValueError(f"no committed updates under {self.path}")
+        if gen is None:
+            gen = committed
+        elif gen < 1 or gen > committed:
+            raise ValueError(
+                f"generation {gen} out of range [1, {committed}]"
+            )
+        path = f"{self.path}/state/gen={gen}"
+        if not _dir_exists(spark, path):
+            raise ValueError(
+                f"generation {gen} was vacuumed (readable: "
+                f"{self.generations(spark)})"
+            )
+        return spark.read.parquet(path)
+
+    def estimates(self, spark, names=None, est_col: str = "estimate",
+                  gen: int | None = None):
         """Scalar estimates from the committed table: DataFrame[keys...,
         name, est_col double]. ``names=None`` covers every spec whose
         sketch has a scalar estimate; explicitly requesting a spec
         without one (CMS/Bloom — point-query sketches) raises (fetch
-        their states via ``states``)."""
+        their states via ``states``). ``gen`` time-travels like
+        ``states``."""
         have = {
             s.name: s.sketch
             for s in self.specs
@@ -411,7 +449,9 @@ class IncrementalProfile:
 
         from pyspark.sql import functions as F
 
-        src = self.states(spark).filter(F.col("name").isin(list(names)))
+        src = self.states(spark, gen=gen).filter(
+            F.col("name").isin(list(names))
+        )
         return src.mapInPandas(_est, schema=schema)
 
     def lineage(self, spark):

@@ -263,6 +263,36 @@ def test_run_ids_are_unique_across_updates(spark, corpus, tmp_path):
     assert by_gen[1] != by_gen[2]  # distinct ids even within one second
 
 
+def test_generation_time_travel(spark, corpus, tmp_path):
+    """Every generation is the full table as of its update: gen=1 must
+    answer exactly what a build over batch 1 alone answers, while the
+    committed gen covers everything; vacuumed generations error with
+    the readable list."""
+    path = str(tmp_path / "prof")
+    inc = IncrementalProfile(_specs()[:1], ["source"], path)
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    assert inc.generations(spark) == [1, 2]
+    b1_only = _state_set(
+        profile_by_key(
+            spark.read.parquet(corpus["b1"]), ["source"], _specs()[:1]
+        )
+    )
+    assert _state_set(inc.states(spark, gen=1)) == b1_only
+    # estimates time-travel too
+    e1 = {r["source"]: r["estimate"] for r in inc.estimates(spark, gen=1).collect()}
+    e2 = {r["source"]: r["estimate"] for r in inc.estimates(spark).collect()}
+    assert all(e1[s] <= e2[s] for s in e1)  # monotone under appends (HLL)
+    with pytest.raises(ValueError, match="out of range"):
+        inc.states(spark, gen=3)
+    with pytest.raises(ValueError, match="out of range"):
+        inc.states(spark, gen=0)
+    inc.vacuum(spark)
+    assert inc.generations(spark) == [2]
+    with pytest.raises(ValueError, match="vacuumed"):
+        inc.states(spark, gen=1)
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
