@@ -53,3 +53,103 @@ def write_sequences(df, path: str, mode: str = "error") -> None:
     """Write a sequences DataFrame (parquet; Iceberg via ``writeTo`` when a
     catalog is configured)."""
     df.write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# key-file sources (SURVEY §2.1 S3/S4)
+# ---------------------------------------------------------------------------
+
+def read_keys_text(spark, path: str, key_col: str = "doc_id",
+                   skip_blank: bool = True):
+    """S3 analogue (``hem/KeyReader.java:46-340``): a key universe stored
+    as newline-delimited text files, one key per line. The reference
+    streams the file and hashes each line to a signature as it reads;
+    here the text scan is a Spark source and hashing stays an in-engine
+    Column expression (``mphf.key_sig_expr``) applied by whichever
+    builder consumes the frame — the reader only standardizes the scan
+    (and drops blank lines, which the reference's iterator also never
+    yields)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path).select(F.col("value").alias(key_col))
+    if skip_blank:
+        df = df.filter(F.length(key_col) > 0)
+    return df
+
+
+def write_sorted_signatures(df, key_col: str, path: str, salt: int = 0,
+                            mode: str = "error") -> None:
+    """S4 analogue (``hem/SortedSignatures.java:14-327``): persist the
+    key universe as a globally-sorted 64-bit signature table. The
+    reference writes Rice-coded deltas of sorted signatures to a
+    memory-mapped file for out-of-core passes; parquet gives the same
+    properties in-engine: ``repartitionByRange`` + ``sortWithinPartitions``
+    is a total order, delta/dictionary encoding compresses the sorted
+    int64 column, and row-group min/max stats replace the mmap seek.
+    Because the range partitions are disjoint, equal signatures always
+    land in the SAME partition — which is what makes the zero-shuffle
+    adjacency scan in ``signature_duplicates`` complete."""
+    from pyspark.sql import functions as F
+
+    from .mphf import key_mode_for, key_sig_expr
+
+    mode_flag = key_mode_for(df, key_col)
+    sigs = df.select(key_sig_expr(key_col, salt, mode_flag).alias("sig"))
+    (
+        sigs.repartitionByRange("sig")
+        .sortWithinPartitions("sig")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def read_sorted_signatures(spark, path: str):
+    """Read a ``write_sorted_signatures`` table (DataFrame[sig long])."""
+    return spark.read.parquet(path)
+
+
+def signature_duplicates(sigs_df, assume_sorted: bool = False):
+    """Duplicate signatures via a sorted adjacency scan — the
+    reference's approach (its ``SortedSignatures`` iterators compare
+    neighbours during the sorted file pass) re-expressed on Spark.
+    Default: one ``repartitionByRange`` exchange of the 8 B/row sig
+    column + per-partition vectorized neighbour compare — sort-based,
+    no hash-aggregation state (vs ``groupBy(sig)``'s map). With
+    ``assume_sorted=True`` the exchange is skipped; ONLY safe when each
+    in-memory partition is sorted and equal values are co-located (the
+    in-memory frame ``write_sorted_signatures`` builds — NOT a re-read
+    parquet table, whose file SPLITS can put equal neighbours in
+    different read partitions). Returns DataFrame[sig long, n_dups
+    long], count excluding the first occurrence — the rows an MPHF
+    build must salt-re-roll away."""
+    import numpy as np
+    import pandas as pd
+
+    src = (
+        sigs_df
+        if assume_sorted
+        else sigs_df.repartitionByRange("sig").sortWithinPartitions("sig")
+    )
+
+    def _adjacent(batches):
+        prev = None  # carries across Arrow batches WITHIN a partition
+        agg: dict[int, int] = {}
+        for pdf in batches:
+            arr = pdf["sig"].to_numpy()
+            if len(arr) == 0:
+                continue
+            dups = arr[1:][arr[1:] == arr[:-1]]
+            if prev is not None and arr[0] == prev:
+                dups = np.concatenate([arr[:1], dups])
+            if len(dups):
+                # loop is over DISTINCT duplicated sigs only (tiny)
+                u, c = np.unique(dups, return_counts=True)
+                for k, v in zip(u.tolist(), c.tolist()):
+                    agg[k] = agg.get(k, 0) + v
+            prev = arr[-1]
+        if agg:
+            yield pd.DataFrame(
+                {"sig": list(agg), "n_dups": list(agg.values())}
+            )
+
+    return src.mapInPandas(_adjacent, schema="sig long, n_dups long")
