@@ -363,6 +363,7 @@ class BlockedMPHFBuilder:
         max_salt_retries: int = 4,
         algo: str = "recsplit",
         checkpoint_waves: int = 1,
+        space_priority: bool = False,
     ) -> None:
         """``checkpoint_waves`` > 1 splits the build into that many
         sequential block-range jobs, each committing its parquet before the
@@ -383,6 +384,12 @@ class BlockedMPHFBuilder:
         self.partitions = partitions
         self.max_salt_retries = max_salt_retries
         self.algo = algo
+        # rule generation 2 (space-priority split rule) — per-block
+        # descriptors record it, so mixed-generation block stores never
+        # arise silently (eval decodes each block's own header)
+        from .settings import RULE_GEN
+
+        self.rule_gen = 2 if space_priority else RULE_GEN
 
     def build(self, df, key_col: str, path: str, n: int | None = None) -> BlockedMPHF:
         """Build (or resume) the blocked MPHF at ``path``.
@@ -453,7 +460,8 @@ class BlockedMPHFBuilder:
         nparts = self.partitions or max(1, 2 * spark.sparkContext.defaultParallelism)
         nparts = min(nparts, 1 << blog2)
         kernel = _make_block_kernel(
-            self.leaf_size, self.avg_bucket_size, salt, self.algo
+            self.leaf_size, self.avg_bucket_size, salt, self.algo,
+            self.rule_gen,
         )
         bc = 1 << blog2
         waves = min(self.checkpoint_waves, bc)
@@ -500,8 +508,13 @@ class BlockedMPHFBuilder:
         return mphf
 
 
-def _make_block_kernel(leaf_size: int, avg_bucket_size: int, salt: int, algo: str):
-    settings = get_settings(leaf_size) if algo == "recsplit" else None
+def _make_block_kernel(
+    leaf_size: int, avg_bucket_size: int, salt: int, algo: str,
+    rule_gen: int | None = None,
+):
+    settings = (
+        get_settings(leaf_size, rule_gen) if algo == "recsplit" else None
+    )
     if settings is not None:
         settings.ensure(4 * avg_bucket_size + 256)
 

@@ -243,7 +243,7 @@ class MPHFDescriptor:
         else:
             (rule_gen,) = struct.unpack_from("<B", data, off)
             off += 1
-        if rule_gen not in (0, 1):
+        if rule_gen not in (0, 1, 2):
             raise ValueError(f"unknown rule generation {rule_gen}")
         (l1,) = struct.unpack_from("<I", data, off)
         off += 4
@@ -503,11 +503,11 @@ def _range_membership_udf(spark, ranges: list[tuple[int, int]]):
     return _in_done
 
 
-def _make_kernel(leaf_size: int, avg_bucket_size: int):
+def _make_kernel(leaf_size: int, avg_bucket_size: int, rule_gen: int = RULE_GEN):
     """Partition kernel closure. The Settings rule table is derived ONCE on
     the driver and shipped inside the closure (plain lists pickle fast);
     workers skip the DP entirely unless an oversized bucket forces growth."""
-    settings = get_settings(leaf_size)
+    settings = get_settings(leaf_size, rule_gen)
     settings.ensure(4 * avg_bucket_size + 256)
 
     def _kernel(batches):
@@ -555,6 +555,7 @@ class RecSplitBuilder:
         partitions: int | None = None,
         checkpoint_dir: str | None = None,
         max_salt_retries: int = 4,
+        space_priority: bool = False,
     ) -> None:
         if not (1 <= leaf_size <= 20):
             raise ValueError("leaf_size must be in [1, 20]")
@@ -566,6 +567,12 @@ class RecSplitBuilder:
         self.partitions = partitions
         self.checkpoint_dir = checkpoint_dir
         self.max_salt_retries = max_salt_retries
+        # space_priority = rule generation 2 (settings.SPACE_TIME_WEIGHT):
+        # at leaf 12/256, 0.049 tree-bits/key smaller than the default
+        # rule for 4.8x the kernel work — opt-in because build time is
+        # the usual constraint; descriptors record the generation, so
+        # both kinds evaluate interchangeably
+        self.rule_gen = 2 if space_priority else RULE_GEN
 
     # -- public -------------------------------------------------------------
     def build(self, df, key_col: str, n: int | None = None) -> MPHFDescriptor:
@@ -589,6 +596,7 @@ class RecSplitBuilder:
             return MPHFDescriptor(
                 self.leaf_size, self.avg_bucket_size, self.salt, 0, 0,
                 np.zeros(1, np.int64), np.zeros(1, np.int64), b"", key_mode,
+                rule_gen=self.rule_gen,
             )
         salt = self.salt
         last_err: Exception | None = None
@@ -643,7 +651,7 @@ class RecSplitBuilder:
                 "bucket", F.shiftrightunsigned(F.col("sig"), 64 - blog2)
             )
 
-        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
+        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size, self.rule_gen)
         # range-partition on bucket (each bucket wholly in one partition,
         # partitions = contiguous bucket ranges); no partition-local sort —
         # the kernel groups by bucket itself (np.argsort on the batch)
@@ -673,7 +681,7 @@ class RecSplitBuilder:
         wrong offsets. The manifest lives at ``<dir>/_manifest`` (the
         underscore keeps Hadoop/Spark file listings from treating it as
         data under a future recursive read)."""
-        rule_gen = get_settings(self.leaf_size).rule_gen
+        rule_gen = self.rule_gen
         mpath = f"{self.checkpoint_dir}/_manifest"
         try:
             row = spark.read.parquet(mpath).collect()[0]
@@ -766,7 +774,7 @@ class RecSplitBuilder:
 
     def _rebuild_blocks(self, remaining_sig_df, salt):
         """Re-run the kernel over the remaining (not-yet-checkpointed) keys."""
-        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size)
+        kernel = _make_kernel(self.leaf_size, self.avg_bucket_size, self.rule_gen)
         nparts = max(1, remaining_sig_df.sparkSession.sparkContext.defaultParallelism)
         return remaining_sig_df.repartitionByRange(nparts, "bucket").mapInPandas(
             kernel, schema=_BLOCK_SCHEMA
@@ -836,4 +844,5 @@ class RecSplitBuilder:
             byte_starts,
             stream,
             key_mode,
+            rule_gen=self.rule_gen,
         )

@@ -42,6 +42,12 @@ def main() -> int:
     ap.add_argument("--waves", type=int, default=1, help="checkpoint waves (blocked mode)")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--verify", action="store_true", help="full bijection check after build")
+    ap.add_argument(
+        "--space-priority",
+        action="store_true",
+        help="rule generation 2: smaller descriptors (1.683 vs 1.743 "
+        "bits/key at leaf 12/256) for ~3x the build time",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,11 +74,13 @@ def main() -> int:
             salt=args.salt,
             algo=args.algo,
             checkpoint_waves=args.waves,
+            space_priority=args.space_priority,
         ).build(keys, args.key_col, args.output)
         n, bpk = mphf.n, mphf.bits_per_key
     else:
         desc = RecSplitBuilder(
-            leaf_size=args.leaf, avg_bucket_size=args.avg_bucket, salt=args.salt
+            leaf_size=args.leaf, avg_bucket_size=args.avg_bucket, salt=args.salt,
+            space_priority=args.space_priority,
         ).build(keys, args.key_col)
         blob = desc.to_bytes()
         sc = spark.sparkContext

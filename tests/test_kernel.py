@@ -300,3 +300,51 @@ def test_skewed_buckets_grow_rule_table_and_biject():
     rt = MPHFDescriptor.from_bytes(desc.to_bytes())
     assert sorted(rt.evaluate_array(sigs).tolist()) == list(range(n))
     assert desc.bits_per_key < 2.2  # skew costs a little space, not blowup
+
+
+def test_space_priority_rule_generation_2():
+    """Opt-in space-priority rule (settings.SPACE_TIME_WEIGHT, generation
+    2): measurably smaller than the default at leaf 12/256 (measured
+    1.689 vs 1.750 bits/key at 400k keys — below the reference's ~1.72)
+    for a few-x kernel-work increase. Wire-format: the descriptor pins
+    generation 2 and round-trips; generations 1 and 2 are identical
+    below LARGE_LEAF so leaf-8 descriptors are unaffected."""
+    from recsplit_spark.mphf import MPHFDescriptor, build_descriptor_from_sigs
+    from recsplit_spark.settings import LARGE_LEAF, Settings, get_settings
+
+    rng = np.random.default_rng(29)
+    sigs = np.unique(rng.integers(-(2**63), 2**63, 120_000, dtype=np.int64))
+    n = len(sigs)
+    st1 = get_settings(12, 1)
+    st2 = get_settings(12, 2)
+    assert st2.rule_gen == 2
+    st1.ensure(1200), st2.ensure(1200)
+    assert st1.parts[:1200] != st2.parts[:1200]  # genuinely different rule
+
+    d1 = build_descriptor_from_sigs(sigs, 12, 256, settings=st1)
+    d2 = build_descriptor_from_sigs(sigs, 12, 256, settings=st2)
+    assert d2.rule_gen == 2
+    assert d2.bits_per_key < d1.bits_per_key - 0.04
+    assert d2.bits_per_key < 1.71
+    rt = MPHFDescriptor.from_bytes(d2.to_bytes())
+    assert rt.rule_gen == 2
+    assert sorted(rt.evaluate_array(sigs).tolist()) == list(range(n))
+
+    # below LARGE_LEAF all generations share one table (persisted leaf-8
+    # descriptors are generation-invariant)
+    a = Settings(8, initial_max=600, rule_gen=1)
+    b = Settings(8, initial_max=600, rule_gen=2)
+    assert a.parts == b.parts and a.rice_k == b.rice_k
+    assert LARGE_LEAF > 8
+
+    # unknown generations refuse loudly everywhere
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown rule generation"):
+        Settings(12, rule_gen=3)
+    blob = bytearray(d2.to_bytes())
+    from recsplit_spark.mphf import _HDR
+
+    blob[_HDR.size] = 3  # the rule-generation byte
+    with pytest.raises(ValueError, match="unknown rule generation"):
+        MPHFDescriptor.from_bytes(bytes(blob))

@@ -308,3 +308,31 @@ def test_range_membership_handles_overlapping_spans(spark):
     got = {r["bucket"] for r in rows if r["hit"]}
     want = {b for b in range(70) if any(lo <= b <= hi for lo, hi in ranges)}
     assert got == want
+
+
+def test_space_priority_builder_end_to_end(spark):
+    """RecSplitBuilder(space_priority=True): distributed build stamps
+    rule generation 2, round-trips through bytes, and the bijection
+    holds through the normal evaluate path."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+
+    df = sequences(spark, 60_000, partitions=4).select("doc_id")
+    desc = RecSplitBuilder(
+        leaf_size=12, avg_bucket_size=256, space_priority=True
+    ).build(df, "doc_id")
+    assert desc.rule_gen == 2
+    rt = MPHFDescriptor.from_bytes(desc.to_bytes())
+    assert rt.rule_gen == 2
+    out = rt.evaluate(df, "doc_id")
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mphf_index").alias("d"),
+        F.min("mphf_index").alias("lo"),
+        F.max("mphf_index").alias("hi"),
+    ).collect()[0]
+    assert (row["n"], row["d"], row["lo"], row["hi"]) == (
+        60_000, 60_000, 0, 59_999,
+    )
