@@ -457,6 +457,49 @@ class IVFIndex:
         state.pop("_bcast_sc", None)
         return state
 
+    # -- persistence ----------------------------------------------------------
+    def save(self, spark, path: str, mode: str = "error") -> None:
+        """Persist the fitted index: ``<path>/centroids`` (one row per
+        centroid: cid int, vector array<float>) + ``<path>/meta``. A fit
+        at the auto-sqrt(n) operating point costs ``iters`` full scans —
+        the index must outlive the session. The centroid matrix is
+        driver-resident by construction (it must be, to broadcast for
+        ``assign``), so the write is one createDataFrame of k rows; the
+        bucketed data table is the caller's own ``assign`` output — write
+        it partitioned by centroid_id so ``search`` prunes partitions."""
+        if self.centroids is None:
+            raise RuntimeError("fit() first")
+        c = np.ascontiguousarray(self.centroids, dtype=np.float32)
+        rows = [(i, c[i].tolist()) for i in range(len(c))]
+        spark.createDataFrame(rows, "cid int, vector array<float>").write.mode(
+            mode
+        ).parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [(len(c), int(c.shape[1]), self.nprobe, self.iters, self.seed)],
+            "n_centroids int, d int, nprobe int, iters int, seed int",
+        ).write.mode(mode).parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        """Reopen a saved index; ``assign``/``search`` work immediately
+        (the broadcast is rebuilt lazily on first assign)."""
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        idx = cls(
+            n_centroids=int(meta["n_centroids"]),
+            nprobe=int(meta["nprobe"]),
+            iters=int(meta["iters"]),
+            seed=int(meta["seed"]),
+        )
+        tbl = spark.read.parquet(f"{path}/centroids").orderBy("cid").toArrow()
+        c = _list_col_to_matrix(tbl.column("vector"), np.float64)
+        if c.shape != (int(meta["n_centroids"]), int(meta["d"])):
+            raise ValueError(
+                f"centroid table shape {c.shape} does not match meta "
+                f"({meta['n_centroids']}, {meta['d']})"
+            )
+        idx.centroids = c
+        return idx
+
     def search(self, indexed_df, vec_col: str, query: np.ndarray, k: int = 10,
                centroid_col: str = "centroid_id"):
         """Top-k within the nprobe nearest centroid buckets. The IN-filter

@@ -899,3 +899,42 @@ def test_ivf_centroids_ride_broadcast_not_closure(spark, emb):
         x = np.array(r["embedding"], dtype=np.float32)
         x /= max(np.linalg.norm(x), np.float32(1e-12))
         assert int((x @ cent_t).argmax()) == o["centroid_id"]
+
+
+def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
+    """A fitted index persists (a sqrt(n)-centroid fit costs iters full
+    scans — it must outlive the session): load() gives byte-identical
+    float32 assign behavior and the same search results."""
+    import pytest
+
+    idx = ann.IVFIndex(n_centroids=8, nprobe=3).fit(emb, "embedding")
+    path = str(tmp_path / "ivf")
+    idx.save(spark, path)
+    loaded = ann.IVFIndex.load(spark, path)
+    assert loaded.nprobe == 3 and loaded.n_centroids == 8
+    # centroids round-trip at the float32 precision assign() uses anyway
+    assert np.allclose(loaded.centroids, idx.centroids, atol=1e-6)
+    a1 = {
+        (r["vec_id"], r["centroid_id"])
+        for r in idx.assign(emb, "embedding").collect()
+    }
+    a2 = {
+        (r["vec_id"], r["centroid_id"])
+        for r in loaded.assign(emb, "embedding").collect()
+    }
+    assert a1 == a2
+    indexed = loaded.assign(emb, "embedding").cache()
+    indexed.count()
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    got_orig = {
+        r["vec_id"]
+        for r in idx.search(idx.assign(emb, "embedding"), "embedding", mat[3], k=10).collect()
+    }
+    got_load = {
+        r["vec_id"]
+        for r in loaded.search(indexed, "embedding", mat[3], k=10).collect()
+    }
+    assert got_load == got_orig
+    with pytest.raises(RuntimeError, match="fit"):
+        ann.IVFIndex(n_centroids=4).save(spark, str(tmp_path / "x"))
