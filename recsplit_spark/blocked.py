@@ -62,7 +62,7 @@ from .mphf import (
     key_mode_for,
     key_sig_expr,
 )
-from .settings import get_settings
+from .settings import RULE_GEN, get_settings
 
 #: xor-mixed into the salt for the second (independent) signature column
 SALT2_MIX = 0x5DEECE66D
@@ -370,7 +370,11 @@ class BlockedMPHFBuilder:
         next starts: a kill loses at most one wave (parquet only publishes
         files at JOB commit, so a single-job build has all-or-nothing
         checkpointing). Cost: the key scan runs once per wave — use on
-        long builds where input re-scan << lost work."""
+        long builds where input re-scan << lost work.
+
+        ``space_priority`` selects split-rule generation 2 (recsplit
+        only): ~0.06 bits/key smaller blocks for ~3x the kernel work —
+        see settings.SPACE_TIME_WEIGHT."""
         if algo not in ("recsplit", "bdz"):
             raise ValueError("algo must be 'recsplit' or 'bdz'")
         if checkpoint_waves < 1:
@@ -386,9 +390,12 @@ class BlockedMPHFBuilder:
         self.algo = algo
         # rule generation 2 (space-priority split rule) — per-block
         # descriptors record it, so mixed-generation block stores never
-        # arise silently (eval decodes each block's own header)
-        from .settings import RULE_GEN
-
+        # arise silently (eval decodes each block's own header). The rule
+        # table only exists on the recsplit path; silently ignoring the
+        # flag for bdz would ship same-size blocks the caller believes
+        # are smaller (review finding).
+        if space_priority and algo == "bdz":
+            raise ValueError("space_priority applies to algo='recsplit' only")
         self.rule_gen = 2 if space_priority else RULE_GEN
 
     def build(self, df, key_col: str, path: str, n: int | None = None) -> BlockedMPHF:

@@ -301,7 +301,11 @@ def ef_size_bits(n: int, universe: int) -> float:
 # measured comparison lives in the codec tests and BASELINE.md.
 
 _MS_HDR = struct.Struct("<4sQQqBBB")
-_MS_B1, _MS_B2 = 64, 8  # level block sizes (elements per block)
+_MS_B1, _MS_B2 = 64, 8  # level block sizes (elements per block; powers of 2)
+# gather() indexes levels by shift — derived so retuning the block sizes
+# cannot silently desync the decode from the encode
+_MS_S1, _MS_S2 = _MS_B1.bit_length() - 1, _MS_B2.bit_length() - 1
+assert (1 << _MS_S1, 1 << _MS_S2) == (_MS_B1, _MS_B2)
 
 
 def _block_min_residual(r: np.ndarray, block: int) -> np.ndarray:
@@ -313,18 +317,19 @@ def ms_encode(arr: np.ndarray) -> bytes:
     """Encode a non-decreasing int array (values < 2^63). Self-describing."""
     v = np.asarray(arr, dtype=np.int64)
     n = len(v)
-    if n and (np.diff(v) < 0).any():
-        raise ValueError("ms_encode input must be non-decreasing")
     if n == 0:
         return _MS_HDR.pack(b"MSL1", 0, 0, 0, 0, 0, 0)
-    diff = int(v[-1] - v[0])
-    if diff >= (1 << 31):
+    # range guard FIRST, in Python ints: an int64 v[-1]-v[0] (or np.diff)
+    # wraps when the range reaches 2^63, silently bypassing the guard and
+    # corrupting factor/monotonicity checks (review finding)
+    if int(v.max()) - int(v.min()) >= (1 << 31):
         # the fixed-point interpolation (value_range << 32 in int64)
         # caps the representable range exactly like the reference's
         # int[] lists; larger universes belong in ef_encode
-        raise ValueError(
-            f"ms_encode value range {diff} >= 2^31 — use ef_encode"
-        )
+        raise ValueError("ms_encode value range >= 2^31 — use ef_encode")
+    if (np.diff(v) < 0).any():  # overflow-safe now: range < 2^31
+        raise ValueError("ms_encode input must be non-decreasing")
+    diff = int(v[-1] - v[0])
     factor = ((diff << 32) // n) + 1
     pred = (np.arange(n, dtype=np.int64) * factor) >> 32
     add = int((v - pred).min())
@@ -362,8 +367,8 @@ class _MSList:
         return (
             pred
             + self.add
-            + self.g1[idx >> 6]
-            + self.g2[idx >> 3]
+            + self.g1[idx >> _MS_S1]
+            + self.g2[idx >> _MS_S2]
             + self.r2[idx]
         )
 

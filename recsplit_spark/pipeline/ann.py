@@ -470,10 +470,21 @@ class IVFIndex:
         if self.centroids is None:
             raise RuntimeError("fit() first")
         c = np.ascontiguousarray(self.centroids, dtype=np.float32)
-        rows = [(i, c[i].tolist()) for i in range(len(c))]
-        spark.createDataFrame(rows, "cid int, vector array<float>").write.mode(
-            mode
-        ).parquet(f"{path}/centroids")
+        k, d = c.shape
+        # Arrow list array straight from the flat float32 buffer — at the
+        # auto-sqrt(n) point (k=10^6, d=768) per-row Python tuples would
+        # be ~15-20 GB of boxed floats pickled row-by-row (review finding)
+        values = pa.array(c.reshape(-1), type=pa.float32())
+        offsets = pa.array(
+            np.arange(0, (k + 1) * d, d, dtype=np.int32), type=pa.int32()
+        )
+        tbl = pa.table(
+            {
+                "cid": pa.array(np.arange(k, dtype=np.int32), type=pa.int32()),
+                "vector": pa.ListArray.from_arrays(offsets, values),
+            }
+        )
+        spark.createDataFrame(tbl).write.mode(mode).parquet(f"{path}/centroids")
         spark.createDataFrame(
             [(len(c), int(c.shape[1]), self.nprobe, self.iters, self.seed)],
             "n_centroids int, d int, nprobe int, iters int, seed int",
@@ -509,7 +520,11 @@ class IVFIndex:
 
         q = np.asarray(query, dtype=np.float64)
         qn = q / max(np.linalg.norm(q), 1e-12)
-        probe = np.argsort(-(self.centroids @ qn))[: self.nprobe].tolist()
+        # probe ranking at float32 — the precision the centroids persist
+        # at (save/load) and assign() broadcasts at, so a freshly-fitted
+        # and a reloaded index pick the SAME bucket set near ties
+        c32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
+        probe = np.argsort(-(c32 @ qn.astype(np.float32)))[: self.nprobe].tolist()
         return (
             indexed_df.filter(F.col(centroid_col).isin(probe))
             .withColumn("cosine", _cosine_expr(vec_col, q))

@@ -210,3 +210,15 @@ def test_blocked_verify_bijection_in_kernel(spark, seq20k, tmp_path):
     )
     res = bm.verify_bijection(extra, "doc_id")
     assert not res["ok"] and res["n_keys"] == 20_001
+
+
+def test_space_priority_rejected_for_bdz():
+    """space_priority only affects the recsplit rule table; silently
+    ignoring it for bdz would ship same-size blocks the caller believes
+    are smaller."""
+    import pytest
+
+    from recsplit_spark.blocked import BlockedMPHFBuilder
+
+    with pytest.raises(ValueError, match="recsplit"):
+        BlockedMPHFBuilder(algo="bdz", space_priority=True)

@@ -67,14 +67,14 @@ def test_sorted_signatures_roundtrip_and_order(spark, tmp_path):
         )
     )
     assert np.array_equal(got, want)
-    # written files are internally sorted: per-partition order is
-    # non-decreasing on a straight (non-reordered) read
-    pdf = back.withColumn("pid", F.spark_partition_id())
-    rows = pdf.collect()
-    by_pid = {}
+    # written FILES are internally sorted (per-partition order on a
+    # re-read would depend on FilePartition bin-packing — the very
+    # hazard signature_duplicates documents for assume_sorted)
+    rows = back.withColumn("f", F.input_file_name()).collect()
+    by_file = {}
     for r in rows:
-        by_pid.setdefault(r["pid"], []).append(r["sig"])
-    for vals in by_pid.values():
+        by_file.setdefault(r["f"], []).append(r["sig"])
+    for vals in by_file.values():
         assert all(a <= b for a, b in zip(vals, vals[1:]))
 
 
