@@ -293,6 +293,28 @@ def test_generation_time_travel(spark, corpus, tmp_path):
         inc.states(spark, gen=1)
 
 
+def test_any_update_schedule_is_equivalent(spark, corpus, tmp_path):
+    """The strongest associativity check: folding the 5 corpus files ONE
+    AT A TIME (5 generations of state-table merges) is byte-identical to
+    folding them all in a single update — so every real-world ingest
+    schedule (hourly, daily, catch-up bursts) lands on the same states."""
+    files = _list_data_files(spark, corpus["b1"]) + _list_data_files(
+        spark, corpus["b2"]
+    )
+    assert len(files) == 5
+    one_shot = IncrementalProfile(_specs(), ["source"], str(tmp_path / "a"))
+    one_shot.update(spark, files=files)
+    file_at_a_time = IncrementalProfile(
+        _specs(), ["source"], str(tmp_path / "b")
+    )
+    for f in files:
+        file_at_a_time.update(spark, files=[f])
+    assert file_at_a_time._committed_gen(spark) == 5
+    assert _state_set(file_at_a_time.states(spark)) == _state_set(
+        one_shot.states(spark)
+    )
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
