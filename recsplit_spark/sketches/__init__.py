@@ -17,6 +17,7 @@ from .mg import MisraGries, MGState  # noqa: F401
 from .multi import (  # noqa: F401
     SketchSpec,
     heavy_ngrams,
+    heavy_ngrams_by_key,
     profile,
     profile_by_key,
     profile_estimates,

@@ -458,3 +458,65 @@ class IncrementalProfile:
         """Processed-file lineage + metrics: DataFrame[file, gen,
         n_rows, lineage (run id), wall_sec]."""
         return spark.read.parquet(f"{self.path}/lineage")
+
+    def generation_delta(self, spark, name: str, gen_old: int,
+                         gen_new: int | None = None):
+        """What changed between two committed generations, per key, for a
+        THETA spec: DataFrame[keys..., old_est, new_est, union_est,
+        added_est, jaccard] where ``added_est`` estimates the distinct
+        values present in ``gen_new`` but not ``gen_old`` (theta
+        difference) — e.g. "how many NEW distinct 5-grams did yesterday's
+        batches contribute, per source". Theta states are monotone under
+        appends, so this is exact set algebra on the retained bottom-k
+        sets, never a rescan. Keys appearing only in the newer generation
+        report old_est 0. Join is per-key states, computed in-kernel —
+        nothing grows with the corpus, only with G."""
+        from pyspark.sql import functions as F
+
+        from .theta import ThetaSketch
+
+        spec = next((s for s in self.specs if s.name == name), None)
+        if spec is None:
+            raise ValueError(f"unknown spec name {name!r}")
+        sk = spec.sketch
+        if not isinstance(sk, ThetaSketch):
+            raise ValueError(
+                f"generation_delta needs a ThetaSketch spec (set algebra); "
+                f"{name!r} is {type(sk).__name__}"
+            )
+        keys = self.keys
+        old = (
+            self.states(spark, gen=gen_old)
+            .filter(F.col("name") == name)
+            .select(*keys, F.col("state").alias("__old"))
+        )
+        new = (
+            self.states(spark, gen=gen_new)
+            .filter(F.col("name") == name)
+            .select(*keys, F.col("state").alias("__new"))
+        )
+        joined = old.join(new, keys, "full_outer")
+        schema = (
+            ", ".join(f"{k} string" for k in keys)
+            + ", old_est double, new_est double, union_est double,"
+            " added_est double, jaccard double"
+        )
+
+        def _delta(batches):
+            for pdf in batches:
+                out = {k: pdf[k] for k in keys}
+                cols = {c: [] for c in (
+                    "old_est", "new_est", "union_est", "added_est", "jaccard"
+                )}
+                for ob, nb in zip(pdf["__old"], pdf["__new"]):
+                    a = sk.from_bytes(bytes(ob)) if ob is not None else sk.new_state()
+                    b = sk.from_bytes(bytes(nb)) if nb is not None else sk.new_state()
+                    cols["old_est"].append(float(sk.estimate(a)))
+                    cols["new_est"].append(float(sk.estimate(b)))
+                    cols["union_est"].append(float(sk.union_estimate(a, b)))
+                    cols["added_est"].append(float(sk.difference_estimate(b, a)))
+                    cols["jaccard"].append(float(sk.jaccard_estimate(a, b)))
+                out.update(cols)
+                yield pd.DataFrame(out)
+
+        return joined.mapInPandas(_delta, schema=schema)

@@ -499,6 +499,24 @@ def heavy_ngrams(df, col: str, n: int, k: int = 4096, top: int = 100):
         )
     top_sorted = np.sort(np.array([int(h) for h, _ in items], dtype=np.int64))
     dec = int(mg.error_bound(state))
+    resolved = _resolve_gram_hashes(df, col, n, top_sorted)
+    counts = spark.createDataFrame(
+        [(int(h), int(c)) for h, c in items], "gram_hash long, count_est long"
+    )
+    return (
+        resolved.join(F.broadcast(counts), "gram_hash")
+        .withColumn("max_undercount", F.lit(dec).cast("long"))
+        .orderBy(F.desc("count_est"), "gram_hash")
+    )
+
+
+def _resolve_gram_hashes(df, col: str, n: int, top_sorted: np.ndarray):
+    """One resolve scan: map a sorted int64 gram-hash set back to actual
+    token grams — DataFrame[gram_hash long, gram array<int>]. Windows are
+    sliced from the flat in-kernel token buffer; no token array visits
+    the driver. Gram bytes are key-independent, so per-key callers
+    resolve the UNION of their keys' hashes in this same single scan."""
+    from pyspark.sql import functions as F
 
     def _resolve(batches):
         for pdf in batches:
@@ -519,18 +537,62 @@ def heavy_ngrams(df, col: str, n: int, k: int = 4096, top: int = 100):
             ]
             yield pd.DataFrame({"gram_hash": uh, "gram": grams})
 
-    resolved = (
+    return (
         df.select(F.col(col).alias("__arr"))
         .mapInPandas(_resolve, schema="gram_hash long, gram array<int>")
         .dropDuplicates(["gram_hash"])  # grams agree per 64-bit hash
     )
-    counts = spark.createDataFrame(
-        [(int(h), int(c)) for h, c in items], "gram_hash long, count_est long"
+
+
+def heavy_ngrams_by_key(df, col: str, n: int, keys, k: int = 4096,
+                        top: int = 100):
+    """Per-group heaviest token n-grams — DataFrame[keys... string,
+    gram_hash long, gram array<int>, count_est long, max_undercount
+    long], heaviest first within each group.
+
+    Same two-scan shape as ``heavy_ngrams`` (per-domain boilerplate /
+    contamination analysis without exploding 10^14 gram rows): scan 1 is
+    ONE ``states_by_key`` pass folding every group's Misra-Gries state
+    (states-not-rows shuffle); the per-group top hashes are unioned and
+    scan 2 resolves them to grams ONCE for all groups. The driver holds
+    G x k MG entries (~64 KB/group at k=4096) — bucket or filter first
+    if G runs to millions. Each group's ``max_undercount`` is its own
+    certified MG bound."""
+    from pyspark.sql import functions as F
+
+    from .mg import MisraGries
+
+    keys = list(keys)
+    mg = MisraGries(k)
+    spark = df.sparkSession
+    state_rows = mg.states_by_key(df, col, keys, ngram=n).collect()
+    count_rows = []
+    all_hashes: set[int] = set()
+    for r in state_rows:
+        st = mg.from_bytes(bytes(r["state"]))
+        dec = int(mg.error_bound(st))
+        for h, c in mg.top_items(st, top):
+            count_rows.append(
+                tuple(r[kk] for kk in keys) + (int(h), int(c), dec)
+            )
+            all_hashes.add(int(h))
+    schema = (
+        ", ".join(f"{kk} string" for kk in keys)
+        + ", gram_hash long, count_est long, max_undercount long"
     )
+    if not count_rows:
+        return spark.createDataFrame(
+            [], schema + ", gram array<int>"
+        ).select(
+            *keys, "gram_hash", "gram", "count_est", "max_undercount"
+        )
+    top_sorted = np.sort(np.fromiter(all_hashes, dtype=np.int64))
+    resolved = _resolve_gram_hashes(df, col, n, top_sorted)
+    counts = spark.createDataFrame(count_rows, schema)
     return (
-        resolved.join(F.broadcast(counts), "gram_hash")
-        .withColumn("max_undercount", F.lit(dec).cast("long"))
-        .orderBy(F.desc("count_est"), "gram_hash")
+        counts.join(F.broadcast(resolved), "gram_hash")
+        .select(*keys, "gram_hash", "gram", "count_est", "max_undercount")
+        .orderBy(*keys, F.desc("count_est"), "gram_hash")
     )
 
 

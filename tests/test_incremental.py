@@ -315,6 +315,55 @@ def test_any_update_schedule_is_equivalent(spark, corpus, tmp_path):
     )
 
 
+def test_generation_delta_is_exact_set_algebra_below_k(spark, corpus, tmp_path):
+    """generation_delta on a theta spec: with k above every group's
+    distinct count the bottom-k sets ARE the sets, so old/new/union/added
+    are exact per source — added_est equals the distinct doc_ids batch 2
+    contributed that batch 1 didn't have. No rescan of batch-1 data
+    happens (the states are the only input)."""
+    from recsplit_spark.sketches.theta import ThetaSketch
+
+    specs = [SketchSpec("doc_theta", ThetaSketch(k=4096), "doc_id")]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+
+    b1 = spark.read.parquet(corpus["b1"])
+    old_ids, new_ids = {}, {}
+    for r in b1.select("source", "doc_id").collect():
+        old_ids.setdefault(r["source"], set()).add(r["doc_id"])
+    for r in corpus["full"].select("source", "doc_id").collect():
+        new_ids.setdefault(r["source"], set()).add(r["doc_id"])
+
+    rows = {r["source"]: r for r in inc.generation_delta(
+        spark, "doc_theta", 1
+    ).collect()}
+    assert set(rows) == set(new_ids)
+    for src, r in rows.items():
+        old, new = old_ids.get(src, set()), new_ids[src]
+        assert r["old_est"] == pytest.approx(len(old))
+        assert r["new_est"] == pytest.approx(len(new))
+        assert r["union_est"] == pytest.approx(len(old | new))
+        assert r["added_est"] == pytest.approx(len(new - old))
+        denom = len(old | new)
+        assert r["jaccard"] == pytest.approx(
+            len(old & new) / denom if denom else 0.0
+        )
+    # the corpus grows: at least one source gained distinct doc_ids
+    assert any(r["added_est"] > 0 for r in rows.values())
+
+    with pytest.raises(ValueError, match="unknown spec name"):
+        inc.generation_delta(spark, "nope", 1)
+
+
+def test_generation_delta_rejects_non_theta_specs(spark, corpus, tmp_path):
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    with pytest.raises(ValueError, match="ThetaSketch"):
+        inc.generation_delta(spark, "docs", 1)
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"

@@ -162,3 +162,36 @@ def test_theta_ngram_aggregate_counts_distinct_grams(spark, gram_corpus):
         arrs = [docs[i] for i in range(len(docs)) if i % 3 == int(g[1])]
         exact = len(_exact_gram_counts(arrs, 4))
         assert got[g] == pytest.approx(exact)
+
+
+def test_heavy_ngrams_by_key_matches_per_group_enumeration(spark, gram_corpus):
+    """Per-group heavy grams from ONE states_by_key scan + ONE resolve
+    scan: in the exact regime (k > distinct grams) every group's (gram,
+    count) rows equal its own exact enumeration, and the planted
+    boilerplate gram — injected only into docs of group g0 — tops g0 and
+    appears in no other group."""
+    from recsplit_spark.sketches import heavy_ngrams_by_key
+
+    df, docs = gram_corpus
+    per_group = {}
+    for i, d in enumerate(docs):
+        per_group.setdefault(f"g{i % 3}", []).append(d)
+    k = max(len(_exact_gram_counts(v, 4)) for v in per_group.values()) + 10
+    rows = heavy_ngrams_by_key(df, "tokens", 4, ["grp"], k=k, top=5).collect()
+    assert all(r["max_undercount"] == 0 for r in rows)
+    got = {}
+    for r in rows:
+        got.setdefault(r["grp"], []).append(
+            (tuple(r["gram"]), int(r["count_est"]))
+        )
+    assert set(got) == {"g0", "g1", "g2"}
+    for grp, pairs in got.items():
+        exact = _exact_gram_counts(per_group[grp], 4)
+        top_exact = sorted(exact.items(), key=lambda kv: -kv[1])[:5]
+        assert sorted((c for _, c in pairs), reverse=True) == [
+            c for _, c in top_exact
+        ]
+        for g, c in pairs:
+            assert exact[g] == c
+    assert got["g0"][0][0] == (7, 8, 9, 7)  # planted gram tops its group
+    assert all(g != (7, 8, 9, 7) for g, _ in got["g1"] + got["g2"])
