@@ -1609,6 +1609,185 @@ def _q_heavy_ngrams_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy token n-grams (sketches/multi.heavy_ngrams_by_key):
+    ONE states_by_key scan folds a Misra-Gries state per source over every
+    3-token window hash (states-not-rows shuffle — at 10^12 docs a
+    posexplode+groupBy would shuffle ~5x10^14 gram rows), the per-source
+    top hashes are unioned, and a single shared resolve scan maps them
+    back to token grams. One distinct trigram is planted per source at a
+    deterministic 1-in-2 document rate (xxhash64 selector over doc_id),
+    far above each group's certified MG bound, so each source's top-1
+    resolved gram is deterministic. Checks, all against EXACT distributed
+    per-source counts (window-hash filter + groupBy over the same
+    corpus): top-1 gram == that source's planted gram; certificate
+    count_est <= true <= count_est + max_undercount for EVERY returned
+    row of the group (holds under any merge order — the MG guarantee);
+    each resolved gram re-hashes to its gram_hash (token_ngram_hashes,
+    the shared window-hash contract). Generator and selector are
+    seed-pinned, so the planted exact counts are constants (precedent:
+    heavy_ngrams_sequences)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import heavy_ngrams_by_key
+    from recsplit_spark.sketches.multi import token_ngram_hashes
+
+    ship_package(spark)
+    planted = {
+        "books": (11, 22, 33),
+        "code": (44, 55, 66),
+        "web": (77, 88, 99),
+        "wiki": (12, 34, 56),
+    }
+    seq = sequences(spark, 20_000, partitions=8)
+    toks = F.col("tokens")
+    sel = F.pmod(F.xxhash64(F.lit(2), F.col("doc_id")), F.lit(2)) == 0
+    for src, gram in planted.items():
+        toks = F.when(
+            sel & (F.col("source") == src),
+            F.concat(toks, F.array(*[F.lit(t) for t in gram])),
+        ).otherwise(toks)
+    corpus = seq.withColumn("tokens", toks).cache()
+
+    rows = heavy_ngrams_by_key(
+        corpus, "tokens", n=3, keys=["source"], k=4096, top=3
+    ).collect()
+    tops = np.sort(
+        np.unique(np.array([r["gram_hash"] for r in rows], dtype=np.int64))
+    )
+
+    def _hits(batches):
+        from recsplit_spark.sketches.multi import (
+            _flat_ngram_hashes,
+            _series_to_flat,
+        )
+
+        for pdf in batches:
+            for src, grp in pdf.groupby("source"):
+                flat, lens = _series_to_flat(grp["__arr"])
+                h = _flat_ngram_hashes(flat, lens, 3).view(np.int64)
+                idx = np.searchsorted(tops, h)
+                idx[idx == len(tops)] = 0
+                hit = tops[idx] == h
+                if hit.any():
+                    yield pd.DataFrame({"source": src, "h": h[hit]})
+
+    exact = {
+        (r["source"], r["h"]): r["c"]
+        for r in corpus.select("source", F.col("tokens").alias("__arr"))
+        .mapInPandas(_hits, "source string, h long")
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    corpus.unpersist()
+    ph = {s: int(token_ngram_hashes(list(g), 3)[0]) for s, g in planted.items()}
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    out = []
+    for src in sorted(planted):
+        grp = by_src.get(src, [])
+        top1_planted = bool(grp and grp[0]["gram_hash"] == ph[src])
+        certificate_ok = all(
+            r["count_est"]
+            <= exact[(src, r["gram_hash"])]
+            <= r["count_est"] + r["max_undercount"]
+            for r in grp
+        )
+        rehash_ok = all(
+            int(token_ngram_hashes(list(r["gram"]), 3)[0]) == r["gram_hash"]
+            for r in grp
+        )
+        out.append(
+            (
+                src,
+                int(exact[(src, ph[src])]),
+                top1_planted,
+                bool(certificate_ok),
+                bool(rehash_ok),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "source string, planted_count bigint, top1_planted boolean,"
+        " certificate_ok boolean, rehash_ok boolean",
+    )
+
+
+def _q_theta_generation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental generation-over-generation set algebra
+    (IncrementalProfile.generation_delta): documents is split into two
+    deterministic batches; gen 1 folds only batch 1, gen 2 adds batch 2,
+    then the delta reports per-source old/new/union/added/jaccard theta
+    estimates WITHOUT rescanning any data — 'how many NEW distinct docs
+    did yesterday's batches add per source' from the two committed k-hash
+    state tables alone. With per-source distinct counts below k the
+    bottom-k states are the exact hash sets, so every estimate is exact:
+    old == batch-1 distinct, added == batch-2 distinct, new == union ==
+    total distinct, jaccard == old/new (gen 2 is a superset — theta
+    states are monotone under appends). The oracle re-derives the
+    per-source total in plain SQL."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import IncrementalProfile, ThetaSketch
+    from recsplit_spark.sketches.multi import SketchSpec
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    specs = [SketchSpec("ids", ThetaSketch(k=8192), "doc_id")]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_b2 = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1
+        docs.filter(~in_b2).write.parquet(f"{tmp}/b1")
+        docs.filter(in_b2).write.parquet(f"{tmp}/b2")
+        inc = IncrementalProfile(specs, ["source"], f"{tmp}/prof")
+        inc.update(spark, source=f"{tmp}/b1")
+        inc.update(spark, source=f"{tmp}/b2")
+        delta = {
+            r["source"]: r
+            for r in inc.generation_delta(spark, "ids", 1, 2).collect()
+        }
+    exact = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.countDistinct(F.when(~in_b2, F.col("doc_id"))).alias("old"),
+            F.countDistinct(F.when(in_b2, F.col("doc_id"))).alias("added"),
+            F.countDistinct("doc_id").alias("total"),
+        )
+        .collect()
+    }
+    rows = []
+    for src in sorted(exact):
+        e, d = exact[src], delta[src]
+        jac = (e["old"] / e["total"]) if e["total"] else 0.0
+        rows.append(
+            (
+                src,
+                int(e["total"]),
+                bool(d["old_est"] == e["old"]),
+                bool(d["added_est"] == e["added"]),
+                bool(
+                    d["new_est"] == e["total"]
+                    and d["union_est"] == e["total"]
+                ),
+                bool(abs(d["jaccard"] - jac) <= 1e-9),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "source string, total_distinct bigint, old_exact boolean,"
+        " added_exact boolean, union_exact boolean, jaccard_exact boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -1654,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_by_source_sequences": _q_profile_by_source_sequences,
         "theta_source_gram_overlap": _q_theta_source_gram_overlap,
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
+        "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
+        "theta_generation_delta": _q_theta_generation_delta,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
@@ -2043,6 +2224,22 @@ def oracle_sql() -> dict[str, str]:
         # seed-pinned generator + xxhash64 plant selectors: the exact
         # counts of the three planted trigrams are deterministic
         # constants (verified in-engine via exact distributed counting)
+        "heavy_ngrams_by_source": (
+            "SELECT * FROM (VALUES"
+            " ('books', CAST(2484 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('code', CAST(2426 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('web', CAST(2440 AS BIGINT), TRUE, TRUE, TRUE),"
+            " ('wiki', CAST(2538 AS BIGINT), TRUE, TRUE, TRUE)"
+            ") AS t(source, planted_count, top1_planted,"
+            " certificate_ok, rehash_ok)"
+        ),
+        "theta_generation_delta": (
+            "SELECT CAST(source AS VARCHAR) AS source,"
+            " CAST(count(DISTINCT doc_id) AS BIGINT) AS total_distinct,"
+            " TRUE AS old_exact, TRUE AS added_exact,"
+            " TRUE AS union_exact, TRUE AS jaccard_exact"
+            " FROM documents GROUP BY source ORDER BY source"
+        ),
         "heavy_ngrams_sequences": (
             "SELECT CAST(20000 AS BIGINT) AS n_rows,"
             " CAST(9888 AS BIGINT) AS top1_count,"
