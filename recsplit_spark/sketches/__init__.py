@@ -18,6 +18,7 @@ from .multi import (  # noqa: F401
     SketchSpec,
     heavy_ngrams,
     heavy_ngrams_by_key,
+    heavy_ngrams_from_states,
     profile,
     profile_by_key,
     profile_estimates,

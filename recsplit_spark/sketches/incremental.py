@@ -520,3 +520,59 @@ class IncrementalProfile:
                 yield pd.DataFrame(out)
 
         return joined.mapInPandas(_delta, schema=schema)
+
+    def heavy_ngrams(self, spark, name: str, top: int = 100,
+                     gen: int | None = None):
+        """Per-key heaviest token n-grams AS OF a committed generation,
+        WITHOUT refolding anything: DataFrame[keys..., gram_hash long,
+        gram array<int>, count_est long, max_undercount long], heaviest
+        first per key.
+
+        The spec must be a Misra-Gries sketch with an ``ngram`` feed.
+        The persisted state table already holds every group's certified
+        heavy-gram hashes — each nightly ``update`` kept it current at
+        the cost of scanning only the new files — so the only work here
+        is the resolve: one scan over EXACTLY the lineage-recorded files
+        of generations <= ``gen`` (the data the states were folded from,
+        by construction) maps the unioned top hashes back to token
+        grams. At 10^12 sequences that is one read of the corpus-so-far
+        with a broadcast hash-set filter — no shuffle, no state rebuild;
+        the driver holds G x k MG entries (~64 KB/group at k=4096).
+        ``gen`` time-travels exactly like ``states(gen=...)``: "what
+        were the heavy grams after batch N"."""
+        from pyspark.sql import functions as F
+
+        from .mg import MisraGries
+        from .multi import heavy_ngrams_from_states
+
+        spec = next((s for s in self.specs if s.name == name), None)
+        if spec is None:
+            raise ValueError(f"unknown spec name {name!r}")
+        if not isinstance(spec.sketch, MisraGries):
+            raise ValueError(
+                f"heavy_ngrams needs a MisraGries spec; {name!r} is "
+                f"{type(spec.sketch).__name__}"
+            )
+        if not spec.ngram:
+            raise ValueError(
+                f"heavy_ngrams needs an ngram feed (SketchSpec(..., "
+                f"ngram=n)); spec {name!r} folds scalar items"
+            )
+        g = gen if gen is not None else self._committed_gen(spark)
+        state_rows = (
+            self.states(spark, gen=g)
+            .filter(F.col("name") == name)
+            .collect()
+        )
+        files = sorted(
+            r["file"]
+            for r in self.lineage(spark)
+            .filter(F.col("gen") <= g)
+            .select("file")
+            .collect()
+        )
+        corpus = spark.read.parquet(*files)
+        return heavy_ngrams_from_states(
+            corpus, spec.col, spec.ngram, state_rows, self.keys,
+            spec.sketch, top,
+        )

@@ -558,14 +558,28 @@ def heavy_ngrams_by_key(df, col: str, n: int, keys, k: int = 4096,
     G x k MG entries (~64 KB/group at k=4096) — bucket or filter first
     if G runs to millions. Each group's ``max_undercount`` is its own
     certified MG bound."""
-    from pyspark.sql import functions as F
-
     from .mg import MisraGries
 
-    keys = list(keys)
     mg = MisraGries(k)
-    spark = df.sparkSession
     state_rows = mg.states_by_key(df, col, keys, ngram=n).collect()
+    return heavy_ngrams_from_states(df, col, n, state_rows, keys, mg, top)
+
+
+def heavy_ngrams_from_states(resolve_df, col: str, n: int, state_rows,
+                             keys, mg, top: int = 100):
+    """Resolve per-key heavy n-grams from ALREADY-FOLDED Misra-Gries
+    state rows (collected ``[keys..., state binary]`` rows, one per
+    group) — the shared tail of ``heavy_ngrams_by_key`` and
+    ``IncrementalProfile.heavy_ngrams``: union the per-key top hashes,
+    ONE resolve scan over ``resolve_df`` maps them back to token grams,
+    broadcast-join counts to grams. ``resolve_df`` must cover the data
+    the states were folded from (a retained hash resolves only if its
+    gram occurs in the scan). Same output contract as
+    ``heavy_ngrams_by_key``."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    spark = resolve_df.sparkSession
     count_rows = []
     all_hashes: set[int] = set()
     for r in state_rows:
@@ -587,7 +601,7 @@ def heavy_ngrams_by_key(df, col: str, n: int, keys, k: int = 4096,
             *keys, "gram_hash", "gram", "count_est", "max_undercount"
         )
     top_sorted = np.sort(np.fromiter(all_hashes, dtype=np.int64))
-    resolved = _resolve_gram_hashes(df, col, n, top_sorted)
+    resolved = _resolve_gram_hashes(resolve_df, col, n, top_sorted)
     counts = spark.createDataFrame(count_rows, schema)
     return (
         counts.join(F.broadcast(resolved), "gram_hash")

@@ -364,6 +364,88 @@ def test_generation_delta_rejects_non_theta_specs(spark, corpus, tmp_path):
         inc.generation_delta(spark, "docs", 1)
 
 
+def test_incremental_heavy_ngrams_time_travel(spark, tmp_path):
+    """heavy_ngrams over the persisted MG state table: gen 1 answers
+    'heaviest grams per source after batch 1' (batch 2's planted gram is
+    invisible), the committed gen is value-identical to a fresh
+    heavy_ngrams_by_key over the concatenated corpus (exact regime:
+    k above every group's distinct gram count, so merge order cannot
+    matter), and resolution reads ONLY the lineage-recorded files."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import heavy_ngrams_by_key
+    from recsplit_spark.sketches.mg import MisraGries
+
+    A, B = (901, 902, 903), (911, 912, 913)
+
+    def _mk(lo, hi, gram):
+        df = sequences(spark, hi, partitions=2)
+        if lo:
+            earlier = sequences(spark, lo, partitions=2).select("doc_id")
+            df = df.join(earlier, "doc_id", "left_anti")
+        # truncate so per-source distinct grams stay far below k
+        return df.withColumn(
+            "tokens",
+            F.concat(
+                F.slice("tokens", 1, 24),
+                F.array(*[F.lit(t) for t in gram]),
+            ),
+        )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _mk(0, 120, A).write.parquet(p1)
+    _mk(120, 320, B).write.parquet(p2)
+    specs = [SketchSpec("hg3", MisraGries(k=16384), "tokens", ngram=3)]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    assert inc.update(spark, source=p1)["gen"] == 1
+    assert inc.update(spark, source=p2)["gen"] == 2
+
+    b1_counts = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(p1).groupBy("source").count().collect()
+    }
+    g1 = inc.heavy_ngrams(spark, "hg3", top=3, gen=1).collect()
+    assert all(r["max_undercount"] == 0 for r in g1)  # exact regime
+    by_src = {}
+    for r in g1:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(b1_counts)
+    for src, rows in by_src.items():
+        # batch-1's planted gram tops every source with its exact count;
+        # batch-2's gram does not exist yet at gen 1
+        assert tuple(rows[0]["gram"]) == A
+        assert rows[0]["count_est"] == b1_counts[src]
+        assert all(tuple(r["gram"]) != B for r in rows)
+
+    g2 = inc.heavy_ngrams(spark, "hg3", top=3).collect()
+    full = heavy_ngrams_by_key(
+        spark.read.parquet(p1, p2), "tokens", 3, ["source"],
+        k=16384, top=3,
+    ).collect()
+    assert [tuple(r) for r in g2] == [tuple(r) for r in full]
+    assert any(tuple(r["gram"]) == B for r in g2)
+
+    with pytest.raises(ValueError, match="unknown spec name"):
+        inc.heavy_ngrams(spark, "nope")
+
+
+def test_incremental_heavy_ngrams_rejects_wrong_specs(spark, corpus, tmp_path):
+    inc = IncrementalProfile(_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    with pytest.raises(ValueError, match="MisraGries"):
+        inc.heavy_ngrams(spark, "docs")  # HLL spec
+    from recsplit_spark.sketches.mg import MisraGries
+
+    inc2 = IncrementalProfile(
+        [SketchSpec("toks", MisraGries(k=64), "doc_id")],
+        ["source"],
+        str(tmp_path / "q"),
+    )
+    inc2.update(spark, source=corpus["b1"])
+    with pytest.raises(ValueError, match="ngram feed"):
+        inc2.heavy_ngrams(spark, "toks")
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
