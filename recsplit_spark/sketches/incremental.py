@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pandas as pd
 
 from .base import MergeableSketch
@@ -516,6 +517,131 @@ class IncrementalProfile:
                     cols["union_est"].append(float(sk.union_estimate(a, b)))
                     cols["added_est"].append(float(sk.difference_estimate(b, a)))
                     cols["jaccard"].append(float(sk.jaccard_estimate(a, b)))
+                out.update(cols)
+                yield pd.DataFrame(out)
+
+        return joined.mapInPandas(_delta, schema=schema)
+
+    def cms_generation_delta(self, spark, name: str, items, gen_old: int,
+                             gen_new: int | None = None):
+        """Per-key frequency GROWTH of specific items between two
+        committed generations of a count-min spec: DataFrame[keys...,
+        item string, old_est, new_est, added_est, added_bound long].
+
+        CMS is a linear sketch — every update is a counter add — so the
+        elementwise difference of the two persisted counter matrices is
+        EXACTLY the CMS of the rows appended between the generations
+        (states are monotone under appends). ``added_est`` therefore
+        carries the standard one-sided CMS guarantee against the
+        appended data alone: ``added_true <= added_est <= added_true +
+        eps * added_total``, with ``eps * added_total`` reported per key
+        as ``added_bound``. "How much did token X's count grow per
+        source since batch N" from the state tables alone — no rescan.
+
+        Scalar specs hash items by the cross-type contract
+        (``xxhash64(cast(value AS string))`` — pass each item in its
+        string form, computed JVM-side here); ngram specs take token
+        lists/tuples and hash via the shared window-hash contract
+        (``item`` is then the comma-joined token gram)."""
+        from pyspark.sql import functions as F
+
+        from .cms import CountMinSketch
+
+        spec = next((s for s in self.specs if s.name == name), None)
+        if spec is None:
+            raise ValueError(f"unknown spec name {name!r}")
+        sk = spec.sketch
+        if not isinstance(sk, CountMinSketch):
+            raise ValueError(
+                f"cms_generation_delta needs a CountMinSketch spec "
+                f"(linear counters); {name!r} is {type(sk).__name__}"
+            )
+        items = list(items)
+        if not items:
+            raise ValueError("pass at least one item")
+        g_new = (
+            gen_new if gen_new is not None else self._committed_gen(spark)
+        )
+        if gen_old > g_new:
+            raise ValueError(
+                f"gen_old {gen_old} is after gen_new {g_new}; counter "
+                "subtraction needs the older generation first"
+            )
+        if spec.ngram:
+            from .multi import token_ngram_hashes
+
+            labels = [",".join(str(int(t)) for t in g) for g in items]
+            hashes = np.array(
+                [
+                    int(token_ngram_hashes(list(g), spec.ngram)[0])
+                    for g in items
+                ],
+                dtype=np.int64,
+            )
+        else:
+            labels = [str(v) for v in items]
+            hashes = np.array(
+                [
+                    r["h"]
+                    for r in spark.createDataFrame(
+                        [(s,) for s in labels], "item string"
+                    )
+                    .select(F.xxhash64(F.col("item")).alias("h"))
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
+        keys = self.keys
+        old = (
+            self.states(spark, gen=gen_old)
+            .filter(F.col("name") == name)
+            .select(*keys, F.col("state").alias("__old"))
+        )
+        new = (
+            self.states(spark, gen=g_new)
+            .filter(F.col("name") == name)
+            .select(*keys, F.col("state").alias("__new"))
+        )
+        joined = old.join(new, keys, "full_outer")
+        schema = (
+            ", ".join(f"{k} string" for k in keys)
+            + ", item string, old_est long, new_est long,"
+            " added_est long, added_bound long"
+        )
+        m = len(items)
+
+        def _delta(batches):
+            for pdf in batches:
+                out = {k: np.repeat(pdf[k].to_numpy(), m) for k in keys}
+                cols = {c: [] for c in (
+                    "old_est", "new_est", "added_est", "added_bound"
+                )}
+                lab = []
+                for ob, nb in zip(pdf["__old"], pdf["__new"]):
+                    a = (
+                        sk.from_bytes(bytes(ob))
+                        if ob is not None
+                        else sk.new_state()
+                    )
+                    b = (
+                        sk.from_bytes(bytes(nb))
+                        if nb is not None
+                        else sk.new_state()
+                    )
+                    d = b - a
+                    bound = int(np.ceil(sk.eps * sk.total(d)))
+                    cols["old_est"].extend(
+                        sk.query_hashes(a, hashes).tolist()
+                    )
+                    cols["new_est"].extend(
+                        sk.query_hashes(b, hashes).tolist()
+                    )
+                    cols["added_est"].extend(
+                        sk.query_hashes(d, hashes).tolist()
+                    )
+                    cols["added_bound"].extend([bound] * m)
+                    lab.extend(labels)
+                out["item"] = lab
                 out.update(cols)
                 yield pd.DataFrame(out)
 

@@ -446,6 +446,112 @@ def test_incremental_heavy_ngrams_rejects_wrong_specs(spark, corpus, tmp_path):
         inc2.heavy_ngrams(spark, "toks")
 
 
+def test_cms_generation_delta_is_linear(spark, tmp_path):
+    """CMS is linear: the elementwise difference of two committed
+    counter matrices IS the CMS of the appended rows (array-identical
+    to a fresh build over batch 2 alone), and cms_generation_delta's
+    added_est carries the certified one-sided bound against the
+    appended data — planted gram B (batch-2-only) grows by its exact
+    batch-2 count, gram A (batch-1-only) grows by at most the bound."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import CountMinSketch
+
+    A, B = (901, 902, 903), (911, 912, 913)
+
+    def _mk(lo, hi, gram):
+        df = sequences(spark, hi, partitions=2)
+        if lo:
+            earlier = sequences(spark, lo, partitions=2).select("doc_id")
+            df = df.join(earlier, "doc_id", "left_anti")
+        return df.withColumn(
+            "tokens",
+            F.concat(
+                F.slice("tokens", 1, 24),
+                F.array(*[F.lit(t) for t in gram]),
+            ),
+        )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _mk(0, 120, A).write.parquet(p1)
+    _mk(120, 320, B).write.parquet(p2)
+    cms = CountMinSketch(eps=1e-3, delta=1e-3)
+    specs = [SketchSpec("gfreq", cms, "tokens", ngram=3)]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=p1)
+    inc.update(spark, source=p2)
+
+    # linearity: (gen2 - gen1) counter matrices == fresh batch-2-only build
+    g1 = {r["source"]: bytes(r["state"])
+          for r in inc.states(spark, gen=1).collect()}
+    g2 = {r["source"]: bytes(r["state"])
+          for r in inc.states(spark, gen=2).collect()}
+    fresh = {
+        r["source"]: bytes(r["state"])
+        for r in profile_by_key(
+            spark.read.parquet(p2), ["source"], specs
+        ).collect()
+    }
+    assert set(g2) == set(fresh)
+    for src, nb in g2.items():
+        old = cms.from_bytes(g1[src]) if src in g1 else cms.new_state()
+        assert np.array_equal(
+            cms.from_bytes(nb) - old, cms.from_bytes(fresh[src])
+        )
+
+    b1_cnt = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(p1).groupBy("source").count().collect()
+    }
+    b2_cnt = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(p2).groupBy("source").count().collect()
+    }
+    rows = inc.cms_generation_delta(spark, "gfreq", [A, B], 1).collect()
+    assert len(rows) == 2 * len(b2_cnt)
+    for r in rows:
+        src = r["source"]
+        if r["item"] == "901,902,903":  # batch-1-only gram
+            added_true, old_true = 0, b1_cnt.get(src, 0)
+        else:
+            assert r["item"] == "911,912,913"
+            added_true, old_true = b2_cnt[src], 0
+        assert added_true <= r["added_est"] <= added_true + r["added_bound"]
+        assert old_true <= r["old_est"]
+        assert r["new_est"] >= r["old_est"] + r["added_est"] - r["added_bound"]
+        assert r["added_bound"] >= 0
+
+    with pytest.raises(ValueError, match="unknown spec name"):
+        inc.cms_generation_delta(spark, "nope", [A], 1)
+    with pytest.raises(ValueError, match="at least one item"):
+        inc.cms_generation_delta(spark, "gfreq", [], 1)
+    with pytest.raises(ValueError, match="older generation first"):
+        inc.cms_generation_delta(spark, "gfreq", [A], 2, gen_new=1)
+
+
+def test_cms_generation_delta_scalar_items_and_rejects(spark, corpus, tmp_path):
+    """Scalar CMS spec: items hash by the cross-type string contract, so
+    string forms of n_tok values query correctly; non-CMS specs raise."""
+    inc = IncrementalProfile(_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    b2 = spark.read.parquet(corpus["b2"])
+    val = b2.select("n_tok").first()["n_tok"]
+    added = {
+        r["source"]: r["count"]
+        for r in b2.filter(b2["n_tok"] == val)
+        .groupBy("source").count().collect()
+    }
+    rows = inc.cms_generation_delta(spark, "tok_freq", [val], 1).collect()
+    assert rows and all(r["item"] == str(val) for r in rows)
+    for r in rows:
+        t = added.get(r["source"], 0)
+        assert t <= r["added_est"] <= t + r["added_bound"]
+    with pytest.raises(ValueError, match="CountMinSketch"):
+        inc.cms_generation_delta(spark, "docs", [val], 1)
+
+
 def test_canon_file_unifies_local_uri_forms():
     assert _canon_file("file:/root/a.parquet") == "file:///root/a.parquet"
     assert _canon_file("file:///root/a.parquet") == "file:///root/a.parquet"
