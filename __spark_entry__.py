@@ -1788,6 +1788,48 @@ def _q_theta_generation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_generation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min generation delta (IncrementalProfile.cms_generation_delta):
+    documents is split into two batches by a DuckDB-reproducible
+    predicate (n_chars parity) and a per-source CMS over the n_chars%10
+    bucket is maintained incrementally; the delta between gen 1 and
+    gen 2 then reports, per (source, bucket), how much each bucket's
+    count GREW — purely from the two persisted counter matrices (CMS is
+    linear: the matrix difference IS the CMS of the appended rows).
+    With 10 distinct items against w=ceil(e/eps)=2719 counters the
+    estimates are collision-free on this fixture (deterministic given
+    the pinned hash), so added == exact batch-2 counts and total ==
+    exact full counts, which the oracle recomputes in plain SQL
+    (source x bucket cross join, zero-count rows included)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import CountMinSketch, IncrementalProfile
+    from recsplit_spark.sketches.multi import SketchSpec
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.col("n_chars") % 10
+    )
+    in_b2 = F.col("n_chars") % 2 == 1
+    specs = [SketchSpec("freq", CountMinSketch(eps=1e-3, delta=1e-3), "bucket")]
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.filter(~in_b2).write.parquet(f"{tmp}/b1")
+        docs.filter(in_b2).write.parquet(f"{tmp}/b2")
+        inc = IncrementalProfile(specs, ["source"], f"{tmp}/prof")
+        inc.update(spark, source=f"{tmp}/b1")
+        inc.update(spark, source=f"{tmp}/b2")
+        rows = inc.cms_generation_delta(
+            spark, "freq", list(range(10)), 1
+        ).collect()
+    return spark.createDataFrame(
+        [(r["source"], r["item"], r["added_est"], r["new_est"]) for r in rows],
+        "source string, item string, added bigint, total bigint",
+    ).orderBy("source", "item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -1835,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
         "theta_generation_delta": _q_theta_generation_delta,
+        "cms_generation_delta": _q_cms_generation_delta,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
@@ -2232,6 +2275,22 @@ def oracle_sql() -> dict[str, str]:
             " ('wiki', CAST(2538 AS BIGINT), TRUE, TRUE, TRUE)"
             ") AS t(source, planted_count, top1_planted,"
             " certificate_ok, rehash_ok)"
+        ),
+        "cms_generation_delta": (
+            "WITH s AS (SELECT DISTINCT source FROM documents),"
+            " i AS (SELECT unnest(generate_series(0, 9)) AS b),"
+            " c AS (SELECT source, n_chars % 10 AS b,"
+            "   CAST(count(*) FILTER (WHERE n_chars % 2 = 1) AS BIGINT)"
+            "     AS added,"
+            "   CAST(count(*) AS BIGINT) AS total"
+            "  FROM documents GROUP BY source, n_chars % 10)"
+            " SELECT CAST(s.source AS VARCHAR) AS source,"
+            "  CAST(i.b AS VARCHAR) AS item,"
+            "  COALESCE(c.added, 0) AS added,"
+            "  COALESCE(c.total, 0) AS total"
+            " FROM s CROSS JOIN i"
+            " LEFT JOIN c ON c.source = s.source AND c.b = i.b"
+            " ORDER BY source, item"
         ),
         "theta_generation_delta": (
             "SELECT CAST(source AS VARCHAR) AS source,"
