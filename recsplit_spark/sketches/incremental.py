@@ -522,6 +522,115 @@ class IncrementalProfile:
 
         return joined.mapInPandas(_delta, schema=schema)
 
+    def generation_sample_added(self, spark, name: str, gen_old: int,
+                                gen_new: int | None = None):
+        """Uniformly sampled distinct VALUES added between two committed
+        generations of a theta spec, resolved — DataFrame[keys...,
+        spec.col] (or [keys..., gram array<int>] for ngram feeds).
+
+        KMV set algebra: a hash retained in the newer bottom-k set but
+        absent from the older one, below BOTH sampling thresholds
+        (``_restricted``'s exact uint64 cut), is PROVABLY a distinct
+        value the appended batches introduced — had it existed before,
+        the older sketch would have retained it. Those hashes are a
+        uniform sample (rate = the shared theta) of the added distinct
+        universe. Resolution then scans ONLY the lineage files of
+        generations (gen_old, gen_new] — every added value must occur
+        there — with a broadcast semi-join on (keys, hash): zero row
+        shuffle, driver footprint G x k, the corpus-so-far is never
+        re-read. "Pull a QA sample of the NEW documents / n-grams
+        yesterday's batches introduced, per source" from state tables
+        plus one scan of the new files."""
+        from pyspark.sql import functions as F
+
+        from .theta import ThetaSketch
+
+        spec = next((s for s in self.specs if s.name == name), None)
+        if spec is None:
+            raise ValueError(f"unknown spec name {name!r}")
+        sk = spec.sketch
+        if not isinstance(sk, ThetaSketch):
+            raise ValueError(
+                f"generation_sample_added needs a ThetaSketch spec; "
+                f"{name!r} is {type(sk).__name__}"
+            )
+        g_new = (
+            gen_new if gen_new is not None else self._committed_gen(spark)
+        )
+        if gen_old > g_new:
+            raise ValueError(
+                f"gen_old {gen_old} is after gen_new {g_new}"
+            )
+        keys = self.keys
+        old = {
+            tuple(r[k] for k in keys): bytes(r["state"])
+            for r in self.states(spark, gen=gen_old)
+            .filter(F.col("name") == name)
+            .collect()
+        }
+        out: list[tuple] = []
+        for r in self.states(spark, gen=g_new).filter(
+            F.col("name") == name
+        ).collect():
+            kt = tuple(r[k] for k in keys)
+            a = (
+                sk.from_bytes(old[kt]) if kt in old else sk.new_state()
+            )
+            b = sk.from_bytes(bytes(r["state"]))
+            ra, rb, _theta = sk._restricted(a, b)
+            added = np.setdiff1d(rb, ra)
+            out.extend(
+                kt + (h,) for h in added.view(np.int64).tolist()
+            )
+        hcol = "gram_hash" if spec.ngram else "h"
+        hashes_df = spark.createDataFrame(
+            out, ", ".join(f"{k} string" for k in keys) + f", {hcol} long"
+        )
+        files = sorted(
+            r["file"]
+            for r in self.lineage(spark)
+            .filter((F.col("gen") > gen_old) & (F.col("gen") <= g_new))
+            .select("file")
+            .collect()
+        )
+        if spec.ngram and (not out or not files):
+            return spark.createDataFrame(
+                [],
+                ", ".join(f"{k} string" for k in keys)
+                + ", gram array<int>",
+            )
+        if not files:
+            # gen_old == g_new: nothing appended, nothing added — read
+            # any committed file for the column TYPES only (limit 0)
+            anyf = (
+                self.lineage(spark).select("file").limit(1).collect()[0]["file"]
+            )
+            corpus = spark.read.parquet(anyf).limit(0)
+        else:
+            corpus = spark.read.parquet(*files)
+        if spec.ngram:
+            from .multi import _resolve_gram_hashes
+
+            tops = np.sort(
+                np.unique(np.array([t[-1] for t in out], dtype=np.int64))
+            )
+            gram_map = _resolve_gram_hashes(
+                corpus, spec.col, spec.ngram, tops
+            )
+            return (
+                hashes_df.join(F.broadcast(gram_map), "gram_hash")
+                .select(*keys, "gram")
+            )
+        hashed = F.xxhash64(F.col(spec.col).cast("string"))
+        sel = [F.col(k).cast("string").alias(k) for k in keys] + [
+            F.col(spec.col)
+        ]
+        cand = corpus.select(*sel).distinct()
+        cond = [cand[k] == hashes_df[k] for k in keys] + [
+            hashed == hashes_df["h"]
+        ]
+        return cand.join(F.broadcast(hashes_df), cond, "left_semi")
+
     def cms_generation_delta(self, spark, name: str, items, gen_old: int,
                              gen_new: int | None = None):
         """Per-key frequency GROWTH of specific items between two

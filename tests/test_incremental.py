@@ -446,6 +446,110 @@ def test_incremental_heavy_ngrams_rejects_wrong_specs(spark, corpus, tmp_path):
         inc2.heavy_ngrams(spark, "toks")
 
 
+def test_generation_sample_added_exact_regime(spark, corpus, tmp_path):
+    """Below k both retained sets ARE the distinct-hash sets, so the
+    added sample is EXACTLY the per-source set of doc_ids batch 2
+    introduced — resolved values, not hashes — and a same-generation
+    delta is empty."""
+    from recsplit_spark.sketches.theta import ThetaSketch
+
+    specs = [SketchSpec("ids", ThetaSketch(k=4096), "doc_id")]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+
+    def _ids(df):
+        out = {}
+        for r in df.select("source", "doc_id").collect():
+            out.setdefault(r["source"], set()).add(r["doc_id"])
+        return out
+
+    old_ids = _ids(spark.read.parquet(corpus["b1"]))
+    new_ids = _ids(corpus["full"])
+    expected = {
+        (src, d)
+        for src, ids in new_ids.items()
+        for d in ids - old_ids.get(src, set())
+    }
+    got = {
+        (r["source"], r["doc_id"])
+        for r in inc.generation_sample_added(spark, "ids", 1).collect()
+    }
+    assert got == expected and expected
+    assert inc.generation_sample_added(spark, "ids", 2, gen_new=2).count() == 0
+    inc2 = IncrementalProfile(_specs(), ["source"], str(tmp_path / "q"))
+    inc2.update(spark, source=corpus["b1"])
+    with pytest.raises(ValueError, match="ThetaSketch"):
+        inc2.generation_sample_added(spark, "docs", 1)
+    with pytest.raises(ValueError, match="is after"):
+        inc.generation_sample_added(spark, "ids", 2, gen_new=1)
+
+
+def test_generation_sample_added_ngram_resolves_grams(spark, tmp_path):
+    """ngram theta spec: the added sample resolves to token GRAMS —
+    exactly the per-source trigrams batch 2 introduced (exact regime),
+    including the batch-2-planted gram and never the batch-1-only one."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches.multi import (
+        _flat_ngram_hashes_pos,
+        token_ngram_hashes,
+    )
+    from recsplit_spark.sketches.theta import ThetaSketch
+
+    A, B = (901, 902, 903), (911, 912, 913)
+
+    def _mk(lo, hi, gram):
+        df = sequences(spark, hi, partitions=2)
+        if lo:
+            earlier = sequences(spark, lo, partitions=2).select("doc_id")
+            df = df.join(earlier, "doc_id", "left_anti")
+        return df.withColumn(
+            "tokens",
+            F.concat(
+                F.slice("tokens", 1, 24),
+                F.array(*[F.lit(t) for t in gram]),
+            ),
+        )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _mk(0, 120, A).write.parquet(p1)
+    _mk(120, 320, B).write.parquet(p2)
+    specs = [SketchSpec("g3", ThetaSketch(k=16384), "tokens", ngram=3)]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=p1)
+    inc.update(spark, source=p2)
+
+    def _gram_hashes(path):
+        per: dict[str, set] = {}
+        for r in spark.read.parquet(path).select("source", "tokens").collect():
+            arr = np.asarray(r["tokens"], dtype=np.uint64)
+            h, _ = _flat_ngram_hashes_pos(arr, np.array([len(arr)]), 3)
+            per.setdefault(r["source"], set()).update(
+                h.view(np.int64).tolist()
+            )
+        return per
+
+    gs1, gs2 = _gram_hashes(p1), _gram_hashes(p2)
+    expected = {
+        (src, h)
+        for src in gs2
+        for h in gs2[src] - gs1.get(src, set())
+    }
+    rows = inc.generation_sample_added(spark, "g3", 1).collect()
+    got = {
+        (r["source"], int(token_ngram_hashes(list(r["gram"]), 3)[0]))
+        for r in rows
+    }
+    assert got == expected and expected
+    bh = int(token_ngram_hashes(list(B), 3)[0])
+    ah = int(token_ngram_hashes(list(A), 3)[0])
+    srcs = {r["source"] for r in rows}
+    assert all((s, bh) in got for s in srcs)  # planted B everywhere
+    assert all((s, ah) not in got for s in srcs)  # batch-1 gram never
+
+
 def test_cms_generation_delta_is_linear(spark, tmp_path):
     """CMS is linear: the elementwise difference of two committed
     counter matrices IS the CMS of the appended rows (array-identical
