@@ -1830,6 +1830,42 @@ def _q_cms_generation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "item")
 
 
+def _q_generation_sample_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added-distinct sampling between generations
+    (IncrementalProfile.generation_sample_added): documents is split by
+    the DuckDB-reproducible n_chars parity, a per-source theta state
+    table is maintained incrementally, and the gen-1-to-gen-2 sample
+    returns resolved doc_ids that the second batch introduced — computed
+    from the two bottom-k state tables plus ONE scan of only the new
+    batch's files (broadcast semi-join on (source, hash); the batch-1
+    data is never re-read). Below k the bottom-k sets are the exact
+    hash sets, so the 'sample' is the complete added set and the oracle
+    is plain SQL over the same parity predicate."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import IncrementalProfile, ThetaSketch
+    from recsplit_spark.sketches.multi import SketchSpec
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    in_b2 = F.col("n_chars") % 2 == 1
+    specs = [SketchSpec("ids", ThetaSketch(k=8192), "doc_id")]
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.filter(~in_b2).write.parquet(f"{tmp}/b1")
+        docs.filter(in_b2).write.parquet(f"{tmp}/b2")
+        inc = IncrementalProfile(specs, ["source"], f"{tmp}/prof")
+        inc.update(spark, source=f"{tmp}/b1")
+        inc.update(spark, source=f"{tmp}/b2")
+        rows = inc.generation_sample_added(spark, "ids", 1).collect()
+    return spark.createDataFrame(
+        [(r["source"], int(r["doc_id"])) for r in rows],
+        "source string, doc_id bigint",
+    ).orderBy("source", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
@@ -1878,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
+        "generation_sample_added": _q_generation_sample_added,
         "near_dup_clusters": _q_near_dup_clusters,
         "top_tokens": _q_top_tokens,
         "events_running_window": _q_events_running_window,
@@ -2275,6 +2312,12 @@ def oracle_sql() -> dict[str, str]:
             " ('wiki', CAST(2538 AS BIGINT), TRUE, TRUE, TRUE)"
             ") AS t(source, planted_count, top1_planted,"
             " certificate_ok, rehash_ok)"
+        ),
+        "generation_sample_added": (
+            "SELECT CAST(source AS VARCHAR) AS source,"
+            " CAST(doc_id AS BIGINT) AS doc_id"
+            " FROM documents WHERE n_chars % 2 = 1"
+            " ORDER BY source, doc_id"
         ),
         "cms_generation_delta": (
             "WITH s AS (SELECT DISTINCT source FROM documents),"
