@@ -460,6 +460,38 @@ class IncrementalProfile:
         n_rows, lineage (run id), wall_sec]."""
         return spark.read.parquet(f"{self.path}/lineage")
 
+    def _spec_for(self, name: str, required_type=None, what: str = ""):
+        """Spec lookup shared by the generation-analytics methods,
+        optionally enforcing the sketch type the operation's algebra
+        needs."""
+        spec = next((s for s in self.specs if s.name == name), None)
+        if spec is None:
+            raise ValueError(f"unknown spec name {name!r}")
+        if required_type is not None and not isinstance(
+            spec.sketch, required_type
+        ):
+            raise ValueError(
+                f"{what or 'this operation'} needs a "
+                f"{required_type.__name__} spec; {name!r} is "
+                f"{type(spec.sketch).__name__}"
+            )
+        return spec
+
+    def _resolve_gens(self, spark, gen_old: int,
+                      gen_new: int | None) -> int:
+        """``gen_new=None`` -> committed; the pair must be ordered (all
+        generation algebra here relies on states being monotone under
+        appends, i.e. the newer generation containing the older)."""
+        g_new = (
+            gen_new if gen_new is not None else self._committed_gen(spark)
+        )
+        if gen_old > g_new:
+            raise ValueError(
+                f"gen_old {gen_old} is after gen_new {g_new}; pass the "
+                "older generation first"
+            )
+        return g_new
+
     def generation_delta(self, spark, name: str, gen_old: int,
                          gen_new: int | None = None):
         """What changed between two committed generations, per key, for a
@@ -476,15 +508,10 @@ class IncrementalProfile:
 
         from .theta import ThetaSketch
 
-        spec = next((s for s in self.specs if s.name == name), None)
-        if spec is None:
-            raise ValueError(f"unknown spec name {name!r}")
-        sk = spec.sketch
-        if not isinstance(sk, ThetaSketch):
-            raise ValueError(
-                f"generation_delta needs a ThetaSketch spec (set algebra); "
-                f"{name!r} is {type(sk).__name__}"
-            )
+        sk = self._spec_for(
+            name, ThetaSketch, "generation_delta (set algebra)"
+        ).sketch
+        gen_new = self._resolve_gens(spark, gen_old, gen_new)
         keys = self.keys
         old = (
             self.states(spark, gen=gen_old)
@@ -545,22 +572,9 @@ class IncrementalProfile:
 
         from .theta import ThetaSketch
 
-        spec = next((s for s in self.specs if s.name == name), None)
-        if spec is None:
-            raise ValueError(f"unknown spec name {name!r}")
+        spec = self._spec_for(name, ThetaSketch, "generation_sample_added")
         sk = spec.sketch
-        if not isinstance(sk, ThetaSketch):
-            raise ValueError(
-                f"generation_sample_added needs a ThetaSketch spec; "
-                f"{name!r} is {type(sk).__name__}"
-            )
-        g_new = (
-            gen_new if gen_new is not None else self._committed_gen(spark)
-        )
-        if gen_old > g_new:
-            raise ValueError(
-                f"gen_old {gen_old} is after gen_new {g_new}"
-            )
+        g_new = self._resolve_gens(spark, gen_old, gen_new)
         keys = self.keys
         old = {
             tuple(r[k] for k in keys): bytes(r["state"])
@@ -599,9 +613,10 @@ class IncrementalProfile:
                 ", ".join(f"{k} string" for k in keys)
                 + ", gram array<int>",
             )
-        if not files:
-            # gen_old == g_new: nothing appended, nothing added — read
-            # any committed file for the column TYPES only (limit 0)
+        if not out or not files:
+            # nothing added (or nothing appended): don't scan the
+            # appended files just to produce 0 rows — one limit(0) read
+            # of any committed file supplies the column TYPES
             anyf = (
                 self.lineage(spark).select("file").limit(1).collect()[0]["file"]
             )
@@ -656,49 +671,51 @@ class IncrementalProfile:
 
         from .cms import CountMinSketch
 
-        spec = next((s for s in self.specs if s.name == name), None)
-        if spec is None:
-            raise ValueError(f"unknown spec name {name!r}")
+        spec = self._spec_for(
+            name, CountMinSketch, "cms_generation_delta (linear counters)"
+        )
         sk = spec.sketch
-        if not isinstance(sk, CountMinSketch):
-            raise ValueError(
-                f"cms_generation_delta needs a CountMinSketch spec "
-                f"(linear counters); {name!r} is {type(sk).__name__}"
-            )
         items = list(items)
         if not items:
             raise ValueError("pass at least one item")
-        g_new = (
-            gen_new if gen_new is not None else self._committed_gen(spark)
-        )
-        if gen_old > g_new:
-            raise ValueError(
-                f"gen_old {gen_old} is after gen_new {g_new}; counter "
-                "subtraction needs the older generation first"
-            )
+        g_new = self._resolve_gens(spark, gen_old, gen_new)
         if spec.ngram:
             from .multi import token_ngram_hashes
 
-            labels = [",".join(str(int(t)) for t in g) for g in items]
-            hashes = np.array(
-                [
-                    int(token_ngram_hashes(list(g), spec.ngram)[0])
-                    for g in items
-                ],
-                dtype=np.int64,
-            )
-        else:
-            labels = [str(v) for v in items]
-            hashes = np.array(
-                [
-                    r["h"]
-                    for r in spark.createDataFrame(
-                        [(s,) for s in labels], "item string"
+            labels, hs = [], []
+            for g in items:
+                g = list(g)
+                if len(g) != spec.ngram:
+                    raise ValueError(
+                        f"gram {g} has {len(g)} tokens; spec {name!r} "
+                        f"hashes {spec.ngram}-token windows"
                     )
-                    .select(F.xxhash64(F.col("item")).alias("h"))
-                    .collect()
-                ],
-                dtype=np.int64,
+                labels.append(",".join(str(int(t)) for t in g))
+                hs.append(int(token_ngram_hashes(g, spec.ngram)[0]))
+            hashes = np.array(hs, dtype=np.int64)
+        else:
+            # cast AND hash via the engine itself, so the item's string
+            # form is Spark's CAST (the fold-side cross-type contract),
+            # never Python str() — str(True)/'True' vs CAST 'true', or
+            # float repr drift, would silently query the wrong cells
+            n_i = len(items)
+            row = (
+                spark.range(1)
+                .select(
+                    *[
+                        F.lit(v).cast("string").alias(f"s{i}")
+                        for i, v in enumerate(items)
+                    ],
+                    *[
+                        F.xxhash64(F.lit(v).cast("string")).alias(f"h{i}")
+                        for i, v in enumerate(items)
+                    ],
+                )
+                .collect()[0]
+            )
+            labels = [row[f"s{i}"] for i in range(n_i)]
+            hashes = np.array(
+                [row[f"h{i}"] for i in range(n_i)], dtype=np.int64
             )
         keys = self.keys
         old = (
@@ -780,14 +797,7 @@ class IncrementalProfile:
         from .mg import MisraGries
         from .multi import heavy_ngrams_from_states
 
-        spec = next((s for s in self.specs if s.name == name), None)
-        if spec is None:
-            raise ValueError(f"unknown spec name {name!r}")
-        if not isinstance(spec.sketch, MisraGries):
-            raise ValueError(
-                f"heavy_ngrams needs a MisraGries spec; {name!r} is "
-                f"{type(spec.sketch).__name__}"
-            )
+        spec = self._spec_for(name, MisraGries, "heavy_ngrams")
         if not spec.ngram:
             raise ValueError(
                 f"heavy_ngrams needs an ngram feed (SketchSpec(..., "

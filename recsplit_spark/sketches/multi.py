@@ -560,6 +560,7 @@ def heavy_ngrams_by_key(df, col: str, n: int, keys, k: int = 4096,
     certified MG bound."""
     from .mg import MisraGries
 
+    keys = list(keys)  # states_by_key would consume a one-shot iterable
     mg = MisraGries(k)
     state_rows = mg.states_by_key(df, col, keys, ngram=n).collect()
     return heavy_ngrams_from_states(df, col, n, state_rows, keys, mg, top)

@@ -51,6 +51,35 @@ def _write_batch(spark, lo, hi, path, parts=2):
     df.repartition(parts).write.mode("overwrite").parquet(path)
 
 
+_GRAM_A, _GRAM_B = (901, 902, 903), (911, 912, 913)
+
+
+def _planted_batches(spark, tmp_path):
+    """Two disjoint parquet batches with a distinct trigram planted at
+    the end of every doc's truncated tokens (_GRAM_A in batch 1,
+    _GRAM_B in batch 2; truncation keeps per-source distinct grams far
+    below the exact-regime k the gram tests use)."""
+    import pyspark.sql.functions as F
+
+    def _mk(lo, hi, gram):
+        df = sequences(spark, hi, partitions=2)
+        if lo:
+            earlier = sequences(spark, lo, partitions=2).select("doc_id")
+            df = df.join(earlier, "doc_id", "left_anti")
+        return df.withColumn(
+            "tokens",
+            F.concat(
+                F.slice("tokens", 1, 24),
+                F.array(*[F.lit(t) for t in gram]),
+            ),
+        )
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _mk(0, 120, _GRAM_A).write.parquet(p1)
+    _mk(120, 320, _GRAM_B).write.parquet(p2)
+    return p1, p2
+
+
 @pytest.fixture(scope="module")
 def corpus(spark, tmp_path_factory):
     """Two disjoint parquet batches + the concatenated full corpus df."""
@@ -371,30 +400,11 @@ def test_incremental_heavy_ngrams_time_travel(spark, tmp_path):
     heavy_ngrams_by_key over the concatenated corpus (exact regime:
     k above every group's distinct gram count, so merge order cannot
     matter), and resolution reads ONLY the lineage-recorded files."""
-    import pyspark.sql.functions as F
-
     from recsplit_spark.sketches import heavy_ngrams_by_key
     from recsplit_spark.sketches.mg import MisraGries
 
-    A, B = (901, 902, 903), (911, 912, 913)
-
-    def _mk(lo, hi, gram):
-        df = sequences(spark, hi, partitions=2)
-        if lo:
-            earlier = sequences(spark, lo, partitions=2).select("doc_id")
-            df = df.join(earlier, "doc_id", "left_anti")
-        # truncate so per-source distinct grams stay far below k
-        return df.withColumn(
-            "tokens",
-            F.concat(
-                F.slice("tokens", 1, 24),
-                F.array(*[F.lit(t) for t in gram]),
-            ),
-        )
-
-    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
-    _mk(0, 120, A).write.parquet(p1)
-    _mk(120, 320, B).write.parquet(p2)
+    A, B = _GRAM_A, _GRAM_B
+    p1, p2 = _planted_batches(spark, tmp_path)
     specs = [SketchSpec("hg3", MisraGries(k=16384), "tokens", ngram=3)]
     inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
     assert inc.update(spark, source=p1)["gen"] == 1
@@ -490,7 +500,6 @@ def test_generation_sample_added_ngram_resolves_grams(spark, tmp_path):
     exactly the per-source trigrams batch 2 introduced (exact regime),
     including the batch-2-planted gram and never the batch-1-only one."""
     import numpy as np
-    import pyspark.sql.functions as F
 
     from recsplit_spark.sketches.multi import (
         _flat_ngram_hashes_pos,
@@ -498,24 +507,8 @@ def test_generation_sample_added_ngram_resolves_grams(spark, tmp_path):
     )
     from recsplit_spark.sketches.theta import ThetaSketch
 
-    A, B = (901, 902, 903), (911, 912, 913)
-
-    def _mk(lo, hi, gram):
-        df = sequences(spark, hi, partitions=2)
-        if lo:
-            earlier = sequences(spark, lo, partitions=2).select("doc_id")
-            df = df.join(earlier, "doc_id", "left_anti")
-        return df.withColumn(
-            "tokens",
-            F.concat(
-                F.slice("tokens", 1, 24),
-                F.array(*[F.lit(t) for t in gram]),
-            ),
-        )
-
-    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
-    _mk(0, 120, A).write.parquet(p1)
-    _mk(120, 320, B).write.parquet(p2)
+    A, B = _GRAM_A, _GRAM_B
+    p1, p2 = _planted_batches(spark, tmp_path)
     specs = [SketchSpec("g3", ThetaSketch(k=16384), "tokens", ngram=3)]
     inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
     inc.update(spark, source=p1)
@@ -558,28 +551,11 @@ def test_cms_generation_delta_is_linear(spark, tmp_path):
     appended data — planted gram B (batch-2-only) grows by its exact
     batch-2 count, gram A (batch-1-only) grows by at most the bound."""
     import numpy as np
-    import pyspark.sql.functions as F
 
     from recsplit_spark.sketches import CountMinSketch
 
-    A, B = (901, 902, 903), (911, 912, 913)
-
-    def _mk(lo, hi, gram):
-        df = sequences(spark, hi, partitions=2)
-        if lo:
-            earlier = sequences(spark, lo, partitions=2).select("doc_id")
-            df = df.join(earlier, "doc_id", "left_anti")
-        return df.withColumn(
-            "tokens",
-            F.concat(
-                F.slice("tokens", 1, 24),
-                F.array(*[F.lit(t) for t in gram]),
-            ),
-        )
-
-    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
-    _mk(0, 120, A).write.parquet(p1)
-    _mk(120, 320, B).write.parquet(p2)
+    A, B = _GRAM_A, _GRAM_B
+    p1, p2 = _planted_batches(spark, tmp_path)
     cms = CountMinSketch(eps=1e-3, delta=1e-3)
     specs = [SketchSpec("gfreq", cms, "tokens", ngram=3)]
     inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
@@ -632,6 +608,51 @@ def test_cms_generation_delta_is_linear(spark, tmp_path):
         inc.cms_generation_delta(spark, "gfreq", [], 1)
     with pytest.raises(ValueError, match="older generation first"):
         inc.cms_generation_delta(spark, "gfreq", [A], 2, gen_new=1)
+    with pytest.raises(ValueError, match="3-token windows"):
+        inc.cms_generation_delta(spark, "gfreq", [(1, 2)], 1)
+
+
+def test_cms_delta_item_hash_uses_engine_cast(spark, tmp_path):
+    """Scalar items must hash through Spark's own CAST, not Python
+    str(): doubles like 1.7e-8 cast to '1.7E-8' in the engine but
+    str() gives '1.7e-08' — a Python-side cast would silently query
+    the wrong CMS cells and report zero growth for a value the
+    batches actually added."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import CountMinSketch
+
+    df = sequences(spark, 200, partitions=2).withColumn(
+        "ratio", F.col("n_tok") * F.lit(1e-9)
+    )
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    df.filter(~split).write.parquet(p1)
+    df.filter(split).write.parquet(p2)
+    specs = [SketchSpec("rf", CountMinSketch(eps=1e-3, delta=1e-3), "ratio")]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=p1)
+    inc.update(spark, source=p2)
+    b2 = spark.read.parquet(p2)
+    val = float(b2.select("ratio").first()["ratio"])
+    # the engine's string form is scientific notation Python never emits
+    cast_form = (
+        spark.range(1)
+        .select(F.lit(val).cast("string").alias("s"))
+        .first()["s"]
+    )
+    assert cast_form != str(val)
+    added = {
+        r["source"]: r["count"]
+        for r in b2.filter(b2["ratio"] == val).groupBy("source").count().collect()
+    }
+    rows = inc.cms_generation_delta(spark, "rf", [val], 1).collect()
+    assert rows and all(r["item"] == cast_form for r in rows)
+    for r in rows:
+        t = added.get(r["source"], 0)
+        assert t <= r["added_est"] <= t + r["added_bound"]
+    assert sum(added.values()) > 0
+    assert sum(r["added_est"] for r in rows) >= sum(added.values())
 
 
 def test_cms_generation_delta_scalar_items_and_rejects(spark, corpus, tmp_path):
