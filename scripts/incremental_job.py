@@ -12,7 +12,8 @@ Cluster usage (the north-rule deployment shape, incremental side)::
         --keys source \
         --spec docs=hll:doc_id --spec grams5=hll:tokens:ngram=5 \
         [--estimates] [--hll-p 14] [--cms-eps 5e-4] [--cms-delta 0.01] \
-        [--theta-k 4096] [--files f1.parquet,f2.parquet]
+        [--theta-k 4096] [--files f1.parquet,f2.parquet] \
+        [--delta-from GEN] [--sample-added-from GEN] [--sample-limit 100]
 
 Each run folds ONLY the files never folded before (or exactly the
 ``--files`` list — the Iceberg snapshot-diff integration point) and
@@ -99,6 +100,25 @@ def main() -> int:
         help="after the update, delete superseded state generations,"
         " keeping the committed one plus KEEP-1 predecessors",
     )
+    ap.add_argument(
+        "--delta-from",
+        type=int,
+        default=None,
+        metavar="GEN",
+        help="also print per-key set deltas (old/new/union/added/"
+        "jaccard) from GEN to the committed generation for every theta"
+        " spec — computed from the persisted states, no rescan",
+    )
+    ap.add_argument(
+        "--sample-added-from",
+        type=int,
+        default=None,
+        metavar="GEN",
+        help="also print up to --sample-limit resolved values per theta"
+        " spec that the generations after GEN added (uniform sample;"
+        " scans only the appended files)",
+    )
+    ap.add_argument("--sample-limit", type=int, default=100)
     ap.add_argument("--hll-p", type=int, default=14)
     ap.add_argument("--cms-eps", type=float, default=5e-4)
     ap.add_argument("--cms-delta", type=float, default=0.01)
@@ -133,6 +153,37 @@ def main() -> int:
             {**{k: r[k] for k in keys}, "name": r["name"], "estimate": r["estimate"]}
             for r in rows
         ]
+    if args.delta_from is not None or args.sample_added_from is not None:
+        from recsplit_spark.sketches import ThetaSketch
+
+        thetas = [s for s in specs if isinstance(s.sketch, ThetaSketch)]
+        if not thetas:
+            raise SystemExit(
+                "--delta-from/--sample-added-from need at least one"
+                " theta spec (set algebra)"
+            )
+        if args.delta_from is not None:
+            out["deltas"] = {
+                s.name: [
+                    r.asDict()
+                    for r in inc.generation_delta(
+                        spark, s.name, args.delta_from
+                    ).collect()
+                ]
+                for s in thetas
+            }
+        if args.sample_added_from is not None:
+            out["added_samples"] = {
+                s.name: [
+                    r.asDict()
+                    for r in inc.generation_sample_added(
+                        spark, s.name, args.sample_added_from
+                    )
+                    .limit(args.sample_limit)
+                    .collect()
+                ]
+                for s in thetas
+            }
     out["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(out))
     spark.stop()
