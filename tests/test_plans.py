@@ -191,3 +191,40 @@ def test_register_sql_uses_int32_return_leg(spark, li):
     assert _nodes(plan, "ArrowEvalPython") == 1
     # the int32 UDF output is cast to bigint by the SQL wrapper
     assert "cast(pythonUDF" in plan and "as bigint" in plan
+
+
+def test_generation_analytics_resolve_plans(spark, tmp_path_factory):
+    """The added-sample resolve is a BROADCAST semi-join on (keys, hash)
+    and the heavy-gram resolve a BROADCAST join on gram_hash — the
+    driver-sized hash relations must never trigger a sort-merge join,
+    which at 10^12 rows would shuffle the whole resolve scan."""
+    from recsplit_spark.data import sequences
+    from recsplit_spark.sketches import heavy_ngrams_by_key
+    from recsplit_spark.sketches.incremental import IncrementalProfile
+    from recsplit_spark.sketches.multi import SketchSpec
+    from recsplit_spark.sketches.theta import ThetaSketch
+
+    root = tmp_path_factory.mktemp("plans_inc")
+    base = sequences(spark, 80, partitions=2)
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1
+    base.filter(~split).write.parquet(str(root / "b1"))
+    base.filter(split).write.parquet(str(root / "b2"))
+    inc = IncrementalProfile(
+        [SketchSpec("ids", ThetaSketch(k=4096), "doc_id")],
+        ["source"],
+        str(root / "prof"),
+    )
+    inc.update(spark, source=str(root / "b1"))
+    inc.update(spark, source=str(root / "b2"))
+    plan = _formatted_plan(inc.generation_sample_added(spark, "ids", 1))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+    # truncated tokens -> distinct grams below k, so MG retains items
+    # and the resolve join actually appears in the plan
+    short = base.withColumn("tokens", F.slice("tokens", 1, 10))
+    rows_plan = _formatted_plan(
+        heavy_ngrams_by_key(short, "tokens", 3, ["source"], k=512, top=3)
+    )
+    assert "BroadcastHashJoin" in rows_plan
+    assert "SortMergeJoin" not in rows_plan
