@@ -563,9 +563,10 @@ class IncrementalProfile:
         uniform sample (rate = the shared theta) of the added distinct
         universe. Resolution then scans ONLY the lineage files of
         generations (gen_old, gen_new] — every added value must occur
-        there — with a broadcast semi-join on (keys, hash): zero row
-        shuffle, driver footprint G x k, the corpus-so-far is never
-        re-read. "Pull a QA sample of the NEW documents / n-grams
+        there — via ``theta.resolve_hash_values``: one narrow distinct
+        of the resolve column plus a broadcast hash join (no wide or
+        sort-merge shuffle), driver footprint G x k, the corpus-so-far
+        never re-read. "Pull a QA sample of the NEW documents / n-grams
         yesterday's batches introduced, per source" from state tables
         plus one scan of the new files."""
         from pyspark.sql import functions as F
@@ -636,15 +637,9 @@ class IncrementalProfile:
                 hashes_df.join(F.broadcast(gram_map), "gram_hash")
                 .select(*keys, "gram")
             )
-        hashed = F.xxhash64(F.col(spec.col).cast("string"))
-        sel = [F.col(k).cast("string").alias(k) for k in keys] + [
-            F.col(spec.col)
-        ]
-        cand = corpus.select(*sel).distinct()
-        cond = [cand[k] == hashes_df[k] for k in keys] + [
-            hashed == hashes_df["h"]
-        ]
-        return cand.join(F.broadcast(hashes_df), cond, "left_semi")
+        from .theta import resolve_hash_values
+
+        return resolve_hash_values(corpus, spec.col, hashes_df, keys)
 
     def cms_generation_delta(self, spark, name: str, items, gen_old: int,
                              gen_new: int | None = None):
@@ -697,25 +692,24 @@ class IncrementalProfile:
             # cast AND hash via the engine itself, so the item's string
             # form is Spark's CAST (the fold-side cross-type contract),
             # never Python str() — str(True)/'True' vs CAST 'true', or
-            # float repr drift, would silently query the wrong cells
-            n_i = len(items)
-            row = (
-                spark.range(1)
-                .select(
-                    *[
-                        F.lit(v).cast("string").alias(f"s{i}")
-                        for i, v in enumerate(items)
-                    ],
-                    *[
-                        F.xxhash64(F.lit(v).cast("string")).alias(f"h{i}")
-                        for i, v in enumerate(items)
-                    ],
+            # float repr drift, would silently query the wrong cells.
+            # One ROW per item (items must share a type), not one column
+            # per item: thousands of items stay a constant-width plan.
+            got = {
+                r["i"]: r
+                for r in spark.createDataFrame(
+                    [(i, v) for i, v in enumerate(items)], ["i", "v"]
                 )
-                .collect()[0]
-            )
-            labels = [row[f"s{i}"] for i in range(n_i)]
+                .select(
+                    "i",
+                    F.col("v").cast("string").alias("s"),
+                    F.xxhash64(F.col("v").cast("string")).alias("h"),
+                )
+                .collect()
+            }
+            labels = [got[i]["s"] for i in range(len(items))]
             hashes = np.array(
-                [row[f"h{i}"] for i in range(n_i)], dtype=np.int64
+                [got[i]["h"] for i in range(len(items))], dtype=np.int64
             )
         keys = self.keys
         old = (

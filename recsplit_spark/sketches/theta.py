@@ -370,6 +370,32 @@ def distinct_sample(df, col: str, k: int = 256):
     )
 
 
+def resolve_hash_values(df, col: str, hashes_df, keys, hcol: str = "h"):
+    """Resolve per-key hash rows (``hashes_df``: keys... string, hcol
+    long) back to VALUES by scanning ``df`` — DataFrame[keys..., col].
+
+    Values match on the 64-bit hash ALONE (the stack-wide no-collision
+    assumption): a hash retained under a key was folded from that key's
+    rows, so its unique preimage in ``df`` IS that key's value — the
+    group attribution comes from the state-side rows. The df key
+    columns are deliberately NOT re-stringified and joined: the state
+    tables hold Python-``str`` key forms (``multi._stage1_by_key``)
+    while Spark's CAST disagrees for booleans ('True' vs 'true'),
+    floats ('1e-09' vs '1.0E-9') and NULL — a cast-side key-equality
+    join silently drops those groups. One narrow distinct of the
+    resolve column + a broadcast join; the state-side relation stays
+    driver/broadcast-sized (G x k)."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    cand = (
+        df.select(col)
+        .distinct()
+        .withColumn(hcol, F.xxhash64(F.col(col).cast("string")))
+    )
+    return cand.join(F.broadcast(hashes_df), hcol).select(*keys, col)
+
+
 def distinct_sample_by_key(df, col: str, keys, k: int = 64):
     """Per-group deterministic uniform distinct samples —
     DataFrame[keys..., col] with up to ``k`` sampled values per group.
@@ -378,12 +404,10 @@ def distinct_sample_by_key(df, col: str, keys, k: int = 64):
     bottom-k states (one ``states_by_key`` pass), the driver explodes
     them into a (keys..., hash) relation of at most G x k rows (exactly
     the state-table size it already collected), and scan 2 resolves
-    values with a broadcast join on (keys, hash). Keep G x k driver-
-    sized (it is the same footprint as the per-key state table itself);
-    for very large G, sample coarser groups or lower k.
+    values via :func:`resolve_hash_values`. Keep G x k driver-sized (it
+    is the same footprint as the per-key state table itself); for very
+    large G, sample coarser groups or lower k.
     """
-    from pyspark.sql import functions as F
-
     keys = list(keys)
     sk = ThetaSketch(k=max(8, k))
     rows = sk.states_by_key(df, col, keys).collect()
@@ -394,8 +418,4 @@ def distinct_sample_by_key(df, col: str, keys, k: int = 64):
             out.append(tuple(r[kc] for kc in keys) + (int(h.view(np.int64)),))
     schema = ", ".join(f"{kc} string" for kc in keys) + ", h long"
     hashes_df = df.sparkSession.createDataFrame(out, schema)
-    hashed = F.xxhash64(F.col(col).cast("string"))
-    sel = [F.col(kc).cast("string").alias(kc) for kc in keys] + [F.col(col)]
-    cand = df.select(*sel).distinct()
-    cond = [cand[kc] == hashes_df[kc] for kc in keys] + [hashed == hashes_df["h"]]
-    return cand.join(F.broadcast(hashes_df), cond, "left_semi")
+    return resolve_hash_values(df, col, hashes_df, keys)

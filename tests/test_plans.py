@@ -217,7 +217,7 @@ def test_generation_analytics_resolve_plans(spark, tmp_path_factory):
     inc.update(spark, source=str(root / "b1"))
     inc.update(spark, source=str(root / "b2"))
     plan = _formatted_plan(inc.generation_sample_added(spark, "ids", 1))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
     # truncated tokens -> distinct grams below k, so MG retains items

@@ -574,3 +574,29 @@ def test_distinct_sample_by_key(spark, sf_dir):
         assert len(set(sample)) == len(sample)
         for d in sample:
             assert (src, d) in ids
+
+
+def test_distinct_sample_by_key_non_string_keys(spark, sf_dir):
+    """Resolve must not re-stringify df's key columns: the state table
+    holds Python-str key forms ('True'), Spark CAST gives 'true' — a
+    cast-side key-equality join returned ZERO rows for boolean/float
+    group keys. The hash-only resolve attributes values from the state
+    side instead."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches import distinct_sample_by_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "long_doc", F.col("n_chars") > 500
+    )
+    out = distinct_sample_by_key(docs, "doc_id", ["long_doc"], k=8).collect()
+    groups = {r["long_doc"] for r in out}
+    # Python-str forms of the boolean groups, both populated
+    assert groups == {"True", "False"}
+    ids = {
+        (str(r["long_doc"]), r["doc_id"])
+        for r in docs.select("long_doc", "doc_id").distinct().collect()
+    }
+    assert len(out) == 16
+    for r in out:
+        assert (r["long_doc"], r["doc_id"]) in ids
