@@ -1106,6 +1106,58 @@ def _q_mphf_space_priority_bijection(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_incremental_mphf_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generational MPHF (incremental_mphf.py — NEW vs the reference,
+    whose RecSplitBuilder is one-shot): append the orders keys in three
+    batches, assert the union is a bijection onto [0, n), generation-0
+    ids are untouched by later appends, and fingerprint-routed ids equal
+    the exact generation-aware evaluation for every key (exception table
+    absorbs the ~2^-8 cross-generation filter false positives)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    keyed = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("g", F.pmod("o_orderkey", F.lit(3)).cast("int"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        inc = IncrementalMPHF(f"{tmp}/inc")
+        for g in range(3):
+            inc.append(keyed.filter(F.col("g") == g), "o_orderkey")
+        gen0 = keyed.filter("g = 0")
+        ids0 = inc.evaluate(gen0, "o_orderkey", "g", out_col="i")
+        stable = (
+            inc.route(ids0, "o_orderkey", out_col="i2")
+            .filter("i <> i2 or i2 is null")
+            .count()
+            == 0
+        )
+        both = inc.route(
+            inc.evaluate(keyed, "o_orderkey", "g", out_col="i_eval"),
+            "o_orderkey",
+            out_col="i_route",
+        ).select("i_eval", "i_route")
+        mismatches = both.filter("i_eval <> i_route or i_route is null").count()
+        return (
+            both.agg(
+                F.count("*").alias("n_keys"),
+                F.countDistinct("i_eval").alias("distinct_idx"),
+                F.min("i_eval").alias("min_idx"),
+                F.max("i_eval").alias("max_idx"),
+            )
+            .withColumn("route_mismatches", F.lit(mismatches).cast("long"))
+            .withColumn("gen0_ids_stable", F.lit(bool(stable)))
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+
+
 def _q_theta_pairwise_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed all-pairs group overlap (round-3 block path, forced
     explicitly regardless of group count): pairwise distinct-custkey
@@ -1871,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
         "mphf_leaf12_bijection": _q_mphf_leaf12_bijection,
         "mphf_space_priority_bijection": _q_mphf_space_priority_bijection,
+        "incremental_mphf_bijection": _q_incremental_mphf_bijection,
         "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "dedup_corpus_documents": _q_dedup_corpus_documents,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
@@ -1965,6 +2018,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS min_idx,"
             " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
             " TRUE AS rule_gen_2, TRUE AS smaller_than_default FROM orders"
+        ),
+        "incremental_mphf_bijection": (
+            "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_idx,"
+            " CAST(0 AS BIGINT) AS min_idx,"
+            " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
+            " CAST(0 AS BIGINT) AS route_mismatches,"
+            " TRUE AS gen0_ids_stable FROM orders"
         ),
         "theta_pairwise_priorities": (
             "WITH p AS (SELECT DISTINCT o_orderpriority AS k FROM orders)"

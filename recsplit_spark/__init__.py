@@ -27,4 +27,7 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name == "CheckpointedBuild":
         from .sketches.checkpoint import CheckpointedBuild
         return CheckpointedBuild
+    if name == "IncrementalMPHF":
+        from .incremental_mphf import IncrementalMPHF
+        return IncrementalMPHF
     raise AttributeError(name)

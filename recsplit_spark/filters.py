@@ -38,6 +38,64 @@ _MAGIC = b"MPFF"
 _HDR = struct.Struct("<4sBxxxQI")  # magic, fp_bits, n, desc_len
 
 
+def build_fingerprint_table(
+    df, key_col: str, desc: MPHFDescriptor, fp_seed: int, fp_bits: int
+) -> tuple[np.ndarray, int]:
+    """Distributed dense-fragment fingerprint assembly: the (n,) uint8
+    table for ``df``'s keys under ``desc``'s index mapping, fingerprints
+    hashed with ``fp_seed``. Shared by ``MPHFFilter.build`` and the
+    generational ``IncrementalMPHF`` (which pins ONE fp_seed across
+    generations so route probes hash the key once). Returns
+    ``(fp, n_fragments)``; see the module docstring for why the driver
+    receives n bytes in ~P rows, not n Rows."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << fp_bits) - 1
+    pairs = desc.evaluate(df, key_col, out_col="__idx").select(
+        "__idx",
+        key_sig_expr(key_col, fp_seed, desc.key_mode)
+        .bitwiseAND(F.lit(mask))
+        .alias("__fp"),
+    )
+    # Dense-fragment assembly: the MPHF is a bijection onto [0, n), so a
+    # range partition on __idx holds EVERY index in [min, max] of its
+    # span exactly once — sort within the task and the fingerprints are
+    # a contiguous byte slice of the final table. Driver receives one
+    # (idx_lo, packed bytes) row per partition: n bytes total.
+    spark = df.sparkSession
+    nparts = max(1, min(spark.sparkContext.defaultParallelism, max(1, desc.n // 65536)))
+
+    def _pack(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        idx = np.concatenate([c["__idx"].to_numpy() for c in chunks])
+        fpv = np.concatenate(
+            [c["__fp"].to_numpy().astype(np.uint8) for c in chunks]
+        )
+        order = np.argsort(idx)
+        idx = idx[order]
+        lo = int(idx[0])
+        if not (int(idx[-1]) - lo + 1 == len(idx)):
+            raise RuntimeError("fingerprint fragment not dense (corrupt MPHF?)")
+        yield pd.DataFrame({"idx_lo": [lo], "frag": [fpv[order].tobytes()]})
+
+    frags = (
+        pairs.repartitionByRange(nparts, "__idx")
+        .mapInPandas(_pack, schema="idx_lo long, frag binary")
+        .collect()
+    )
+    fp = np.zeros(desc.n, dtype=np.uint8)
+    total = 0
+    for r in frags:
+        frag = np.frombuffer(bytes(r["frag"]), dtype=np.uint8)
+        fp[r["idx_lo"] : r["idx_lo"] + len(frag)] = frag
+        total += len(frag)
+    if total != desc.n:
+        raise RuntimeError(f"fingerprint fragments cover {total} != {desc.n} keys")
+    return fp, len(frags)
+
+
 class MPHFFilter:
     """Exact-for-members membership filter over a fixed key set."""
 
@@ -59,57 +117,13 @@ class MPHFFilter:
     ) -> "MPHFFilter":
         if not (1 <= fp_bits <= 8):
             raise ValueError("fp_bits must be in [1, 8]")
-        from pyspark.sql import functions as F
-
         builder = builder or RecSplitBuilder(leaf_size, avg_bucket_size)
         desc = builder.build(df, key_col)
         fp_seed = desc.salt ^ 0x5F4A7C15
-        mask = (1 << fp_bits) - 1
-        pairs = desc.evaluate(df, key_col, out_col="__idx").select(
-            "__idx",
-            key_sig_expr(key_col, fp_seed, desc.key_mode)
-            .bitwiseAND(F.lit(mask))
-            .alias("__fp"),
-        )
-        # Dense-fragment assembly: the MPHF is a bijection onto [0, n), so a
-        # range partition on __idx holds EVERY index in [min, max] of its
-        # span exactly once — sort within the task and the fingerprints are
-        # a contiguous byte slice of the final table. Driver receives one
-        # (idx_lo, packed bytes) row per partition: n bytes total.
-        spark = df.sparkSession
-        nparts = max(1, min(spark.sparkContext.defaultParallelism, max(1, desc.n // 65536)))
-
-        def _pack(batches):
-            chunks = list(batches)
-            if not chunks:
-                return
-            idx = np.concatenate([c["__idx"].to_numpy() for c in chunks])
-            fpv = np.concatenate(
-                [c["__fp"].to_numpy().astype(np.uint8) for c in chunks]
-            )
-            order = np.argsort(idx)
-            idx = idx[order]
-            lo = int(idx[0])
-            if not (int(idx[-1]) - lo + 1 == len(idx)):
-                raise RuntimeError("fingerprint fragment not dense (corrupt MPHF?)")
-            yield pd.DataFrame({"idx_lo": [lo], "frag": [fpv[order].tobytes()]})
-
-        frags = (
-            pairs.repartitionByRange(nparts, "__idx")
-            .mapInPandas(_pack, schema="idx_lo long, frag binary")
-            .collect()
-        )
-        fp = np.zeros(desc.n, dtype=np.uint8)
-        total = 0
-        for r in frags:
-            frag = np.frombuffer(bytes(r["frag"]), dtype=np.uint8)
-            fp[r["idx_lo"] : r["idx_lo"] + len(frag)] = frag
-            total += len(frag)
-        if total != desc.n:
-            raise RuntimeError(f"fingerprint fragments cover {total} != {desc.n} keys")
+        fp, nfrags = build_fingerprint_table(df, key_col, desc, fp_seed, fp_bits)
         f = cls(desc, fp, fp_seed)
         f.fp_bits = fp_bits
-        f.n_build_fragments = len(frags)  # diagnostic: driver saw P rows, n bytes
+        f.n_build_fragments = nfrags  # diagnostic: driver saw P rows, n bytes
         return f
 
     fp_bits: int = 8

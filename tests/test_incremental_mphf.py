@@ -1,0 +1,209 @@
+"""IncrementalMPHF: stable ids under appends, exact routing, commit
+protocol. The reference has no appendable MPHF (RecSplitBuilder is
+one-shot); these tests pin the NEW contracts this repo adds on top:
+global bijection across generations, route == generation-aware evaluate
+for every appended key, exception-table exactness even at absurd
+false-positive rates, and the manifest/lineage/lock discipline shared
+with the other incremental surfaces."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recsplit_spark.incremental_mphf import IncrementalMPHF
+
+
+def _batch(spark, lo, hi, prefix="k"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("k")
+    )
+
+
+def _union_with_gen(batches):
+    out = None
+    for g, b in enumerate(batches):
+        t = b.withColumn("g", F.lit(g))
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def test_append_bijection_and_stable_ids(spark, tmp_path):
+    path = f"{tmp_path}/inc"
+    inc = IncrementalMPHF(path)
+    b0 = _batch(spark, 0, 4000)
+    b1 = _batch(spark, 4000, 6500)
+    b2 = _batch(spark, 6500, 8000)
+
+    m0 = inc.append(b0, "k")
+    assert (m0["gen"], m0["n"], m0["offset"]) == (0, 4000, 0)
+    ids_before = {
+        r["k"]: r["i"]
+        for r in inc.route(b0, "k", out_col="i").collect()
+    }
+
+    m1 = inc.append(b1, "k")
+    m2 = inc.append(b2, "k")
+    assert (m1["offset"], m2["offset"]) == (4000, 6500)
+
+    union = _union_with_gen([b0, b1, b2])
+    v = inc.verify_bijection(union, "k", "g")
+    assert v["ok"], v
+
+    # id stability: generation-0 ids are untouched by later appends
+    ids_after = {
+        r["k"]: r["i"]
+        for r in inc.route(b0, "k", out_col="i").collect()
+    }
+    assert ids_after == ids_before
+
+    # route == evaluate for every appended key (exceptions included)
+    both = inc.route(
+        inc.evaluate(union, "k", "g", out_col="i_eval"), "k", out_col="i_route"
+    )
+    assert both.filter("i_eval <> i_route or i_route is null").count() == 0
+
+    # a fresh handle reloads the committed state identically
+    inc2 = IncrementalMPHF(path)
+    assert inc2.total_keys(spark) == 8000
+    v2 = inc2.verify_bijection(union, "k", "g")
+    assert v2["ok"]
+    # descriptor + fingerprints: ~1.8 + 8 bits/key, small-n overhead aside
+    assert inc2.bits_per_key(spark) < 11.5
+
+
+def test_bigint_keys_and_nonmember_nulls(spark, tmp_path):
+    inc = IncrementalMPHF(f"{tmp_path}/inc", fp_bits=8)
+    b0 = spark.range(0, 3000).select((F.col("id") * 7).alias("k"))
+    b1 = spark.range(0, 2000).select((F.col("id") * 7 + 1).alias("k"))
+    inc.append(b0, "k")
+    inc.append(b1, "k")
+    union = _union_with_gen([b0, b1])
+    assert inc.verify_bijection(union, "k", "g")["ok"]
+
+    # non-members: route must agree with an independent numpy replay of
+    # the oldest-first fingerprint probe over the stored tables
+    non = spark.range(0, 800).select((F.col("id") * 7 + 3).alias("k"))
+    got = {
+        r["k"]: r["i"] for r in inc.route(non, "k", out_col="i").collect()
+    }
+    gens = inc._load_gens(spark)
+    sig_cols = [F.xxhash64(F.col("k").cast("long"), F.lit(g.salt)) for g in gens]
+    sig_cols.append(F.xxhash64(F.col("k").cast("long"), F.lit(inc.fp_seed)))
+    rows = non.select(F.col("k"), *sig_cols).collect()
+    mask = (1 << inc.fp_bits) - 1
+    n_fp = 0
+    for row in rows:
+        k = row[0]
+        want = np.uint8(row[1 + len(gens)] & mask)
+        expect = None
+        for gi, g in enumerate(gens):
+            sig = np.array([row[1 + gi]], dtype=np.int64)
+            idx = int(g.desc.evaluate_array(sig)[0])
+            if g.fp[idx] == want:
+                expect = g.offset + idx
+                break
+        assert got[k] == expect, (k, got[k], expect)
+        n_fp += expect is not None
+    # sanity: FP rate is in the right regime (expected ~800*2/256 = 6.25)
+    assert n_fp < 64
+
+
+def test_exceptions_exact_at_fp_bits_1(spark, tmp_path):
+    # fp_bits=1: HALF of all new keys false-positive each earlier filter,
+    # so the exception machinery carries real weight — route must still
+    # equal evaluate exactly for every key
+    inc = IncrementalMPHF(f"{tmp_path}/inc", fp_bits=1)
+    b0 = _batch(spark, 0, 1500)
+    b1 = _batch(spark, 1500, 2500)
+    b2 = _batch(spark, 2500, 3200)
+    inc.append(b0, "k", duplicate_guard=None)
+    m1 = inc.append(b1, "k", duplicate_guard=None)
+    m2 = inc.append(b2, "k", duplicate_guard=None)
+    # ~half of batch 1, ~3/4 of batch 2 must be exceptions
+    assert m1["n_exceptions"] > 350
+    assert m2["n_exceptions"] > 400
+    union = _union_with_gen([b0, b1, b2])
+    assert inc.verify_bijection(union, "k", "g")["ok"]
+    both = inc.route(
+        inc.evaluate(union, "k", "g", out_col="i_eval"), "k", out_col="i_route"
+    )
+    assert both.filter("i_eval <> i_route or i_route is null").count() == 0
+
+
+def test_duplicate_storm_raises(spark, tmp_path):
+    inc = IncrementalMPHF(f"{tmp_path}/inc")
+    b0 = _batch(spark, 0, 3000)
+    inc.append(b0, "k")
+    with pytest.raises(RuntimeError, match="duplicate keys across generations"):
+        inc.append(_batch(spark, 1000, 2500), "k")  # 1500 re-appended keys
+    # the failed append must not have committed anything
+    assert inc.total_keys(spark) == 3000
+    assert len(inc.generations(spark)) == 1
+    # and the lock must have been released
+    inc.append(_batch(spark, 3000, 3500), "k")
+    assert inc.total_keys(spark) == 3500
+
+
+def test_manifest_refusals(spark, tmp_path):
+    path = f"{tmp_path}/inc"
+    inc = IncrementalMPHF(path, fp_bits=8)
+    inc.append(_batch(spark, 0, 1000), "k")
+
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        IncrementalMPHF(path, fp_bits=4).append(_batch(spark, 1000, 1100), "k")
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        IncrementalMPHF(path, leaf_size=10).route(_batch(spark, 0, 10), "k")
+    # key-mode change is a config change too
+    longs = spark.range(5000, 5100).select(F.col("id").alias("k"))
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        IncrementalMPHF(path).append(longs, "k")
+
+    # committed generations with a deleted manifest are refused, not adopted
+    import shutil
+
+    shutil.rmtree(f"{path}/manifest")
+    with pytest.raises(RuntimeError, match="no readable manifest"):
+        IncrementalMPHF(path).append(_batch(spark, 1000, 1100), "k")
+
+    # a path with nothing committed refuses lookup outright
+    with pytest.raises(RuntimeError, match="append a first batch"):
+        IncrementalMPHF(f"{tmp_path}/fresh").route(_batch(spark, 0, 10), "k")
+
+
+def test_crash_window_orphan_is_overwritten(spark, tmp_path):
+    path = f"{tmp_path}/inc"
+    inc = IncrementalMPHF(path)
+    inc.append(_batch(spark, 0, 2000), "k")
+
+    # simulate a crash between the payload write and the lineage append:
+    # run a full append, then surgically delete its lineage row by
+    # rewriting lineage with only generation 0's rows
+    lineage = spark.read.parquet(f"{path}/lineage").filter("gen = 0")
+    rows = lineage.collect()
+    inc.append(_batch(spark, 2000, 3000), "k")
+    spark.createDataFrame(
+        rows, spark.read.parquet(f"{path}/lineage").schema
+    ).write.mode("overwrite").parquet(f"{path}/lineage")
+
+    # gen=1 payload exists on disk but is uncommitted: invisible
+    inc2 = IncrementalMPHF(path)
+    assert inc2.total_keys(spark) == 2000
+    assert len(inc2._load_gens(spark)) == 1
+
+    # the next append takes gen=1 again, overwriting the orphan payload
+    m = inc2.append(_batch(spark, 5000, 5800), "k")
+    assert (m["gen"], m["offset"], m["n"]) == (1, 2000, 800)
+    union = _union_with_gen([_batch(spark, 0, 2000), _batch(spark, 5000, 5800)])
+    assert inc2.verify_bijection(union, "k", "g")["ok"]
+
+
+def test_writer_lock(spark, tmp_path):
+    path = f"{tmp_path}/inc"
+    inc = IncrementalMPHF(path)
+    inc.append(_batch(spark, 0, 500), "k")
+    inc._acquire_lock(spark)  # another writer holds the lock
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        inc.append(_batch(spark, 500, 600), "k")
+    inc.break_lock(spark)
+    inc.append(_batch(spark, 500, 600), "k")
+    assert inc.total_keys(spark) == 600
