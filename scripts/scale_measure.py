@@ -356,14 +356,104 @@ def task_dedup01(cores: int) -> dict:
     return out
 
 
+def task_incmphf(n_per_gen: int, gens: int, cores: int, reps: int = 2) -> dict:
+    """Generational MPHF at scale: ``gens`` appends of ``n_per_gen``
+    string keys each, then best-of-N route (unknown generation:
+    fingerprint probe + exception join) and generation-aware evaluate
+    over the full union. Also records the cross-generation exception
+    counts vs their 2^-fp_bits expectation and the end-state bits/key."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-incmphf", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def batch(g):
+        return spark.range(
+            g * n_per_gen, (g + 1) * n_per_gen, 1, cores * 4
+        ).select(F.concat(F.lit("doc-"), F.col("id")).alias("k"))
+
+    tmp = tempfile.mkdtemp(prefix="incmphf_")
+    try:
+        inc = IncrementalMPHF(f"{tmp}/inc")
+        appends = []
+        probe_before = host_probe_ms()
+        for g in range(gens):
+            m = inc.append(batch(g), "k")
+            appends.append(
+                {
+                    "gen": m["gen"],
+                    "n": m["n"],
+                    "wall_s": round(m["wall_s"], 2),
+                    "n_exceptions": m["n_exceptions"],
+                    "expected_fp": round(m["expected_fp"], 1),
+                }
+            )
+        union = None
+        for g in range(gens):
+            t = batch(g).withColumn("g", F.lit(g))
+            union = t if union is None else union.unionByName(t)
+        union = union.cache()
+        n_total = union.count()
+
+        route_walls, eval_walls = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            n_null = (
+                inc.route(union, "k")
+                .filter("mphf_index IS NULL")
+                .count()
+            )
+            route_walls.append(time.time() - t0)
+            assert n_null == 0, n_null
+            t0 = time.time()
+            n_null = (
+                inc.evaluate(union, "k", "g")
+                .filter("mphf_index IS NULL")
+                .count()
+            )
+            eval_walls.append(time.time() - t0)
+            assert n_null == 0, n_null
+        v = inc.verify_bijection(union, "k", "g")
+        probe_after = host_probe_ms()
+        assert v["ok"], v
+        out = {
+            "task": "incmphf",
+            "n_per_gen": n_per_gen,
+            "gens": gens,
+            "n_total": n_total,
+            "appends": appends,
+            "route_sec_best": round(min(route_walls), 2),
+            "route_keys_per_sec": round(n_total / min(route_walls), 1),
+            "eval_sec_best": round(min(eval_walls), 2),
+            "eval_keys_per_sec": round(n_total / min(eval_walls), 1),
+            "bits_per_key": round(inc.bits_per_key(spark), 4),
+            "verified_bijection": True,
+            "probe_before": probe_before,
+            "probe_after": probe_after,
+            "cores": cores,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
-                 "smallrungs"],
+                 "smallrungs", "incmphf"],
     )
     ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--gens", type=int, default=3)
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -383,6 +473,8 @@ if __name__ == "__main__":
         res = task_ngramscale(args.n or 100_000, args.cores)
     elif args.task == "smallrungs":
         res = task_smallrungs(args.n or 16_000_000)
+    elif args.task == "incmphf":
+        res = task_incmphf(args.n or 2_000_000, args.gens, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
