@@ -228,3 +228,38 @@ def test_generation_analytics_resolve_plans(spark, tmp_path_factory):
     )
     assert "BroadcastHashJoin" in rows_plan
     assert "SortMergeJoin" not in rows_plan
+
+
+def test_incremental_mphf_lookup_plans(spark, tmp_path_factory):
+    """Generational-MPHF lookups must stay narrow: evaluate is a pure
+    projection (no join, no Exchange — the evaluators ride a broadcast
+    variable, not a plan node), and route adds at most one BROADCAST
+    hash join for the tiny exception relation — never a sort-merge join,
+    which would shuffle the whole probe scan at 10^12 rows."""
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+
+    root = tmp_path_factory.mktemp("plans_incmphf")
+    inc = IncrementalMPHF(str(root / "inc"), fp_bits=4)
+    b0 = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    b1 = spark.range(3000, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    inc.append(b0, "k")
+    m1 = inc.append(b1, "k")
+    assert m1["n_exceptions"] > 0  # fp_bits=4 makes the exception join real
+
+    union = b0.withColumn("g", F.lit(0)).unionByName(
+        b1.withColumn("g", F.lit(1))
+    )
+    eval_plan = _formatted_plan(inc.evaluate(union, "k", "g"))
+    assert _nodes(eval_plan, "Exchange") == 0
+    assert "Join" not in eval_plan
+
+    route_plan = _formatted_plan(inc.route(union, "k"))
+    assert "BroadcastHashJoin" in route_plan
+    assert "SortMergeJoin" not in route_plan
+    # the probed side itself is never exchanged (only the broadcast build
+    # side of the exception join may show its own exchange)
+    assert "Exchange hashpartitioning" not in route_plan
