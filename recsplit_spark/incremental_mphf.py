@@ -95,16 +95,17 @@ _LIN_SCHEMA = (
 class _Gen:
     """Driver-side handle of one committed generation (decoded once)."""
 
-    __slots__ = ("gen", "n", "offset", "salt", "desc", "fp")
+    __slots__ = ("gen", "n", "offset", "salt", "desc", "fp", "n_exc")
 
     def __init__(self, gen: int, n: int, offset: int, desc: MPHFDescriptor,
-                 fp: np.ndarray) -> None:
+                 fp: np.ndarray, n_exc: int) -> None:
         self.gen = gen
         self.n = n
         self.offset = offset
         self.salt = desc.salt
         self.desc = desc
         self.fp = fp
+        self.n_exc = n_exc
 
 
 class IncrementalMPHF:
@@ -235,7 +236,10 @@ class IncrementalMPHF:
                     f"(desc.n={desc.n}, lineage n={int(lr['n'])}, "
                     f"fp bytes={len(fp)})"
                 )
-            gens.append(_Gen(g, desc.n, int(lr["offset"]), desc, fp))
+            gens.append(
+                _Gen(g, desc.n, int(lr["offset"]), desc, fp,
+                     int(lr["n_exceptions"]))
+            )
         self._gens = gens
         return gens
 
@@ -308,6 +312,20 @@ class IncrementalMPHF:
             space_priority=self.space_priority,
         )
         desc = builder.build(df, key_col)
+        if desc.n == 0:
+            # Empty ingest batch: committing an n=0 generation would put a
+            # zero-bucket evaluator (and an empty fingerprint table) into
+            # every later probe broadcast, crashing all lookups. A no-op is
+            # the correct semantics — the next non-empty batch takes this
+            # generation number.
+            return {
+                "gen": None,
+                "n": 0,
+                "offset": offset,
+                "n_exceptions": 0,
+                "expected_fp": 0.0,
+                "wall_s": time.time() - t0,
+            }
         fp, _ = build_fingerprint_table(
             df, key_col, desc, self.fp_seed, self.fp_bits
         )
@@ -405,9 +423,7 @@ class IncrementalMPHF:
                 rem = rem[~m]
             return pa.array(hit)
 
-        args = [key_sig_expr(key_col, g.salt, self._key_mode) for g in gens]
-        args.append(key_sig_expr(key_col, self.fp_seed, self._key_mode))
-        return _any(*args)
+        return _any(*self._sig_args(key_col, gens))
 
     def _walk_udf(self, spark, gens: list[_Gen]):
         """The shared evaluate/route kernel: args are one signature column
@@ -459,27 +475,50 @@ class IncrementalMPHF:
         args.append(key_sig_expr(key_col, self.fp_seed, self._key_mode))
         return args
 
+    @staticmethod
+    def _coalesced(df, coalesce):
+        """The eval-side partition discipline of ``MPHFDescriptor.evaluate``
+        (per-task Arrow transport dominates; ~1.5 tasks/core wins):
+        ``'auto'`` → ``max(2, 3 * defaultParallelism // 2)``; an int is
+        used as-is; ``None`` leaves partitioning alone. Narrow — never an
+        Exchange — and never increases the partition count."""
+        if coalesce == "auto":
+            coalesce = max(
+                2, (3 * df.sparkSession.sparkContext.defaultParallelism) // 2
+            )
+        return df if coalesce is None else df.coalesce(int(coalesce))
+
     # -- lookup -------------------------------------------------------------------
     def evaluate(self, df, key_col: str, gen_col: str,
-                 out_col: str = "mphf_index"):
+                 out_col: str = "mphf_index",
+                 coalesce: int | str | None = None):
         """Exact global id for rows whose generation is known (the
         normal lake case: the ingest batch is a partition column or file
         lineage fact). One scan, no shuffle, no fingerprint check needed
         — within its generation the MPHF is a bijection by construction.
-        Rows with a NULL or out-of-range generation get NULL."""
+        Rows with a NULL, negative, or out-of-range generation get NULL.
+        ``coalesce``: see ``MPHFDescriptor.evaluate`` (``'auto'`` = ~1.5
+        tasks/core, the measured per-task-transport sweet spot)."""
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         gens = self._load_gens(spark)
         if not gens:
             return df.withColumn(out_col, F.lit(None).cast("long"))
+        df = self._coalesced(df, coalesce)
         walk = self._walk_udf(spark, gens)
-        hint = F.coalesce(F.col(gen_col).cast("long"), F.lit(-2))
+        # Negative user generations must NOT reach the kernel: -1 is the
+        # private probe sentinel route() uses, and a stray -1 here would
+        # silently give filter semantics (possibly-wrong ids) instead of
+        # the documented NULL.
+        gl = F.col(gen_col).cast("long")
+        hint = F.when(gl >= 0, gl).otherwise(F.lit(-2))
         return df.withColumn(
             out_col, walk(*self._sig_args(key_col, gens), hint)
         )
 
-    def route(self, df, key_col: str, out_col: str = "mphf_index"):
+    def route(self, df, key_col: str, out_col: str = "mphf_index",
+              coalesce: int | str | None = None):
         """Global id for keys of UNKNOWN generation: broadcast-join the
         exception table (keys known to false-positive an earlier
         generation), then probe generations oldest-first accepting the
@@ -493,6 +532,7 @@ class IncrementalMPHF:
         gens = self._load_gens(spark)
         if not gens:
             return df.withColumn(out_col, F.lit(None).cast("long"))
+        df = self._coalesced(df, coalesce)
         exc = self._exceptions(spark, gens)
         walk = self._walk_udf(spark, gens)
         cast_t = self._key_cast()
@@ -524,15 +564,11 @@ class IncrementalMPHF:
 
         from pyspark.sql import functions as F
 
-        # lineage already recorded n_exceptions per generation — skip the
-        # reads entirely (the common case) when every table is empty
-        by_gen = {
-            int(r["gen"]): int(r["n_exceptions"])
-            for r in self._lineage_rows(spark)
-        }
+        # lineage recorded n_exceptions per generation (cached on _Gen at
+        # load) — skip the reads entirely when every table is empty
         parts = []
         for g in gens:
-            if by_gen.get(g.gen, 0) == 0:
+            if g.n_exc == 0:
                 continue
             e = spark.read.parquet(f"{self.path}/gen={g.gen}/exceptions")
             parts.append(
@@ -575,12 +611,14 @@ class IncrementalMPHF:
             )
             .collect()[0]
         )
+        # F.sum over zero rows is NULL, not 0
+        nulls = int(r["nulls"]) if r["nulls"] is not None else 0
         ok = (
             r["rows"] == n
             and r["distinct"] == n
             and r["lo"] == 0
             and r["hi"] == n - 1
-            and r["nulls"] == 0
+            and nulls == 0
         )
         return {
             "ok": bool(ok),
@@ -589,5 +627,5 @@ class IncrementalMPHF:
             "distinct": int(r["distinct"]),
             "lo": int(r["lo"]) if r["lo"] is not None else None,
             "hi": int(r["hi"]) if r["hi"] is not None else None,
-            "nulls": int(r["nulls"]),
+            "nulls": nulls,
         }

@@ -197,6 +197,56 @@ def test_crash_window_orphan_is_overwritten(spark, tmp_path):
     assert inc2.verify_bijection(union, "k", "g")["ok"]
 
 
+def test_empty_batch_append_is_a_noop(spark, tmp_path):
+    # an empty ingest batch must NOT commit a generation: an n=0
+    # evaluator in the probe broadcast would crash every later lookup
+    inc = IncrementalMPHF(f"{tmp_path}/inc")
+    b0 = _batch(spark, 0, 1000)
+    inc.append(b0, "k")
+    m = inc.append(b0.filter("k = 'nope'"), "k")
+    assert (m["gen"], m["n"]) == (None, 0)
+    assert len(inc.generations(spark)) == 1
+    # lookups and the next real append are unaffected
+    b1 = _batch(spark, 1000, 1600)
+    m1 = inc.append(b1, "k")
+    assert (m1["gen"], m1["offset"]) == (1, 1000)
+    union = _union_with_gen([b0, b1])
+    assert inc.verify_bijection(union, "k", "g")["ok"]
+    assert inc.route(b1, "k").filter("mphf_index is null").count() == 0
+
+
+def test_evaluate_negative_gen_is_null_not_probe(spark, tmp_path):
+    # -1 is route()'s PRIVATE probe sentinel; a user column carrying -1
+    # (a common 'unknown' marker) must get the documented NULL, never
+    # fingerprint-probe semantics
+    inc = IncrementalMPHF(f"{tmp_path}/inc", fp_bits=1)
+    b0 = _batch(spark, 0, 2000)
+    inc.append(b0, "k")
+    # fp_bits=1: members would match their own filter with certainty,
+    # so any probe leak is guaranteed visible
+    bad = b0.withColumn("g", F.lit(-1))
+    out = inc.evaluate(bad, "k", "g", out_col="i")
+    assert out.filter("i is not null").count() == 0
+    # verify_bijection on an empty frame reports, not crashes
+    v = inc.verify_bijection(
+        b0.withColumn("g", F.lit(0)).filter("k = 'nope'"), "k", "g"
+    )
+    assert v["ok"] is False and v["rows"] == 0 and v["nulls"] == 0
+
+
+def test_lookup_coalesce_auto(spark, tmp_path):
+    inc = IncrementalMPHF(f"{tmp_path}/inc")
+    b0 = _batch(spark, 0, 2000)
+    inc.append(b0, "k")
+    wide = b0.repartition(64).withColumn("g", F.lit(0))
+    target = max(2, (3 * spark.sparkContext.defaultParallelism) // 2)
+    ev = inc.evaluate(wide, "k", "g", out_col="i", coalesce="auto")
+    assert ev.rdd.getNumPartitions() == min(64, target)
+    assert ev.filter("i is null").count() == 0
+    rt = inc.route(wide, "k", out_col="i", coalesce=8)
+    assert rt.filter("i is null").count() == 0
+
+
 def test_writer_lock(spark, tmp_path):
     path = f"{tmp_path}/inc"
     inc = IncrementalMPHF(path)
