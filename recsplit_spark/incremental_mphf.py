@@ -581,6 +581,92 @@ class IncrementalMPHF:
             return None
         return reduce(lambda a, b: a.unionByName(b), parts)
 
+    # -- compaction ---------------------------------------------------------------
+    def compact(self, df, key_col: str, out_path: str,
+                gen_col: str | None = None,
+                fp_bits: int | None = None,
+                leaf_size: int | None = None,
+                avg_bucket_size: int | None = None,
+                space_priority: bool | None = None):
+        """The planned re-key at the end of a generational window: rebuild
+        the WHOLE key universe as a single generation 0 at ``out_path``
+        and return ``(new_handle, remap)`` where ``remap`` is
+        ``DataFrame[key_col, old_id, new_id]`` — the table downstream
+        id-keyed artifacts (shard maps, dedup bitmaps, feature stores)
+        re-key through. After compaction, route cost drops from G probes
+        back to 1 and the exception table empties.
+
+        ``df`` must hold EXACTLY the appended key universe (the lake's key
+        column; compaction is the one operation that re-scans it). That is
+        enforced: a row count different from the committed total, or any
+        key the old structure cannot resolve, raises before anything is
+        visible at ``out_path``'s lineage. ``gen_col`` (when the lake
+        carries ingest lineage) routes old-id resolution through the exact
+        zero-probe ``evaluate`` path instead of ``route``.
+
+        Plan shape: ONE distributed RecSplit build + fingerprint pass over
+        ``df`` (the ``append``), then one scan of ``df`` carrying both
+        broadcast evaluator stacks — no shuffle, no join beyond the old
+        structure's broadcast exception table. The result is one
+        single-blob descriptor, the right shape up to the generational
+        window this class targets (~10^9 keys); past that, compact into a
+        ``BlockedMPHF`` instead (same planned re-key, per-block blobs)."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        gens = self._load_gens(spark)
+        if not gens:
+            raise RuntimeError("nothing committed to compact")
+        n_total = sum(g.n for g in gens)
+
+        new = IncrementalMPHF(
+            out_path,
+            leaf_size=self.leaf_size if leaf_size is None else leaf_size,
+            avg_bucket_size=(
+                self.avg_bucket_size if avg_bucket_size is None
+                else avg_bucket_size
+            ),
+            fp_bits=self.fp_bits if fp_bits is None else fp_bits,
+            space_priority=(
+                self.space_priority if space_priority is None
+                else space_priority
+            ),
+        )
+        if new._lineage_rows(spark):
+            raise RuntimeError(
+                f"compaction target {out_path} already has committed "
+                "generations; compact into a fresh path"
+            )
+
+        # Validate BEFORE the new structure commits: a wrong key set must
+        # raise with out_path's lineage still empty. (An in-batch
+        # duplicate additionally fails the append's own build, also
+        # pre-commit.)
+        if gen_col is not None:
+            old = self.evaluate(df, key_col, gen_col, out_col="old_id")
+        else:
+            old = self.route(df, key_col, out_col="old_id")
+        chk = old.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("old_id").isNull().cast("long")).alias("bad"),
+        ).collect()[0]
+        n_bad = int(chk["bad"]) if chk["bad"] is not None else 0
+        if int(chk["rows"]) != n_total or n_bad:
+            raise RuntimeError(
+                f"compaction key set ({int(chk['rows'])} rows, {n_bad} "
+                f"unresolvable in the old structure) is not the committed "
+                f"universe of {n_total} keys; df must be exactly the "
+                "appended key universe"
+            )
+
+        m = new.append(df, key_col)
+        assert m["n"] == n_total  # guaranteed by the row-count check
+        remap = new.evaluate(
+            old.withColumn("__g0", F.lit(0)), key_col, "__g0",
+            out_col="new_id",
+        ).select(key_col, "old_id", "new_id")
+        return new, remap
+
     # -- verification ---------------------------------------------------------------
     def verify_bijection(self, df, key_col: str, gen_col: str) -> dict:
         """Small/medium-scale global-bijection check via ``evaluate``:

@@ -247,6 +247,77 @@ def test_lookup_coalesce_auto(spark, tmp_path):
     assert rt.filter("i is null").count() == 0
 
 
+def test_compact_rekeys_whole_universe(spark, tmp_path):
+    # the planned end-of-window re-key: one generation 0 over everything,
+    # a remap table downstream artifacts re-key through, exceptions gone
+    inc = IncrementalMPHF(f"{tmp_path}/inc")
+    b0 = _batch(spark, 0, 2000)
+    b1 = _batch(spark, 2000, 3500)
+    b2 = _batch(spark, 3500, 4200)
+    for b in (b0, b1, b2):
+        inc.append(b, "k")
+    union = _union_with_gen([b0, b1, b2])
+
+    new, remap = inc.compact(union, "k", f"{tmp_path}/compacted", gen_col="g")
+    remap = remap.cache()
+    assert remap.count() == 4200
+    gens = new.generations(spark)
+    assert len(gens) == 1
+    assert gens[0]["n"] == 4200 and gens[0]["n_exceptions"] == 0
+    agg = remap.agg(
+        F.countDistinct("old_id").alias("od"),
+        F.countDistinct("new_id").alias("nd"),
+        F.min("new_id").alias("lo"),
+        F.max("new_id").alias("hi"),
+        F.sum(F.col("old_id").isNull().cast("long")).alias("null_old"),
+    ).collect()[0]
+    assert (agg["od"], agg["nd"], agg["lo"], agg["hi"]) == (4200, 4200, 0, 4199)
+    assert (agg["null_old"] or 0) == 0
+    # remap's old_id column IS what the old structure assigns, and new_id
+    # IS what the compacted structure assigns (route is exact for members)
+    old_chk = inc.route(remap, "k", out_col="old2")
+    assert old_chk.filter("old2 <> old_id or old2 is null").count() == 0
+    new_chk = new.route(remap, "k", out_col="new2")
+    assert new_chk.filter("new2 <> new_id or new2 is null").count() == 0
+    # the compacted structure is a global bijection, reloadable from disk
+    assert new.verify_bijection(union.withColumn("g", F.lit(0)), "k", "g")["ok"]
+    assert IncrementalMPHF(f"{tmp_path}/compacted").total_keys(spark) == 4200
+    remap.unpersist()
+
+
+def test_compact_validation_and_refusals(spark, tmp_path):
+    inc = IncrementalMPHF(f"{tmp_path}/inc")
+    b0 = _batch(spark, 0, 1500)
+    b1 = _batch(spark, 1500, 2400)
+    inc.append(b0, "k")
+    inc.append(b1, "k")
+    union = _union_with_gen([b0, b1])
+    out = f"{tmp_path}/c"
+
+    # a subset is not the committed universe (row-count gate)
+    with pytest.raises(RuntimeError, match="not the committed universe"):
+        inc.compact(b0, "k", out)
+    # unresolvable rows are caught even when the count matches: same rows,
+    # but one key's generation hint is out of range -> evaluate gives NULL
+    poisoned = union.withColumn(
+        "g", F.when(F.col("k") == "k0", F.lit(9)).otherwise(F.col("g"))
+    )
+    with pytest.raises(RuntimeError, match="not the committed universe"):
+        inc.compact(poisoned, "k", out, gen_col="g")
+
+    # failed validations left nothing committed at out: real compact works
+    new, remap = inc.compact(union, "k", out)
+    assert remap.count() == 2400
+    # compacting again into a committed path refuses
+    with pytest.raises(RuntimeError, match="already has committed"):
+        inc.compact(union, "k", out)
+    # a path with nothing committed cannot be compacted
+    with pytest.raises(RuntimeError, match="append a first batch"):
+        IncrementalMPHF(f"{tmp_path}/virgin").compact(
+            union, "k", f"{tmp_path}/c2"
+        )
+
+
 def test_writer_lock(spark, tmp_path):
     path = f"{tmp_path}/inc"
     inc = IncrementalMPHF(path)
