@@ -1158,6 +1158,50 @@ def _q_incremental_mphf_bijection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
 
+def _q_incremental_mphf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (incremental_mphf.compact — the planned end-of-window
+    re-key; no reference analogue): three appended generations of
+    customer keys rebuild as a single generation 0 with an
+    (old_id, new_id) remap table. Both id spaces are bijections onto
+    [0, n), the remap covers every key exactly once, and the compacted
+    structure carries one generation with zero exceptions."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    keyed = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+        .withColumn("g", F.pmod("c_custkey", F.lit(3)).cast("int"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        inc = IncrementalMPHF(f"{tmp}/inc")
+        for g in range(3):
+            inc.append(keyed.filter(F.col("g") == g), "c_custkey")
+        new, remap = inc.compact(
+            keyed, "c_custkey", f"{tmp}/compacted", gen_col="g"
+        )
+        remap = remap.localCheckpoint()  # materialize before tmp vanishes
+        gens = new.generations(spark)
+        single_gen = len(gens) == 1 and gens[0]["n_exceptions"] == 0
+        return (
+            remap.agg(
+                F.count("*").alias("n_keys"),
+                F.countDistinct("old_id").alias("distinct_old"),
+                F.countDistinct("new_id").alias("distinct_new"),
+                F.min("new_id").alias("min_new"),
+                F.max("new_id").alias("max_new"),
+            )
+            .withColumn("single_generation", F.lit(bool(single_gen)))
+            .localCheckpoint()
+        )
+
+
 def _q_theta_pairwise_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed all-pairs group overlap (round-3 block path, forced
     explicitly regardless of group count): pairwise distinct-custkey
@@ -1924,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mphf_leaf12_bijection": _q_mphf_leaf12_bijection,
         "mphf_space_priority_bijection": _q_mphf_space_priority_bijection,
         "incremental_mphf_bijection": _q_incremental_mphf_bijection,
+        "incremental_mphf_compaction": _q_incremental_mphf_compaction,
         "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "dedup_corpus_documents": _q_dedup_corpus_documents,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
@@ -2026,6 +2071,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
             " CAST(0 AS BIGINT) AS route_mismatches,"
             " TRUE AS gen0_ids_stable FROM orders"
+        ),
+        "incremental_mphf_compaction": (
+            "SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_old,"
+            " CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_new,"
+            " CAST(0 AS BIGINT) AS min_new,"
+            " CAST(count(DISTINCT c_custkey) - 1 AS BIGINT) AS max_new,"
+            " TRUE AS single_generation FROM customer"
         ),
         "theta_pairwise_priorities": (
             "WITH p AS (SELECT DISTINCT o_orderpriority AS k FROM orders)"

@@ -47,8 +47,9 @@ of the old data, ever. ``route``/``evaluate`` broadcast the decoded
 evaluators + fingerprint tables exactly like ``MPHFDescriptor.evaluate``
 (~``(0.3 + 1)`` bytes/key at fp_bits=8), so the generational window this
 targets is up to ~10^9 appended keys between full rebuilds; the 10^12
-base build remains ``BlockedMPHF``, and a periodic compaction is a
-normal blocked rebuild that re-keys consumers on a planned schedule.
+base build remains ``BlockedMPHF``, and the periodic re-key is
+``compact()`` — one rebuild of the whole universe plus an
+``(old_id, new_id)`` remap table consumers re-key through.
 Probe cost grows linearly in the number of generations (the JVM hashes
 one signature per generation per row; the Python side early-exits rows
 as they are claimed), so nightly appends with weekly compaction — G <=
