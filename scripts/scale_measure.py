@@ -445,12 +445,101 @@ def task_incmphf(n_per_gen: int, gens: int, cores: int, reps: int = 2) -> dict:
     return out
 
 
+def task_incmphf_compact(n_per_gen: int, gens: int, cores: int,
+                         reps: int = 2) -> dict:
+    """Compaction at scale: build ``gens`` generations, then time the
+    planned re-key — ``compact()`` (validation scan + one distributed
+    rebuild of the whole universe) plus remap materialization — and
+    contrast unknown-generation route throughput before (``gens`` filter
+    probes + exception join) vs after (single probe, no exceptions)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-incmphf-compact", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def batch(g):
+        return spark.range(
+            g * n_per_gen, (g + 1) * n_per_gen, 1, cores * 4
+        ).select(F.concat(F.lit("doc-"), F.col("id")).alias("k"))
+
+    tmp = tempfile.mkdtemp(prefix="incmphf_compact_")
+    try:
+        inc = IncrementalMPHF(f"{tmp}/inc")
+        for g in range(gens):
+            inc.append(batch(g), "k")
+        union = None
+        for g in range(gens):
+            t = batch(g).withColumn("g", F.lit(g))
+            union = t if union is None else union.unionByName(t)
+        union = union.cache()
+        n_total = union.count()
+
+        probe_before = host_probe_ms()
+
+        def best_route(handle):
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                n_null = (
+                    handle.route(union, "k")
+                    .filter("mphf_index IS NULL")
+                    .count()
+                )
+                walls.append(time.time() - t0)
+                assert n_null == 0, n_null
+            return min(walls)
+
+        route_old = best_route(inc)
+
+        t0 = time.time()
+        new, remap = inc.compact(union, "k", f"{tmp}/compacted", gen_col="g")
+        n_remap = remap.count()
+        compact_s = time.time() - t0
+        assert n_remap == n_total, (n_remap, n_total)
+
+        route_new = best_route(new)
+        v = new.verify_bijection(union.withColumn("g", F.lit(0)), "k", "g")
+        probe_after = host_probe_ms()
+        assert v["ok"], v
+        out = {
+            "task": "incmphf_compact",
+            "n_per_gen": n_per_gen,
+            "gens": gens,
+            "n_total": n_total,
+            "compact_sec": round(compact_s, 2),
+            "compact_keys_per_sec": round(n_total / compact_s, 1),
+            "route_gens_sec_best": round(route_old, 2),
+            "route_compacted_sec_best": round(route_new, 2),
+            "route_speedup": round(route_old / route_new, 2),
+            "bits_per_key_before": round(inc.bits_per_key(spark), 4),
+            "bits_per_key_after": round(new.bits_per_key(spark), 4),
+            "n_exceptions_after": sum(
+                g["n_exceptions"] for g in new.generations(spark)
+            ),
+            "verified_bijection": True,
+            "probe_before": probe_before,
+            "probe_after": probe_after,
+            "cores": cores,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
-                 "smallrungs", "incmphf"],
+                 "smallrungs", "incmphf", "incmphf_compact"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -475,6 +564,8 @@ if __name__ == "__main__":
         res = task_smallrungs(args.n or 16_000_000)
     elif args.task == "incmphf":
         res = task_incmphf(args.n or 2_000_000, args.gens, args.cores)
+    elif args.task == "incmphf_compact":
+        res = task_incmphf_compact(args.n or 2_000_000, args.gens, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
