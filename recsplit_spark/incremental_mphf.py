@@ -262,6 +262,21 @@ class IncrementalMPHF:
         rows = self._lineage_rows(spark)
         return int(rows[-1]["offset"] + rows[-1]["n"]) if rows else 0
 
+    def last_stream_batch_id(self, spark) -> int:
+        """Highest structured-streaming batch id committed via
+        ``append(..., stream_batch_id=...)``; -1 if none. The id is
+        folded into the lineage ``run_id`` (``sb<id>:<uuid>``), so the
+        replay marker commits ATOMICALLY with the generation itself —
+        there is no sidecar state that can disagree with the data."""
+        best = -1
+        for r in self._lineage_rows(spark):
+            rid = r["run_id"] or ""
+            if rid.startswith("sb"):
+                head = rid[2:].split(":", 1)[0]
+                if head.isdigit():
+                    best = max(best, int(head))
+        return best
+
     def bits_per_key(self, spark) -> float:
         gens = self._load_gens(spark)
         n = sum(g.n for g in gens)
@@ -272,9 +287,21 @@ class IncrementalMPHF:
         return "long" if self._key_mode == 1 else "string"
 
     # -- append -----------------------------------------------------------------
-    def append(self, df, key_col: str, duplicate_guard: float | None = 8.0):
+    def append(self, df, key_col: str, duplicate_guard: float | None = 8.0,
+               stream_batch_id: int | None = None):
         """Commit one new batch of keys as the next generation; returns
         metrics ``{gen, n, offset, n_exceptions, expected_fp, wall_s}``.
+
+        ``stream_batch_id`` makes the append idempotent under structured
+        streaming's foreachBatch replay: the id is committed inside the
+        lineage row (``run_id = sb<id>:<uuid>``), and an append whose id
+        is <= the highest committed one returns a
+        ``{skipped_replay: True}`` no-op instead of double-assigning ids.
+        Because the marker IS the lineage row, a crash anywhere in the
+        payload-then-lineage window replays cleanly: before the lineage
+        write the generation never committed (orphan dir, rebuilt); after
+        it the replay is skipped. Ids must be delivered in nondecreasing
+        order (structured streaming's contract per checkpoint).
 
         Keys must be distinct within the batch (the build salt re-rolls
         then raises, like the reference) AND never appended before —
@@ -294,15 +321,31 @@ class IncrementalMPHF:
         self._check_or_write_manifest(spark, key_mode)
         self._acquire_lock(spark)
         try:
-            return self._append_locked(df, key_col, duplicate_guard, t0)
+            return self._append_locked(
+                df, key_col, duplicate_guard, t0, stream_batch_id
+            )
         finally:
             self._release_lock(spark)
 
-    def _append_locked(self, df, key_col, duplicate_guard, t0):
+    def _append_locked(self, df, key_col, duplicate_guard, t0,
+                       stream_batch_id=None):
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         self._gens = None
+        if (
+            stream_batch_id is not None
+            and stream_batch_id <= self.last_stream_batch_id(spark)
+        ):
+            return {
+                "gen": None,
+                "n": 0,
+                "offset": self.total_keys(spark),
+                "n_exceptions": 0,
+                "expected_fp": 0.0,
+                "wall_s": time.time() - t0,
+                "skipped_replay": True,
+            }
         earlier = self._load_gens(spark)
         gen = earlier[-1].gen + 1 if earlier else 0
         offset = earlier[-1].offset + earlier[-1].n if earlier else 0
@@ -373,9 +416,11 @@ class IncrementalMPHF:
             "gen int, n long, offset long, desc binary, fp binary",
         ).coalesce(1).write.mode("overwrite").parquet(f"{gdir}/blob")
         wall = time.time() - t0
+        run_id = uuid.uuid4().hex
+        if stream_batch_id is not None:
+            run_id = f"sb{int(stream_batch_id)}:{run_id}"
         spark.createDataFrame(
-            [(gen, desc.n, offset, desc.salt, n_exc,
-              uuid.uuid4().hex, wall)],
+            [(gen, desc.n, offset, desc.salt, n_exc, run_id, wall)],
             _LIN_SCHEMA,
         ).write.mode("append").parquet(f"{self.path}/lineage")
         self._gens = None

@@ -39,6 +39,65 @@ def _feed(series, ngram: int | None):
     return series_window_hashes(series, ngram)
 
 
+class StreamingMPHFIngest:
+    """Structured-streaming ingest into an ``IncrementalMPHF``: each
+    micro-batch of NEW keys commits as the next generation, so stable
+    ``[0, n)`` ids are assigned as data arrives.
+
+    The reference cannot do this at all — its MPHF needs a closed key
+    set (``simple/recsplit.md:51-54``; ``RecSplitBuilder.generate`` is
+    one-shot) — and unlike the sketches there is no monoid to lean on:
+    a generation commit assigns ids, so a replayed micro-batch must be
+    SKIPPED, never re-appended (one key, two ids). Replay safety
+    therefore rides the structure's own lineage, not a sidecar file:
+    ``append(stream_batch_id=...)`` folds the batch id into the lineage
+    ``run_id``, making the replay marker atomic with the generation
+    commit. That holds even if the streaming checkpoint itself is lost
+    and the source replays from batch 0 (tested) — strictly stronger
+    than ``StreamingSketch``'s ``(last_batch_id, state)`` sidecar.
+
+    Usage::
+
+        ingest = StreamingMPHFIngest(IncrementalMPHF(path), "doc_id")
+        q = ingest.start(stream_df, checkpoint_dir="/ckpt/ids")
+        q.awaitTermination()
+        ingest.inc.route(df, "doc_id")   # ids for everything ingested
+
+    Batches must contain only never-seen keys (the lake-append contract
+    ``IncrementalMPHF.append`` documents; its duplicate-storm guard
+    fires otherwise). Empty micro-batches are no-ops.
+    """
+
+    def __init__(self, inc, key_col: str,
+                 duplicate_guard: float | None = 8.0) -> None:
+        self.inc = inc
+        self.key_col = key_col
+        self.duplicate_guard = duplicate_guard
+        self.metrics: list[dict] = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        m = self.inc.append(
+            batch_df,
+            self.key_col,
+            duplicate_guard=self.duplicate_guard,
+            stream_batch_id=batch_id,
+        )
+        self.metrics.append(m)
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        """Attach to a streaming DataFrame and start the query. Default
+        trigger is ``availableNow=True`` (drain what exists, then stop)."""
+        if not trigger:
+            trigger = {"availableNow": True}
+        w = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .trigger(**trigger)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+
+
 class StreamingSketch:
     """Incrementally folds a stream into one sketch state via foreachBatch.
 

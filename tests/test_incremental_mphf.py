@@ -328,3 +328,39 @@ def test_writer_lock(spark, tmp_path):
     inc.break_lock(spark)
     inc.append(_batch(spark, 500, 600), "k")
     assert inc.total_keys(spark) == 600
+
+
+def test_stream_batch_id_makes_append_idempotent(spark, tmp_path):
+    """The replay marker commits inside the lineage row: an append whose
+    stream_batch_id is <= the highest committed one is a skipped no-op,
+    while a fresh id appends normally — even interleaved with plain
+    (non-stream) appends, whose uuid run_ids never parse as markers."""
+    path = f"{tmp_path}/inc"
+    inc = IncrementalMPHF(path)
+    b0 = _batch(spark, 0, 2000)
+    b1 = _batch(spark, 2000, 3000)
+
+    m0 = inc.append(b0, "k", stream_batch_id=0)
+    assert m0["gen"] == 0 and "skipped_replay" not in m0
+    assert inc.last_stream_batch_id(spark) == 0
+
+    # replayed micro-batch: skipped, nothing committed
+    m0r = inc.append(b0, "k", stream_batch_id=0)
+    assert m0r["skipped_replay"] and m0r["gen"] is None
+    assert inc.total_keys(spark) == 2000
+
+    # a plain append in between does not disturb the stream marker
+    mplain = inc.append(_batch(spark, 9000, 9500), "k")
+    assert mplain["gen"] == 1
+    assert inc.last_stream_batch_id(spark) == 0
+
+    m1 = inc.append(b1, "k", stream_batch_id=1)
+    assert m1["gen"] == 2 and m1["offset"] == 2500
+    # replays of BOTH stream batches now skip
+    assert inc.append(b0, "k", stream_batch_id=0)["skipped_replay"]
+    assert inc.append(b1, "k", stream_batch_id=1)["skipped_replay"]
+    assert inc.total_keys(spark) == 3500
+
+    union = _union_with_gen([b0, _batch(spark, 9000, 9500), b1])
+    v = inc.verify_bijection(union, "k", "g")
+    assert v["ok"], v

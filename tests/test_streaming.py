@@ -343,3 +343,52 @@ def test_stateful_by_key_ngram_matches_batch_aggregate(
     assert len(got) == 4
     for srcname, row in got.iterrows():
         assert row["estimate"] == pytest.approx(want.loc[srcname, "estimate"])
+
+
+def test_streaming_mphf_ingest_survives_checkpoint_loss(spark, staged_dir, tmp_path):
+    """Stream ingest assigns stable [0, n) ids one generation per
+    micro-batch; replay safety rides the structure's own lineage, so even
+    LOSING the streaming checkpoint (source re-delivers from batch 0)
+    cannot double-assign ids."""
+    from pyspark.sql import functions as F
+
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.streaming import StreamingMPHFIngest
+
+    inc = IncrementalMPHF(f"{tmp_path}/ids")
+    ingest = StreamingMPHFIngest(inc, "doc_id")
+    q = ingest.start(_read_stream(spark, staged_dir),
+                     checkpoint_dir=f"{tmp_path}/ckpt1")
+    q.awaitTermination(180)
+    assert len(ingest.metrics) == 3
+    assert sorted(m["n"] for m in ingest.metrics) == [10_000] * 3
+    assert inc.total_keys(spark) == 30_000
+
+    full = spark.read.parquet(staged_dir)
+    out = inc.route(full, "doc_id")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mphf_index").alias("d"),
+        F.min("mphf_index").alias("lo"),
+        F.max("mphf_index").alias("hi"),
+        F.sum(F.col("mphf_index").isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"], agg["nulls"]) == (
+        30_000, 30_000, 0, 29_999, 0,
+    )
+    id_sum_before = out.agg(F.sum("mphf_index")).collect()[0][0]
+
+    # checkpoint loss: a FRESH checkpoint dir re-delivers batches 0..2
+    ingest2 = StreamingMPHFIngest(IncrementalMPHF(f"{tmp_path}/ids"), "doc_id")
+    q2 = ingest2.start(_read_stream(spark, staged_dir),
+                       checkpoint_dir=f"{tmp_path}/ckpt2")
+    q2.awaitTermination(180)
+    assert ingest2.metrics and all(
+        m.get("skipped_replay") for m in ingest2.metrics
+    )
+    inc3 = IncrementalMPHF(f"{tmp_path}/ids")
+    assert inc3.total_keys(spark) == 30_000
+    id_sum_after = inc3.route(full, "doc_id").agg(
+        F.sum("mphf_index")
+    ).collect()[0][0]
+    assert id_sum_after == id_sum_before
