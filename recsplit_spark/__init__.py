@@ -30,4 +30,7 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name == "IncrementalMPHF":
         from .incremental_mphf import IncrementalMPHF
         return IncrementalMPHF
+    if name in ("StreamingSketch", "StreamingMPHFIngest"):
+        from . import streaming
+        return getattr(streaming, name)
     raise AttributeError(name)
