@@ -1272,6 +1272,48 @@ def _q_dedup_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (`pipeline.incremental_dedup.IncrementalDedup`):
+    documents arrive as three id-ordered batches; each append dedups the
+    batch against the persisted kept-corpus LSH state (band + signature
+    tables — old TEXT is never rescanned) plus itself, and commits the
+    survivors as the next generation. On this clique fixture (planted
+    near-exact copies) the union of kept sets equals the one-shot
+    `dedup_corpus` answer, so the oracle is the SAME recursive-CTE
+    exact-Jaccard CC dedup as `dedup_corpus_documents` — the strongest
+    available check that batching the arrival changed nothing. Banding
+    pinned recall-first (64 hashes, 32 bands -> r=2) like the other
+    dedup oracle queries."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+    with tempfile.TemporaryDirectory() as tmp:
+        inc = IncrementalDedup(
+            f"{tmp}/dd", threshold=0.8, num_hashes=64, bands=32, shingle=5
+        )
+        for i in range(3):
+            inc.append(
+                docs.filter(
+                    (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+                ),
+                "doc_id",
+                "text",
+            )
+        kept = inc.kept_ids(spark)
+        return kept.agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.col("id").cast("bigint")).alias("kept_id_sum"),
+        ).localCheckpoint()  # materialize before the temp dir vanishes
+
+
 def _q_onepass_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused one-pass profiling: HLL(doc_id) + CMS(source) + KLL(n_chars)
     + Bloom(doc_id) folded in a SINGLE scan of documents
@@ -1971,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_mphf_compaction": _q_incremental_mphf_compaction,
         "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "dedup_corpus_documents": _q_dedup_corpus_documents,
+        "incremental_dedup_documents": _q_incremental_dedup_documents,
         "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
@@ -2312,6 +2355,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_documents": _lang_id_oracle(),
         "dedup_corpus_documents": (
+            "WITH RECURSIVE sh AS ("
+            " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
+            " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3)) AS i) g),"
+            " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+            " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id),"
+            " pairs AS (SELECT id_a, id_b FROM inter"
+            "  JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b"
+            "  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " cc(id, label) AS ("
+            "  SELECT DISTINCT src, src FROM edges"
+            "  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id),"
+            " labels AS (SELECT id, min(label) AS rep FROM cc GROUP BY id),"
+            " dropped AS (SELECT id FROM labels WHERE id <> rep)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_kept,"
+            " CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS kept_id_sum"
+            " FROM documents"
+            " WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT id FROM dropped)"
+        ),
+        # incremental arrival == one-shot dedup on the clique fixture:
+        # the oracle is the same exact-Jaccard recursive-CTE CC dedup
+        "incremental_dedup_documents": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
             " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3)) AS i) g),"

@@ -390,14 +390,16 @@ def minhash_lsh_pairs(
     return _banded_pairs(sig, id_col, num_hashes, bands, bucket_cap)
 
 
-def _banded_pairs(sig, id_col: str, num_hashes: int, bands: int, bucket_cap: int):
-    """LSH banding over a precomputed ``minhash`` signature column."""
+def _band_rows(sig, id_col: str, num_hashes: int, bands: int):
+    """DataFrame[id, band, band_key] from a ``minhash`` signature column —
+    the LSH bucket membership relation (pure Column exprs; band keys are
+    xxhash64 over each signature slice, seeded by the band index)."""
     from pyspark.sql import functions as F
 
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -408,6 +410,11 @@ def _banded_pairs(sig, id_col: str, num_hashes: int, bands: int, bucket_cap: int
             )
         ).alias("band", "band_key"),
     )
+
+
+def _banded_pairs(sig, id_col: str, num_hashes: int, bands: int, bucket_cap: int):
+    """LSH banding over a precomputed ``minhash`` signature column."""
+    banded = _band_rows(sig, id_col, num_hashes, bands)
     return _bucket_candidate_pairs(banded, id_col, bucket_cap)
 
 

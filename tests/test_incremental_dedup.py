@@ -1,0 +1,206 @@
+"""IncrementalDedup: near-dedup of arriving batches against the persisted
+kept-corpus LSH state, without rescanning old documents. Pins the NEW
+contracts: cross-batch duplicates drop against state alone, within-batch
+clusters resolve to their min-id rep, id-ordered batch feeding reproduces
+the one-shot ``dedup_corpus`` kept set on clique fixtures, and the
+manifest / lineage / lock / stream-replay discipline shared with the
+other incremental structures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recsplit_spark.pipeline.dedup import dedup_corpus
+from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+
+# recall-first banding (r=2) so LSH candidate recall is ~1 on the
+# fixtures and the kept set is decided by verification alone — the same
+# pinning the dedup oracle queries use.
+CFG = dict(threshold=0.8, num_hashes=64, bands=32, shingle=5)
+
+
+def _word(i):
+    return f"w{i % 97}x{i % 89}"
+
+
+def _base_text(cluster, n_words=120):
+    # long deterministic text per cluster: a one-word perturbation moves
+    # only ~shingle of ~n_words*8 char shingles => Jaccard ~0.99
+    c = sum(ord(ch) * (i + 1) for i, ch in enumerate(str(cluster)))
+    return " ".join(_word(c * 131 + j * 7) for j in range(n_words))
+
+
+def _doc(doc_id, cluster=None, variant=0):
+    if cluster is None:
+        # unique doc: id-seeded word soup, pairwise Jaccard ~0
+        text = " ".join(
+            _word(doc_id * 997 + j * 13 + 5) for j in range(60)
+        ) + f" unique{doc_id}"
+        return (doc_id, text)
+    words = _base_text(cluster).split()
+    if variant:
+        words[3 * variant % len(words)] = f"v{variant}q{cluster}"
+    return (doc_id, " ".join(words))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedups_within_and_across_batches(spark, tmp_path):
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    # batch 0: cluster A {0,1}, uniques 2,3
+    b0 = _df(spark, [_doc(0, "A", 0), _doc(1, "A", 1), _doc(2), _doc(3)])
+    kept0, m0 = inc.append(b0, "doc_id", "text")
+    assert m0["gen"] == 0 and m0["n_in"] == 4
+    assert sorted(r["doc_id"] for r in kept0.collect()) == [0, 2, 3]
+    assert m0["n_kept"] == 3 and m0["n_matched_old"] == 0
+    assert m0["n_clusters"] == 1
+
+    # batch 1: new copy of cluster A (drops vs state), new cluster B {11,12}
+    # (one survives), unique 13
+    b1 = _df(
+        spark,
+        [_doc(10, "A", 2), _doc(11, "B", 0), _doc(12, "B", 3), _doc(13)],
+    )
+    kept1, m1 = inc.append(b1, "doc_id", "text")
+    assert m1["gen"] == 1
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [11, 13]
+    assert m1["n_matched_old"] == 1  # doc 10 hit the kept corpus
+
+    # batch 2: copies of BOTH kept reps drop; a cluster where one member
+    # matches old drops the WHOLE cluster (20 ~ A kept-rep, 21 ~ 20)
+    b2 = _df(
+        spark,
+        [_doc(20, "A", 4), _doc(21, "A", 5), _doc(22, "B", 6), _doc(23)],
+    )
+    kept2, m2 = inc.append(b2, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [23]
+
+    assert inc.total_kept(spark) == 6
+    all_kept = sorted(r["id"] for r in inc.kept_ids(spark).collect())
+    assert all_kept == [0, 2, 3, 11, 13, 23]
+    gens = inc.generations(spark)
+    assert [g["gen"] for g in gens] == [0, 1, 2]
+    assert [g["n_kept"] for g in gens] == [3, 2, 1]
+
+
+def test_matches_batch_dedup_corpus_on_id_ordered_batches(spark, tmp_path):
+    """On a clique fixture (near-exact copies), feeding id-ordered batches
+    reproduces the one-shot dedup_corpus kept set exactly: the earliest
+    batch containing any cluster member contains its min id, so the
+    incremental rep == the batch-mode min-id rep."""
+    rows = []
+    did = 0
+    for c in range(6):
+        for v in range(4):  # 4 near-copies per cluster, ids interleaved
+            rows.append(_doc(did, f"C{c}", v))
+            did += 1
+    for _ in range(16):
+        rows.append(_doc(did))
+        did += 1
+    corpus = _df(spark, rows)
+
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(corpus, "doc_id", "text", **CFG).collect()
+    )
+
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    splits = [(0, 13), (13, 27), (27, 40)]
+    for lo, hi in splits:
+        inc.append(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            "doc_id",
+            "text",
+        )
+    inc_kept = sorted(r["id"] for r in inc.kept_ids(spark).collect())
+    assert inc_kept == batch_kept
+
+
+def test_stream_replay_skips_and_reproduces_kept(spark, tmp_path):
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    b0 = _df(spark, [_doc(0, "A", 0), _doc(1, "A", 1), _doc(2)])
+    kept0, m0 = inc.append(b0, "doc_id", "text", stream_batch_id=0)
+    assert not m0["skipped_replay"] and m0["gen"] == 0
+    want = sorted(r["doc_id"] for r in kept0.collect())
+
+    # replay: nothing committed, kept set recomputed FROM STATE
+    kept_r, m_r = inc.append(b0, "doc_id", "text", stream_batch_id=0)
+    assert m_r["skipped_replay"] and m_r["gen"] == 0
+    assert sorted(r["doc_id"] for r in kept_r.collect()) == want
+    assert inc.total_kept(spark) == 2
+    assert len(inc.generations(spark)) == 1
+
+    b1 = _df(spark, [_doc(10, "A", 2), _doc(11)])
+    _, m1 = inc.append(b1, "doc_id", "text", stream_batch_id=1)
+    assert not m1["skipped_replay"] and m1["gen"] == 1
+    assert inc.last_stream_batch_id(spark) == 1
+    # both ids now replay as skips
+    assert inc.append(b0, "doc_id", "text", stream_batch_id=0)[1][
+        "skipped_replay"
+    ]
+    assert inc.append(b1, "doc_id", "text", stream_batch_id=1)[1][
+        "skipped_replay"
+    ]
+    assert inc.total_kept(spark) == 3
+
+
+def test_manifest_refuses_config_change(spark, tmp_path):
+    path = f"{tmp_path}/dd"
+    inc = IncrementalDedup(path, **CFG)
+    inc.append(_df(spark, [_doc(0), _doc(1)]), "doc_id", "text")
+    other = IncrementalDedup(path, threshold=0.8, num_hashes=64, bands=16,
+                             shingle=5)
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        other.append(_df(spark, [_doc(2)]), "doc_id", "text")
+    # same config reopens fine
+    again = IncrementalDedup(path, **CFG)
+    _, m = again.append(_df(spark, [_doc(3)]), "doc_id", "text")
+    assert m["gen"] == 1
+
+
+def test_writer_lock(spark, tmp_path):
+    path = f"{tmp_path}/dd"
+    inc = IncrementalDedup(path, **CFG)
+    inc.append(_df(spark, [_doc(0)]), "doc_id", "text")
+    inc._acquire_lock(spark)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        inc.append(_df(spark, [_doc(1)]), "doc_id", "text")
+    inc.break_lock(spark)
+    _, m = inc.append(_df(spark, [_doc(1)]), "doc_id", "text")
+    assert m["gen"] == 1
+
+
+def test_token_mode(spark, tmp_path):
+    """Token-shingle mode over array<int> payloads (the north-rule
+    column): same semantics, Arrow token kernels underneath."""
+    def tok_doc(doc_id, cluster=None, variant=0):
+        if cluster is None:
+            toks = [(doc_id * 7919 + j * 31) % 50021 for j in range(80)]
+        else:
+            toks = [(cluster * 104729 + j * 17) % 50021 for j in range(80)]
+            if variant:
+                toks[(5 * variant) % 80] = 50021 + variant
+        return (doc_id, toks)
+
+    df0 = spark.createDataFrame(
+        [tok_doc(0, 1, 0), tok_doc(1, 1, 1), tok_doc(2)],
+        "doc_id long, tokens array<int>",
+    )
+    df1 = spark.createDataFrame(
+        [tok_doc(10, 1, 2), tok_doc(11)],
+        "doc_id long, tokens array<int>",
+    )
+    inc = IncrementalDedup(f"{tmp_path}/dd", mode="tokens", **CFG)
+    kept0, m0 = inc.append(df0, "doc_id", "tokens")
+    assert sorted(r["doc_id"] for r in kept0.collect()) == [0, 2]
+    kept1, m1 = inc.append(df1, "doc_id", "tokens")
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [11]
+    assert m1["n_matched_old"] == 1
+
+
+def test_duplicate_ids_within_batch_raise(spark, tmp_path):
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    dup = _df(spark, [_doc(0), (0, "another text entirely different")])
+    with pytest.raises(ValueError, match="distinct within the batch"):
+        inc.append(dup, "doc_id", "text")
