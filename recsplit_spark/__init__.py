@@ -30,7 +30,10 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name == "IncrementalMPHF":
         from .incremental_mphf import IncrementalMPHF
         return IncrementalMPHF
-    if name in ("StreamingSketch", "StreamingMPHFIngest"):
+    if name in ("StreamingSketch", "StreamingMPHFIngest", "StreamingDedupIngest"):
         from . import streaming
         return getattr(streaming, name)
+    if name == "IncrementalDedup":
+        from .pipeline.incremental_dedup import IncrementalDedup
+        return IncrementalDedup
     raise AttributeError(name)

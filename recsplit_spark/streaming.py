@@ -98,6 +98,66 @@ class StreamingMPHFIngest:
         return w.start()
 
 
+class StreamingDedupIngest:
+    """Structured-streaming near-dedup: each micro-batch is deduped
+    against the persisted kept-corpus LSH state (plus itself) by
+    ``IncrementalDedup.append`` and the SURVIVORS are written to
+    ``out_dir/batch=<id>/`` — the deduplicated training corpus, built as
+    data arrives, with old documents never rescanned.
+
+    Exactly-once output without a transactional sink: the dedup state is
+    the source of truth (the batch-id marker commits inside its lineage,
+    same design as ``StreamingMPHFIngest``), and the kept output is a
+    deterministic FUNCTION of (batch rows, committed generation) written
+    with ``mode="overwrite"`` into a per-batch subdirectory. Any replay —
+    including after the kept-write crashed, or after the streaming
+    checkpoint itself is lost — recomputes the same kept set from state
+    and overwrites the same path (tested). Readers take the whole
+    ``out_dir`` as one parquet corpus.
+
+    Usage::
+
+        ingest = StreamingDedupIngest(
+            IncrementalDedup(state_path), "doc_id", "text", "/lake/clean"
+        )
+        q = ingest.start(stream_df, checkpoint_dir="/ckpt/dedup")
+        q.awaitTermination()
+        clean = spark.read.parquet("/lake/clean")   # deduped corpus
+    """
+
+    def __init__(self, inc, id_col: str, content_col: str,
+                 out_dir: str | None = None) -> None:
+        self.inc = inc
+        self.id_col = id_col
+        self.content_col = content_col
+        self.out_dir = out_dir.rstrip("/") if out_dir else None
+        self.metrics: list[dict] = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        kept, m = self.inc.append(
+            batch_df, self.id_col, self.content_col,
+            stream_batch_id=batch_id,
+        )
+        if self.out_dir is not None and m["gen"] is not None:
+            kept.write.mode("overwrite").parquet(
+                f"{self.out_dir}/batch={int(batch_id)}"
+            )
+        self.metrics.append(m)
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        """Attach to a streaming DataFrame and start the query. Default
+        trigger is ``availableNow=True`` (drain what exists, then stop)."""
+        if not trigger:
+            trigger = {"availableNow": True}
+        w = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .trigger(**trigger)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+
+
 class StreamingSketch:
     """Incrementally folds a stream into one sketch state via foreachBatch.
 

@@ -392,3 +392,77 @@ def test_streaming_mphf_ingest_survives_checkpoint_loss(spark, staged_dir, tmp_p
         F.sum("mphf_index")
     ).collect()[0][0]
     assert id_sum_after == id_sum_before
+
+
+def test_streaming_dedup_ingest_exactly_once_output(spark, tmp_path):
+    """Streaming near-dedup: survivors of each micro-batch land in
+    out/batch=<id>; replay after checkpoint loss recomputes the SAME kept
+    sets from the dedup state and overwrites the same paths — the output
+    corpus never gains a duplicate or loses a survivor."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.streaming import StreamingDedupIngest
+
+    def word(i):
+        return f"t{i % 83}u{i % 79}"
+
+    def text(cluster=None, uid=0):
+        if cluster is None:
+            return " ".join(word(uid * 991 + 17 * j) for j in range(60))
+        return " ".join(word(cluster * 127 + 7 * j) for j in range(120)) + (
+            f" tail{uid}" if uid else ""
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # file 0: cluster 1 twice + 2 uniques; file 1: cluster-1 copy (dups
+    # vs state) + new cluster 2 + unique; file 2: copies of both kept
+    # reps + unique
+    files = [
+        [(0, text(1)), (1, text(1, 1)), (2, text(uid=2)), (3, text(uid=3))],
+        [(10, text(1, 2)), (11, text(2)), (12, text(2, 3)), (13, text(uid=13))],
+        [(20, text(1, 4)), (21, text(2, 5)), (22, text(uid=22))],
+    ]
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            src / f"part-{i}.parquet", index=False
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    state = f"{tmp_path}/dd"
+    out = f"{tmp_path}/clean"
+    cfg = dict(threshold=0.8, num_hashes=64, bands=32, shingle=5)
+    ing = StreamingDedupIngest(
+        IncrementalDedup(state, **cfg), "doc_id", "text", out
+    )
+    q = ing.start(stream(), checkpoint_dir=f"{tmp_path}/ckpt1")
+    q.awaitTermination(180)
+    assert len(ing.metrics) == 3 and not any(
+        m["skipped_replay"] for m in ing.metrics
+    )
+    want = [0, 2, 3, 11, 13, 22]
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == want
+
+    # checkpoint loss: the source replays every batch; output is unchanged
+    ing2 = StreamingDedupIngest(
+        IncrementalDedup(state, **cfg), "doc_id", "text", out
+    )
+    q2 = ing2.start(stream(), checkpoint_dir=f"{tmp_path}/ckpt2")
+    q2.awaitTermination(180)
+    assert ing2.metrics and all(m["skipped_replay"] for m in ing2.metrics)
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert again == want
+    assert IncrementalDedup(state, **cfg).total_kept(spark) == len(want)
