@@ -263,3 +263,66 @@ def test_incremental_mphf_lookup_plans(spark, tmp_path_factory):
     # the probed side itself is never exchanged (only the broadcast build
     # side of the exception join may show its own exchange)
     assert "Exchange hashpartitioning" not in route_plan
+
+
+def test_incremental_dedup_verification_is_jvm_side(spark, tmp_path_factory):
+    """Candidate verification (signature-agreement Jaccard) must stay
+    Column exprs: the ONLY Python in an append's new-vs-old path is the
+    one Arrow/pandas signature kernel over the NEW batch. A zip_with
+    regressing to a row-at-a-time Python UDF is the 100-TB candidate
+    verify bill."""
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    tmp = tmp_path_factory.mktemp("incdd")
+    inc = IncrementalDedup(f"{tmp}/dd", threshold=0.8, num_hashes=64,
+                           bands=32)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 31 + j) % 500}" for j in range(80)))
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    inc.append(docs, "doc_id", "text")
+
+    batch = spark.createDataFrame(
+        [(100 + i, " ".join(f"w{(i * 37 + j) % 500}" for j in range(80)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    sig = inc._signatures(batch, "doc_id", "text").withColumnRenamed(
+        "doc_id", "id"
+    ).persist()
+    sig.count()  # the real append materializes the persist the same way
+    from recsplit_spark.pipeline.dedup import _band_rows
+
+    cand = (
+        _band_rows(sig, "id", 64, 32)
+        .withColumnRenamed("id", "id_a")
+        .join(
+            spark.read.parquet(f"{tmp}/dd/gen=0/bands")
+            .withColumnRenamed("id", "id_b"),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    old_sigs = spark.read.parquet(f"{tmp}/dd/gen=0/sigs")
+    plan = _formatted_plan(inc._verified(cand, sig, old_sigs))
+    sig.unpersist()
+    # no executed Python stage in the verify plan: the batch signatures
+    # come from the materialized cache (InMemoryTableScan — the lone
+    # MapInPandas node is the InMemoryRelation's cached-plan provenance,
+    # not an execution stage), the state side from parquet, and the
+    # agreement filter is Column exprs
+    n_py = (
+        _nodes(plan, "BatchEvalPython")
+        + _nodes(plan, "ArrowEvalPython")
+        + _nodes(plan, "MapInArrow")
+        + _nodes(plan, "PythonMapInArrow")
+    )
+    assert n_py == 0, plan
+    assert _nodes(plan, "MapInPandas") <= 1, plan
+    assert _nodes(plan, "InMemoryTableScan") >= 2
+    # the persisted state side is a pure parquet scan feeding the joins
+    assert _nodes(plan, "Scan parquet") >= 2
