@@ -340,17 +340,22 @@ class IncrementalDedup:
         lineage = self._lineage_rows(spark)
         gen = int(lineage[-1]["gen"]) + 1 if lineage else 0
 
-        n_in = df.count()
+        sig = self._signatures(df, id_col, content_col).withColumnRenamed(
+            id_col, "id"
+        ).persist()
+        # one action materializes the persist AND yields both counts
+        # (signature rows are 1:1 with input rows)
+        cnt = sig.agg(
+            F.count("*").alias("n"), F.countDistinct("id").alias("d")
+        ).collect()[0]
+        n_in, n_distinct = int(cnt["n"]), int(cnt["d"])
         if n_in == 0:
+            sig.unpersist()
             return df, {
                 "gen": None, "n_in": 0, "n_kept": 0, "n_matched_old": 0,
                 "n_clusters": 0, "wall_s": time.time() - t0,
                 "skipped_replay": False,
             }
-        sig = self._signatures(df, id_col, content_col).withColumnRenamed(
-            id_col, "id"
-        ).persist()
-        n_distinct = sig.select("id").distinct().count()  # also materializes
         if n_distinct != n_in:
             sig.unpersist()
             raise ValueError(
@@ -401,12 +406,17 @@ class IncrementalDedup:
         cand_new = _banded_pairs(
             sig, "id", self.num_hashes, self.bands, self.bucket_cap
         )
-        verified_new = self._verified(cand_new, sig, sig)
-        clusters = connected_components(verified_new).persist()
-        n_clustered = clusters.count()
-        n_clusters = (
-            clusters.select("rep").distinct().count() if n_clustered else 0
-        )
+        verified_new = self._verified(cand_new, sig, sig).persist()
+        if verified_new.count() == 0:
+            # clean-corpus common case: skip the CC driver loop entirely
+            clusters = spark.createDataFrame([], "id long, rep long").persist()
+            n_clusters = 0
+        else:
+            clusters = connected_components(verified_new).persist()
+            n_clusters = int(
+                clusters.agg(F.countDistinct("rep")).collect()[0][0]
+            )
+        verified_new.unpersist()
 
         # -- resolution: a cluster touching the old corpus drops whole;
         # otherwise its min-id rep survives; unpaired docs drop iff matched
@@ -465,6 +475,59 @@ class IncrementalDedup:
             "wall_s": wall,
             "skipped_replay": False,
         }
+
+    # -- consolidation ------------------------------------------------------------
+    def consolidate(self, spark, new_path: str) -> "IncrementalDedup":
+        """Planned rewrite of the accumulated per-generation state dirs
+        into ONE generation at ``new_path`` (returns the new handle) —
+        the small-files compaction a nightly cadence needs (365 appends =
+        365 sig + 365 band dirs; every append unions them all). One
+        distributed read+write of the KB-scale state tables, no corpus
+        scan and no re-verification: the kept set is already mutually
+        non-duplicate, so consolidation is pure relocation. The stream
+        replay high-water mark is carried forward in the single lineage
+        row's ``run_id`` so a later ``StreamingDedupIngest`` resume
+        against the consolidated path still skips replayed batches.
+        The old path is left untouched (same contract as
+        ``IncrementalMPHF.compact``: consumers repoint when ready)."""
+        self._check_or_write_manifest(spark)
+        rows = self._lineage_rows(spark)
+        if not rows:
+            raise RuntimeError(f"nothing committed at {self.path}")
+        new_path = new_path.rstrip("/")
+        if _dir_exists(spark, f"{new_path}/lineage"):
+            raise RuntimeError(
+                f"consolidate target {new_path} already has committed "
+                "generations; use a fresh path"
+            )
+        new = IncrementalDedup(
+            new_path,
+            threshold=self.threshold,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            shingle=self.shingle,
+            mode=self.mode,
+            bucket_cap=self.bucket_cap,
+            state_bucket_cap=self.state_bucket_cap,
+        )
+        new._check_or_write_manifest(spark)
+        t0 = time.time()
+        sigs = spark.read.parquet(*self._committed_paths(spark, "sigs"))
+        sigs.write.mode("overwrite").parquet(f"{new_path}/gen=0/sigs")
+        spark.read.parquet(*self._committed_paths(spark, "bands")).write.mode(
+            "overwrite"
+        ).parquet(f"{new_path}/gen=0/bands")
+        n_kept = sum(int(r["n_kept"]) for r in rows)
+        n_in = sum(int(r["n_in"]) for r in rows)
+        hw = self.last_stream_batch_id(spark)
+        run_id = uuid.uuid4().hex
+        if hw >= 0:
+            run_id = f"sb{hw}:{run_id}"
+        spark.createDataFrame(
+            [(0, n_in, n_kept, 0, 0, run_id, time.time() - t0)],
+            _LIN_SCHEMA,
+        ).write.mode("append").parquet(f"{new_path}/lineage")
+        return new
 
     def _replayed_gen(self, spark, stream_batch_id: int):
         """(gen, lineage_row) of the generation a replayed micro-batch

@@ -356,6 +356,160 @@ def task_dedup01(cores: int) -> dict:
     return out
 
 
+def task_incdedup(gens: int, cores: int) -> dict:
+    """Incremental near-dedup at sf0.1: documents arrive as ``gens``
+    id-ordered batches; each ``IncrementalDedup.append`` dedups the batch
+    against the persisted kept-state (band + sig tables) plus itself —
+    old text is never rescanned. Recorded against BOTH alternatives: the
+    one-shot backfill (``dedup_corpus`` once over everything) and the
+    naive nightly (re-running ``dedup_corpus`` over the full prefix per
+    batch — the rescan cost incremental exists to delete). Default
+    threshold-derived banding on all three, so the comparison is config-
+    identical."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.dedup import dedup_corpus
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-incdedup", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+    n_docs = docs.count()
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // gens for i in range(gens)] + [hi + 1]
+
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    oneshot = dedup_corpus(docs, "doc_id", "text")
+    oneshot_kept = sorted(r["doc_id"] for r in oneshot.select("doc_id").collect())
+    oneshot_s = time.time() - t0
+
+    appends = []
+    tmp = tempfile.mkdtemp(dir="/root/repo/.scale_tmp")
+    try:
+        inc = IncrementalDedup(f"{tmp}/dd", threshold=0.8)
+        t_inc = time.time()
+        for i in range(gens):
+            b = docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            _, m = inc.append(b, "doc_id", "text")
+            appends.append(
+                {"gen": m["gen"], "n_in": m["n_in"], "n_kept": m["n_kept"],
+                 "n_matched_old": m["n_matched_old"],
+                 "wall_s": round(m["wall_s"], 1)}
+            )
+        inc_total_s = time.time() - t_inc
+        inc_kept = sorted(r["id"] for r in inc.kept_ids(spark).collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    naive_s = []
+    for i in range(gens):  # the nightly rescan this module replaces
+        prefix = docs.filter(F.col("doc_id") < cuts[i + 1])
+        t0 = time.time()
+        dedup_corpus(prefix, "doc_id", "text").count()
+        naive_s.append(round(time.time() - t0, 1))
+    probe_after = host_probe_ms()
+
+    out = {
+        "task": "incdedup",
+        "n_docs": n_docs,
+        "gens": gens,
+        "appends": appends,
+        "incremental_total_sec": round(inc_total_s, 1),
+        "incremental_kept": len(inc_kept),
+        "oneshot_sec": round(oneshot_s, 1),
+        "oneshot_kept": len(oneshot_kept),
+        "kept_sets_equal": inc_kept == oneshot_kept,
+        "naive_prefix_rescan_sec": naive_s,
+        "naive_total_sec": round(sum(naive_s), 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
+def task_incdedup_tokens(n_docs: int, gens: int, cores: int) -> dict:
+    """Incremental-dedup COST crossover on the token payload: ``n_docs``
+    deterministic sequences (mostly unique — the honest worst case for
+    state growth, since nearly everything is kept) arrive as ``gens``
+    hash-partitioned batches. Incremental total (one signature pass per
+    batch + state joins) vs the naive nightly (token_dedup_corpus re-run
+    over the FULL prefix per batch — O(G*N) doc scans vs incremental's
+    O(N)); at 1000-doc batches (task incdedup) the per-append fixed cost
+    hides this, at 50k-doc batches the rescan volume dominates."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.dedup import token_dedup_corpus
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-incdedup-tok", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    df = (
+        sequences(spark, n_docs, partitions=max(cores * 2, 8))
+        .withColumn("id", F.xxhash64("doc_id"))
+        .withColumn("part", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(gens)))
+        .persist()
+    )
+    df.count()
+
+    probe_before = host_probe_ms()
+    appends = []
+    tmp = tempfile.mkdtemp(dir="/root/repo/.scale_tmp")
+    try:
+        inc = IncrementalDedup(f"{tmp}/dd", threshold=0.8, mode="tokens")
+        t_inc = time.time()
+        for i in range(gens):
+            _, m = inc.append(
+                df.filter(F.col("part") == i), "id", "tokens"
+            )
+            appends.append(
+                {"gen": m["gen"], "n_in": m["n_in"], "n_kept": m["n_kept"],
+                 "wall_s": round(m["wall_s"], 1)}
+            )
+        inc_total_s = time.time() - t_inc
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    naive_s = []
+    for i in range(gens):
+        prefix = df.filter(F.col("part") <= i)
+        t0 = time.time()
+        token_dedup_corpus(prefix, "id", "tokens").count()
+        naive_s.append(round(time.time() - t0, 1))
+    probe_after = host_probe_ms()
+    df.unpersist()
+
+    out = {
+        "task": "incdedup_tokens",
+        "n_docs": n_docs,
+        "gens": gens,
+        "appends": appends,
+        "incremental_total_sec": round(inc_total_s, 1),
+        "naive_prefix_rescan_sec": naive_s,
+        "naive_total_sec": round(sum(naive_s), 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
 def task_incmphf(n_per_gen: int, gens: int, cores: int, reps: int = 2) -> dict:
     """Generational MPHF at scale: ``gens`` appends of ``n_per_gen``
     string keys each, then best-of-N route (unknown generation:
@@ -539,7 +693,7 @@ if __name__ == "__main__":
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
-                 "smallrungs", "incmphf", "incmphf_compact"],
+                 "smallrungs", "incmphf", "incmphf_compact", "incdedup", "incdedup_tokens"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -566,6 +720,10 @@ if __name__ == "__main__":
         res = task_incmphf(args.n or 2_000_000, args.gens, args.cores)
     elif args.task == "incmphf_compact":
         res = task_incmphf_compact(args.n or 2_000_000, args.gens, args.cores)
+    elif args.task == "incdedup":
+        res = task_incdedup(args.gens, args.cores)
+    elif args.task == "incdedup_tokens":
+        res = task_incdedup_tokens(args.n or 200_000, args.gens, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate

@@ -204,3 +204,36 @@ def test_duplicate_ids_within_batch_raise(spark, tmp_path):
     dup = _df(spark, [_doc(0), (0, "another text entirely different")])
     with pytest.raises(ValueError, match="distinct within the batch"):
         inc.append(dup, "doc_id", "text")
+
+
+def test_consolidate_single_generation_same_behavior(spark, tmp_path):
+    """Consolidation rewrites G state dirs into one generation at a new
+    path: same kept set, same dedup decisions afterwards, stream replay
+    high-water mark carried forward."""
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    inc.append(_df(spark, [_doc(0, "A", 0), _doc(1, "A", 1), _doc(2)]),
+               "doc_id", "text", stream_batch_id=0)
+    inc.append(_df(spark, [_doc(10, "B", 0), _doc(11)]),
+               "doc_id", "text", stream_batch_id=1)
+
+    new = inc.consolidate(spark, f"{tmp_path}/dd2")
+    assert len(new.generations(spark)) == 1
+    assert sorted(r["id"] for r in new.kept_ids(spark).collect()) == sorted(
+        r["id"] for r in inc.kept_ids(spark).collect()
+    )
+    assert new.last_stream_batch_id(spark) == 1
+    # replays against the consolidated path still skip
+    _, m = new.append(_df(spark, [_doc(0, "A", 0)]), "doc_id", "text",
+                      stream_batch_id=1)
+    assert m["skipped_replay"]
+    # dedup vs consolidated state behaves identically: copies of both
+    # kept reps drop, fresh doc survives
+    kept, m2 = new.append(
+        _df(spark, [_doc(20, "A", 3), _doc(21, "B", 2), _doc(22)]),
+        "doc_id", "text", stream_batch_id=2,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [22]
+    assert m2["n_matched_old"] == 2
+    # target-occupied refusal
+    with pytest.raises(RuntimeError, match="already has committed"):
+        inc.consolidate(spark, f"{tmp_path}/dd2")
