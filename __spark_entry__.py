@@ -453,6 +453,55 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appendable IVF vector store (`pipeline.incremental_ann.IncrementalANN`):
+    embeddings arrive as three id-range batches, each append = one
+    broadcast assign pass + a centroid-partitioned write (old vectors
+    never touched); search prunes to the probe set's partitions across
+    ALL generations. With nprobe == n_centroids the probe set is every
+    bucket, so the store's top-5 must equal the EXACT cosine top-5 —
+    which DuckDB verifies value-for-value (vec_id + cosine to 3 dp;
+    the 5th-vs-6th margin on the fixture is ~5e-3, far above float
+    noise)."""
+    import tempfile
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    idx = IVFIndex(n_centroids=8, nprobe=8).fit(emb, "embedding")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+    with tempfile.TemporaryDirectory() as tmp:
+        inc = IncrementalANN(f"{tmp}/ann", index=idx)
+        for i in range(3):
+            inc.append(
+                emb.filter(
+                    (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+                ),
+                "vec_id",
+                "embedding",
+            )
+        top = inc.search(spark, q, k=5)
+        return (
+            top.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.round(F.col("cosine") * 1000).cast("long").alias("cos_milli"),
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+
+
 def _q_ann_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same recall contract as ann_ivf_recall, but through the DISTRIBUTED
     training path (round 4: hash-threshold seeding + mapInArrow Lloyd
@@ -2038,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "incremental_ann_search": _q_incremental_ann_search,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
@@ -2332,6 +2382,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_distributed_recall": (
             "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
+        ),
+        # all-bucket probe => the incremental store's top-5 IS the exact
+        # cosine top-5; DuckDB verifies values, not just recall booleans
+        "incremental_ann_search": (
+            "SELECT vec_id, cos_milli FROM ("
+            " SELECT CAST(b.vec_id AS BIGINT) AS vec_id,"
+            " CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 1000)"
+            "   AS BIGINT) AS cos_milli"
+            " FROM embeddings a, embeddings b WHERE a.vec_id = 3"
+            " ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC"
+            " LIMIT 5) ORDER BY vec_id"
         ),
         "top_tokens": (
             "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM"

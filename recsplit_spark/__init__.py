@@ -36,4 +36,7 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name == "IncrementalDedup":
         from .pipeline.incremental_dedup import IncrementalDedup
         return IncrementalDedup
+    if name == "IncrementalANN":
+        from .pipeline.incremental_ann import IncrementalANN
+        return IncrementalANN
     raise AttributeError(name)

@@ -2,4 +2,11 @@
 text analysis (token counts, quality, language ID, fingerprints),
 similarity search (brute-force cosine + IVF), multimodal column plumbing."""
 
-from . import ann, dedup, incremental_dedup, multimodal, text  # noqa: F401
+from . import (  # noqa: F401
+    ann,
+    dedup,
+    incremental_ann,
+    incremental_dedup,
+    multimodal,
+    text,
+)

@@ -1,0 +1,256 @@
+"""Incremental ANN: an appendable, persisted IVF vector store.
+
+``IVFIndex`` gives the pieces (fit / assign / pruned search) but leaves
+the bucketed data table to the caller; on an append-only lake that table
+must GROW without reassigning what was already ingested, and a nightly
+re-`assign` of the whole corpus is the same O(corpus)-per-batch cost
+profile the rest of the incremental family
+(``sketches/incremental.IncrementalProfile``,
+``incremental_mphf.IncrementalMPHF``, ``pipeline/incremental_dedup``)
+exists to avoid.
+
+``IncrementalANN`` persists, per committed generation, the new batch's
+vectors written PARTITIONED BY ``centroid_id`` under
+``<path>/vectors/gen=N/centroid_id=C``; the fitted index itself is saved
+once at first append under ``<path>/index``. Each ``append`` costs one
+``assign`` pass over the NEW batch (broadcast centroids, Arrow matmul
+kernel) plus one partitioned write — old vectors are never touched.
+``search`` reads only the lineage-committed generation dirs with the
+``centroid_id IN (probe set)`` filter, so partition pruning keeps the
+scan at ``nprobe/k`` of the stored corpus regardless of how many
+generations accumulated.
+
+The centroid set is the bucket contract: vectors assigned under one
+index are unreadable under another (the probe set would look in the
+wrong buckets), so the manifest pins a fingerprint of the centroid
+bytes (plus id/vector column names) and refuses appends with a
+different index — the exact analogue of the banding pin in
+``IncrementalDedup`` and the rule-generation pin in the MPHF
+descriptors. Centroid drift (the ingest distribution wandering away
+from the fitted centroids) degrades recall, not correctness; the
+planned re-key is: fit a fresh index, re-``assign`` the corpus once,
+start a new store — the same compaction cadence as
+``IncrementalMPHF.compact``.
+
+Commit protocol: identical to the siblings — payload dir first, lineage
+row second (committed set DEFINED by lineage; orphaned ``gen=N`` dirs
+from a crash are invisible and overwritten), single-writer ``_lock``,
+``stream_batch_id`` folded into the lineage ``run_id`` for idempotent
+foreachBatch replay.
+
+Reference analogue: none (minperf has no ANN); this is the task brief's
+similarity-search requirement in the lake-append form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+import uuid
+
+import numpy as np
+
+from ..sketches.incremental import _dir_exists, _fs_for
+from .ann import IVFIndex
+
+_CFG_SCHEMA = (
+    "id_col string, vec_col string, n_centroids int, dim int,"
+    " centroid_sha string"
+)
+_LIN_SCHEMA = "gen int, n long, run_id string, wall_s double"
+
+
+def _centroid_sha(index: IVFIndex) -> str:
+    c = np.ascontiguousarray(index.centroids, dtype=np.float32)
+    return hashlib.sha256(c.tobytes()).hexdigest()
+
+
+class IncrementalANN:
+    """A persisted, appendable IVF-bucketed vector store (see module
+    docstring). First ``append`` must receive a FITTED ``index``; later
+    opens reload it from ``<path>/index``."""
+
+    def __init__(self, path: str, index: IVFIndex | None = None) -> None:
+        self.path = path.rstrip("/")
+        self._index = index
+        self._id_col: str | None = None
+        self._vec_col: str | None = None
+
+    # -- manifest / lock ----------------------------------------------------------
+    def _check_or_write_manifest(self, spark, id_col, vec_col) -> None:
+        if not _dir_exists(spark, f"{self.path}/manifest"):
+            if _dir_exists(spark, f"{self.path}/lineage"):
+                raise RuntimeError(
+                    f"incremental ANN at {self.path} has committed "
+                    "generations but no readable manifest; re-run against "
+                    "a fresh path or restore the manifest"
+                )
+            if self._index is None or self._index.centroids is None:
+                raise RuntimeError(
+                    "first append needs a FITTED IVFIndex (pass index= to "
+                    "IncrementalANN); later opens reload it from the path"
+                )
+            if id_col is None:
+                raise RuntimeError(
+                    f"no incremental ANN committed at {self.path}; append "
+                    "a first batch to create it"
+                )
+            self._index.save(spark, f"{self.path}/index")
+            k, d = self._index.centroids.shape
+            spark.createDataFrame(
+                [(id_col, vec_col, int(k), int(d),
+                  _centroid_sha(self._index))],
+                _CFG_SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self.path}/manifest"
+            )
+            self._id_col, self._vec_col = id_col, vec_col
+            return
+        r = spark.read.parquet(f"{self.path}/manifest").collect()[0]
+        if self._index is None:
+            self._index = IVFIndex.load(spark, f"{self.path}/index")
+        pinned = (r["id_col"], r["vec_col"], r["n_centroids"], r["dim"],
+                  r["centroid_sha"])
+        k, d = self._index.centroids.shape
+        got = (
+            id_col or r["id_col"],
+            vec_col or r["vec_col"],
+            int(k),
+            int(d),
+            _centroid_sha(self._index),
+        )
+        if pinned != got:
+            raise RuntimeError(
+                "incremental ANN manifest mismatch: committed "
+                f"{pinned} != requested {got}; vectors assigned under one "
+                "centroid set are unreadable under another (search would "
+                "probe the wrong buckets)"
+            )
+        self._id_col, self._vec_col = pinned[0], pinned[1]
+
+    def _acquire_lock(self, spark) -> None:
+        fs, _, jvm = _fs_for(spark, self.path)
+        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
+        try:
+            out = fs.create(lock, False)
+            out.close()
+        except Exception:
+            raise RuntimeError(
+                f"incremental ANN at {self.path} is locked by another "
+                "writer (_lock exists); if a previous run crashed, remove "
+                "the stale lock with break_lock()"
+            ) from None
+
+    def _release_lock(self, spark) -> None:
+        fs, _, jvm = _fs_for(spark, self.path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+
+    def break_lock(self, spark) -> None:
+        """Remove a stale writer lock left by a crashed append."""
+        self._release_lock(spark)
+
+    # -- committed state ----------------------------------------------------------
+    def _lineage_rows(self, spark) -> list:
+        if not _dir_exists(spark, f"{self.path}/lineage"):
+            return []
+        rows = spark.read.parquet(f"{self.path}/lineage").collect()
+        return sorted(rows, key=lambda r: r["gen"])
+
+    def generations(self, spark) -> list[dict]:
+        return [
+            {"gen": int(r["gen"]), "n": int(r["n"]), "run_id": r["run_id"]}
+            for r in self._lineage_rows(spark)
+        ]
+
+    def total_vectors(self, spark) -> int:
+        return sum(int(r["n"]) for r in self._lineage_rows(spark))
+
+    def last_stream_batch_id(self, spark) -> int:
+        best = -1
+        for r in self._lineage_rows(spark):
+            rid = r["run_id"] or ""
+            if rid.startswith("sb"):
+                head = rid[2:].split(":", 1)[0]
+                if head.isdigit():
+                    best = max(best, int(head))
+        return best
+
+    def index(self, spark) -> IVFIndex:
+        """The pinned index (loaded from the path on first use)."""
+        self._check_or_write_manifest(spark, None, None)
+        return self._index
+
+    def vectors(self, spark):
+        """The committed bucketed table (id, vector, centroid_id, gen) —
+        ONLY lineage-committed generation dirs (orphans from crashed
+        appends are invisible), with partition columns preserved via
+        basePath so `search`'s IN-filter prunes directories."""
+        rows = self._lineage_rows(spark)
+        if not rows:
+            raise RuntimeError(f"nothing committed at {self.path}")
+        paths = [
+            f"{self.path}/vectors/gen={int(r['gen'])}"
+            for r in rows
+            if int(r["n"]) > 0
+        ]
+        return (
+            spark.read.option("basePath", f"{self.path}/vectors")
+            .parquet(*paths)
+        )
+
+    # -- append / search ------------------------------------------------------------
+    def append(self, df, id_col: str | None = None,
+               vec_col: str | None = None,
+               stream_batch_id: int | None = None) -> dict:
+        """Assign the new batch to the pinned centroids and commit it as
+        the next generation; returns ``{gen, n, wall_s}``. One broadcast
+        ``assign`` pass + one partitioned write — never touches old
+        vectors. Replay-idempotent via ``stream_batch_id`` (lineage
+        marker, like the sibling structures)."""
+        t0 = time.time()
+        spark = df.sparkSession
+        self._check_or_write_manifest(spark, id_col, vec_col)
+        self._acquire_lock(spark)
+        try:
+            return self._append_locked(df, t0, stream_batch_id)
+        finally:
+            self._release_lock(spark)
+
+    def _append_locked(self, df, t0, stream_batch_id):
+        spark = df.sparkSession
+        if (
+            stream_batch_id is not None
+            and stream_batch_id <= self.last_stream_batch_id(spark)
+        ):
+            return {
+                "gen": None, "n": 0, "wall_s": time.time() - t0,
+                "skipped_replay": True,
+            }
+        rows = self._lineage_rows(spark)
+        gen = int(rows[-1]["gen"]) + 1 if rows else 0
+        assigned = self._index.assign(
+            df.select(self._id_col, self._vec_col), self._vec_col
+        )
+        gdir = f"{self.path}/vectors/gen={gen}"
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            gdir
+        )
+        n = spark.read.parquet(gdir).count()  # count what actually committed
+        run_id = uuid.uuid4().hex
+        if stream_batch_id is not None:
+            run_id = f"sb{int(stream_batch_id)}:{run_id}"
+        wall = time.time() - t0
+        spark.createDataFrame(
+            [(gen, n, run_id, wall)], _LIN_SCHEMA
+        ).write.mode("append").parquet(f"{self.path}/lineage")
+        return {"gen": gen, "n": int(n), "wall_s": wall,
+                "skipped_replay": False}
+
+    def search(self, spark, query, k: int = 10):
+        """Top-k cosine over the whole committed store: probe-set
+        IN-filter -> partition-pruned scan of ~nprobe/k of the corpus ->
+        JVM cosine + TakeOrdered."""
+        self._check_or_write_manifest(spark, None, None)
+        return self._index.search(
+            self.vectors(spark), self._vec_col, query, k
+        )

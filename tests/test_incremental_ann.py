@@ -1,0 +1,125 @@
+"""IncrementalANN: appendable IVF-bucketed vector store. Pins the NEW
+contracts: appends never touch old vectors, search over the union
+matches search over a one-shot assign of the same corpus, the centroid
+fingerprint manifest refuses a different index, orphaned generation dirs
+stay invisible, and the stream-replay marker rides the lineage."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recsplit_spark.pipeline.ann import IVFIndex
+from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+
+
+def _emb(spark, lo, hi, dim=16):
+    rows = []
+    for i in range(lo, hi):
+        rng = np.random.default_rng(i)
+        rows.append((i, rng.standard_normal(dim).astype(float).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    base = _emb(spark, 0, 600)
+    return IVFIndex(n_centroids=8, nprobe=3).fit(base, "embedding"), base
+
+
+def test_append_search_matches_oneshot_assign(spark, tmp_path, fitted):
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    m0 = inc.append(base.filter(F.col("vec_id") < 200), "vec_id", "embedding")
+    m1 = inc.append(base.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)))
+    m2 = inc.append(base.filter(F.col("vec_id") >= 400))
+    assert [m["gen"] for m in (m0, m1, m2)] == [0, 1, 2]
+    assert inc.total_vectors(spark) == 600
+
+    oneshot = idx.assign(base, "embedding").cache()
+    oneshot.count()
+    for qi in (3, 150, 450):
+        q = np.random.default_rng(qi).standard_normal(16)
+        want = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in idx.search(oneshot, "embedding", q, k=10).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in inc.search(spark, q, k=10).collect()
+        ]
+        assert got == want
+    oneshot.unpersist()
+
+    # reopen without the index object: reloads from the path
+    inc2 = IncrementalANN(f"{tmp_path}/ann")
+    q = np.random.default_rng(3).standard_normal(16)
+    assert inc2.search(spark, q, k=5).count() == 5
+
+
+def test_manifest_refuses_different_centroids(spark, tmp_path, fitted):
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    inc.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+
+    other = IVFIndex(n_centroids=8, nprobe=3, seed=99).fit(
+        base, "embedding"
+    )
+    bad = IncrementalANN(f"{tmp_path}/ann", index=other)
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        bad.append(base.filter(F.col("vec_id") >= 100), "vec_id", "embedding")
+
+
+def test_orphan_generation_invisible(spark, tmp_path, fitted):
+    """A gen dir without its lineage row (crash between payload and
+    lineage writes) must not be read — and the next append overwrites
+    its slot."""
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    inc.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+    # orphan: write a would-be gen=1 payload with NO lineage row
+    idx.assign(
+        base.filter(F.col("vec_id") >= 500).select("vec_id", "embedding"),
+        "embedding",
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{tmp_path}/ann/vectors/gen=1"
+    )
+    assert inc.total_vectors(spark) == 100
+    assert inc.vectors(spark).count() == 100  # orphan invisible
+    m = inc.append(
+        base.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    )
+    assert m["gen"] == 1  # slot reused
+    assert inc.vectors(spark).count() == 150
+
+
+def test_stream_replay_marker(spark, tmp_path, fitted):
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    m = inc.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding",
+                   stream_batch_id=0)
+    assert m["gen"] == 0 and not m["skipped_replay"]
+    r = inc.append(base.filter(F.col("vec_id") < 100), stream_batch_id=0)
+    assert r["skipped_replay"] and inc.total_vectors(spark) == 100
+    m1 = inc.append(
+        base.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160)),
+        stream_batch_id=1,
+    )
+    assert m1["gen"] == 1 and inc.last_stream_batch_id(spark) == 1
+
+
+def test_search_plan_prunes_partitions(spark, tmp_path, fitted):
+    """The probe-set IN-filter must reach the scan as a partition filter
+    over centroid_id — at 10^12 vectors this is the difference between
+    reading nprobe/k of the store and all of it."""
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    inc.append(base, "vec_id", "embedding")
+    q = np.random.default_rng(1).standard_normal(16)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc.search(spark, q, k=5).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [centroid_id" in plan, plan
