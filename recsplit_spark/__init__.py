@@ -30,7 +30,8 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name == "IncrementalMPHF":
         from .incremental_mphf import IncrementalMPHF
         return IncrementalMPHF
-    if name in ("StreamingSketch", "StreamingMPHFIngest", "StreamingDedupIngest"):
+    if name in ("StreamingSketch", "StreamingMPHFIngest",
+                "StreamingDedupIngest", "StreamingANNIngest"):
         from . import streaming
         return getattr(streaming, name)
     if name == "IncrementalDedup":

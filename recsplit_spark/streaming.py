@@ -158,6 +158,51 @@ class StreamingDedupIngest:
         return w.start()
 
 
+class StreamingANNIngest:
+    """Structured-streaming ingest into an ``IncrementalANN`` store: each
+    micro-batch is assigned to the pinned centroids and committed as the
+    next generation (one broadcast assign pass + a centroid-partitioned
+    write; old vectors never touched). Replay safety rides the store's
+    lineage marker (``append(stream_batch_id=...)``), so a replayed
+    micro-batch — even after the streaming checkpoint is lost — commits
+    nothing twice; because generation payloads are idempotent overwrites
+    keyed by gen, the store is exactly-once by construction.
+
+    Usage::
+
+        ingest = StreamingANNIngest(IncrementalANN(path, index=idx),
+                                    "vec_id", "embedding")
+        q = ingest.start(stream_df, checkpoint_dir="/ckpt/ann")
+        q.awaitTermination()
+        ingest.store.search(spark, query_vec, k=10)
+    """
+
+    def __init__(self, store, id_col: str, vec_col: str) -> None:
+        self.store = store
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.metrics: list[dict] = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        m = self.store.append(
+            batch_df, self.id_col, self.vec_col, stream_batch_id=batch_id
+        )
+        self.metrics.append(m)
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        """Attach to a streaming DataFrame and start the query. Default
+        trigger is ``availableNow=True`` (drain what exists, then stop)."""
+        if not trigger:
+            trigger = {"availableNow": True}
+        w = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .trigger(**trigger)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+
+
 class StreamingSketch:
     """Incrementally folds a stream into one sketch state via foreachBatch.
 

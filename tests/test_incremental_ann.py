@@ -123,3 +123,46 @@ def test_search_plan_prunes_partitions(spark, tmp_path, fitted):
         inc.search(spark, q, k=5).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [centroid_id" in plan, plan
+
+
+def test_streaming_ann_ingest_survives_checkpoint_loss(spark, tmp_path, fitted):
+    """Stream ingest commits one generation per micro-batch; losing the
+    streaming checkpoint (full source replay) commits nothing twice and
+    search results are unchanged."""
+    import pandas as pd
+
+    from recsplit_spark.streaming import StreamingANNIngest
+
+    idx, base = fitted
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = base.toPandas()
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)]):
+        pd.DataFrame(pdf[(pdf.vec_id >= lo) & (pdf.vec_id < hi)]).to_parquet(
+            src / f"part-{i}.parquet", index=False
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    store = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    ing = StreamingANNIngest(store, "vec_id", "embedding")
+    q = ing.start(stream(), checkpoint_dir=f"{tmp_path}/ckpt1")
+    q.awaitTermination(180)
+    assert len(ing.metrics) == 3
+    assert store.total_vectors(spark) == 600
+    qv = np.random.default_rng(9).standard_normal(16)
+    want = [r["vec_id"] for r in store.search(spark, qv, k=5).collect()]
+
+    ing2 = StreamingANNIngest(IncrementalANN(f"{tmp_path}/ann"), "vec_id",
+                              "embedding")
+    q2 = ing2.start(stream(), checkpoint_dir=f"{tmp_path}/ckpt2")
+    q2.awaitTermination(180)
+    assert all(m["skipped_replay"] for m in ing2.metrics)
+    store3 = IncrementalANN(f"{tmp_path}/ann")
+    assert store3.total_vectors(spark) == 600
+    assert [r["vec_id"] for r in store3.search(spark, qv, k=5).collect()] == want
