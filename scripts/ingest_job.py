@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the composed nightly ingest — one new batch
+of documents flows through the whole incremental family in one job:
+
+  1. ``IncrementalDedup.append``  — near-dedup the batch against the
+     persisted kept-corpus LSH state (old text never rescanned);
+  2. ``IncrementalMPHF.append``   — assign the SURVIVORS stable
+     ``[0, n)`` ids (earlier ids never move);
+  3. ``IncrementalANN.append``    — optionally bucket the survivors'
+     embeddings into the appendable IVF store (when ``--vec-col`` and a
+     previously-fitted index path are given);
+  4. write the kept rows + their ``mphf_index`` to ``--out/batch=<id>``
+     (mode overwrite: re-running the same ``--batch-id`` is idempotent
+     end to end, because every append below it skips via its lineage
+     replay marker).
+
+Cluster usage (the north-rule deployment shape, ingest side)::
+
+    python scripts/make_pyfiles_zip.py            # -> dist/recsplit_spark.zip
+    spark-submit --py-files dist/recsplit_spark.zip \
+        scripts/ingest_job.py \
+        --input  <parquet dir of the NEW batch> \
+        --root   <lake root: <root>/dedup, <root>/ids, <root>/ann created> \
+        --out    <clean-corpus output dir> \
+        --id-col doc_id --text-col text \
+        [--batch-id N] [--threshold 0.8] [--mode text|tokens] \
+        [--vec-col embedding --ann-index <fitted IVFIndex save path>]
+
+Prints ONE JSON line with the per-stage metrics. Composition contract:
+ids are assigned to DEDUPED documents only, so the id universe is the
+clean corpus — downstream shard maps and feature stores never hold a
+slot for a document dedup later deletes (they can't: dedup runs first
+and kept docs are never revoked).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="new-batch parquet dir")
+    ap.add_argument("--root", required=True,
+                    help="lake root for the incremental structures")
+    ap.add_argument("--out", required=True, help="clean-corpus output dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text",
+                    help="content column (text or token array per --mode)")
+    ap.add_argument("--mode", choices=["text", "tokens"], default="text")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--batch-id", type=int, default=None,
+                    help="replay-safe batch id (nondecreasing per lake)")
+    ap.add_argument("--vec-col", default=None,
+                    help="embedding column; enables the ANN stage")
+    ap.add_argument("--ann-index", default=None,
+                    help="path of a previously-fitted IVFIndex save "
+                         "(required the first time the ANN stage runs)")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.incremental_mphf import IncrementalMPHF
+    from recsplit_spark.session import get_spark, ship_package
+
+    t0 = time.time()
+    spark = get_spark(app_name="ingest-job", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    root = args.root.rstrip("/")
+    batch = spark.read.parquet(args.input)
+
+    # 1. dedup vs the kept corpus + itself
+    dd = IncrementalDedup(f"{root}/dedup", threshold=args.threshold,
+                          mode=args.mode)
+    kept, m_dedup = dd.append(batch, args.id_col, args.text_col,
+                              stream_batch_id=args.batch_id)
+    kept = kept.persist()
+
+    # 2. stable ids for the survivors only
+    ids = IncrementalMPHF(f"{root}/ids")
+    m_ids = ids.append(kept.select(args.id_col), args.id_col,
+                       stream_batch_id=args.batch_id)
+    with_ids = ids.route(kept, args.id_col)
+
+    # 3. optional ANN over the survivors' embeddings
+    m_ann = None
+    if args.vec_col:
+        from recsplit_spark.pipeline.ann import IVFIndex
+        from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+
+        idx = (IVFIndex.load(spark, args.ann_index)
+               if args.ann_index else None)
+        store = IncrementalANN(f"{root}/ann", index=idx)
+        m_ann = store.append(kept.select(args.id_col, args.vec_col),
+                             args.id_col, args.vec_col,
+                             stream_batch_id=args.batch_id)
+
+    # 4. idempotent per-batch output (same overwrite contract as
+    # StreamingDedupIngest)
+    out_slot = (f"{args.out.rstrip('/')}/batch={args.batch_id}"
+                if args.batch_id is not None else args.out.rstrip("/"))
+    with_ids.write.mode("overwrite").parquet(out_slot)
+    n_out = spark.read.parquet(out_slot).count()
+    kept.unpersist()
+
+    print(json.dumps({
+        "dedup": m_dedup,
+        "ids": m_ids,
+        "ann": m_ann,
+        "rows_out": n_out,
+        "out": out_slot,
+        "total_kept": dd.total_kept(spark),
+        "total_ids": ids.total_keys(spark),
+        "wall_s": round(time.time() - t0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
