@@ -75,7 +75,13 @@ import pyarrow as pa
 from .filters import build_fingerprint_table
 from .mphf import MPHFDescriptor, RecSplitBuilder, key_mode_for, key_sig_expr
 from .settings import RULE_GEN
-from .sketches.incremental import _dir_exists, _fs_for
+from .sketches.incremental import (
+    _dir_exists,
+    acquire_writer_lock,
+    read_lineage_rows,
+    release_writer_lock,
+    stream_high_water,
+)
 
 # Fingerprint-hash seed shared by ALL generations (stored in the manifest):
 # route hashes each key's fingerprint signature ONCE however many
@@ -187,23 +193,12 @@ class IncrementalMPHF:
         self.fp_seed = int(r["fp_seed"])
         return pinned[0]
 
-    # -- writer lock (same pattern as IncrementalProfile) ----------------------
+    # -- writer lock (shared incremental-family plumbing) ----------------------
     def _acquire_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
-        try:
-            out = fs.create(lock, False)
-            out.close()
-        except Exception:
-            raise RuntimeError(
-                f"incremental MPHF at {self.path} is locked by another "
-                "writer (_lock exists); if a previous run crashed, remove "
-                "the stale lock with break_lock()"
-            ) from None
+        acquire_writer_lock(spark, self.path, "incremental MPHF")
 
     def _release_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+        release_writer_lock(spark, self.path)
 
     def break_lock(self, spark) -> None:
         """Remove a stale writer lock left by a crashed append. Only safe
@@ -212,10 +207,7 @@ class IncrementalMPHF:
 
     # -- committed state --------------------------------------------------------
     def _lineage_rows(self, spark) -> list:
-        if not _dir_exists(spark, f"{self.path}/lineage"):
-            return []
-        rows = spark.read.parquet(f"{self.path}/lineage").collect()
-        return sorted(rows, key=lambda r: r["gen"])
+        return read_lineage_rows(spark, self.path)
 
     def _load_gens(self, spark) -> list[_Gen]:
         """Load + decode every committed generation (driver-side, cached
@@ -268,14 +260,7 @@ class IncrementalMPHF:
         folded into the lineage ``run_id`` (``sb<id>:<uuid>``), so the
         replay marker commits ATOMICALLY with the generation itself —
         there is no sidecar state that can disagree with the data."""
-        best = -1
-        for r in self._lineage_rows(spark):
-            rid = r["run_id"] or ""
-            if rid.startswith("sb"):
-                head = rid[2:].split(":", 1)[0]
-                if head.isdigit():
-                    best = max(best, int(head))
-        return best
+        return stream_high_water(self._lineage_rows(spark))
 
     def bits_per_key(self, spark) -> float:
         gens = self._load_gens(spark)
@@ -318,9 +303,10 @@ class IncrementalMPHF:
         t0 = time.time()
         spark = df.sparkSession
         key_mode = key_mode_for(df, key_col)
-        self._check_or_write_manifest(spark, key_mode)
+        # lock BEFORE the manifest check (see acquire_writer_lock)
         self._acquire_lock(spark)
         try:
+            self._check_or_write_manifest(spark, key_mode)
             return self._append_locked(
                 df, key_col, duplicate_guard, t0, stream_batch_id
             )

@@ -50,7 +50,13 @@ import uuid
 
 import numpy as np
 
-from ..sketches.incremental import _dir_exists, _fs_for
+from ..sketches.incremental import (
+    _dir_exists,
+    acquire_writer_lock,
+    read_lineage_rows,
+    release_writer_lock,
+    stream_high_water,
+)
 from .ann import IVFIndex
 
 _CFG_SCHEMA = (
@@ -129,21 +135,10 @@ class IncrementalANN:
         self._id_col, self._vec_col = pinned[0], pinned[1]
 
     def _acquire_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
-        try:
-            out = fs.create(lock, False)
-            out.close()
-        except Exception:
-            raise RuntimeError(
-                f"incremental ANN at {self.path} is locked by another "
-                "writer (_lock exists); if a previous run crashed, remove "
-                "the stale lock with break_lock()"
-            ) from None
+        acquire_writer_lock(spark, self.path, "incremental ANN")
 
     def _release_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+        release_writer_lock(spark, self.path)
 
     def break_lock(self, spark) -> None:
         """Remove a stale writer lock left by a crashed append."""
@@ -151,10 +146,7 @@ class IncrementalANN:
 
     # -- committed state ----------------------------------------------------------
     def _lineage_rows(self, spark) -> list:
-        if not _dir_exists(spark, f"{self.path}/lineage"):
-            return []
-        rows = spark.read.parquet(f"{self.path}/lineage").collect()
-        return sorted(rows, key=lambda r: r["gen"])
+        return read_lineage_rows(spark, self.path)
 
     def generations(self, spark) -> list[dict]:
         return [
@@ -166,14 +158,7 @@ class IncrementalANN:
         return sum(int(r["n"]) for r in self._lineage_rows(spark))
 
     def last_stream_batch_id(self, spark) -> int:
-        best = -1
-        for r in self._lineage_rows(spark):
-            rid = r["run_id"] or ""
-            if rid.startswith("sb"):
-                head = rid[2:].split(":", 1)[0]
-                if head.isdigit():
-                    best = max(best, int(head))
-        return best
+        return stream_high_water(self._lineage_rows(spark))
 
     def index(self, spark) -> IVFIndex:
         """The pinned index (loaded from the path on first use)."""
@@ -209,9 +194,10 @@ class IncrementalANN:
         marker, like the sibling structures)."""
         t0 = time.time()
         spark = df.sparkSession
-        self._check_or_write_manifest(spark, id_col, vec_col)
+        # lock BEFORE the manifest check (see acquire_writer_lock)
         self._acquire_lock(spark)
         try:
+            self._check_or_write_manifest(spark, id_col, vec_col)
             return self._append_locked(df, t0, stream_batch_id)
         finally:
             self._release_lock(spark)
@@ -230,12 +216,19 @@ class IncrementalANN:
         gen = int(rows[-1]["gen"]) + 1 if rows else 0
         assigned = self._index.assign(
             df.select(self._id_col, self._vec_col), self._vec_col
-        )
+        ).persist()
+        n = assigned.count()
+        if n == 0:
+            # no-op like the sibling structures: a 0-row partitionBy
+            # write leaves no data files, and nothing needs committing
+            assigned.unpersist()
+            return {"gen": None, "n": 0, "wall_s": time.time() - t0,
+                    "skipped_replay": False}
         gdir = f"{self.path}/vectors/gen={gen}"
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
             gdir
         )
-        n = spark.read.parquet(gdir).count()  # count what actually committed
+        assigned.unpersist()
         run_id = uuid.uuid4().hex
         if stream_batch_id is not None:
             run_id = f"sb{int(stream_batch_id)}:{run_id}"

@@ -80,7 +80,13 @@ import math
 import time
 import uuid
 
-from ..sketches.incremental import _dir_exists, _fs_for
+from ..sketches.incremental import (
+    _dir_exists,
+    acquire_writer_lock,
+    read_lineage_rows,
+    release_writer_lock,
+    stream_high_water,
+)
 from .dedup import (
     _band_rows,
     _banded_pairs,
@@ -174,21 +180,10 @@ class IncrementalDedup:
             )
 
     def _acquire_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
-        try:
-            out = fs.create(lock, False)
-            out.close()
-        except Exception:
-            raise RuntimeError(
-                f"incremental dedup at {self.path} is locked by another "
-                "writer (_lock exists); if a previous run crashed, remove "
-                "the stale lock with break_lock()"
-            ) from None
+        acquire_writer_lock(spark, self.path, "incremental dedup")
 
     def _release_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+        release_writer_lock(spark, self.path)
 
     def break_lock(self, spark) -> None:
         """Remove a stale writer lock left by a crashed append. Only safe
@@ -197,10 +192,7 @@ class IncrementalDedup:
 
     # -- committed state --------------------------------------------------------
     def _lineage_rows(self, spark) -> list:
-        if not _dir_exists(spark, f"{self.path}/lineage"):
-            return []
-        rows = spark.read.parquet(f"{self.path}/lineage").collect()
-        return sorted(rows, key=lambda r: r["gen"])
+        return read_lineage_rows(spark, self.path)
 
     def generations(self, spark) -> list[dict]:
         """Committed generations, oldest first: [{gen, n_in, n_kept,
@@ -223,14 +215,7 @@ class IncrementalDedup:
     def last_stream_batch_id(self, spark) -> int:
         """Highest committed ``stream_batch_id`` (folded into lineage
         ``run_id`` as ``sb<id>:<uuid>``); -1 if none."""
-        best = -1
-        for r in self._lineage_rows(spark):
-            rid = r["run_id"] or ""
-            if rid.startswith("sb"):
-                head = rid[2:].split(":", 1)[0]
-                if head.isdigit():
-                    best = max(best, int(head))
-        return best
+        return stream_high_water(self._lineage_rows(spark))
 
     def kept_ids(self, spark, gen: int | None = None):
         """DataFrame[id long] of kept documents — one generation (``gen``)
@@ -304,9 +289,10 @@ class IncrementalDedup:
         redone."""
         t0 = time.time()
         spark = df.sparkSession
-        self._check_or_write_manifest(spark)
+        # lock BEFORE the manifest check (see acquire_writer_lock)
         self._acquire_lock(spark)
         try:
+            self._check_or_write_manifest(spark)
             return self._append_locked(
                 df, id_col, content_col, t0, stream_batch_id
             )
@@ -531,15 +517,15 @@ class IncrementalDedup:
 
     def _replayed_gen(self, spark, stream_batch_id: int):
         """(gen, lineage_row) of the generation a replayed micro-batch
-        already committed as, else None. Matches the exact ``sb<id>:``
-        marker first; ids at or below the high-water mark whose own
-        marker is missing (vacuumed lineage would be a bug, but be
-        defensive) also skip, reporting the latest row."""
-        rows = self._lineage_rows(spark)
-        for r in rows:
+        already committed as, else None — EXACT ``sb<id>:`` marker match
+        only. An id at or below the high-water mark with no marker can
+        only be a batch whose original run committed nothing (empty
+        batches commit no lineage row); re-appending it is a natural
+        no-op, whereas a high-water-mark fallback would return ANOTHER
+        batch's metrics and make the streaming wrapper write a spurious
+        output slot."""
+        for r in self._lineage_rows(spark):
             rid = r["run_id"] or ""
             if rid.startswith(f"sb{int(stream_batch_id)}:"):
                 return int(r["gen"]), r
-        if stream_batch_id <= self.last_stream_batch_id(spark) and rows:
-            return int(rows[-1]["gen"]), rows[-1]
         return None

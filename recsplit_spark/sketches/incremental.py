@@ -79,6 +79,58 @@ def _dir_exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def acquire_writer_lock(spark, path: str, what: str) -> None:
+    """Best-effort single-writer guard shared by the incremental family:
+    atomically create ``<path>/_lock`` (``FileSystem.create(overwrite=
+    False)`` — atomic on HDFS/local; object stores without atomic create
+    should gate writers externally, as with any non-catalog table
+    format). Writers must take this BEFORE touching the config manifest:
+    two racing first-appends could otherwise each see no manifest, one
+    pin its config, and the other commit payload under a different one —
+    a poisoning the per-structure manifests exist to prevent."""
+    fs, _, jvm = _fs_for(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(f"{path}/_lock")
+    try:
+        out = fs.create(lock, False)
+        out.close()
+    except Exception:
+        raise RuntimeError(
+            f"{what} at {path} is locked by another writer (_lock "
+            "exists); if a previous run crashed, remove the stale lock "
+            "with break_lock()"
+        ) from None
+
+
+def release_writer_lock(spark, path: str) -> None:
+    fs, _, jvm = _fs_for(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_lock"), False)
+
+
+def read_lineage_rows(spark, path: str) -> list:
+    """Committed lineage rows at ``<path>/lineage``, sorted by gen
+    ([] if nothing committed) — the committed-set definition shared by
+    IncrementalMPHF / IncrementalDedup / IncrementalANN."""
+    if not _dir_exists(spark, f"{path}/lineage"):
+        return []
+    rows = spark.read.parquet(f"{path}/lineage").collect()
+    return sorted(rows, key=lambda r: r["gen"])
+
+
+def stream_high_water(rows) -> int:
+    """Highest structured-streaming batch id committed in lineage
+    ``run_id`` markers (``sb<id>:<uuid>``); -1 if none. The marker is
+    folded into the lineage row so it commits ATOMICALLY with the
+    generation it guards."""
+    best = -1
+    for r in rows:
+        rid = r["run_id"] or ""
+        if rid.startswith("sb"):
+            head = rid[2:].split(":", 1)[0]
+            if head.isdigit():
+                best = max(best, int(head))
+    return best
+
+
 def _list_data_files(spark, source: str) -> list[str]:
     """Recursively list data files under ``source`` via the Hadoop
     FileSystem API (works for any scheme Spark can read), skipping
@@ -214,30 +266,16 @@ class IncrementalProfile:
 
     # -- writer lock ---------------------------------------------------------
     def _acquire_lock(self, spark) -> None:
-        """Best-effort single-writer guard: atomically create
-        ``<path>/_lock`` (``FileSystem.create(overwrite=False)`` — atomic
-        on HDFS/local; object stores without atomic create should gate
-        writers externally, as with any non-catalog table format). Two
+        """Single-writer guard (shared ``acquire_writer_lock``): two
         overlapping updates would both read the same committed
         generation and the second state write would silently drop the
         first's batch while its lineage rows mark the files processed —
         the one failure the commit protocol cannot detect after the
         fact."""
-        fs, _, jvm = _fs_for(spark, self.path)
-        lock = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock")
-        try:
-            out = fs.create(lock, False)
-            out.close()
-        except Exception:
-            raise RuntimeError(
-                f"incremental profile at {self.path} is locked by another "
-                "writer (_lock exists); if a previous run crashed, remove "
-                f"the stale lock with break_lock()"
-            ) from None
+        acquire_writer_lock(spark, self.path, "incremental profile")
 
     def _release_lock(self, spark) -> None:
-        fs, _, jvm = _fs_for(spark, self.path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/_lock"), False)
+        release_writer_lock(spark, self.path)
 
     def break_lock(self, spark) -> None:
         """Remove a stale writer lock left by a crashed update. Only
@@ -263,9 +301,12 @@ class IncrementalProfile:
         if (source is None) == (files is None):
             raise ValueError("pass exactly one of source= or files=")
         t0 = time.time()
-        self._check_or_write_manifest(spark)
+        # lock BEFORE the manifest check: racing first-updates could
+        # otherwise pin one config while the other commits gen 0 under a
+        # different one (see acquire_writer_lock)
         self._acquire_lock(spark)
         try:
+            self._check_or_write_manifest(spark)
             return self._update_locked(spark, source, files, t0)
         finally:
             self._release_lock(spark)

@@ -39,7 +39,28 @@ def _feed(series, ngram: int | None):
     return series_window_hashes(series, ngram)
 
 
-class StreamingMPHFIngest:
+class _ForeachBatchSink:
+    """Shared writeStream plumbing for every foreachBatch-based sink in
+    this module: subclasses define ``foreach_batch(batch_df, batch_id)``.
+
+    ``start`` attaches to a streaming DataFrame and starts the query.
+    Default trigger is ``availableNow=True`` (drain what exists, then
+    stop) — override with e.g. ``processingTime="10 seconds"``.
+    """
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        if not trigger:
+            trigger = {"availableNow": True}
+        w = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .trigger(**trigger)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+
+
+class StreamingMPHFIngest(_ForeachBatchSink):
     """Structured-streaming ingest into an ``IncrementalMPHF``: each
     micro-batch of NEW keys commits as the next generation, so stable
     ``[0, n)`` ids are assigned as data arrives.
@@ -84,21 +105,9 @@ class StreamingMPHFIngest:
         )
         self.metrics.append(m)
 
-    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
-        """Attach to a streaming DataFrame and start the query. Default
-        trigger is ``availableNow=True`` (drain what exists, then stop)."""
-        if not trigger:
-            trigger = {"availableNow": True}
-        w = (
-            stream_df.writeStream.foreachBatch(self.foreach_batch)
-            .trigger(**trigger)
-        )
-        if checkpoint_dir:
-            w = w.option("checkpointLocation", checkpoint_dir)
-        return w.start()
 
 
-class StreamingDedupIngest:
+class StreamingDedupIngest(_ForeachBatchSink):
     """Structured-streaming near-dedup: each micro-batch is deduped
     against the persisted kept-corpus LSH state (plus itself) by
     ``IncrementalDedup.append`` and the SURVIVORS are written to
@@ -144,21 +153,9 @@ class StreamingDedupIngest:
             )
         self.metrics.append(m)
 
-    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
-        """Attach to a streaming DataFrame and start the query. Default
-        trigger is ``availableNow=True`` (drain what exists, then stop)."""
-        if not trigger:
-            trigger = {"availableNow": True}
-        w = (
-            stream_df.writeStream.foreachBatch(self.foreach_batch)
-            .trigger(**trigger)
-        )
-        if checkpoint_dir:
-            w = w.option("checkpointLocation", checkpoint_dir)
-        return w.start()
 
 
-class StreamingANNIngest:
+class StreamingANNIngest(_ForeachBatchSink):
     """Structured-streaming ingest into an ``IncrementalANN`` store: each
     micro-batch is assigned to the pinned centroids and committed as the
     next generation (one broadcast assign pass + a centroid-partitioned
@@ -189,21 +186,9 @@ class StreamingANNIngest:
         )
         self.metrics.append(m)
 
-    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
-        """Attach to a streaming DataFrame and start the query. Default
-        trigger is ``availableNow=True`` (drain what exists, then stop)."""
-        if not trigger:
-            trigger = {"availableNow": True}
-        w = (
-            stream_df.writeStream.foreachBatch(self.foreach_batch)
-            .trigger(**trigger)
-        )
-        if checkpoint_dir:
-            w = w.option("checkpointLocation", checkpoint_dir)
-        return w.start()
 
 
-class StreamingSketch:
+class StreamingSketch(_ForeachBatchSink):
     """Incrementally folds a stream into one sketch state via foreachBatch.
 
     Usage::
@@ -258,18 +243,6 @@ class StreamingSketch:
         if self.state_path:
             self._save()
 
-    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
-        """Attach to a streaming DataFrame and start the query.
-
-        Default trigger is ``availableNow=True`` (drain what exists, then
-        stop) — override with e.g. ``processingTime="10 seconds"``.
-        """
-        if not trigger:
-            trigger = {"availableNow": True}
-        w = stream_df.writeStream.foreachBatch(self.foreach_batch).trigger(**trigger)
-        if checkpoint_dir:
-            w = w.option("checkpointLocation", checkpoint_dir)
-        return w.start()
 
     def estimate(self) -> float:
         return self.sketch.estimate(self.state)

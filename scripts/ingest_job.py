@@ -31,6 +31,14 @@ ids are assigned to DEDUPED documents only, so the id universe is the
 clean corpus — downstream shard maps and feature stores never hold a
 slot for a document dedup later deletes (they can't: dedup runs first
 and kept docs are never revoked).
+
+``--batch-id`` is what makes re-runs safe: with it, every stage skips
+via its lineage replay marker and the output slot is overwritten
+identically. WITHOUT it there is no replay identity — the output is
+written ``mode("error")`` (a second run fails loudly instead of wiping
+the previous corpus), and a crash between the state commits and the
+output write cannot be retried (the appends would double). Use the
+no-batch-id form for one-shot backfills only.
 """
 
 from __future__ import annotations
@@ -99,10 +107,16 @@ def main() -> int:
                              stream_batch_id=args.batch_id)
 
     # 4. idempotent per-batch output (same overwrite contract as
-    # StreamingDedupIngest)
-    out_slot = (f"{args.out.rstrip('/')}/batch={args.batch_id}"
-                if args.batch_id is not None else args.out.rstrip("/"))
-    with_ids.write.mode("overwrite").parquet(out_slot)
+    # StreamingDedupIngest). Without --batch-id there is no replay
+    # identity, so the bare --out dir is written with mode("error"):
+    # a second run fails loudly instead of silently wiping the previous
+    # night's corpus.
+    if args.batch_id is not None:
+        out_slot = f"{args.out.rstrip('/')}/batch={args.batch_id}"
+        with_ids.write.mode("overwrite").parquet(out_slot)
+    else:
+        out_slot = args.out.rstrip("/")
+        with_ids.write.mode("error").parquet(out_slot)
     n_out = spark.read.parquet(out_slot).count()
     kept.unpersist()
 

@@ -166,3 +166,16 @@ def test_streaming_ann_ingest_survives_checkpoint_loss(spark, tmp_path, fitted):
     store3 = IncrementalANN(f"{tmp_path}/ann")
     assert store3.total_vectors(spark) == 600
     assert [r["vec_id"] for r in store3.search(spark, qv, k=5).collect()] == want
+
+
+def test_empty_batch_is_noop(spark, tmp_path, fitted):
+    """An all-dup nightly batch leaves an empty survivor set; the ANN
+    stage must no-op (a 0-row partitionBy write leaves no data files, so
+    committing it would poison later reads)."""
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/ann", index=idx)
+    inc.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+    m = inc.append(base.filter(F.col("vec_id") < 0))  # empty
+    assert m["gen"] is None and m["n"] == 0
+    assert inc.total_vectors(spark) == 100
+    assert inc.vectors(spark).count() == 100

@@ -237,3 +237,21 @@ def test_consolidate_single_generation_same_behavior(spark, tmp_path):
     # target-occupied refusal
     with pytest.raises(RuntimeError, match="already has committed"):
         inc.consolidate(spark, f"{tmp_path}/dd2")
+
+
+def test_unmarked_replayed_batch_id_does_not_misattribute(spark, tmp_path):
+    """A replayed batch id with no lineage marker (its original run was
+    empty, so nothing committed) must NOT skip with another generation's
+    metrics — it re-runs and no-ops naturally."""
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    inc.append(_df(spark, [_doc(0)]), "doc_id", "text", stream_batch_id=0)
+    # batch 1 was empty: commits nothing, no sb1 marker
+    _, m1 = inc.append(_df(spark, []), "doc_id", "text", stream_batch_id=1)
+    assert m1["gen"] is None and m1["n_in"] == 0
+    inc.append(_df(spark, [_doc(5)]), "doc_id", "text", stream_batch_id=2)
+    # replay of the empty batch 1: id <= high-water mark but unmarked —
+    # must re-run as a no-op, not return batch 2's row
+    _, m1r = inc.append(_df(spark, []), "doc_id", "text", stream_batch_id=1)
+    assert m1r["gen"] is None and m1r["n_in"] == 0
+    assert "skipped_replay" in m1r and not m1r["skipped_replay"]
+    assert inc.total_kept(spark) == 2
