@@ -34,7 +34,10 @@ It is an unbiased estimate of true Jaccard with binomial s.e.
 ``sqrt(t(1-t)/num_hashes)`` (~0.05 at t=0.8, k=64): pairs far from the
 threshold — the near-exact copies dedup exists for — are decided
 ~deterministically; pairs AT the threshold get a coin-flip either way,
-exactly the S-curve trade LSH banding already makes. Batch-vs-batch pairs
+exactly the S-curve trade LSH banding already makes. Measured through
+the production kernels (BASELINE.md "Verifier calibration", k=64,
+cutoff 52): accept probability 0.000 at true j=0.60, 0.033 at 0.70,
+0.471 at 0.80, 0.993 at 0.90, 1.000 at 0.95. Batch-vs-batch pairs
 use the same estimator so the kept set does not depend on which side of a
 generation boundary a duplicate lands.
 
