@@ -502,6 +502,84 @@ def _q_incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (`IncrementalANN.append_dedup`, the SemDeDup shape):
+    embeddings arrive as three id-ordered batches; each append drops new
+    vectors whose cosine to any KEPT vector (or an earlier-kept batch
+    cluster member) >= 0.4, probing ALL buckets so candidates are exact.
+    The fixture's threshold-0.4 clusters CHAIN (verified: non-clique),
+    so the kept SET legitimately differs from one-shot CC dedup — the
+    oracle therefore pins the semantics' exact INVARIANTS, verified
+    in-engine over the full cosine matrix (precedent: ann_ivf_recall's
+    bound booleans): (a) kept + dropped == input, (b) the kept set is
+    pairwise BELOW the threshold (greedy independence — the guarantee
+    training cares about), (c) no dropped vector is isolated (every
+    drop was justified by a verified >= t pair)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import IVFIndex, _cosine_cols
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    t = 0.4
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    n_in = emb.count()
+    idx = IVFIndex(n_centroids=8, nprobe=8).fit(emb, "embedding")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+    with tempfile.TemporaryDirectory() as tmp:
+        store = IncrementalANN(f"{tmp}/sd", index=idx)
+        n_kept = 0
+        for i in range(3):
+            _, m = store.append_dedup(
+                emb.filter(
+                    (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+                ),
+                "vec_id",
+                "embedding",
+                threshold=t,
+                probes=8,
+            )
+            n_kept += m["n_kept"]
+        kept = store.vectors(spark).select("vec_id", "embedding").cache()
+        k_n = kept.count()
+        a = kept.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("__va"))
+        b = kept.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("__vb"))
+        kept_max = (
+            a.join(b, F.col("ia") < F.col("ib"))
+            .agg(F.max(_cosine_cols("__va", "__vb")).alias("m"))
+            .collect()[0]["m"]
+        )
+        dropped = emb.join(kept.select("vec_id"), "vec_id", "left_anti").select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("__va")
+        )
+        everyone = emb.select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("__vb")
+        )
+        isolated = (
+            dropped.join(everyone, F.col("ia") != F.col("ib"))
+            .filter(_cosine_cols("__va", "__vb") >= F.lit(t))
+            .select("ia")
+            .distinct()
+            .count()
+        )
+        n_dropped = n_in - k_n
+        return spark.createDataFrame(
+            [(
+                int(n_in),
+                bool(k_n == n_kept and k_n + n_dropped == n_in),
+                bool(kept_max is None or kept_max < t),
+                bool(isolated == n_dropped),
+            )],
+            "n_in long, counts_consistent boolean,"
+            " kept_pairwise_below_threshold boolean,"
+            " dropped_have_neighbor boolean",
+        )
+
+
 def _q_ann_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same recall contract as ann_ivf_recall, but through the DISTRIBUTED
     training path (round 4: hash-threshold seeding + mapInArrow Lloyd
@@ -2088,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "incremental_ann_search": _q_incremental_ann_search,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
@@ -2382,6 +2461,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_distributed_recall": (
             "SELECT CAST(0.375 AS DOUBLE) AS probe_frac, TRUE AS recall_above_half"
+        ),
+        # greedy-vs-kept semantics on chained clusters is not CC dedup, so
+        # the invariants are verified in-engine over the exact cosine
+        # matrix; the oracle pins the row-count + constant booleans
+        # (precedent: ann_ivf_recall / onepass_profile_documents)
+        "semantic_dedup_embeddings": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_in,"
+            " TRUE AS counts_consistent,"
+            " TRUE AS kept_pairwise_below_threshold,"
+            " TRUE AS dropped_have_neighbor FROM embeddings"
         ),
         # all-bucket probe => the incremental store's top-5 IS the exact
         # cosine top-5; DuckDB verifies values, not just recall booleans

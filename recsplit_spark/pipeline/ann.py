@@ -81,6 +81,69 @@ def _chunked_argmax_scores(x: np.ndarray, cent_t: np.ndarray) -> np.ndarray:
     return out
 
 
+def _chunked_topq_scores(x: np.ndarray, cent_t: np.ndarray, q: int) -> np.ndarray:
+    """(n, q) ids of the q highest-scoring centroids per row, chunked like
+    ``_chunked_argmax_scores``. Position 0 is the ARGMAX bucket (the id
+    ``assign`` would produce — callers partition by it); the remaining
+    q-1 ids are the rest of the probe set, unordered (argpartition)."""
+    k = cent_t.shape[1]
+    q = min(q, k)
+    rows = max(1, _SCORE_CHUNK_ELEMS // max(1, k))
+    out = np.empty((len(x), q), dtype=np.int64)
+    for lo in range(0, len(x), rows):
+        hi = min(len(x), lo + rows)
+        s = x[lo:hi] @ cent_t
+        if q >= k:
+            ids = np.broadcast_to(
+                np.arange(k, dtype=np.int64), (hi - lo, k)
+            ).copy()
+        else:
+            ids = np.argpartition(-s, q - 1, axis=1)[:, :q]
+        # swap the argmax (among the q candidates) to position 0
+        r = np.arange(hi - lo)
+        best = np.take_along_axis(s, ids, axis=1).argmax(axis=1)
+        ids[r, 0], ids[r, best] = ids[r, best], ids[r, 0].copy()
+        out[lo:hi] = ids
+    return out
+
+
+def _make_assign_probes_fn(bcast, q: int):
+    """Like ``_make_assign_fn`` but returns the TOP-q probe bucket ids per
+    vector as a list column — the multi-probe candidate feed for
+    semantic dedup (same broadcast-only closure discipline)."""
+
+    def _probes(v: pa.Array) -> pa.Array:
+        cent_t = bcast.value
+        x = _normalize_rows(_list_col_to_matrix(v, np.float32))
+        n = len(x)
+        qq = min(q, cent_t.shape[1])
+        if n == 0:
+            ids = np.empty(0, dtype=np.int32)
+        else:
+            ids = _chunked_topq_scores(x, cent_t, qq).astype(np.int32).reshape(-1)
+        offsets = pa.array(
+            np.arange(n + 1, dtype=np.int32) * np.int32(qq), type=pa.int32()
+        )
+        return pa.ListArray.from_arrays(offsets, pa.array(ids, type=pa.int32()))
+
+    return _probes
+
+
+def _cosine_cols(a_col, b_col):
+    """Column-column cosine similarity over two ``array<float>`` columns —
+    pure Column exprs (``zip_with`` dot + per-side norms), no Python."""
+    from pyspark.sql import functions as F
+
+    dot = F.aggregate(
+        F.zip_with(F.col(a_col), F.col(b_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
 def _cosine_expr(vec_col, qvec):
     from pyspark.sql import functions as F
 
@@ -447,6 +510,29 @@ class IVFIndex:
             self._bcast_sc = sc
         _assign = arrow_udf(_make_assign_fn(bcast), IntegerType())
         return df.withColumn(out_col, _assign(vec_col))
+
+    def assign_probes(self, df, vec_col: str, probes: int,
+                      out_col: str = "probe_ids"):
+        """Add an ``array<int>`` column of the ``probes`` nearest centroid
+        ids per vector — the multi-probe bucket set (same broadcast
+        discipline as ``assign``; ids within the set are unordered)."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        if self.centroids is None:
+            raise RuntimeError("fit() first")
+        sc = df.sparkSession.sparkContext
+        bcast = getattr(self, "_bcast", None)
+        if bcast is None or getattr(self, "_bcast_sc", None) is not sc:
+            bcast = sc.broadcast(
+                np.ascontiguousarray(self.centroids.T, dtype=np.float32)
+            )
+            self._bcast = bcast
+            self._bcast_sc = sc
+        _probes = arrow_udf(
+            _make_assign_probes_fn(bcast, probes), ArrayType(IntegerType())
+        )
+        return df.withColumn(out_col, _probes(vec_col))
 
     def __getstate__(self):
         # Broadcast handles are not driver-side picklable and are

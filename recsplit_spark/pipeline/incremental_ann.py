@@ -239,6 +239,228 @@ class IncrementalANN:
         return {"gen": gen, "n": int(n), "wall_s": wall,
                 "skipped_replay": False}
 
+    def append_dedup(self, df, id_col: str | None = None,
+                     vec_col: str | None = None, threshold: float = 0.9,
+                     probes: int | None = None,
+                     stream_batch_id: int | None = None):
+        """Semantic dedup + ingest in one append (the SemDeDup shape): a
+        new vector is DROPPED if its cosine to any already-kept vector —
+        or to an earlier-kept member of its own batch cluster — is
+        ``>= threshold``; survivors commit as the next generation.
+
+        Candidates come from the store's own IVF buckets used as the
+        LSH: each new vector probes its ``probes`` nearest centroid
+        buckets (default ``index.nprobe``; position 0 is its argmax
+        bucket, where a near-duplicate almost surely sits) and compares
+        against the stored vectors there — a partition-pruned scan of
+        ``~probes/k`` of the store, never all of it. Recall is the
+        standard IVF trade: NEAR-IDENTICAL vectors (cosine ~1, the
+        semantic-dup regime) share an argmax bucket ~always, but pairs
+        only barely above a LOW threshold can straddle buckets neither
+        side probes — measured at sf0.01 with threshold 0.4 and
+        probes=3/8, one 0.47-cosine pair survived that probes=8 catches.
+        ``probes == n_centroids`` makes candidates exhaustive (the
+        oracle query runs there); production dials probes exactly like
+        ``search``'s nprobe. Cost per batch
+        vector is its probe buckets' population (``~probes * n/k``; at
+        the auto-sqrt(n) operating point, ``probes * sqrt(n)``
+        comparisons — the standard semantic-dedup bill). Cosines are
+        pure Column exprs (``zip_with`` dot + norms). Within-batch
+        resolution mirrors ``IncrementalDedup``: verified pairs cluster
+        by min-label CC; a cluster touching the kept store drops whole,
+        else its min-id rep survives.
+
+        Returns ``(kept_df, metrics)``; replay-idempotent via
+        ``stream_batch_id`` (exact lineage-marker match; the kept set is
+        recomputed FROM the committed generation, so a crashed
+        downstream write can always be redone)."""
+        t0 = time.time()
+        spark = df.sparkSession
+        self._acquire_lock(spark)
+        try:
+            self._check_or_write_manifest(spark, id_col, vec_col)
+            return self._append_dedup_locked(
+                df, threshold, probes, t0, stream_batch_id
+            )
+        finally:
+            self._release_lock(spark)
+
+    def _append_dedup_locked(self, df, threshold, probes, t0,
+                             stream_batch_id):
+        from pyspark.sql import functions as F
+
+        from .ann import _cosine_cols
+        from .dedup import connected_components
+
+        spark = df.sparkSession
+        id_col, vec_col = self._id_col, self._vec_col
+        if stream_batch_id is not None:
+            for r in self._lineage_rows(spark):
+                rid = r["run_id"] or ""
+                if rid.startswith(f"sb{int(stream_batch_id)}:"):
+                    gen = int(r["gen"])
+                    kept = df.join(
+                        self.vectors(spark)
+                        .filter(F.col("gen") == gen)
+                        .select(F.col(id_col)),
+                        id_col,
+                        "left_semi",
+                    )
+                    return kept, {
+                        "gen": gen, "n_in": None,
+                        "n_kept": int(r["n"]),
+                        "wall_s": time.time() - t0,
+                        "skipped_replay": True,
+                    }
+        if probes is None:
+            probes = self._index.nprobe
+
+        probed = self._index.assign_probes(
+            df.select(id_col, vec_col), vec_col, probes
+        ).persist()
+        cnt = probed.agg(
+            F.count("*").alias("n"), F.countDistinct(id_col).alias("d")
+        ).collect()[0]
+        n_in = int(cnt["n"])
+        if n_in == 0:
+            probed.unpersist()
+            return df, {"gen": None, "n_in": 0, "n_kept": 0,
+                        "n_matched_old": 0, "n_clusters": 0,
+                        "wall_s": time.time() - t0, "skipped_replay": False}
+        if int(cnt["d"]) != n_in:
+            probed.unpersist()
+            raise ValueError(
+                f"batch ids must be distinct within the batch "
+                f"({n_in} rows, {int(cnt['d'])} distinct ids)"
+            )
+        vecs_a = probed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        exploded = probed.select(
+            F.col(id_col).alias("id_a"),
+            F.explode("probe_ids").alias("centroid_id"),
+        )
+
+        # -- new-vs-old: probe buckets against the committed store
+        have_state = bool(self._lineage_rows(spark))
+        if have_state:
+            store = self.vectors(spark).select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("__vb"),
+                "centroid_id",
+            )
+            # each stored id lives in exactly ONE bucket, so the pair
+            # relation needs dedup only across the batch side's probes
+            cand_old = (
+                exploded.join(store.select("id_b", "centroid_id"),
+                              "centroid_id")
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            matched_old = (
+                cand_old.join(vecs_a, "id_a")
+                .join(store.select("id_b", "__vb"), "id_b")
+                .filter(_cosine_cols("__va", "__vb") >= F.lit(threshold))
+                .select("id_a")
+                .distinct()
+                .persist()
+            )
+        else:
+            matched_old = spark.createDataFrame([], "id_a long").persist()
+        n_matched_old = matched_old.count()
+
+        # -- new-vs-new: probe-bucket self-join within the batch
+        b_side = exploded.select(
+            F.col("id_a").alias("id_b"), "centroid_id"
+        )
+        cand_new = (
+            exploded.join(b_side, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        vecs_b = probed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        verified_new = (
+            cand_new.join(vecs_a, "id_a").join(vecs_b, "id_b")
+            .filter(_cosine_cols("__va", "__vb") >= F.lit(threshold))
+            .select("id_a", "id_b")
+            .persist()
+        )
+        if verified_new.count() == 0:
+            clusters = spark.createDataFrame([], "id long, rep long").persist()
+            n_clusters = 0
+        else:
+            clusters = connected_components(verified_new).persist()
+            n_clusters = int(
+                clusters.agg(F.countDistinct("rep")).collect()[0][0]
+            )
+        verified_new.unpersist()
+
+        # -- resolution (same semantics as IncrementalDedup)
+        hit_reps = (
+            clusters.join(
+                matched_old.withColumnRenamed("id_a", "id"), "id", "left_semi"
+            )
+            .select("rep")
+            .distinct()
+        )
+        drop = (
+            clusters.join(hit_reps, "rep", "left_semi").select("id")
+            .unionByName(
+                clusters.filter(F.col("id") != F.col("rep")).select("id")
+            )
+            .unionByName(matched_old.withColumnRenamed("id_a", "id"))
+            .distinct()
+            .withColumnRenamed("id", id_col)
+        )
+        kept_assigned = (
+            probed.join(drop, id_col, "left_anti")
+            .select(
+                id_col,
+                vec_col,
+                F.element_at("probe_ids", 1).alias("centroid_id"),
+            )
+            .persist()
+        )
+        n_kept = kept_assigned.count()
+
+        # -- commit (payload dir first, lineage second — same protocol
+        # as append; an all-dup batch commits nothing)
+        rows = self._lineage_rows(spark)
+        gen = int(rows[-1]["gen"]) + 1 if rows else 0
+        if n_kept > 0:
+            gdir = f"{self.path}/vectors/gen={gen}"
+            kept_assigned.write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(gdir)
+            run_id = uuid.uuid4().hex
+            if stream_batch_id is not None:
+                run_id = f"sb{int(stream_batch_id)}:{run_id}"
+            spark.createDataFrame(
+                [(gen, n_kept, run_id, time.time() - t0)], _LIN_SCHEMA
+            ).write.mode("append").parquet(f"{self.path}/lineage")
+            kept = df.join(
+                spark.read.parquet(gdir).select(id_col), id_col, "left_semi"
+            )
+        else:
+            gen = None
+            kept = df.limit(0)
+        probed.unpersist()
+        matched_old.unpersist()
+        clusters.unpersist()
+        kept_assigned.unpersist()
+        return kept, {
+            "gen": gen,
+            "n_in": n_in,
+            "n_kept": int(n_kept),
+            "n_matched_old": int(n_matched_old),
+            "n_clusters": int(n_clusters),
+            "wall_s": time.time() - t0,
+            "skipped_replay": False,
+        }
+
     def search(self, spark, query, k: int = 10):
         """Top-k cosine over the whole committed store: probe-set
         IN-filter -> partition-pruned scan of ~nprobe/k of the corpus ->

@@ -179,3 +179,70 @@ def test_empty_batch_is_noop(spark, tmp_path, fitted):
     assert m["gen"] is None and m["n"] == 0
     assert inc.total_vectors(spark) == 100
     assert inc.vectors(spark).count() == 100
+
+
+def _clustered_emb(spark, dim=16):
+    """Planted near-dup clusters: members of a cluster are tiny
+    perturbations of a base vector (cosine ~0.999); distinct docs are
+    independent gaussians (cosine ~0)."""
+    rows = []
+
+    def base(c):
+        return np.random.default_rng(1000 + c).standard_normal(dim)
+
+    def member(vid, c, variant):
+        v = base(c) + 0.02 * np.random.default_rng(vid).standard_normal(dim)
+        return (vid, v.astype(float).tolist())
+
+    # batch 0: cluster A {0,1}, uniques 2,3 · batch 1: A-copy 10,
+    # cluster B {11,12}, unique 13 · batch 2: A-copy 20, B-copy 21, unique 22
+    rows += [member(0, 0, 0), member(1, 0, 1), (2, np.random.default_rng(2).standard_normal(dim).tolist()), (3, np.random.default_rng(3).standard_normal(dim).tolist())]
+    rows += [member(10, 0, 2), member(11, 1, 0), member(12, 1, 1), (13, np.random.default_rng(13).standard_normal(dim).tolist())]
+    rows += [member(20, 0, 3), member(21, 1, 2), (22, np.random.default_rng(22).standard_normal(dim).tolist())]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_append_dedup_semantic(spark, tmp_path, fitted):
+    idx, base = fitted
+    emb = _clustered_emb(spark)
+    store = IncrementalANN(f"{tmp_path}/sd", index=idx)
+
+    b0 = emb.filter(F.col("vec_id") < 10)
+    kept0, m0 = store.append_dedup(b0, "vec_id", "embedding",
+                                   threshold=0.9, stream_batch_id=0)
+    assert sorted(r["vec_id"] for r in kept0.collect()) == [0, 2, 3]
+    assert m0["n_clusters"] == 1 and m0["n_matched_old"] == 0
+
+    b1 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    kept1, m1 = store.append_dedup(b1, threshold=0.9, stream_batch_id=1)
+    assert sorted(r["vec_id"] for r in kept1.collect()) == [11, 13]
+    assert m1["n_matched_old"] == 1  # 10 hit kept vector 0
+
+    b2 = emb.filter(F.col("vec_id") >= 20)
+    kept2, m2 = store.append_dedup(b2, threshold=0.9, stream_batch_id=2)
+    assert sorted(r["vec_id"] for r in kept2.collect()) == [22]
+    assert m2["n_matched_old"] == 2
+
+    assert store.total_vectors(spark) == 6
+    # the deduped store still searches: the kept A-rep is vec 0
+    q = np.array(emb.filter(F.col("vec_id") == 20).collect()[0]["embedding"])
+    top = store.search(spark, q, k=1).collect()[0]
+    assert top["vec_id"] == 0 and top["cosine"] > 0.9
+
+    # replay of batch 1: nothing recommitted, kept recomputed from state
+    kept_r, m_r = store.append_dedup(b1, threshold=0.9, stream_batch_id=1)
+    assert m_r["skipped_replay"]
+    assert sorted(r["vec_id"] for r in kept_r.collect()) == [11, 13]
+    assert store.total_vectors(spark) == 6
+
+
+def test_append_dedup_all_dup_batch_commits_nothing(spark, tmp_path, fitted):
+    idx, _ = fitted
+    emb = _clustered_emb(spark)
+    store = IncrementalANN(f"{tmp_path}/sd", index=idx)
+    store.append_dedup(emb.filter(F.col("vec_id") < 10), "vec_id",
+                       "embedding", threshold=0.9)
+    dups = emb.filter(F.col("vec_id") == 10)  # pure copy of kept cluster A
+    kept, m = store.append_dedup(dups, threshold=0.9)
+    assert m["gen"] is None and m["n_kept"] == 0 and kept.count() == 0
+    assert store.total_vectors(spark) == 3
