@@ -129,6 +129,58 @@ def _make_assign_probes_fn(bcast, q: int):
     return _probes
 
 
+def bucket_pairs_above(left, right, threshold: float, self_pairs: bool = False):
+    """DataFrame[id_a, id_b]: all pairs with cosine >= ``threshold``
+    between two bucketed relations ``left(id_a, __va, centroid_id)`` and
+    ``right(id_b, __vb, centroid_id)``, computed per bucket with ONE
+    chunked BLAS matmul per (left-bucket x right-bucket) via a cogrouped
+    ``applyInPandas`` kernel.
+
+    This is the scale path for semantic dedup: sub-threshold candidate
+    pairs never materialize as rows, and each vector crosses the shuffle
+    once per bucket membership — never once per candidate pair (the
+    naive join + per-pair ``zip_with`` cosine ships two d-float arrays
+    per pair; measured 185 vectors/s at 400k x 64d vs the matmul path).
+    ``self_pairs=True`` is the within-population mode (both sides carry
+    the same ids): emits ``id_a < id_b`` only. Multi-probe callers
+    ``.distinct()`` the result (a pair found in two shared buckets)."""
+    import pandas as pd
+
+    t = float(threshold)
+
+    def _pairs(l, r) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ida = l["id_a"].to_numpy()
+        idb = r["id_b"].to_numpy()
+        a = _normalize_rows(np.stack(l["__va"].to_numpy()).astype(np.float32))
+        b = _normalize_rows(np.stack(r["__vb"].to_numpy()).astype(np.float32))
+        bt = np.ascontiguousarray(b.T)
+        rows = max(1, _SCORE_CHUNK_ELEMS // max(1, len(b)))
+        out_a, out_b = [], []
+        for lo in range(0, len(a), rows):
+            hi = min(len(a), lo + rows)
+            s = a[lo:hi] @ bt
+            ii, jj = np.nonzero(s >= t)
+            pa_ids = ida[lo + ii]
+            pb_ids = idb[jj]
+            if self_pairs:
+                keep = pa_ids < pb_ids
+                pa_ids, pb_ids = pa_ids[keep], pb_ids[keep]
+            out_a.append(pa_ids)
+            out_b.append(pb_ids)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        left.groupBy("centroid_id")
+        .cogroup(right.groupBy("centroid_id"))
+        .applyInPandas(lambda l, r: _pairs(l, r), "id_a long, id_b long")
+    )
+
+
 def _cosine_cols(a_col, b_col):
     """Column-column cosine similarity over two ``array<float>`` columns —
     pure Column exprs (``zip_with`` dot + per-side norms), no Python."""

@@ -289,7 +289,7 @@ class IncrementalANN:
                              stream_batch_id):
         from pyspark.sql import functions as F
 
-        from .ann import _cosine_cols
+        from .ann import bucket_pairs_above
         from .dedup import connected_components
 
         spark = df.sparkSession
@@ -333,11 +333,12 @@ class IncrementalANN:
                 f"batch ids must be distinct within the batch "
                 f"({n_in} rows, {int(cnt['d'])} distinct ids)"
             )
-        vecs_a = probed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-        )
-        exploded = probed.select(
+        # bucketed relations for the per-bucket BLAS verifier
+        # (bucket_pairs_above): vectors cross the shuffle once per probe
+        # bucket membership, never once per candidate pair
+        exploded_a = probed.select(
             F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
             F.explode("probe_ids").alias("centroid_id"),
         )
 
@@ -349,18 +350,8 @@ class IncrementalANN:
                 F.col(vec_col).alias("__vb"),
                 "centroid_id",
             )
-            # each stored id lives in exactly ONE bucket, so the pair
-            # relation needs dedup only across the batch side's probes
-            cand_old = (
-                exploded.join(store.select("id_b", "centroid_id"),
-                              "centroid_id")
-                .select("id_a", "id_b")
-                .distinct()
-            )
             matched_old = (
-                cand_old.join(vecs_a, "id_a")
-                .join(store.select("id_b", "__vb"), "id_b")
-                .filter(_cosine_cols("__va", "__vb") >= F.lit(threshold))
+                bucket_pairs_above(exploded_a, store, threshold)
                 .select("id_a")
                 .distinct()
                 .persist()
@@ -369,23 +360,17 @@ class IncrementalANN:
             matched_old = spark.createDataFrame([], "id_a long").persist()
         n_matched_old = matched_old.count()
 
-        # -- new-vs-new: probe-bucket self-join within the batch
-        b_side = exploded.select(
-            F.col("id_a").alias("id_b"), "centroid_id"
-        )
-        cand_new = (
-            exploded.join(b_side, "centroid_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        vecs_b = probed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        # -- new-vs-new: within-batch, same kernel in self mode (a pair
+        # sharing two probe buckets appears twice -> distinct)
+        exploded_b = probed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.explode("probe_ids").alias("centroid_id"),
         )
         verified_new = (
-            cand_new.join(vecs_a, "id_a").join(vecs_b, "id_b")
-            .filter(_cosine_cols("__va", "__vb") >= F.lit(threshold))
-            .select("id_a", "id_b")
+            bucket_pairs_above(exploded_a, exploded_b, threshold,
+                               self_pairs=True)
+            .distinct()
             .persist()
         )
         if verified_new.count() == 0:

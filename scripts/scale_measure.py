@@ -510,6 +510,102 @@ def task_incdedup_tokens(n_docs: int, gens: int, cores: int) -> dict:
     return out
 
 
+def task_semdedup(n_vec: int, gens: int, cores: int, dim: int = 64) -> dict:
+    """Semantic dedup at scale: ``n_vec`` synthetic vectors (5% planted
+    near-dups of earlier vectors, the rest gaussian) arrive as ``gens``
+    batches through ``IncrementalANN.append_dedup`` at the IVF operating
+    point k=sqrt(n). Records per-append wall + detected dup counts; the
+    comparison point is the brute-force bill this replaces (each batch
+    vector against every kept vector = O(n^2/gens) cosines per batch vs
+    the store's ~probes/k partition-pruned scan)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-semdedup", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 31)
+            x = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            # 5% planted near-dups: copy an earlier id's vector + noise
+            dup = ids % 20 == 7
+            src = (ids[dup] * 7) % np.maximum(ids[dup], 1)
+            for row, s in zip(np.flatnonzero(dup), src):
+                r2 = np.random.default_rng(int(s) + 31_000_000)
+                x[row] = r2.standard_normal(dim).astype(np.float32)
+                x[row] += 0.01 * rng.standard_normal(dim).astype(np.float32)
+            yield pa.record_batch(
+                [b.column(0),
+                 pa.array(list(x), type=pa.list_(pa.float32()))],
+                names=["vec_id", "embedding"],
+            )
+
+    vec = (
+        spark.range(0, n_vec, 1, cores * 2)
+        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
+        .persist()
+    )
+    vec.count()
+    k = max(64, int(n_vec ** 0.5))
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    idx = IVFIndex(n_centroids=k, nprobe=4, iters=5).fit(
+        vec, "embedding", sample_size=min(n_vec, 40 * k), mode="auto"
+    )
+    fit_s = time.time() - t0
+
+    import pyspark.sql.functions as F
+
+    appends = []
+    tmp = tempfile.mkdtemp(dir="/root/repo/.scale_tmp")
+    try:
+        store = IncrementalANN(f"{tmp}/sd", index=idx)
+        t_all = time.time()
+        for i in range(gens):
+            lo = n_vec * i // gens
+            hi = n_vec * (i + 1) // gens
+            _, m = store.append_dedup(
+                vec.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                "vec_id", "embedding", threshold=0.9,
+            )
+            appends.append(
+                {"gen": m["gen"], "n_in": m["n_in"], "n_kept": m["n_kept"],
+                 "n_matched_old": m["n_matched_old"],
+                 "wall_s": round(m["wall_s"], 1)}
+            )
+        total_s = time.time() - t_all
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    probe_after = host_probe_ms()
+    vec.unpersist()
+    out = {
+        "task": "semdedup",
+        "n_vectors": n_vec,
+        "dim": dim,
+        "k": k,
+        "gens": gens,
+        "fit_sec": round(fit_s, 1),
+        "appends": appends,
+        "dedup_total_sec": round(total_s, 1),
+        "vectors_per_sec": round(n_vec / total_s, 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
 def task_incmphf(n_per_gen: int, gens: int, cores: int, reps: int = 2) -> dict:
     """Generational MPHF at scale: ``gens`` appends of ``n_per_gen``
     string keys each, then best-of-N route (unknown generation:
@@ -693,7 +789,7 @@ if __name__ == "__main__":
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
-                 "smallrungs", "incmphf", "incmphf_compact", "incdedup", "incdedup_tokens"],
+                 "smallrungs", "incmphf", "incmphf_compact", "incdedup", "incdedup_tokens", "semdedup"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -724,6 +820,8 @@ if __name__ == "__main__":
         res = task_incdedup(args.gens, args.cores)
     elif args.task == "incdedup_tokens":
         res = task_incdedup_tokens(args.n or 200_000, args.gens, args.cores)
+    elif args.task == "semdedup":
+        res = task_semdedup(args.n or 400_000, args.gens, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
