@@ -10,9 +10,13 @@ of documents flows through the whole incremental family in one job:
      embeddings into the appendable IVF store (when ``--vec-col`` and a
      previously-fitted index path are given);
   4. write the kept rows + their ``mphf_index`` to ``--out/batch=<id>``
-     (mode overwrite: re-running the same ``--batch-id`` is idempotent
-     end to end, because every append below it skips via its lineage
-     replay marker).
+     (re-running the same ``--batch-id`` is idempotent end to end,
+     because every append below it skips via its lineage replay marker
+     and a committed output slot is preserved as-is);
+  5. optionally (``--profile-spec``) fold the committed clean output
+     into the nightly ``IncrementalProfile`` at ``<root>/profile`` — the
+     sketches then describe the DEDUPED corpus, and the profile's
+     processed-file manifest keeps the fold idempotent too.
 
 Cluster usage (the north-rule deployment shape, ingest side)::
 
@@ -66,6 +70,21 @@ def main() -> int:
     ap.add_argument("--ann-index", default=None,
                     help="path of a previously-fitted IVFIndex save "
                          "(required the first time the ANN stage runs)")
+    ap.add_argument("--profile-spec", action="append", default=[],
+                    help="fold the KEPT batch into <root>/profile as well "
+                         "(same name=kind:col[:ngram=N] syntax as "
+                         "incremental_job.py; repeatable). The profile "
+                         "folds exactly the committed output files, so it "
+                         "describes the CLEAN corpus.")
+    ap.add_argument("--profile-keys", default="source",
+                    help="comma-separated group keys for --profile-spec")
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--cms-eps", type=float, default=5e-4)
+    ap.add_argument("--cms-delta", type=float, default=0.01)
+    ap.add_argument("--bloom-n", type=int, default=1_000_000)
+    ap.add_argument("--bloom-fpr", type=float, default=0.01)
+    ap.add_argument("--theta-k", type=int, default=4096)
+    ap.add_argument("--mg-k", type=int, default=1024)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -110,20 +129,61 @@ def main() -> int:
     # StreamingDedupIngest). Without --batch-id there is no replay
     # identity, so the bare --out dir is written with mode("error"):
     # a second run fails loudly instead of silently wiping the previous
-    # night's corpus.
+    # night's corpus. A replayed batch whose slot already committed is
+    # NOT rewritten: the content would be identical but the part-file
+    # names would change, and the profile stage's processed-file
+    # manifest (step 5) keys on file paths.
+    from recsplit_spark.sketches.incremental import _dir_exists
+
     if args.batch_id is not None:
         out_slot = f"{args.out.rstrip('/')}/batch={args.batch_id}"
-        with_ids.write.mode("overwrite").parquet(out_slot)
+        already = m_dedup.get("skipped_replay") and _dir_exists(
+            spark, f"{out_slot}/_SUCCESS"
+        )
+        if not already:
+            with_ids.write.mode("overwrite").parquet(out_slot)
     else:
         out_slot = args.out.rstrip("/")
         with_ids.write.mode("error").parquet(out_slot)
     n_out = spark.read.parquet(out_slot).count()
     kept.unpersist()
 
+    # 5. optional: fold the committed CLEAN output into the nightly
+    # profile (sketches over the deduped corpus). Idempotence comes from
+    # the profile's own processed-file manifest: update(files=...) folds
+    # ONLY never-folded files, so a replay (slot preserved above) is a
+    # no-op, and a crash between the output write and this fold is
+    # repaired by the retry folding the then-unfolded files.
+    m_profile = None
+    if args.profile_spec:
+        import importlib.util as _ilu
+        import os as _os
+
+        spec_mod_path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "incremental_job.py"
+        )
+        _s = _ilu.spec_from_file_location("_inc_job", spec_mod_path)
+        _inc_job = _ilu.module_from_spec(_s)
+        _s.loader.exec_module(_inc_job)
+        from recsplit_spark.sketches.incremental import (
+            IncrementalProfile,
+            _list_data_files,
+        )
+
+        specs = [_inc_job._parse_spec(t, args) for t in args.profile_spec]
+        prof = IncrementalProfile(
+            specs, [k for k in args.profile_keys.split(",") if k],
+            f"{root}/profile",
+        )
+        m_profile = prof.update(
+            spark, files=_list_data_files(spark, out_slot)
+        )
+
     print(json.dumps({
         "dedup": m_dedup,
         "ids": m_ids,
         "ann": m_ann,
+        "profile": m_profile,
         "rows_out": n_out,
         "out": out_slot,
         "total_kept": dd.total_kept(spark),
