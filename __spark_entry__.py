@@ -1874,6 +1874,115 @@ def _q_heavy_ngrams_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_dedup_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the north-rule token payload
+    (pipeline/substring_dedup — the ExactSubstr operation of Lee et al.
+    2021, re-expressed as count/locate/cut Spark passes that shuffle
+    hash pairs and span offsets, never token arrays). A 12-token
+    boilerplate span (tokens >= 60000, outside the generator's vocab) is
+    planted mid-document into a deterministic 1-in-3 of 20,000 sequences
+    (xxhash64 selector over doc_id); with window n=8 each occurrence
+    contributes 5 duplicated windows whose merged cut span is exactly
+    the 12 planted tokens. Exactness cuts MORE than the plant: windows
+    of 7 span tokens + 1 boundary token duplicate whenever two planted
+    docs' boundary tokens coincide (birthday on the 50257-token vocab
+    across 6587 planted docs — ~770 such windows), so removed_total
+    exceeds 12 x (planted - 1) by those genuine straddle duplicates.
+    Checks, all in-engine against the ORIGINAL corpus: exactly
+    (planted - 1) docs are cut and each loses >= its 12-token span (the
+    globally-first occurrence survives — guaranteed, since the keeper
+    has the min doc_id of every pair it appears in); the keeper is the
+    only planted doc left intact; every clean doc's token array is
+    byte-equal to the original; re-running the duplicated-window count
+    on the deduped corpus finds zero. The generator and selector are
+    seed-pinned, so the oracle's constants (including removed_total)
+    are fully determined (precedent: heavy_ngrams_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.substring_dedup import (
+        dedup_substrings,
+        duplicate_windows,
+    )
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_rows = 20_000
+    span = [60001 + 7 * i for i in range(12)]
+    seq = sequences(spark, n_rows, partitions=8)
+    sel = F.pmod(F.xxhash64(F.lit(3), F.col("doc_id")), F.lit(3)) == 0
+    span_sql = ",".join(str(t) for t in span)
+    planted_toks = F.expr(
+        f"concat(slice(tokens, 1, 4), array({span_sql}),"
+        " slice(tokens, 5, n_tok - 4))"
+    )
+    corpus = (
+        seq.withColumn("planted", sel)
+        .withColumn(
+            "tokens", F.when(sel, planted_toks).otherwise(F.col("tokens"))
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .cache()
+    )
+    planted_docs = corpus.filter("planted").count()
+
+    out = dedup_substrings(
+        corpus, "doc_id", "tokens", n=8, len_col="n_tok"
+    ).cache()
+    agg = out.agg(
+        F.sum("removed_tok").alias("removed_total"),
+        F.sum(F.when(F.col("removed_tok") > 0, 1).otherwise(0)).alias(
+            "docs_cut"
+        ),
+        F.sum(
+            F.when(F.col("planted") & (F.col("removed_tok") == 0), 1).otherwise(0)
+        ).alias("planted_intact"),
+        F.min(
+            F.when(F.col("planted") & (F.col("removed_tok") > 0), F.col("removed_tok"))
+        ).alias("min_cut"),
+        F.sum(F.when(~F.col("planted"), F.col("removed_tok")).otherwise(0)).alias(
+            "clean_removed"
+        ),
+    ).collect()[0]
+    cut_expected = (
+        agg["docs_cut"] == planted_docs - 1
+        and agg["min_cut"] >= 12
+        and agg["clean_removed"] == 0
+        and agg["removed_total"] >= 12 * (planted_docs - 1)
+    )
+    keeper_intact = agg["planted_intact"] == 1
+    # clean docs byte-equal to the original corpus
+    orig = corpus.select("doc_id", F.col("tokens").alias("orig_tokens"))
+    clean_unchanged = (
+        out.filter(~F.col("planted"))
+        .join(orig, "doc_id")
+        .filter(F.col("tokens") != F.col("orig_tokens"))
+        .count()
+        == 0
+    )
+    dup_after = duplicate_windows(out, "tokens", n=8).count()
+    corpus.unpersist()
+    out.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(planted_docs),
+                int(agg["docs_cut"]),
+                int(agg["removed_total"]),
+                bool(cut_expected),
+                bool(keeper_intact),
+                bool(clean_unchanged),
+                int(dup_after),
+            )
+        ],
+        "n_rows bigint, planted_docs bigint, docs_cut bigint,"
+        " removed_total bigint, cut_expected boolean,"
+        " keeper_intact boolean, clean_unchanged boolean,"
+        " dup_windows_after bigint",
+    )
+
+
 def _q_heavy_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group heavy token n-grams (sketches/multi.heavy_ngrams_by_key):
     ONE states_by_key scan folds a Misra-Gries state per source over every
@@ -2182,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_source_gram_overlap": _q_theta_source_gram_overlap,
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
+        "substring_dedup_sequences": _q_substring_dedup_sequences,
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
         "generation_sample_added": _q_generation_sample_added,
@@ -2681,5 +2791,20 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS top3_planted_in_order,"
             " TRUE AS certificate_ok,"
             " TRUE AS rehash_ok"
+        ),
+        # seed-pinned generator + xxhash64 plant selector: planted-doc
+        # count and the exact removed-token total (12-token spans plus
+        # the genuine single-boundary-token straddle duplicates) are
+        # deterministic constants; the booleans are verified in-engine
+        # against the original corpus
+        "substring_dedup_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " CAST(6587 AS BIGINT) AS planted_docs,"
+            " CAST(6586 AS BIGINT) AS docs_cut,"
+            " CAST(79828 AS BIGINT) AS removed_total,"
+            " TRUE AS cut_expected,"
+            " TRUE AS keeper_intact,"
+            " TRUE AS clean_unchanged,"
+            " CAST(0 AS BIGINT) AS dup_windows_after"
         ),
     }

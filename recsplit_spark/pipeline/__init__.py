@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     incremental_ann,
     incremental_dedup,
     multimodal,
+    substring_dedup,
     text,
 )

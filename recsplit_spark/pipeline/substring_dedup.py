@@ -1,0 +1,326 @@
+"""Exact substring deduplication over token arrays.
+
+Removes every n-token window that occurs more than once across the corpus
+(keeping one canonical occurrence), the ExactSubstr operation from
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+2021, arXiv:2107.06499) — there built on a single-node suffix array; here
+re-expressed as three Spark passes whose shuffles carry hashes and span
+offsets, never token arrays:
+
+  A. **count** — one scan folds every n-token window into a 128-bit hash
+     pair (the shared window-hash contract ``sketches/multi`` /
+     ``pipeline/dedup`` for ``h1``, an independent second polynomial for
+     ``h2``) and pre-aggregates per batch, so the groupBy shuffles one
+     ~24 B row per batch-distinct window, not one per token. Pairs with
+     count >= 2 are the duplicated-window set D.
+  B. **locate** — one scan per wave re-hashes windows and keeps only
+     occurrences whose (h1, h2) is in D (sorted-array membership against
+     a broadcast slice of D — exact on the 128-bit pair, no Spark join).
+     A window over (h1, h2) ranks occurrences by (doc, pos); rank 1 is
+     the keeper (``keep='first'``), the rest become cut spans.
+  C. **cut** — cut spans are grouped per doc (one doc-keyed shuffle) and
+     joined back; an Arrow-batched kernel merges overlapping [s, s+n)
+     intervals via a delta/cumsum cover mask over the flat token buffer
+     and splices the survivors back into arrays.
+
+Scale shape at 10^12 sequences: pass A's shuffle is the inherent cost of
+EXACT substring dedup — O(distinct windows) hash rows, the distributed
+analogue of the suffix array's O(total tokens) index (at ~24 B/window vs
+the paper's 8 B/suffix pointer, but partitioned instead of single-node).
+Passes B/C shuffle only duplicated occurrences and cut spans, which for
+real corpora are orders of magnitude smaller. The driver and each
+executor hold the duplicated-window set (16 B/entry); ``waves=R`` slices
+D by pmod(h1, R) and runs R locate scans so the broadcast stays bounded
+when duplication is heavy.
+
+Collisions: a single 64-bit window hash collides with near-certainty at
+5x10^14 windows (birthday at ~2^32); keying on the independent pair makes
+a false merge ~W^2/2^129 — negligible at any reachable corpus size — so
+no token-byte confirmation pass is needed.
+
+Reference scope note: minperf has no dedup surface; this module exists
+for the north-rule training-data pipeline (token payload, axes A+B).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import mix64
+from ..sketches.multi import _flat_ngram_hashes_pos, _series_to_flat
+
+# xxhash64 prime2 — public constant; any odd 64-bit multiplier works, it
+# just has to differ from dedup._SHINGLE_PRIME so the two window
+# polynomials are independent.
+_SHINGLE_PRIME2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_H2_XOR = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _second_window_hash(
+    flat: np.ndarray, pos: np.ndarray, n: int
+) -> np.ndarray:
+    """Independent second hash of the n-token windows starting at ``pos``
+    in ``flat`` (different base prime + pre-mix xor than the contract
+    hash). Chunked like ``_flat_ngram_hashes_pos`` so the ~2 window-sized
+    temporaries stay cache-resident."""
+    buf = np.ascontiguousarray(flat, dtype=np.uint64)
+    pows = _SHINGLE_PRIME2 ** np.arange(n, dtype=np.uint64)
+    out = np.empty(len(pos), dtype=np.uint64)
+    chunk = 1 << 16
+    for a in range(0, len(pos), chunk):
+        p = pos[a : a + chunk]
+        raw = np.zeros(len(p), dtype=np.uint64)
+        for j in range(n):
+            raw += buf[p + j] * pows[j]
+        out[a : a + len(p)] = mix64(raw ^ _H2_XOR)
+    return out
+
+
+def _pair_member_mask(
+    h1: np.ndarray,
+    h2: np.ndarray,
+    d1: np.ndarray,
+    d2: np.ndarray,
+    max_run: int,
+) -> np.ndarray:
+    """Exact membership of (h1, h2) rows in the duplicated-window set
+    (d1 sorted ascending, d2 its parallel column, rows lexsorted by
+    (d1, d2)); ``max_run`` is the longest d1 run — almost always 1, so
+    the equal-range check is a tiny fixed loop, fully vectorized."""
+    if len(d1) == 0:
+        return np.zeros(len(h1), dtype=bool)
+    left = np.searchsorted(d1, h1, side="left")
+    hit = np.zeros(len(h1), dtype=bool)
+    for k in range(max_run):
+        idx = left + k
+        ok = idx < len(d1)
+        idx_c = np.where(ok, idx, 0)
+        hit |= ok & (d1[idx_c] == h1) & (d2[idx_c] == h2)
+    return hit
+
+
+def duplicate_windows(df, col: str = "tokens", n: int = 50):
+    """Pass A: DataFrame[h1 long, h2 long, cnt long] of every n-token
+    window (128-bit hash pair) occurring >= 2 times in ``df[col]``.
+    ``h1`` is the shared window-hash contract (``token_ngram_hashes``);
+    ``h2`` the independent confirmation hash. Batch-level pre-aggregation
+    in the kernel plus Catalyst partial aggregation keep the shuffle at
+    one row per partition-distinct window."""
+    from pyspark.sql import functions as F
+
+    def _counts(batches):
+        for pdf in batches:
+            flat, lens = _series_to_flat(pdf["__arr"])
+            h1, pos = _flat_ngram_hashes_pos(flat, lens, n)
+            if len(h1) == 0:
+                continue
+            h2 = _second_window_hash(flat, pos, n)
+            order = np.lexsort((h2, h1))
+            s1, s2 = h1[order], h2[order]
+            new = np.empty(len(s1), dtype=bool)
+            new[0] = True
+            new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(s1)))
+            yield pd.DataFrame(
+                {
+                    "h1": s1[starts].view(np.int64),
+                    "h2": s2[starts].view(np.int64),
+                    "c": cnt.astype(np.int64),
+                }
+            )
+
+    return (
+        df.select(F.col(col).alias("__arr"))
+        .mapInPandas(_counts, schema="h1 long, h2 long, c long")
+        .groupBy("h1", "h2")
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+
+
+def _locate_occurrences(df, id_col: str, col: str, n: int, dups_pdf, waves: int):
+    """Pass B: DataFrame[h1, h2, <id_col>, pos] of every occurrence of a
+    duplicated window, one corpus scan per wave (D sliced by pmod(h1,
+    waves) so each broadcast slice stays bounded)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    d1_all = dups_pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+    d2_all = dups_pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+    parts = []
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    occ_schema = f"h1 long, h2 long, __id {id_type}, pos long"
+    scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    for w in range(waves):
+        sel = (d1_all % np.uint64(waves)) == w if waves > 1 else slice(None)
+        d1w, d2w = d1_all[sel], d2_all[sel]
+        if len(d1w) == 0:
+            continue
+        order = np.lexsort((d2w, d1w))
+        d1s, d2s = d1w[order], d2w[order]
+        # longest equal-h1 run (>=2 only under a 64-bit h1 collision
+        # inside D itself — astronomically rare, but handled exactly)
+        if len(d1s) > 1:
+            runs = np.diff(np.flatnonzero(np.concatenate(([True], d1s[1:] != d1s[:-1], [True]))))
+            max_run = int(runs.max())
+        else:
+            max_run = 1
+        b = spark.sparkContext.broadcast((d1s, d2s, max_run))
+
+        def _hits(batches, _b=b):
+            d1s_, d2s_, mr = _b.value
+            for pdf in batches:
+                flat, lens = _series_to_flat(pdf["__arr"])
+                h1, pos = _flat_ngram_hashes_pos(flat, lens, n)
+                if len(h1) == 0:
+                    continue
+                h2 = _second_window_hash(flat, pos, n)
+                hit = _pair_member_mask(h1, h2, d1s_, d2s_, mr)
+                if not hit.any():
+                    continue
+                n_sh = np.maximum(
+                    lens - n + 1, 0
+                )  # windows per doc, same layout the hash kernel emits
+                doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
+                doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                local = pos - doc_starts[doc_of]
+                ids = pdf["__id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "h1": h1[hit].view(np.int64),
+                        "h2": h2[hit].view(np.int64),
+                        "__id": ids[doc_of[hit]],
+                        "pos": local[hit],
+                    }
+                )
+
+        parts.append(scan.mapInPandas(_hits, schema=occ_schema))
+    if not parts:
+        return spark.createDataFrame([], occ_schema)
+    return reduce(DataFrame.union, parts)
+
+
+def duplicate_spans(
+    df,
+    id_col: str = "doc_id",
+    col: str = "tokens",
+    n: int = 50,
+    keep: str = "first",
+    waves: int = 1,
+):
+    """Cut-span relation DataFrame[<id_col>, pos] — one row per n-token
+    window occurrence to remove. ``keep='first'``: per duplicated window
+    the globally first occurrence by (id, pos) survives; ``keep='none'``:
+    every occurrence is cut (the conservative variant — a duplicated
+    window survives nowhere)."""
+    from pyspark.sql import Window, functions as F
+
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if waves < 1:
+        raise ValueError("waves must be >= 1")
+    dups_pdf = duplicate_windows(df, col, n).toPandas()
+    occ = _locate_occurrences(df, id_col, col, n, dups_pdf, waves)
+    if keep == "first":
+        w = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
+        occ = occ.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") > 1
+        )
+    return occ.select(F.col("__id").alias(id_col), "pos")
+
+
+def dedup_substrings(
+    df,
+    id_col: str = "doc_id",
+    col: str = "tokens",
+    n: int = 50,
+    keep: str = "first",
+    waves: int = 1,
+    len_col: str | None = None,
+):
+    """Exact substring dedup: returns ``df`` with every duplicated
+    n-token span cut out of ``col`` (overlapping spans merged before
+    cutting) plus a ``removed_tok int`` column. ``len_col``, if given,
+    is refreshed to the new array length. The input is scanned 2 + waves
+    times — read it from storage or ``.cache()`` it first.
+
+    Postcondition (``keep='first'``): of each duplicated window's
+    original occurrences, at most one survives — exactly one unless the
+    keeper itself was covered by a DIFFERENT duplicated window's cut
+    span (the paper's semantics: spans are removed independently, the
+    pass is not iterated)."""
+    from pyspark.sql import functions as F
+
+    if "removed_tok" in df.columns:
+        raise ValueError("df already has a removed_tok column")
+    spans = duplicate_spans(df, id_col, col, n, keep, waves)
+    cut_lists = spans.groupBy(id_col).agg(
+        F.collect_list("pos").alias("__cut_starts")
+    )
+    joined = df.join(cut_lists, id_col, "left")
+    in_cols = list(df.columns)  # plain list: the kernel must not close over df
+    out_cols = in_cols + ["removed_tok"]
+    fields = [joined.schema[c] for c in df.columns]
+    schema_out = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    schema_out += ", removed_tok int"
+
+    def _cut(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [
+                np.asarray(a, dtype=np.int64)
+                if a is not None
+                else np.empty(0, np.int64)
+                for a in pdf[col]
+            ]
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            )
+            total = int(lens.sum())
+            flat = (
+                np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            )
+            doc_starts = np.concatenate(([0], np.cumsum(lens)))
+            starts_col = pdf["__cut_starts"]
+            cut_docs = [
+                (i, np.asarray(s, dtype=np.int64))
+                for i, s in enumerate(starts_col)
+                if isinstance(s, (list, np.ndarray)) and len(s) > 0
+            ]
+            if cut_docs:
+                gs = np.concatenate(
+                    [doc_starts[i] + s for i, s in cut_docs]
+                )
+                ge = np.minimum(
+                    gs + n,
+                    np.concatenate(
+                        [
+                            np.full(len(s), doc_starts[i + 1], np.int64)
+                            for i, s in cut_docs
+                        ]
+                    ),
+                )
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, gs, 1)
+                np.add.at(delta, ge, -1)
+                covered = np.cumsum(delta[:total]) > 0
+                keep_mask = ~covered
+            else:
+                keep_mask = np.ones(total, dtype=bool)
+            ck = np.concatenate(([0], np.cumsum(keep_mask)))
+            kept_lens = ck[doc_starts[1:]] - ck[doc_starts[:-1]]
+            kept_flat = flat[keep_mask].astype(np.int32)
+            new_arrs = np.split(kept_flat, np.cumsum(kept_lens)[:-1])
+            out = pdf[in_cols].copy()
+            out[col] = new_arrs
+            out["removed_tok"] = (lens - kept_lens).astype(np.int32)
+            if len_col is not None:
+                out[len_col] = kept_lens.astype(np.int32)
+            yield out[out_cols]
+
+    return joined.mapInPandas(_cut, schema=schema_out)

@@ -1,0 +1,202 @@
+"""Exact substring dedup (pipeline/substring_dedup) vs a brute-force
+token-tuple reference — the Spark path works on 128-bit window-hash
+pairs, the reference on the actual token tuples, so agreement checks the
+whole hash/locate/rank/cut chain end-to-end."""
+
+import numpy as np
+import pytest
+
+from recsplit_spark.pipeline.substring_dedup import (
+    dedup_substrings,
+    duplicate_spans,
+    duplicate_windows,
+)
+
+
+def _ref_dedup(docs, n, keep="first"):
+    """Brute force on token tuples. ``docs``: {doc_id: list[int]} with
+    ids whose python sort order matches Spark's string sort."""
+    occ = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[p : p + n]), []).append((did, p))
+    cuts = {}
+    for occs in occ.values():
+        if len(occs) < 2:
+            continue
+        occs = sorted(occs)
+        drop = occs[1:] if keep == "first" else occs
+        for did, p in drop:
+            cuts.setdefault(did, []).append(p)
+    out, removed = {}, {}
+    for did, toks in docs.items():
+        mask = [True] * len(toks)
+        for p in cuts.get(did, []):
+            for j in range(p, min(p + n, len(toks))):
+                mask[j] = False
+        kept = [t for t, m in zip(toks, mask) if m]
+        out[did] = kept
+        removed[did] = len(toks) - len(kept)
+    return out, removed, cuts
+
+
+def _to_df(spark, docs):
+    rows = [(did, list(map(int, toks))) for did, toks in sorted(docs.items())]
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def _run_and_compare(spark, docs, n, keep="first", waves=1):
+    df = _to_df(spark, docs).cache()
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["removed_tok"])
+        for r in dedup_substrings(
+            df, "doc_id", "tokens", n=n, keep=keep, waves=waves
+        ).collect()
+    }
+    df.unpersist()
+    exp_toks, exp_removed, _ = _ref_dedup(docs, n, keep)
+    assert set(got) == set(docs)
+    for did in docs:
+        assert got[did][0] == exp_toks[did], did
+        assert got[did][1] == exp_removed[did], did
+
+
+def test_shared_span_cut_keeps_first(spark):
+    span = list(range(900, 912))  # 12 tokens, n=8 -> 5 windows, union 12
+    docs = {
+        "d0": [1, 2, 3, 4] + span + [5, 6, 7, 8],  # keeper (min doc_id)
+        "d1": [9, 10] + span + [11, 12, 13, 14, 15, 16],
+        "d2": span + [17, 18, 19, 20, 21, 22, 23, 24],
+        "d3": [25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36],  # clean
+    }
+    _run_and_compare(spark, docs, n=8)
+
+
+def test_within_doc_repeat_and_overlap(spark):
+    span = list(range(700, 710))
+    docs = {
+        # the same 10-gram twice in one doc (second occurrence cut),
+        # with filler shorter than n between them
+        "d0": span + [1, 2, 3] + span + [4, 5, 6, 7, 8, 9, 10, 11],
+        # overlapping duplicated windows from a 2x-long planted region
+        "d1": span + span + [12, 13, 14, 15, 16, 17, 18, 19],
+    }
+    _run_and_compare(spark, docs, n=8)
+
+
+def test_short_docs_and_no_dups_unchanged(spark):
+    docs = {
+        "d0": [1, 2, 3],  # shorter than n: no windows
+        "d1": list(range(10, 30)),
+        "d2": list(range(50, 75)),
+    }
+    df = _to_df(spark, docs)
+    assert duplicate_windows(df, "tokens", n=8).count() == 0
+    out = {
+        r["doc_id"]: (list(r["tokens"]), r["removed_tok"])
+        for r in dedup_substrings(df, n=8).collect()
+    }
+    for did, toks in docs.items():
+        assert out[did] == (toks, 0)
+
+
+def test_keep_none_cuts_all_occurrences(spark):
+    span = list(range(800, 810))
+    docs = {
+        "d0": span + [1, 2, 3, 4, 5, 6, 7, 8],
+        "d1": [9, 10, 11, 12] + span + [13, 14, 15, 16],
+    }
+    _run_and_compare(spark, docs, n=10, keep="none")
+
+
+def test_randomized_against_reference_and_waves(spark):
+    rng = np.random.default_rng(42)
+    n = 5
+    docs = {}
+    for i in range(80):
+        ln = int(rng.integers(3, 60))
+        docs[f"d{i:03d}"] = rng.integers(0, 1000, size=ln).tolist()
+    # plant a shared span into every 4th doc and a within-doc repeat
+    span = rng.integers(2000, 3000, size=9).tolist()
+    for i in range(0, 80, 4):
+        d = docs[f"d{i:03d}"]
+        at = int(rng.integers(0, len(d) + 1))
+        docs[f"d{i:03d}"] = d[:at] + span + d[at:]
+    docs["d001"] = docs["d001"] + span + [1, 2] + span
+    _run_and_compare(spark, docs, n=n, waves=1)
+    _run_and_compare(spark, docs, n=n, waves=3)
+
+
+def test_duplicate_spans_relation_matches_reference(spark):
+    span = list(range(600, 612))
+    docs = {
+        "d0": [1, 2] + span + [3, 4, 5, 6, 7, 8],
+        "d1": span + [9, 10, 11, 12, 13, 14, 15, 16],
+        "d2": [17, 18, 19, 20] + span,
+    }
+    df = _to_df(spark, docs)
+    got = {
+        (r["doc_id"], r["pos"])
+        for r in duplicate_spans(df, n=8).collect()
+    }
+    _, _, cuts = _ref_dedup(docs, 8)
+    exp = {(did, p) for did, ps in cuts.items() for p in ps}
+    assert got == exp
+
+
+def test_len_col_refresh_and_removed_guard(spark):
+    span = list(range(500, 510))
+    docs = {
+        "d0": span + [1, 2, 3, 4, 5, 6, 7, 8],
+        "d1": [9, 10] + span + [11, 12, 13, 14, 15, 16],
+    }
+    import pyspark.sql.functions as F
+
+    df = _to_df(spark, docs).withColumn("n_tok", F.size("tokens"))
+    out = dedup_substrings(df, n=10, len_col="n_tok")
+    for r in out.collect():
+        assert r["n_tok"] == len(r["tokens"])
+        assert r["removed_tok"] + r["n_tok"] == len(docs[r["doc_id"]])
+    with pytest.raises(ValueError, match="removed_tok"):
+        dedup_substrings(out, n=10)
+
+
+def test_surviving_occurrence_postcondition(spark):
+    """keep='first': of each duplicated window's original occurrences at
+    most one survives the cut (exactly one unless another window's span
+    covered the keeper)."""
+    rng = np.random.default_rng(7)
+    n = 5
+    docs = {}
+    for i in range(40):
+        docs[f"d{i:03d}"] = rng.integers(0, 300, size=int(rng.integers(5, 40))).tolist()
+    span = rng.integers(5000, 6000, size=8).tolist()
+    for i in range(0, 40, 3):
+        docs[f"d{i:03d}"] += span
+    exp_toks, _, cuts = _ref_dedup(docs, n)
+    # recount survivors per duplicated window on ORIGINAL positions
+    occ = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[p : p + n]), []).append((did, p))
+    covered = {
+        did: {
+            j
+            for p in ps
+            for j in range(p, min(p + n, len(docs[did])))
+        }
+        for did, ps in cuts.items()
+    }
+    for gram, occs in occ.items():
+        if len(occs) < 2:
+            continue
+        survive = [
+            (did, p)
+            for did, p in occs
+            if not any(j in covered.get(did, set()) for j in range(p, p + n))
+        ]
+        assert len(survive) <= 1
+    # and the Spark output equals that reference exactly
+    _run_and_compare(spark, docs, n=n)
