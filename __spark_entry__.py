@@ -1983,6 +1983,147 @@ def _q_substring_dedup_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the north-rule token payload
+    (pipeline/decontaminate — the GPT-3 appendix-C n-gram-overlap pass:
+    flag/drop/cut training docs that contain any n-token window of a
+    held-out benchmark). Fixture: 40 benchmark questions of 16 tokens
+    each, token values >= 70000 (disjoint per question and outside the
+    generator's 50257-token vocab, so matches are exactly the plants —
+    a straddle window mixes question and document tokens and can never
+    equal a pure-question window). A deterministic ~1-in-4 of 20,000
+    sequences (xxhash64 selector) gets its hash-picked question spliced
+    in after token 5. With window n=8 each planted doc therefore has
+    exactly 16-8+1 = 9 contaminated windows whose merged cut span is
+    exactly the 16 planted tokens. Checks, all in-engine: flag mode
+    marks exactly the planted docs with 9 windows each; drop mode keeps
+    exactly the clean docs; cut mode removes exactly 16 tokens from
+    every planted doc, restores each to its ORIGINAL token array
+    (byte-equal), leaves clean docs untouched, and a re-run of flag mode
+    on the cut corpus finds zero contamination. The generator and
+    selectors are seed-pinned, so the oracle's constants are fully
+    determined (precedent: substring_dedup_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.decontaminate import (
+        benchmark_windows,
+        contamination,
+        decontaminate,
+    )
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_rows = 20_000
+    n_win = 8
+    q_len = 16
+    n_q = 40
+    bench_rows = [
+        (f"q{i}", [70_000 + 32 * i + j for j in range(q_len)])
+        for i in range(n_q)
+    ]
+    bench = spark.createDataFrame(
+        bench_rows, "doc_id string, tokens array<int>"
+    )
+    seq = sequences(spark, n_rows, partitions=8)
+    sel = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(4)) == 0
+    qidx = F.pmod(F.xxhash64(F.lit(9), F.col("doc_id")), F.lit(n_q))
+    q_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(q_len - 1)),
+        lambda j: (F.lit(70_000) + F.lit(32) * qidx.cast("int") + j).cast(
+            "int"
+        ),
+    )
+    planted_toks = F.concat(
+        F.slice("tokens", 1, 5), q_expr, F.expr("slice(tokens, 6, n_tok - 5)")
+    )
+    corpus = (
+        seq.withColumn("planted", sel)
+        .withColumn(
+            "tokens", F.when(sel, planted_toks).otherwise(F.col("tokens"))
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .cache()
+    )
+    planted_docs = corpus.filter("planted").count()
+
+    bw = benchmark_windows(bench, n=n_win)  # one index, three passes
+    flagged = contamination(corpus, bw, n=n_win)
+    fagg = flagged.agg(
+        F.sum(F.col("contaminated").cast("int")).alias("flagged"),
+        F.sum("contam_windows").alias("contam_total"),
+        F.sum(
+            F.when(
+                F.col("planted") != F.col("contaminated"), 1
+            ).otherwise(0)
+        ).alias("mislabeled"),
+        F.sum(
+            F.when(
+                F.col("planted") & (F.col("contam_windows") != q_len - n_win + 1),
+                1,
+            ).otherwise(0)
+        ).alias("wrong_count"),
+    ).collect()[0]
+    flag_exact = fagg["mislabeled"] == 0 and fagg["wrong_count"] == 0
+
+    drop_rows = decontaminate(corpus, bw, n=n_win, mode="drop").count()
+
+    cut = decontaminate(
+        corpus, bw, n=n_win, mode="cut", len_col="n_tok"
+    ).cache()
+    orig = sequences(spark, n_rows, partitions=8).select(
+        "doc_id", F.col("tokens").alias("orig_tokens")
+    )
+    cagg = (
+        cut.join(orig, "doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("planted") & (F.col("removed_tok") != q_len), 1
+                ).otherwise(0)
+            ).alias("bad_cut"),
+            F.sum(
+                F.when(
+                    (~F.col("planted")) & (F.col("removed_tok") != 0), 1
+                ).otherwise(0)
+            ).alias("clean_cut"),
+            F.sum(
+                F.when(F.col("tokens") != F.col("orig_tokens"), 1).otherwise(
+                    0
+                )
+            ).alias("not_restored"),
+        )
+        .collect()[0]
+    )
+    cut_exact = cagg["bad_cut"] == 0 and cagg["clean_cut"] == 0
+    restored = cagg["not_restored"] == 0
+    contam_after = (
+        contamination(cut.select("doc_id", "tokens"), bw, n=n_win)
+        .agg(F.sum("contam_windows").alias("s"))
+        .collect()[0]["s"]
+    )
+    corpus.unpersist()
+    cut.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(planted_docs),
+                int(fagg["flagged"]),
+                int(fagg["contam_total"]),
+                bool(flag_exact),
+                int(drop_rows),
+                bool(cut_exact),
+                bool(restored),
+                int(contam_after),
+            )
+        ],
+        "n_rows bigint, planted_docs bigint, flagged_docs bigint,"
+        " contam_total bigint, flag_exact boolean, drop_rows bigint,"
+        " cut_exact boolean, restored boolean, contam_after bigint",
+    )
+
+
 def _q_heavy_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group heavy token n-grams (sketches/multi.heavy_ngrams_by_key):
     ONE states_by_key scan folds a Misra-Gries state per source over every
@@ -2292,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
         "substring_dedup_sequences": _q_substring_dedup_sequences,
+        "decontaminate_sequences": _q_decontaminate_sequences,
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
         "generation_sample_added": _q_generation_sample_added,
@@ -2806,5 +2948,22 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS keeper_intact,"
             " TRUE AS clean_unchanged,"
             " CAST(0 AS BIGINT) AS dup_windows_after"
+        ),
+        # Seed-pinned constants (precedent: substring_dedup_sequences):
+        # the 20k-doc fixture plants a 16-token benchmark question into
+        # 5,011 docs; n=8 windows -> 9 contaminated windows per planted
+        # doc (45,099 = 9 x 5,011); drop keeps the 14,989 clean docs;
+        # cut removes exactly the 16 planted tokens everywhere and a
+        # re-scan of the cut corpus finds zero contamination.
+        "decontaminate_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " CAST(5011 AS BIGINT) AS planted_docs,"
+            " CAST(5011 AS BIGINT) AS flagged_docs,"
+            " CAST(45099 AS BIGINT) AS contam_total,"
+            " TRUE AS flag_exact,"
+            " CAST(14989 AS BIGINT) AS drop_rows,"
+            " TRUE AS cut_exact,"
+            " TRUE AS restored,"
+            " CAST(0 AS BIGINT) AS contam_after"
         ),
     }

@@ -253,11 +253,29 @@ def dedup_substrings(
     keeper itself was covered by a DIFFERENT duplicated window's cut
     span (the paper's semantics: spans are removed independently, the
     pass is not iterated)."""
+    spans = duplicate_spans(df, id_col, col, n, keep, waves)
+    return cut_spans(df, spans, id_col, col, n, len_col)
+
+
+def cut_spans(
+    df,
+    spans,
+    id_col: str = "doc_id",
+    col: str = "tokens",
+    n: int = 50,
+    len_col: str | None = None,
+):
+    """Pass C as a standalone operator: cut every [pos, pos+n) token
+    span in ``spans`` (DataFrame[<id_col>, pos]) out of ``df[col]``,
+    merging overlaps via the delta/cumsum cover mask, and return ``df``
+    with the spliced arrays plus a ``removed_tok int`` column (and
+    ``len_col`` refreshed if given). Shared by ``dedup_substrings`` and
+    ``decontaminate.decontaminate(mode='cut')`` — one doc-keyed shuffle
+    of span offsets, never token arrays."""
     from pyspark.sql import functions as F
 
     if "removed_tok" in df.columns:
         raise ValueError("df already has a removed_tok column")
-    spans = duplicate_spans(df, id_col, col, n, keep, waves)
     cut_lists = spans.groupBy(id_col).agg(
         F.collect_list("pos").alias("__cut_starts")
     )
