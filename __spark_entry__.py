@@ -971,6 +971,64 @@ def _q_distinct_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable weighted distinct sample (sketches/wsample.py — the
+    bottom-k exponential-rank / A-ES sketch): sample orderkeys
+    proportional to o_totalprice in two scans with zero row shuffle,
+    plus the Cohen-Kaplan (k-1)/rank_(k) total-weight estimator.
+    Checks: the resolved sample has exactly k distinct member orderkeys
+    (15k distinct >> k, so the state is full); the total-weight estimate
+    lands within 5x the sketch's published relative std err
+    (1/sqrt(k-2)) of the exact SUM(o_totalprice) — a bound-boolean, same
+    shape as the HLL/CMS queries; and the EXACT regime is checked
+    data-dependently: sampling the 5 o_orderpriority values (k=64 > 5)
+    retains all of them with each value's MAX weight, whose milli-rounded
+    integer sum the DuckDB oracle recomputes from the table."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import WeightedSample
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders")
+    k = 256
+    sk = WeightedSample(k=k, seed=1)
+    st = sk.build(orders, "o_orderkey", "o_totalprice")
+    true_sum = orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    est = sk.total_weight_estimate(st)
+    bound = 5.0 * sk.relative_error
+    within = abs(est - true_sum) / true_sum <= bound
+
+    samp = sk.sample(orders, "o_orderkey", "o_totalprice")
+    members = (
+        samp.join(
+            orders.select("o_orderkey").distinct(), "o_orderkey", "left_semi"
+        )
+        .distinct()
+        .count()
+    )
+
+    ex = WeightedSample(k=64, seed=1)
+    est_st = ex.build(orders, "o_orderpriority", "o_totalprice")
+    exact_n = len(est_st.h)
+    exact_w_milli = int(sum(int(np.floor(w * 1000.0 + 0.5)) for w in est_st.w))
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                int(len(st.h)),
+                int(members),
+                bool(within),
+                int(exact_n),
+                exact_w_milli,
+            )
+        ],
+        "k bigint, sample_size bigint, members bigint,"
+        " est_within_bound boolean, exact_n bigint, exact_w_milli bigint",
+    )
+
+
 def _q_incremental_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental state-table maintenance (sketches/incremental.py —
     the Iceberg-snapshot-diff analogue on parquet): documents is split
@@ -2405,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_event_value_quantiles": _q_tdigest_event_value_quantiles,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
         "distinct_sample_by_source": _q_distinct_sample_by_source,
+        "weighted_sample_orders": _q_weighted_sample_orders,
         "incremental_profile_by_source": _q_incremental_profile_by_source,
         "mg_heavy_tokens": _q_mg_heavy_tokens,
         "sketch_checkpoint_resume": _q_sketch_checkpoint_resume,
@@ -2948,6 +3007,23 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS keeper_intact,"
             " TRUE AS clean_unchanged,"
             " CAST(0 AS BIGINT) AS dup_windows_after"
+        ),
+        # k/sample_size/members are exact (15k distinct orderkeys >> k;
+        # every resolved value must be a member); the estimator check is
+        # a bound-boolean; exact_n/exact_w_milli are the exact-regime
+        # values DuckDB recomputes from the table (5 priorities, each
+        # retained with its max o_totalprice, milli-rounded then summed).
+        "weighted_sample_orders": (
+            "SELECT CAST(256 AS BIGINT) AS k,"
+            " CAST(256 AS BIGINT) AS sample_size,"
+            " CAST(256 AS BIGINT) AS members,"
+            " TRUE AS est_within_bound,"
+            " (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)"
+            "    FROM orders) AS exact_n,"
+            " (SELECT CAST(SUM(CAST(FLOOR(mx * 1000.0 + 0.5) AS BIGINT))"
+            "              AS BIGINT)"
+            "    FROM (SELECT MAX(o_totalprice) AS mx FROM orders"
+            "          GROUP BY o_orderpriority)) AS exact_w_milli"
         ),
         # Seed-pinned constants (precedent: substring_dedup_sequences):
         # the 20k-doc fixture plants a 16-token benchmark question into

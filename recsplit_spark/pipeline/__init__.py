@@ -1,9 +1,11 @@
 """Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash),
-text analysis (token counts, quality, language ID, fingerprints),
-similarity search (brute-force cosine + IVF), multimodal column plumbing."""
+benchmark decontamination, text analysis (token counts, quality, language
+ID, fingerprints), similarity search (brute-force cosine + IVF),
+multimodal column plumbing."""
 
 from . import (  # noqa: F401
     ann,
+    decontaminate,
     dedup,
     incremental_ann,
     incremental_dedup,

@@ -28,3 +28,4 @@ from .multi import (  # noqa: F401
 from .tdigest import TDigest, TDigestState  # noqa: F401
 from .theta import (ThetaSketch, ThetaState, distinct_sample,  # noqa: F401
                     distinct_sample_by_key)
+from .wsample import WeightedSample, WSampleState  # noqa: F401
