@@ -2182,6 +2182,86 @@ def _q_decontaminate_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pipeline/packing): fixed-capacity training
+    examples from the 20k-doc token fixture at capacity 2048 over 8
+    pinned range partitions. pack_bins (boundary-respecting best-fit-
+    decreasing): every doc lands whole in exactly one bin, no bin
+    overflows, at most one bin per partition ends below half capacity
+    (the any-fit guarantee), and the token total is conserved.
+    pack_concat (concatenate-and-chunk): token total conserved and every
+    bin except each partition's last is exactly full, so total padding
+    < capacity x partitions. Both packers are deterministic functions
+    of (input set, partitions, capacity) — the hash-ordered range
+    exchange makes bin counts seed-pinned constants the oracle states
+    (precedent: substring_dedup_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.packing import pack_bins, pack_concat
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_rows = 20_000
+    cap = 2048
+    seq = sequences(spark, n_rows, partitions=8).cache()
+    total = seq.agg(F.sum(F.size("tokens"))).collect()[0][0]
+
+    bins = pack_bins(seq, cap, partitions=8).cache()
+    b_agg = bins.agg(
+        F.count("*").alias("bins"),
+        F.sum("n_tok").alias("tok"),
+        F.max("n_tok").alias("mx"),
+        F.sum(F.size("doc_ids")).alias("docs"),
+    ).collect()[0]
+    docs_once = (
+        b_agg["docs"] == n_rows
+        and bins.select(F.explode("doc_ids").alias("d"))
+        .distinct()
+        .count()
+        == n_rows
+    )
+    low = (
+        bins.filter(F.col("n_tok") < cap / 2)
+        .groupBy(F.split("bin_id", "-")[0])
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    bins_ok = (
+        b_agg["mx"] <= cap
+        and b_agg["tok"] == total
+        and (low is None or low <= 1)
+    )
+    bins.unpersist()
+
+    chunks = pack_concat(seq, cap, partitions=8).cache()
+    c_agg = chunks.agg(
+        F.count("*").alias("bins"), F.sum("n_tok").alias("tok")
+    ).collect()[0]
+    # every non-final bin per partition exactly full
+    not_full = chunks.filter(F.col("n_tok") < cap).count()
+    concat_ok = c_agg["tok"] == total and not_full <= 8
+    chunks.unpersist()
+    seq.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(total),
+                int(b_agg["bins"]),
+                bool(docs_once),
+                bool(bins_ok),
+                int(c_agg["bins"]),
+                bool(concat_ok),
+            )
+        ],
+        "n_rows bigint, total_tok bigint, ffd_bins bigint,"
+        " docs_once boolean, bins_ok boolean, concat_bins bigint,"
+        " concat_ok boolean",
+    )
+
+
 def _q_heavy_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group heavy token n-grams (sketches/multi.heavy_ngrams_by_key):
     ONE states_by_key scan folds a Misra-Gries state per source over every
@@ -2493,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
         "substring_dedup_sequences": _q_substring_dedup_sequences,
         "decontaminate_sequences": _q_decontaminate_sequences,
+        "pack_sequences": _q_pack_sequences,
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
         "generation_sample_added": _q_generation_sample_added,
@@ -3024,6 +3105,20 @@ def oracle_sql() -> dict[str, str]:
             "              AS BIGINT)"
             "    FROM (SELECT MAX(o_totalprice) AS mx FROM orders"
             "          GROUP BY o_orderpriority)) AS exact_w_milli"
+        ),
+        # Seed-pinned constants: packing over value-defined hash groups
+        # is a pure function of (fixture, partitions=8, capacity=2048).
+        # FFD lands on 2,579 bins == sum over the 8 groups of
+        # ceil(group_total/2048) — the per-group lower bound — and
+        # concat-chunk by construction equals that same sum.
+        "pack_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_rows,"
+            " CAST(5272251 AS BIGINT) AS total_tok,"
+            " CAST(2579 AS BIGINT) AS ffd_bins,"
+            " TRUE AS docs_once,"
+            " TRUE AS bins_ok,"
+            " CAST(2579 AS BIGINT) AS concat_bins,"
+            " TRUE AS concat_ok"
         ),
         # Seed-pinned constants (precedent: substring_dedup_sequences):
         # the 20k-doc fixture plants a 16-token benchmark question into

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     incremental_ann,
     incremental_dedup,
     multimodal,
+    packing,
     substring_dedup,
     text,
 )
