@@ -335,6 +335,44 @@ def run_suite(cores: int) -> dict:
             .collect(),
         )
         planted.unpersist()
+
+        # -- decontamination (round 4 cont.): one corpus scan checking
+        # every n=13 window against a broadcast 2,400-window benchmark
+        from recsplit_spark.pipeline.decontaminate import (
+            benchmark_windows, contamination,
+        )
+
+        bench_rows = [
+            (f"q{i}", [70_000 + 40 * i + j for j in range(24)])
+            for i in range(200)
+        ]
+        bench_df = spark.createDataFrame(
+            bench_rows, "doc_id string, tokens array<int>"
+        )
+        bw = benchmark_windows(bench_df, n=13)
+        timed(
+            "decontam_flag_seq20k",
+            lambda: contamination(seq, bw, n=13)
+            .filter("contaminated")
+            .count(),
+        )
+        extra["decontam_docs_per_sec"] = round(
+            20_000 / timings["decontam_flag_seq20k"], 1
+        )
+
+        # -- sequence packing (round 4 cont.): best-fit-decreasing bins
+        # at capacity 8192 over value-defined hash groups
+        from recsplit_spark.pipeline.packing import pack_bins
+
+        timed(
+            "pack_bins_seq20k",
+            lambda: pack_bins(seq, 8192, partitions=cores)
+            .agg(F.sum("pad"))
+            .collect(),
+        )
+        extra["pack_docs_per_sec"] = round(
+            20_000 / timings["pack_bins_seq20k"], 1
+        )
         seq.unpersist()
 
     measure()

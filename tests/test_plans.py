@@ -326,3 +326,46 @@ def test_incremental_dedup_verification_is_jvm_side(spark, tmp_path_factory):
     assert _nodes(plan, "InMemoryTableScan") >= 2
     # the persisted state side is a pure parquet scan feeding the joins
     assert _nodes(plan, "Scan parquet") >= 2
+
+
+def test_contamination_is_broadcast_probe(spark, tmp_path_factory):
+    """Decontamination: the corpus side is ONE scan into the membership
+    kernel with zero shuffle exchanges — the benchmark set broadcasts
+    (driver pandas), and the contaminated-id join back is a broadcast
+    hash join, never a sort-merge (a corpus-wide shuffle here would be
+    the 100-TB bug)."""
+    import pandas as pd
+
+    from recsplit_spark.pipeline.decontaminate import contamination
+
+    path = tmp_path_factory.mktemp("decon") / "seq.parquet"
+    spark.createDataFrame(
+        [(f"d{i}", list(range(i, i + 20))) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    ).write.parquet(str(path))
+    df = spark.read.parquet(str(path))
+    bw = pd.DataFrame({"h1": [1, 2], "h2": [3, 4]})
+    plan = _formatted_plan(contamination(df, bw, n=5))
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "hashpartitioning" not in plan  # zero shuffle exchanges
+    assert _nodes(plan, "Scan parquet") == 2  # corpus scan + join-back scan
+
+
+def test_pack_bins_plan_shapes(spark, tmp_path_factory):
+    """Packing: deterministic mode = exactly ONE exchange (the
+    value-defined group co-location — the op's defining shuffle);
+    deterministic=False = zero exchanges (pack partitions in place)."""
+    from recsplit_spark.pipeline.packing import pack_bins
+
+    path = tmp_path_factory.mktemp("pack") / "seq.parquet"
+    spark.createDataFrame(
+        [(f"d{i}", list(range(i, i + 20))) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    ).write.parquet(str(path))
+    df = spark.read.parquet(str(path))
+    det = _formatted_plan(pack_bins(df, 64, partitions=4))
+    assert _nodes(det, "Exchange") == 1
+    assert "hashpartitioning(__b" in det  # the value-defined group key
+    free = _formatted_plan(pack_bins(df, 64, deterministic=False))
+    assert _nodes(free, "Exchange") == 0
