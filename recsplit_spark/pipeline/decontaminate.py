@@ -40,9 +40,11 @@ import numpy as np
 import pandas as pd
 
 from .substring_dedup import (
+    _batch_unique_pairs,
     _locate_occurrences,
     _pair_member_mask,
     _second_window_hash,
+    _wave_slices,
     cut_spans,
 )
 
@@ -63,16 +65,9 @@ def benchmark_windows(bench_df, col: str = "tokens", n: int = 13):
             if len(h1) == 0:
                 continue
             h2 = _second_window_hash(flat, pos, n)
-            order = np.lexsort((h2, h1))
-            s1, s2 = h1[order], h2[order]
-            new = np.empty(len(s1), dtype=bool)
-            new[0] = True
-            new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            u1, u2, _ = _batch_unique_pairs(h1, h2)
             yield pd.DataFrame(
-                {
-                    "h1": s1[new].view(np.int64),
-                    "h2": s2[new].view(np.int64),
-                }
+                {"h1": u1.view(np.int64), "h2": u2.view(np.int64)}
             )
 
     return (
@@ -98,25 +93,10 @@ def _contam_counts(df, id_col, col, n, bench_pdf, waves):
     d2_all = bench_pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"__id {id_type}, c long"
+    out_schema = f"__id {id_type}, __c long"
     scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
     parts = []
-    for w in range(waves):
-        sel = (d1_all % np.uint64(waves)) == w if waves > 1 else slice(None)
-        d1w, d2w = d1_all[sel], d2_all[sel]
-        if len(d1w) == 0:
-            continue
-        order = np.lexsort((d2w, d1w))
-        d1s, d2s = d1w[order], d2w[order]
-        if len(d1s) > 1:
-            runs = np.diff(
-                np.flatnonzero(
-                    np.concatenate(([True], d1s[1:] != d1s[:-1], [True]))
-                )
-            )
-            max_run = int(runs.max())
-        else:
-            max_run = 1
+    for d1s, d2s, max_run in _wave_slices(d1_all, d2_all, waves):
         b = spark.sparkContext.broadcast((d1s, d2s, max_run))
 
         def _hits(batches, _b=b):
@@ -138,7 +118,7 @@ def _contam_counts(df, id_col, col, n, bench_pdf, waves):
                 nz = np.flatnonzero(cnts)
                 ids = pdf["__id"].to_numpy()
                 yield pd.DataFrame(
-                    {"__id": ids[nz], "c": cnts[nz].astype(np.int64)}
+                    {"__id": ids[nz], "__c": cnts[nz].astype(np.int64)}
                 )
 
         parts.append(scan.mapInPandas(_hits, schema=out_schema))
@@ -146,7 +126,7 @@ def _contam_counts(df, id_col, col, n, bench_pdf, waves):
         return spark.createDataFrame([], out_schema)
     counts = reduce(DataFrame.union, parts)
     if waves > 1:
-        counts = counts.groupBy("__id").agg(F.sum("c").alias("c"))
+        counts = counts.groupBy("__id").agg(F.sum("__c").alias("__c"))
     return counts
 
 
@@ -183,9 +163,15 @@ def contamination(
         id_col,
         "left",
     )
-    return joined.withColumn(
-        "contam_windows", F.coalesce(F.col("c"), F.lit(0)).cast("int")
-    ).drop("c").withColumn("contaminated", F.col("contam_windows") > 0)
+    return (
+        joined.withColumn(
+            "contam_windows", F.coalesce(F.col("__c"), F.lit(0)).cast("int")
+        )
+        .withColumn("contaminated", F.col("contam_windows") > 0)
+        # the join moved id_col first — restore df's column order so
+        # positional consumers (union, parquet appends) stay aligned
+        .select(*df.columns, "contam_windows", "contaminated")
+    )
 
 
 def decontaminate(
@@ -220,9 +206,7 @@ def decontaminate(
         from pyspark.sql import functions as F
 
         flagged = contamination(df, bench_df, id_col, col, n, waves)
-        return flagged.filter(~F.col("contaminated")).drop(
-            "contam_windows", "contaminated"
-        )
+        return flagged.filter(~F.col("contaminated")).select(*df.columns)
     if waves < 1:
         raise ValueError("waves must be >= 1")
     bench_pdf = (

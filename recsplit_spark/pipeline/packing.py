@@ -174,6 +174,14 @@ def _run_packer(df, id_col, col, deterministic, partitions, core):
     partitions (zero extra shuffle)."""
     from pyspark.sql import functions as F
 
+    # the output schema declares array<int>; wider element types would
+    # silently wrap in the kernel's int32 buffers
+    elem = df.schema[col].dataType.elementType.simpleString()
+    if elem not in ("int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{col} must be an array of int32-or-narrower tokens,"
+            f" got array<{elem}>"
+        )
     src = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
     if deterministic:
         p = int(
@@ -185,7 +193,9 @@ def _run_packer(df, id_col, col, deterministic, partitions, core):
         ).withColumn("__b", F.pmod(F.col("__h"), F.lit(p)).cast("int"))
 
         def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("__h", kind="mergesort")
+            # id tie-break: a 64-bit hash collision (real at 10^12 docs)
+            # must not let shuffle arrival order leak into bin contents
+            pdf = pdf.sort_values(["__h", "__id"], kind="mergesort")
             ids, arrs = _batch_rows(pdf)
             out = core(ids, arrs, int(pdf["__b"].iloc[0]))
             return (

@@ -77,6 +77,45 @@ def _second_window_hash(
     return out
 
 
+def _batch_unique_pairs(h1: np.ndarray, h2: np.ndarray):
+    """Batch-local dedup of (h1, h2) rows: lexsorted unique pairs plus
+    each pair's multiplicity — the shared kernel tail of
+    ``duplicate_windows`` and ``decontaminate.benchmark_windows``."""
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new = np.empty(len(s1), dtype=bool)
+    new[0] = True
+    new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(s1)))
+    return s1[starts], s2[starts], cnt
+
+
+def _wave_slices(d1_all: np.ndarray, d2_all: np.ndarray, waves: int):
+    """Yield (d1s, d2s, max_run) per wave: the pair set sliced by
+    pmod(h1, waves), lexsorted by (h1, h2), with the longest equal-h1
+    run (>= 2 only under a 64-bit h1 collision inside the set itself —
+    astronomically rare, but handled exactly). The shared probe-side
+    setup of ``_locate_occurrences`` and ``decontaminate``'s scans."""
+    for w in range(waves):
+        sel = (d1_all % np.uint64(waves)) == w if waves > 1 else slice(None)
+        d1w, d2w = d1_all[sel], d2_all[sel]
+        if len(d1w) == 0:
+            continue
+        order = np.lexsort((d2w, d1w))
+        d1s, d2s = d1w[order], d2w[order]
+        if len(d1s) > 1:
+            runs = np.diff(
+                np.flatnonzero(
+                    np.concatenate(([True], d1s[1:] != d1s[:-1], [True]))
+                )
+            )
+            max_run = int(runs.max())
+        else:
+            max_run = 1
+        yield d1s, d2s, max_run
+
+
 def _pair_member_mask(
     h1: np.ndarray,
     h2: np.ndarray,
@@ -116,17 +155,11 @@ def duplicate_windows(df, col: str = "tokens", n: int = 50):
             if len(h1) == 0:
                 continue
             h2 = _second_window_hash(flat, pos, n)
-            order = np.lexsort((h2, h1))
-            s1, s2 = h1[order], h2[order]
-            new = np.empty(len(s1), dtype=bool)
-            new[0] = True
-            new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
-            starts = np.flatnonzero(new)
-            cnt = np.diff(np.append(starts, len(s1)))
+            u1, u2, cnt = _batch_unique_pairs(h1, h2)
             yield pd.DataFrame(
                 {
-                    "h1": s1[starts].view(np.int64),
-                    "h2": s2[starts].view(np.int64),
+                    "h1": u1.view(np.int64),
+                    "h2": u2.view(np.int64),
                     "c": cnt.astype(np.int64),
                 }
             )
@@ -155,20 +188,7 @@ def _locate_occurrences(df, id_col: str, col: str, n: int, dups_pdf, waves: int)
     id_type = df.schema[id_col].dataType.simpleString()
     occ_schema = f"h1 long, h2 long, __id {id_type}, pos long"
     scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
-    for w in range(waves):
-        sel = (d1_all % np.uint64(waves)) == w if waves > 1 else slice(None)
-        d1w, d2w = d1_all[sel], d2_all[sel]
-        if len(d1w) == 0:
-            continue
-        order = np.lexsort((d2w, d1w))
-        d1s, d2s = d1w[order], d2w[order]
-        # longest equal-h1 run (>=2 only under a 64-bit h1 collision
-        # inside D itself — astronomically rare, but handled exactly)
-        if len(d1s) > 1:
-            runs = np.diff(np.flatnonzero(np.concatenate(([True], d1s[1:] != d1s[:-1], [True]))))
-            max_run = int(runs.max())
-        else:
-            max_run = 1
+    for d1s, d2s, max_run in _wave_slices(d1_all, d2_all, waves):
         b = spark.sparkContext.broadcast((d1s, d2s, max_run))
 
         def _hits(batches, _b=b):
@@ -223,7 +243,9 @@ def duplicate_spans(
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if waves < 1:
         raise ValueError("waves must be >= 1")
-    dups_pdf = duplicate_windows(df, col, n).toPandas()
+    # h1/h2 only: the driver-resident D set is 16 B/entry as documented —
+    # cnt would be 8 B/entry of pure waste at heavy duplication
+    dups_pdf = duplicate_windows(df, col, n).select("h1", "h2").toPandas()
     occ = _locate_occurrences(df, id_col, col, n, dups_pdf, waves)
     if keep == "first":
         w = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
@@ -285,6 +307,15 @@ def cut_spans(
     fields = [joined.schema[c] for c in df.columns]
     schema_out = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
     schema_out += ", removed_tok int"
+    # the output element dtype must follow the DECLARED schema — a fixed
+    # int32 cast would silently wrap array<bigint> token values >= 2^31
+    elem = df.schema[col].dataType.elementType.simpleString()
+    out_dtype = {
+        "tinyint": np.int8, "smallint": np.int16,
+        "int": np.int32, "bigint": np.int64,
+    }.get(elem)
+    if out_dtype is None:
+        raise ValueError(f"{col} must be an integer array, got array<{elem}>")
 
     def _cut(batches):
         for pdf in batches:
@@ -332,7 +363,7 @@ def cut_spans(
                 keep_mask = np.ones(total, dtype=bool)
             ck = np.concatenate(([0], np.cumsum(keep_mask)))
             kept_lens = ck[doc_starts[1:]] - ck[doc_starts[:-1]]
-            kept_flat = flat[keep_mask].astype(np.int32)
+            kept_flat = flat[keep_mask].astype(out_dtype)
             new_arrs = np.split(kept_flat, np.cumsum(kept_lens)[:-1])
             out = pdf[in_cols].copy()
             out[col] = new_arrs

@@ -126,11 +126,14 @@ class WeightedSample:
             return
         r = self._ranks(h, w)
         if len(state.rank) == self.k:
-            # threshold prune: once full, a rank >= the current k-th
-            # smallest can never enter the bottom-k (equal hash + equal
-            # weight means equal rank, so the prune is also dedup-safe);
-            # same final state bit-for-bit, O(batch) instead of a sort
-            keep = r < state.rank[-1]
+            # threshold prune: once full, a rank STRICTLY above the
+            # current k-th smallest can never enter the bottom-k. Ties
+            # must pass through: ranks of DISTINCT hashes can be exactly
+            # equal (u = (h+0.5)*2^-64 rounds away the low ~11 hash
+            # bits), and _combine breaks rank ties by hash — pruning a
+            # tied candidate would make the state depend on batch order.
+            # Same final state bit-for-bit, O(batch) instead of a sort.
+            keep = r <= state.rank[-1]
             if not keep.any():
                 return
             h, w, r = h[keep], w[keep], r[keep]

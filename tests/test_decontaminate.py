@@ -148,3 +148,23 @@ def test_contracts(spark):
     flagged = contamination(corpus, bdf, n=4)
     with pytest.raises(ValueError, match="contam"):
         contamination(flagged, bdf, n=4)
+
+
+def test_reserved_and_order_preserving_columns(spark):
+    """A corpus column named 'c' must survive (the internal count column
+    is mangled), and flag/drop preserve df's column ORDER (id_col not
+    first) for positional consumers."""
+    docs = [(1.0, "a", list(range(10))), (2.0, "b", list(range(12)))]
+    corpus = spark.createDataFrame(
+        docs, "c double, doc_id string, tokens array<int>"
+    )
+    bdf = spark.createDataFrame(
+        [("q", list(range(4, 9)))], "doc_id string, tokens array<int>"
+    )
+    flagged = contamination(corpus, bdf, n=5)
+    assert flagged.columns == ["c", "doc_id", "tokens", "contam_windows",
+                               "contaminated"]
+    rows = {r["doc_id"]: r for r in flagged.collect()}
+    assert rows["a"]["c"] == 1.0 and rows["a"]["contaminated"]
+    kept = decontaminate(corpus, bdf, n=5, mode="drop")
+    assert kept.columns == ["c", "doc_id", "tokens"]

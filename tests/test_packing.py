@@ -127,3 +127,13 @@ def test_pack_concat_deterministic_across_partitioning(spark):
     b = pack_concat(_df(spark, docs, parts=7), cap).collect()
     key = lambda r: (r["bin_id"], list(r["doc_ids"]), list(r["tokens"]))
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_packing_rejects_wide_token_types(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3])], "doc_id string, tokens array<bigint>"
+    )
+    with pytest.raises(ValueError, match="int32-or-narrower"):
+        pack_bins(df, 8)
+    with pytest.raises(ValueError, match="int32-or-narrower"):
+        pack_concat(df, 8)

@@ -200,3 +200,28 @@ def test_surviving_occurrence_postcondition(spark):
         assert len(survive) <= 1
     # and the Spark output equals that reference exactly
     _run_and_compare(spark, docs, n=n)
+
+
+def test_cut_spans_preserves_bigint_tokens(spark):
+    """The declared output element type drives the kernel dtype — a
+    bigint token >= 2^31 must round-trip, not wrap (int32 regression)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.substring_dedup import cut_spans
+
+    big = 5_000_000_000
+    df = spark.createDataFrame(
+        [("a", [big, 1, 2, 3]), ("b", [4, 5, 6, 7])],
+        "doc_id string, tokens array<bigint>",
+    )
+    spans = spark.createDataFrame([("b", 1)], "doc_id string, pos long")
+    out = {r["doc_id"]: r for r in cut_spans(df, spans, n=2).collect()}
+    assert list(out["a"]["tokens"]) == [big, 1, 2, 3]
+    assert list(out["b"]["tokens"]) == [4, 7]
+    with pytest.raises(ValueError, match="integer array"):
+        cut_spans(
+            spark.createDataFrame(
+                [("a", [1.5])], "doc_id string, tokens array<double>"
+            ),
+            spans,
+        )

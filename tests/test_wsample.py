@@ -190,3 +190,26 @@ def test_spark_build_states_and_sample(spark):
         for r in sk.states_by_key(df, "doc_id", "wt", ["source"]).collect()
     }
     assert merged == oneshot
+
+
+def test_threshold_prune_admits_rank_ties():
+    """Two DISTINCT hashes can share an exact rank (the float64 u drops
+    the low ~11 hash bits); a tied candidate arriving after the state is
+    full must still displace the boundary by the (rank, hash) order —
+    sequential feeding must equal the one-shot build."""
+    sk = WeightedSample(k=8)
+    heavy_h = np.arange(1, 8, dtype=np.uint64).view(np.int64)  # tiny u -> w dominates
+    heavy_w = np.full(7, 100.0)
+    boundary = np.array([2**63 + 100], dtype=np.uint64).view(np.int64)
+    twin = np.array([2**63], dtype=np.uint64).view(np.int64)  # same u, smaller hash
+    one = sk.new_state()
+    sk.update(one, np.concatenate([heavy_h, boundary, twin]),
+              np.concatenate([heavy_w, [1.0, 1.0]]))
+    seq = sk.new_state()
+    sk.update(seq, np.concatenate([heavy_h, boundary]),
+              np.concatenate([heavy_w, [1.0]]))
+    assert len(seq.rank) == 8  # full, boundary rank is the tie
+    sk.update(seq, twin, np.array([1.0]))
+    assert np.array_equal(seq.h, one.h)
+    assert np.array_equal(seq.rank, one.rank)
+    assert twin.view(np.uint64)[0] in seq.h  # the tie actually displaced
