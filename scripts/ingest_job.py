@@ -2,6 +2,10 @@
 """spark-submit entry point: the composed nightly ingest — one new batch
 of documents flows through the whole incremental family in one job:
 
+  0. optionally (``--benchmark``, tokens mode) decontaminate the batch
+     against a held-out benchmark's n-grams first — drop contaminated
+     docs or cut the contaminated spans; stateless, so replay safety is
+     untouched and ids are only ever assigned to clean documents;
   1. ``IncrementalDedup.append``  — near-dedup the batch against the
      persisted kept-corpus LSH state (old text never rescanned);
   2. ``IncrementalMPHF.append``   — assign the SURVIVORS stable
@@ -65,6 +69,17 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--batch-id", type=int, default=None,
                     help="replay-safe batch id (nondecreasing per lake)")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet dir of held-out benchmark sequences; "
+                         "enables the decontamination stage (requires "
+                         "--mode tokens)")
+    ap.add_argument("--benchmark-col", default=None,
+                    help="token column in --benchmark (default: --text-col)")
+    ap.add_argument("--decontam", choices=["drop", "cut"], default="drop",
+                    help="drop contaminated docs or cut the contaminated "
+                         "spans out")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="n-gram window for the benchmark overlap")
     ap.add_argument("--vec-col", default=None,
                     help="embedding column; enables the ANN stage")
     ap.add_argument("--ann-index", default=None,
@@ -98,6 +113,55 @@ def main() -> int:
     ship_package(spark)
     root = args.root.rstrip("/")
     batch = spark.read.parquet(args.input)
+
+    # 0. optional benchmark decontamination — STATELESS (a pure function
+    # of the batch), so it sits before the stateful appends and replay
+    # safety is untouched; ids are assigned to clean survivors only
+    m_decon = None
+    if args.benchmark:
+        if args.mode != "tokens":
+            raise SystemExit(
+                "--benchmark requires --mode tokens (the n-gram overlap "
+                "is defined on token arrays)"
+            )
+        from recsplit_spark.pipeline.decontaminate import (
+            benchmark_windows,
+            decontaminate,
+        )
+
+        bench = spark.read.parquet(args.benchmark)
+        bw = benchmark_windows(
+            bench, col=args.benchmark_col or args.text_col,
+            n=args.decontam_n,
+        )
+        n_before = batch.count()
+        if args.decontam == "drop":
+            batch = decontaminate(
+                batch, bw, args.id_col, args.text_col,
+                n=args.decontam_n, mode="drop",
+            ).persist()
+            m_decon = {
+                "mode": "drop",
+                "bench_windows": int(len(bw)),
+                "in": n_before,
+                "dropped": n_before - batch.count(),
+            }
+        else:
+            cut = decontaminate(
+                batch, bw, args.id_col, args.text_col,
+                n=args.decontam_n, mode="cut",
+            ).persist()
+            from pyspark.sql import functions as F
+
+            m_decon = {
+                "mode": "cut",
+                "bench_windows": int(len(bw)),
+                "in": n_before,
+                "removed_tok": int(
+                    cut.agg(F.sum("removed_tok")).collect()[0][0] or 0
+                ),
+            }
+            batch = cut.drop("removed_tok")
 
     # 1. dedup vs the kept corpus + itself
     dd = IncrementalDedup(f"{root}/dedup", threshold=args.threshold,
@@ -180,6 +244,7 @@ def main() -> int:
         )
 
     print(json.dumps({
+        "decontam": m_decon,
         "dedup": m_dedup,
         "ids": m_ids,
         "ann": m_ann,
