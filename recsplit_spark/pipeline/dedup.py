@@ -430,7 +430,19 @@ def add_token_minhash(
     Python anywhere (the char path can't do this: its per-doc text→bytes
     encode is inherent). Null token slots behave as empty docs (Arrow
     gives them zero-length offsets), matching the pandas-path ``None``
-    contract."""
+    contract.
+
+    The id column must be integral — the zero-copy kernel ships ids as
+    int64 through Arrow (a string id would otherwise die deep inside
+    pyarrow with an unhelpful parse error; map string ids through
+    ``xxhash64`` first, or keep the char-shingle path)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"token minhash requires an integer {id_col!r} (got {id_type});"
+            " map string ids first, e.g."
+            " df.withColumn(id, F.xxhash64(id))"
+        )
     import pyarrow as pa
 
     def _sig(batches):
