@@ -908,6 +908,33 @@ def _q_sequences_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as pure
+    Column expressions: per-rule pass counts over the corpus. Every
+    rule is integer cross-multiplication (no float thresholds), so the
+    DuckDB oracle restates them exactly. One scan, zero Python."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text.with_gopher_quality(docs, "text", min_words=30)
+    flag = lambda c: F.sum(F.col(c).cast("long")).alias("n_" + c)  # noqa: E731
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_stopwords").alias("sum_stopwords"),
+        flag("f_words"),
+        flag("f_mean_len"),
+        flag("f_symbol"),
+        flag("f_bullet"),
+        flag("f_ellipsis"),
+        flag("f_alpha"),
+        flag("f_stop"),
+        flag("gopher_pass"),
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution; oracle = the same stopword-vote
     heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
@@ -2564,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts_documents": _q_quality_counts_documents,
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
+        "gopher_quality_documents": _q_gopher_quality_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -2609,6 +2637,63 @@ def _lang_id_oracle() -> str:
         f"WITH t AS (SELECT {scores} FROM documents)"
         f" SELECT {pred} AS lang_pred, CAST(count(*) AS BIGINT) AS n FROM t"
         " GROUP BY lang_pred ORDER BY lang_pred"
+    )
+
+
+def _gopher_oracle() -> str:
+    """DuckDB re-statement of text.with_gopher_quality (min_words=30):
+    the rules are integer cross-multiplication on both sides, words are
+    single-space splits, lines newline splits, and DuckDB's
+    string_split/list_filter/list_intersect semantics were verified to
+    match Spark's (incl. '' -> [''] and non-overlapping '...' counts)."""
+    from recsplit_spark.pipeline.text import GOPHER_STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    base = (
+        "SELECT"
+        " len(string_split(text, ' ')) AS n_words,"
+        " len(string_split(text, chr(10))) AS n_lines,"
+        " len(text) - (len(string_split(text, ' ')) - 1) AS sum_word_chars,"
+        " len(regexp_replace(text, '[^#]', '', 'g'))"
+        "  + len(regexp_extract_all(text, '\\.\\.\\.'))"
+        "  + (len(text) - len(replace(text, '…', ''))) AS n_symbols,"
+        " len(list_filter(string_split(text, chr(10)),"
+        "   l -> regexp_matches(l, '^[-*•]'))) AS n_bullet_lines,"
+        " len(list_filter(string_split(text, chr(10)),"
+        "   l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS n_ellipsis_lines,"
+        " len(list_filter(string_split(text, ' '),"
+        "   w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,"
+        f" len(list_intersect(list_transform(string_split(text, ' '),"
+        f"   w -> lower(w)), {stops})) AS n_stopwords"
+        " FROM documents"
+    )
+    flags = (
+        "SELECT n_words, n_stopwords,"
+        " (n_words >= 30 AND n_words <= 100000) AS f_words,"
+        " (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)"
+        "   AS f_mean_len,"
+        " (10 * n_symbols <= n_words) AS f_symbol,"
+        " (10 * n_bullet_lines <= 9 * n_lines) AS f_bullet,"
+        " (10 * n_ellipsis_lines <= 3 * n_lines) AS f_ellipsis,"
+        " (5 * n_alpha_words >= 4 * n_words) AS f_alpha,"
+        " (n_stopwords >= 2) AS f_stop"
+        " FROM base"
+    )
+
+    def s(expr, name):
+        return f"CAST(sum(CAST(({expr}) AS INT)) AS BIGINT) AS {name}"
+
+    rules = ["f_words", "f_mean_len", "f_symbol", "f_bullet",
+             "f_ellipsis", "f_alpha", "f_stop"]
+    sums = ", ".join(s(r, "n_" + r) for r in rules)
+    return (
+        f"WITH base AS ({base}), flags AS ({flags})"
+        " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_words) AS BIGINT) AS sum_words,"
+        " CAST(sum(n_stopwords) AS BIGINT) AS sum_stopwords,"
+        f" {sums},"
+        f" {s(' AND '.join(rules), 'n_gopher_pass')}"
+        " FROM flags"
     )
 
 
@@ -2896,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
         ),
         "lang_id_documents": _lang_id_oracle(),
+        "gopher_quality_documents": _gopher_oracle(),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"

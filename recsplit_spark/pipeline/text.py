@@ -127,6 +127,117 @@ def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
     return out.drop(*[f"__s_{l}" for l in langs])
 
 
+#: two-or-more of these must appear for the Gopher stopword rule —
+#: the published list (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_quality(
+    df,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """The Gopher document-quality rules (Rae et al. 2021, appendix
+    A1.1) as pure Column expressions — one boolean per rule plus the
+    integer signals behind it, and ``gopher_pass`` = every rule holds:
+
+    - ``f_words``:    min_words <= word count <= max_words
+    - ``f_mean_len``: mean word length in [3, 10]
+    - ``f_symbol``:   (# + ellipsis) to word ratio <= 0.1
+    - ``f_bullet``:   <= 90% of lines start with a bullet
+    - ``f_ellipsis``: <= 30% of lines end with an ellipsis
+    - ``f_alpha``:    >= 80% of words contain an alphabetic character
+    - ``f_stop``:     >= 2 distinct Gopher stopwords present
+
+    Every ratio test is integer cross-multiplication (e.g.
+    ``10 * symbols <= words``), so the flags are EXACTLY reproducible
+    in any SQL engine — no float thresholds. Words are single-space
+    splits (the module's convention); lines split on newline. Zero
+    Python: everything is JVM whole-stage codegen, one scan."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    # sum of word lengths = chars minus the (n_words - 1) separators
+    sum_word_chars = F.length(t) - (n_words - F.lit(1))
+    n_symbols = (
+        F.length(F.regexp_replace(t, r"[^#]", ""))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    )
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(words, F.lower), stop_arr)
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_lines", n_lines)
+        .withColumn("sum_word_chars", sum_word_chars)
+        .withColumn("n_symbols", n_symbols)
+        .withColumn("n_bullet_lines", n_bullet_lines)
+        .withColumn("n_ellipsis_lines", n_ellipsis_lines)
+        .withColumn("n_alpha_words", n_alpha_words)
+        .withColumn("n_stopwords", n_stop)
+    )
+    w, sc = F.col("n_words"), F.col("sum_word_chars")
+    return (
+        out.withColumn(
+            "f_words", (w >= min_words) & (w <= max_words)
+        )
+        .withColumn(
+            "f_mean_len",
+            (F.lit(3) * w <= sc) & (sc <= F.lit(10) * w),
+        )
+        .withColumn("f_symbol", F.lit(10) * F.col("n_symbols") <= w)
+        .withColumn(
+            "f_bullet",
+            F.lit(10) * F.col("n_bullet_lines")
+            <= F.lit(9) * F.col("n_lines"),
+        )
+        .withColumn(
+            "f_ellipsis",
+            F.lit(10) * F.col("n_ellipsis_lines")
+            <= F.lit(3) * F.col("n_lines"),
+        )
+        .withColumn(
+            "f_alpha", F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * w
+        )
+        .withColumn("f_stop", F.col("n_stopwords") >= 2)
+        .withColumn(
+            "gopher_pass",
+            F.col("f_words")
+            & F.col("f_mean_len")
+            & F.col("f_symbol")
+            & F.col("f_bullet")
+            & F.col("f_ellipsis")
+            & F.col("f_alpha")
+            & F.col("f_stop"),
+        )
+    )
+
+
+def gopher_filter(df, text_col: str, **kwargs):
+    """Keep only documents passing every Gopher rule; returns ``df``'s
+    columns unchanged (the signal/flag columns are dropped)."""
+    from pyspark.sql import functions as F
+
+    flagged = with_gopher_quality(df, text_col, **kwargs)
+    return flagged.filter(F.col("gopher_pass")).select(*df.columns)
+
+
 def with_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
     """64-bit content fingerprint of whitespace-normalized, lowercased text
     (exact-dup detection key that survives formatting differences)."""

@@ -938,3 +938,71 @@ def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
     assert got_load == got_orig
     with pytest.raises(RuntimeError, match="fit"):
         ann.IVFIndex(n_centroids=4).save(spark, str(tmp_path / "x"))
+
+
+def _gopher_ref(text, min_words=50, max_words=100_000):
+    import re
+
+    from recsplit_spark.pipeline.text import GOPHER_STOPWORDS
+
+    words = text.split(" ")
+    lines = text.split("\n")
+    n_w, n_l = len(words), len(lines)
+    swc = len(text) - (n_w - 1)
+    n_sym = (
+        text.count("#")
+        + len(re.findall(r"\.\.\.", text))
+        + text.count("…")
+    )
+    n_bul = sum(1 for l in lines if re.match(r"^[-*•]", l))
+    n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l))
+    n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    n_stop = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+    f = {
+        "f_words": min_words <= n_w <= max_words,
+        "f_mean_len": 3 * n_w <= swc <= 10 * n_w,
+        "f_symbol": 10 * n_sym <= n_w,
+        "f_bullet": 10 * n_bul <= 9 * n_l,
+        "f_ellipsis": 10 * n_ell <= 3 * n_l,
+        "f_alpha": 5 * n_alpha >= 4 * n_w,
+        "f_stop": n_stop >= 2,
+    }
+    f["gopher_pass"] = all(f.values())
+    return f
+
+
+def test_gopher_quality_matches_reference(spark):
+    import numpy as np
+
+    from recsplit_spark.pipeline.text import gopher_filter, with_gopher_quality
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "cat", "sat", "99", "#", "...", "…", "-x", "be",
+             "of", "xx", "zz9", "", "a"]
+    docs = [
+        # crafted edges
+        ("bullets", "- a\n- b\n- c\n* d\nplain of the"),
+        ("ellipsis", "end...\nmore…\nfine\nof the be"),
+        ("symbols", "# # # ... the of be " + "w " * 60),
+        ("good", " ".join(["the", "of"] + ["word"] * 60)),
+        ("short", "the of tiny"),
+        ("empty", ""),
+    ] + [
+        (f"r{i}", " ".join(rng.choice(vocab, rng.integers(1, 120))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = with_gopher_quality(df, "text", min_words=10).collect()
+    by_id = dict(docs)
+    flags = ["f_words", "f_mean_len", "f_symbol", "f_bullet",
+             "f_ellipsis", "f_alpha", "f_stop", "gopher_pass"]
+    for r in out:
+        want = _gopher_ref(by_id[r["doc_id"]], min_words=10)
+        for k in flags:
+            assert r[k] == want[k], (r["doc_id"], k, r[k], want[k])
+    kept = gopher_filter(df, "text", min_words=10)
+    assert kept.columns == ["doc_id", "text"]
+    want_ids = sorted(
+        d for d, t in docs if _gopher_ref(t, min_words=10)["gopher_pass"]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == want_ids

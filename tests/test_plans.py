@@ -369,3 +369,20 @@ def test_pack_bins_plan_shapes(spark, tmp_path_factory):
     assert "hashpartitioning(__b" in det  # the value-defined group key
     free = _formatted_plan(pack_bins(df, 64, deterministic=False))
     assert _nodes(free, "Exchange") == 0
+
+
+def test_gopher_quality_stays_jvm_side(spark, sf_dir):
+    """The Gopher rules must compile to pure Column expressions: one scan,
+    no Python eval node, partial aggregation before the single exchange."""
+    from recsplit_spark.pipeline.text import with_gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = with_gopher_quality(docs, "text").agg(
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass")
+    )
+    plan = _formatted_plan(agg)
+    assert _nodes(plan, "ArrowEvalPython") == 0
+    assert _nodes(plan, "BatchEvalPython") == 0
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+    # only the text column is read from parquet
+    assert "ReadSchema" in plan and "doc_id" not in plan.split("ReadSchema")[1]
