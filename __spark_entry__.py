@@ -935,6 +935,35 @@ def _q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (dup lines/paras, top/dup n-gram char
+    fractions) summed over the corpus plus per-threshold pass counts.
+    The signals come from one Arrow-batched doc-local kernel; the flags
+    are integer cross-multiplication, restated exactly in DuckDB (list
+    comprehensions over the same single-space n-gram windows)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.repetition import (
+        GOPHER_REP_THRESHOLDS,
+        rep_signal_fields,
+        with_repetition_signals,
+    )
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = with_repetition_signals(docs, "text")
+    aggs = [F.count("*").alias("n_docs")]
+    aggs += [F.sum(f).alias("sum_" + f) for f in rep_signal_fields()]
+    aggs.append(F.sum("n_chars").alias("sum_n_chars"))
+    aggs += [
+        F.sum(F.col(f"f_{k}").cast("long")).alias(f"n_f_{k}")
+        for k in GOPHER_REP_THRESHOLDS
+    ]
+    aggs.append(F.sum(F.col("rep_pass").cast("long")).alias("n_rep_pass"))
+    return out.agg(*aggs)
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution; oracle = the same stopword-vote
     heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
@@ -2592,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
         "lang_id_documents": _q_lang_id_documents,
         "gopher_quality_documents": _q_gopher_quality_documents,
+        "repetition_documents": _q_repetition_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -2694,6 +2724,101 @@ def _gopher_oracle() -> str:
         f" {sums},"
         f" {s(' AND '.join(rules), 'n_gopher_pass')}"
         " FROM flags"
+    )
+
+
+def _repetition_oracle() -> str:
+    """DuckDB re-statement of pipeline.repetition: dup stats via the
+    total-minus-distinct length identity, n-gram windows via list
+    comprehensions over the same single-space word split, top-n-gram =
+    (max count >= 2, max char len at that count) — the module docstring's
+    exact contract. Flags are the same integer cross-multiplications."""
+    from recsplit_spark.pipeline.repetition import (
+        _DUP_NS,
+        _TOP_NS,
+        GOPHER_REP_THRESHOLDS,
+        rep_signal_fields,
+    )
+
+    def dup_stats(col, prefix):
+        lens = f"list_transform({col}, x -> len(x))"
+        dlens = f"list_transform(list_distinct({col}), x -> len(x))"
+        return (
+            f" len({col}) AS n_{prefix}s,"
+            f" len({col}) - len(list_distinct({col})) AS dup_{prefix}s,"
+            f" coalesce(list_sum({lens}), 0)"
+            f"  - coalesce(list_sum({dlens}), 0) AS dup_{prefix}_chars,"
+        )
+
+    def grams(n):
+        return (
+            f"[array_to_string(w[i:i+{n - 1}], ' ')"
+            f" for i in range(1, greatest(len(w) - {n} + 2, 1))]"
+        )
+
+    base = (
+        "SELECT len(text) AS n_chars,"
+        + dup_stats("string_split(text, chr(10))", "line")
+        + dup_stats("string_split(text, chr(10) || chr(10))", "para")
+        + ", ".join(f"{grams(n)} AS g{n}" for n in (*_TOP_NS, *_DUP_NS))
+        + " FROM (SELECT text, string_split(text, ' ') AS w FROM documents)"
+    )
+    tops = " SELECT * EXCLUDE (" + ", ".join(
+        f"g{n}, d{n}, c{n}" for n in _TOP_NS
+    ) + "),"
+    cnts = "SELECT *," + ", ".join(
+        f" list_distinct(g{n}) AS d{n},"
+        f" [len(list_filter(g{n}, x -> x = g)) for g in list_distinct(g{n})]"
+        f" AS c{n}"
+        for n in _TOP_NS
+    ) + " FROM base"
+    top_cnt = "SELECT *," + ", ".join(
+        f" coalesce(list_max([c for c in c{n} if c >= 2]), 0) AS top{n}_cnt"
+        for n in _TOP_NS
+    ) + " FROM cnts"
+    tops += ", ".join(
+        f" coalesce(list_max([len(d{n}[i]) for i in range(1, len(d{n}) + 1)"
+        f" if c{n}[i] = top{n}_cnt AND c{n}[i] >= 2]), 0) AS top{n}_len"
+        for n in _TOP_NS
+    ) + " FROM topc"
+    dups = "SELECT * EXCLUDE (" + ", ".join(f"g{n}" for n in _DUP_NS) + "),"
+    dups += ", ".join(
+        f" coalesce(list_sum(list_transform(g{n}, x -> len(x))), 0)"
+        f" - coalesce(list_sum(list_transform(list_distinct(g{n}),"
+        f" x -> len(x))), 0) AS dup{n}_chars"
+        for n in _DUP_NS
+    ) + " FROM tops"
+    frac = {
+        "dup_line_frac": ("dup_lines", "n_lines"),
+        "dup_para_frac": ("dup_paras", "n_paras"),
+        "dup_line_char_frac": ("dup_line_chars", "n_chars"),
+        "dup_para_char_frac": ("dup_para_chars", "n_chars"),
+        **{f"top_{n}gram_char_frac": (f"top{n}_cnt * top{n}_len", "n_chars")
+           for n in _TOP_NS},
+        **{f"dup_{n}gram_char_frac": (f"dup{n}_chars", "n_chars")
+           for n in _DUP_NS},
+    }
+    flag_exprs = {
+        k: f"({den} * {frac[k][0]} <= {num} * {frac[k][1]})"
+        for k, (num, den) in GOPHER_REP_THRESHOLDS.items()
+    }
+    final = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        + ", ".join(
+            f"CAST(sum({f}) AS BIGINT) AS sum_{f}" for f in rep_signal_fields()
+        )
+        + ", CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
+        + ", ".join(
+            f"CAST(sum(CAST({e} AS INT)) AS BIGINT) AS n_f_{k}"
+            for k, e in flag_exprs.items()
+        )
+        + ", CAST(sum(CAST(("
+        + " AND ".join(flag_exprs.values())
+        + ") AS INT)) AS BIGINT) AS n_rep_pass FROM dups"
+    )
+    return (
+        f"WITH base AS ({base}), cnts AS ({cnts}), topc AS ({top_cnt}),"
+        f" tops AS ({tops}), dups AS ({dups}) {final}"
     )
 
 
@@ -2982,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_documents": _lang_id_oracle(),
         "gopher_quality_documents": _gopher_oracle(),
+        "repetition_documents": _repetition_oracle(),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"

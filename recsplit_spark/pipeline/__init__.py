@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     incremental_dedup,
     multimodal,
     packing,
+    repetition,
     substring_dedup,
     text,
 )

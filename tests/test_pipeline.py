@@ -1006,3 +1006,88 @@ def test_gopher_quality_matches_reference(spark):
         d for d, t in docs if _gopher_ref(t, min_words=10)["gopher_pass"]
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == want_ids
+
+
+def _rep_ref(text):
+    from collections import Counter
+
+    from recsplit_spark.pipeline.repetition import GOPHER_REP_THRESHOLDS
+
+    out = {"n_chars": len(text)}
+    for name, sep in (("line", "\n"), ("para", "\n\n")):
+        L = text.split(sep)
+        dis = set(L)
+        out[f"n_{name}s"] = len(L)
+        out[f"dup_{name}s"] = len(L) - len(dis)
+        out[f"dup_{name}_chars"] = sum(map(len, L)) - sum(map(len, dis))
+    words = text.split(" ")
+    for n in (2, 3, 4):
+        cnt = Counter(" ".join(words[i:i + n]) for i in range(len(words) - n + 1))
+        reps = {g: c for g, c in cnt.items() if c >= 2}
+        tc = max(reps.values()) if reps else 0
+        out[f"top{n}_cnt"] = tc
+        out[f"top{n}_len"] = max(
+            (len(g) for g, c in reps.items() if c == tc), default=0
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        cnt = Counter(" ".join(words[i:i + n]) for i in range(len(words) - n + 1))
+        out[f"dup{n}_chars"] = sum((c - 1) * len(g) for g, c in cnt.items())
+    frac = {
+        "dup_line_frac": (out["dup_lines"], out["n_lines"]),
+        "dup_para_frac": (out["dup_paras"], out["n_paras"]),
+        "dup_line_char_frac": (out["dup_line_chars"], out["n_chars"]),
+        "dup_para_char_frac": (out["dup_para_chars"], out["n_chars"]),
+        **{f"top_{n}gram_char_frac":
+           (out[f"top{n}_cnt"] * out[f"top{n}_len"], out["n_chars"])
+           for n in (2, 3, 4)},
+        **{f"dup_{n}gram_char_frac": (out[f"dup{n}_chars"], out["n_chars"])
+           for n in (5, 6, 7, 8, 9, 10)},
+    }
+    # integer cross-multiplication, exactly as the Column exprs state it
+    for key, (num, den) in GOPHER_REP_THRESHOLDS.items():
+        v, b = frac[key]
+        out[f"f_{key}"] = den * v <= num * b
+    out["rep_pass"] = all(out[f"f_{k}"] for k in GOPHER_REP_THRESHOLDS)
+    return out
+
+
+def test_repetition_signals_match_reference(spark):
+    import numpy as np
+
+    from recsplit_spark.pipeline.repetition import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition_filter,
+        rep_signal_fields,
+        with_repetition_signals,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = ["the", "cat", "sat", "on", "mat", "a", "bb", "ccc", "dddd", ""]
+    docs = [
+        ("empty", ""),
+        ("spam", "buy now " * 30),
+        ("lines", "same\nsame\nsame\nother\n\npara\n\npara"),
+        ("clean", " ".join(f"w{i}" for i in range(60))),
+        ("phrase", ("the cat sat on the mat " * 6) + "unique tail words here"),
+    ] + [
+        (f"r{i}", "\n".join(
+            " ".join(rng.choice(vocab, rng.integers(1, 30)))
+            for _ in range(rng.integers(1, 5))
+        ))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in with_repetition_signals(df, "text").collect()}
+    cols = rep_signal_fields() + ["n_chars", "rep_pass"] + [
+        f"f_{k}" for k in GOPHER_REP_THRESHOLDS
+    ]
+    for doc_id, text in docs:
+        want = _rep_ref(text)
+        for c in cols:
+            assert rows[doc_id][c] == want[c], (doc_id, c, rows[doc_id][c], want[c])
+    kept = gopher_repetition_filter(df, "text")
+    assert kept.columns == ["doc_id", "text"]
+    want_ids = sorted(d for d, t in docs if _rep_ref(t)["rep_pass"])
+    got_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert got_ids == want_ids
+    assert 0 < len(want_ids) < len(docs)  # fixture exercises both outcomes
