@@ -964,6 +964,47 @@ def _q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(*aggs)
 
 
+def _q_c4_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed PII-scrub -> C4-line-filter pass. The fixture corpus has
+    no PII or line structure, so the query first derives a deterministic
+    augmented text from doc_id (email + phone + IPv4 lines injected with
+    the SAME concat expression on both engines), then checks match
+    counts, scrubbed lengths, kept-line counts, and the C4 doc rule
+    against the DuckDB restatement — all exact integers."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def m(k):
+        return F.pmod(d, F.lit(k)).cast("string")
+
+    aug = F.concat(
+        F.lit("Contact agent"), d.cast("string"), F.lit("@mail"), m(7),
+        F.lit(".org home office today please.\n"),
+        F.col("text"),
+        F.when(F.pmod(d, 3) == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\nPlease call +1 (555) 00"), m(10), F.lit("-42"), m(100),
+        F.lit(" back soon ok.\nhost 10.0."), m(256), F.lit("."),
+        F.pmod(d * 7, F.lit(256)).cast("string"), F.lit(" is now up."),
+    )
+    stage = T.with_pii_counts(docs.withColumn("aug", aug), "aug")
+    stage = T.scrub_pii(stage, "aug", out_col="scrubbed")
+    stage = T.with_c4_lines(stage, "scrubbed", min_words=5, min_kept_lines=4)
+    return stage.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("sum_n_email"),
+        F.sum("n_ipv4").alias("sum_n_ipv4"),
+        F.sum("n_phone").alias("sum_n_phone"),
+        F.sum(F.length("scrubbed")).alias("sum_scrub_chars"),
+        F.sum("n_kept_lines").alias("sum_kept_lines"),
+        F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
+        F.sum(F.length("c4_text")).alias("sum_c4_chars"),
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution; oracle = the same stopword-vote
     heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
@@ -2622,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _q_lang_id_documents,
         "gopher_quality_documents": _q_gopher_quality_documents,
         "repetition_documents": _q_repetition_documents,
+        "c4_pii_documents": _q_c4_pii_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -2819,6 +2861,61 @@ def _repetition_oracle() -> str:
     return (
         f"WITH base AS ({base}), cnts AS ({cnts}), topc AS ({top_cnt}),"
         f" tops AS ({tops}), dups AS ({dups}) {final}"
+    )
+
+
+def _c4_pii_oracle() -> str:
+    """DuckDB re-statement of _q_c4_pii_documents: the SAME doc_id-derived
+    augmentation expression, the SAME PII pattern strings (chosen from the
+    Java-regex ∩ RE2 common subset so both engines run them verbatim),
+    scrub in PII_PATTERNS dict order, then the C4 line/doc rules restated
+    with string_split/list_filter like _gopher_oracle (semantics verified
+    to match Spark, incl. '' -> [''])."""
+    from recsplit_spark.pipeline.text import PII_PATTERNS
+
+    aug = (
+        "'Contact agent' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.org home office today please.' || chr(10) || text"
+        " || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END"
+        " || chr(10) || 'Please call +1 (555) 00'"
+        " || CAST(doc_id % 10 AS VARCHAR)"
+        " || '-42' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' back soon ok.' || chr(10) || 'host 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR) || ' is now up.'"
+    )
+    scrub = "aug"
+    for kind, pat in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    kept = (
+        "list_filter(string_split(scrubbed, chr(10)),"
+        " l -> len(string_split(l, ' ')) >= 5"
+        " AND regexp_matches(l, '[.!?\"'']$')"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    doc_keep = (
+        "(len(kept) >= 4 AND NOT contains(scrubbed, '{')"
+        " AND NOT contains(lower(scrubbed), 'lorem ipsum'))"
+    )
+    return (
+        f"WITH base AS (SELECT {aug} AS aug FROM documents),"
+        f" scrubbed AS (SELECT {counts}, {scrub} AS scrubbed FROM base),"
+        f" c4 AS (SELECT *, {kept} AS kept FROM scrubbed)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_email) AS BIGINT) AS sum_n_email,"
+        " CAST(sum(n_ipv4) AS BIGINT) AS sum_n_ipv4,"
+        " CAST(sum(n_phone) AS BIGINT) AS sum_n_phone,"
+        " CAST(sum(len(scrubbed)) AS BIGINT) AS sum_scrub_chars,"
+        " CAST(sum(len(kept)) AS BIGINT) AS sum_kept_lines,"
+        f" CAST(sum(CAST({doc_keep} AS INT)) AS BIGINT) AS n_c4_keep,"
+        " CAST(sum(len(array_to_string(kept, chr(10)))) AS BIGINT)"
+        "  AS sum_c4_chars"
+        " FROM c4"
     )
 
 
@@ -3108,6 +3205,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": _lang_id_oracle(),
         "gopher_quality_documents": _gopher_oracle(),
         "repetition_documents": _repetition_oracle(),
+        "c4_pii_documents": _c4_pii_oracle(),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"

@@ -245,3 +245,102 @@ def with_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
 
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+#: PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+#: lookaround), so the Spark expressions and the DuckDB oracle run the
+#: SAME pattern strings. Scrub order is dict order: emails first (their
+#: dotted domains would otherwise be half-eaten by the phone pattern),
+#: then IPv4 (so phone never swallows a dotted quad), then phone.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+}
+
+
+def with_pii_counts(df, text_col: str):
+    """Audit pass: per-category PII match counts (``n_email``/``n_ipv4``/
+    ``n_phone``) as pure Column expressions — non-overlapping regexp
+    counts, same semantics both engines."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    return out
+
+
+def scrub_pii(df, text_col: str, out_col: str | None = None):
+    """Replace every PII match with ``<KIND>`` (e.g. ``<EMAIL>``),
+    applying the patterns in ``PII_PATTERNS`` order (documented there —
+    order matters where patterns could overlap). Pure regexp_replace
+    chain: one scan, JVM-side, no Python."""
+    from pyspark.sql import functions as F
+
+    col = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, F.lit(pat), F.lit(f"<{kind.upper()}>"))
+    return df.withColumn(out_col or text_col, col)
+
+
+#: terminal punctuation accepted by the C4 line rule (Raffel et al.
+#: 2020 §2.2 keeps "lines that ended in a terminal punctuation mark";
+#: the quote characters follow the public C4 implementation).
+_C4_TERMINAL_RE = "[.!?\"']$"
+
+
+def with_c4_lines(
+    df,
+    text_col: str,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as pure Column
+    expressions, doc-local, one scan:
+
+    - a LINE is kept iff it has >= ``min_words`` single-space words AND
+      ends in terminal punctuation AND does not mention "javascript"
+      (case-insensitive);
+    - ``c4_text`` = the kept lines re-joined with newlines,
+      ``n_kept_lines`` = how many survived;
+    - ``c4_keep`` (the DOC rule) = at least ``min_kept_lines`` kept
+      lines AND the original text contains neither ``{`` nor
+      "lorem ipsum" (case-insensitive).
+
+    The three-sentence-span dedup C4 also applies is a corpus-level op —
+    that is ``substring_dedup`` / ``dedup_corpus`` in this library."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    kept = F.filter(
+        F.split(t, "\n"),
+        lambda l: (F.size(F.split(l, " ")) >= F.lit(min_words))
+        & l.rlike(_C4_TERMINAL_RE)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return (
+        df.withColumn("c4_text", F.array_join(kept, "\n"))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn(
+            "c4_keep",
+            (F.col("n_kept_lines") >= F.lit(min_kept_lines))
+            & ~t.contains("{")
+            & ~F.lower(t).contains("lorem ipsum"),
+        )
+    )
+
+
+def c4_filter(df, text_col: str, **kwargs):
+    """Apply the C4 rules and keep only passing docs, with ``text_col``
+    replaced by the cleaned (kept-lines) text; other columns unchanged."""
+    from pyspark.sql import functions as F
+
+    out = with_c4_lines(df, text_col, **kwargs).filter(F.col("c4_keep"))
+    cols = [
+        F.col("c4_text").alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return out.select(*cols)

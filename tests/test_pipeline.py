@@ -1091,3 +1091,91 @@ def test_repetition_signals_match_reference(spark):
     got_ids = sorted(r["doc_id"] for r in kept.collect())
     assert got_ids == want_ids
     assert 0 < len(want_ids) < len(docs)  # fixture exercises both outcomes
+
+
+def test_pii_counts_and_scrub(spark):
+    import re
+
+    from recsplit_spark.pipeline.text import PII_PATTERNS, scrub_pii, with_pii_counts
+
+    docs = [
+        ("d1", "mail bob.smith+x@ex-ample.co.uk or call +1 (555) 123-4567 now"),
+        ("d2", "server at 10.0.255.3, backup 192.168.1.1; no phone"),
+        ("d3", "plain text with no pii at all"),
+        ("d4", "a@b.io c@d.org 1.2.3.4 0123456789"),
+        ("d5", ""),
+        ("d6", "edge: @ not an email, 999.999.999.999 still quad, 12-34 no"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in with_pii_counts(df, "text").collect()}
+    scrubbed = {
+        r["doc_id"]: r["text"] for r in scrub_pii(df, "text").collect()
+    }
+    for doc_id, text in docs:
+        want = text
+        for kind, pat in PII_PATTERNS.items():
+            assert got[doc_id][f"n_{kind}"] == len(re.findall(pat, want)), (
+                doc_id, kind
+            )
+            want = re.sub(pat, f"<{kind.upper()}>", want)
+        assert scrubbed[doc_id] == want, (doc_id, scrubbed[doc_id], want)
+    # counts computed on the ORIGINAL text, scrub order = dict order
+    assert got["d1"]["n_email"] == 1 and got["d1"]["n_phone"] == 1
+    assert got["d2"]["n_ipv4"] == 2
+    assert "<EMAIL>" in scrubbed["d1"] and "<PHONE>" in scrubbed["d1"]
+
+
+def _c4_ref(text, min_words=5, min_kept_lines=3):
+    import re
+
+    kept = [
+        l for l in text.split("\n")
+        if len(l.split(" ")) >= min_words
+        and re.search("[.!?\"']$", l)
+        and "javascript" not in l.lower()
+    ]
+    keep = (
+        len(kept) >= min_kept_lines
+        and "{" not in text
+        and "lorem ipsum" not in text.lower()
+    )
+    return "\n".join(kept), len(kept), keep
+
+
+def test_c4_lines_match_reference(spark):
+    from recsplit_spark.pipeline.text import c4_filter, with_c4_lines
+
+    docs = [
+        ("good", "This line has enough words here.\n"
+                 "Another full sentence sits right here!\n"
+                 'A third one ends with a quote."\n'
+                 "short.\nno terminal punct here at all"),
+        ("js", "This line mentions JavaScript and five words.\n"
+               "Second good line is right here.\n"
+               "Third good line is right here.\n"
+               "Fourth good line is right here."),
+        ("brace", "Valid sentence number one goes here.\n"
+                  "Valid sentence number two goes here.\n"
+                  "Valid sentence number three goes here { code }."),
+        ("lorem", "Lorem ipsum dolor sit amet sentence.\n"
+                  "Another proper sentence right here now.\n"
+                  "And one more proper sentence here."),
+        ("thin", "Only one good line lives here."),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in with_c4_lines(df, "text").collect()}
+    for doc_id, text in docs:
+        c4_text, n_kept, keep = _c4_ref(text)
+        r = got[doc_id]
+        assert r["c4_text"] == c4_text, (doc_id, r["c4_text"], c4_text)
+        assert r["n_kept_lines"] == n_kept
+        assert r["c4_keep"] == keep, (doc_id, keep)
+    kept_df = c4_filter(df, "text")
+    assert kept_df.columns == ["doc_id", "text"]
+    rows = {r["doc_id"]: r["text"] for r in kept_df.collect()}
+    want = {d: _c4_ref(t)[0] for d, t in docs if _c4_ref(t)[2]}
+    # line filter drops the js LINE but the doc survives on its 3 good
+    # lines; brace/lorem/thin fail the DOC rule outright
+    assert rows == want and "good" in rows and "js" in rows
+    assert {"brace", "lorem", "thin", "empty"}.isdisjoint(rows)
