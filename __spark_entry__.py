@@ -1005,6 +1005,31 @@ def _q_c4_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mix_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (pipeline/mixing.py) in exact
+    mode: weight(src_i) = i/4 epochs (0, 0.25, ... 4.75 across the 20
+    fixture sources — downsample, keep, and upsample regimes). In exact
+    mode every per-source output is a closed-form integer the DuckDB
+    oracle recomputes from the table: n_rows = floor(w)*n +
+    floor(frac*n + 0.5), n_docs, max_epoch."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.mixing import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": i / 4.0 for i in range(20)}
+    out = mix_corpus(docs, weights, seed=3, exact=True)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").cast("long").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution; oracle = the same stopword-vote
     heuristic restated in DuckDB SQL (see _lang_id_oracle)."""
@@ -2664,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": _q_gopher_quality_documents,
         "repetition_documents": _q_repetition_documents,
         "c4_pii_documents": _q_c4_pii_documents,
+        "mix_corpus_documents": _q_mix_corpus_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -3206,6 +3232,25 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_documents": _gopher_oracle(),
         "repetition_documents": _repetition_oracle(),
         "c4_pii_documents": _c4_pii_oracle(),
+        # mixing exact mode: every column a closed-form integer of
+        # (weight, group size) — floor/frac restated on the same IEEE
+        # doubles (weights are exact binary quarters)
+        "mix_corpus_documents": (
+            "WITH per AS (SELECT source, count(*) AS n,"
+            " CAST(substr(source, 4) AS INT) / 4.0 AS w"
+            " FROM documents GROUP BY source),"
+            " calc AS (SELECT source,"
+            " CAST(floor(w) AS BIGINT) AS repeats,"
+            " CAST(floor((w - floor(w)) * n + 0.5) AS BIGINT) AS target,"
+            " n FROM per)"
+            " SELECT source,"
+            " CAST(repeats * n + target AS BIGINT) AS n_rows,"
+            " CAST(CASE WHEN repeats >= 1 THEN n ELSE target END AS BIGINT)"
+            "  AS n_docs,"
+            " CAST(CASE WHEN target > 0 THEN repeats ELSE repeats - 1 END"
+            "  AS BIGINT) AS max_epoch"
+            " FROM calc WHERE repeats * n + target > 0 ORDER BY source"
+        ),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("
             " SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, substr(text, g.i, 5) AS s"
