@@ -1005,6 +1005,36 @@ def _q_c4_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape unigram LM scoring (pipeline/lm.py): corpus-derived
+    capped vocab (min_count=2, top 400 by count desc / word asc — the
+    cut order both engines replay exactly), then per-doc stats. The
+    integer outputs (words, OOV, summed corpus frequency) are exact;
+    mean_log2p stays out of the oracle (float) and is covered by a
+    bound-boolean instead."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.lm import top_vocab, with_unigram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = top_vocab(docs, "text", vocab_size=400, min_count=2)
+    out = with_unigram_stats(docs, "text", vocab)
+    floor_log2p = F.log2(
+        F.lit(1.0)
+        / (F.lit(1.0) + vocab.agg(F.sum("count") + F.count("*")).collect()[0][0])
+    )
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_oov").alias("sum_oov"),
+        F.sum("sum_count").alias("sum_freq"),
+        (
+            F.min("mean_log2p") >= floor_log2p - F.lit(1e-9)
+        ).alias("log2p_above_floor"),
+        (F.max("mean_log2p") < F.lit(0.0)).alias("log2p_below_zero"),
+    )
+
+
 def _q_mix_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture sampling (pipeline/mixing.py) in exact
     mode: weight(src_i) = i/4 epochs (0, 0.25, ... 4.75 across the 20
@@ -2690,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": _q_repetition_documents,
         "c4_pii_documents": _q_c4_pii_documents,
         "mix_corpus_documents": _q_mix_corpus_documents,
+        "unigram_lm_documents": _q_unigram_lm_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -3250,6 +3281,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN target > 0 THEN repeats ELSE repeats - 1 END"
             "  AS BIGINT) AS max_epoch"
             " FROM calc WHERE repeats * n + target > 0 ORDER BY source"
+        ),
+        # unigram LM: same single-space words, same (count desc, word
+        # asc) vocab cut, exact integer aggregates; the two float
+        # booleans are restated as the bounds they certify
+        "unigram_lm_documents": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word"
+            "  FROM documents),"
+            " vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word"
+            "  HAVING count(*) >= 2 ORDER BY cnt DESC, word ASC LIMIT 400),"
+            " dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+            "  FROM documents),"
+            " j AS (SELECT doc_id, v.cnt FROM dw"
+            "  LEFT JOIN vocab v USING (word)),"
+            " per AS (SELECT doc_id, count(*) AS n_words,"
+            "  sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,"
+            "  sum(coalesce(cnt, 0)) AS sum_count FROM j GROUP BY doc_id)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_words) AS BIGINT) AS sum_words,"
+            " CAST(sum(n_oov) AS BIGINT) AS sum_oov,"
+            " CAST(sum(sum_count) AS BIGINT) AS sum_freq,"
+            " TRUE AS log2p_above_floor, TRUE AS log2p_below_zero FROM per"
         ),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("
