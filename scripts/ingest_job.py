@@ -6,6 +6,9 @@ of documents flows through the whole incremental family in one job:
      against a held-out benchmark's n-grams first — drop contaminated
      docs or cut the contaminated spans; stateless, so replay safety is
      untouched and ids are only ever assigned to clean documents;
+  0b. optionally (``--scrub-pii`` / ``--quality``, text mode) scrub PII
+     and apply the published stateless doc filters (gopher, repetition,
+     c4) before dedup — also pure functions of the batch;
   1. ``IncrementalDedup.append``  — near-dedup the batch against the
      persisted kept-corpus LSH state (old text never rescanned);
   2. ``IncrementalMPHF.append``   — assign the SURVIVORS stable
@@ -80,6 +83,13 @@ def main() -> int:
                          "spans out")
     ap.add_argument("--decontam-n", type=int, default=13,
                     help="n-gram window for the benchmark overlap")
+    ap.add_argument("--quality", default=None,
+                    help="comma list of stateless text-quality filters to "
+                         "run before dedup (requires --mode text): any of "
+                         "gopher, repetition, c4")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="replace email/IPv4/phone matches with <KIND> "
+                         "tokens before any other stage (--mode text)")
     ap.add_argument("--vec-col", default=None,
                     help="embedding column; enables the ANN stage")
     ap.add_argument("--ann-index", default=None,
@@ -163,6 +173,47 @@ def main() -> int:
             }
             batch = cut.drop("removed_tok")
 
+    # 0b. optional stateless quality pass (text mode): PII scrub first
+    # (it rewrites the text every later stage sees), then the published
+    # doc filters. Like decontamination this is a pure function of the
+    # batch, so replay safety and the id contract are untouched —
+    # dropped docs never reach dedup state or get an id.
+    m_quality = None
+    if args.quality or args.scrub_pii:
+        if args.mode != "text":
+            raise SystemExit(
+                "--quality/--scrub-pii require --mode text (the rules "
+                "are defined on strings, not token arrays)"
+            )
+        from recsplit_spark.pipeline import text as _text
+        from recsplit_spark.pipeline.repetition import (
+            gopher_repetition_filter,
+        )
+
+        filters = {
+            "gopher": lambda d: _text.gopher_filter(d, args.text_col),
+            "repetition": lambda d: gopher_repetition_filter(
+                d, args.text_col
+            ),
+            "c4": lambda d: _text.c4_filter(d, args.text_col),
+        }
+        names = [n for n in (args.quality or "").split(",") if n]
+        unknown = [n for n in names if n not in filters]
+        if unknown:
+            raise SystemExit(f"unknown --quality filters: {unknown}")
+        n_in_q = batch.count()
+        if args.scrub_pii:
+            batch = _text.scrub_pii(batch, args.text_col)
+        for n in names:
+            batch = filters[n](batch)
+        batch = batch.persist()
+        m_quality = {
+            "scrub_pii": bool(args.scrub_pii),
+            "filters": names,
+            "in": n_in_q,
+            "dropped": n_in_q - batch.count(),
+        }
+
     # 1. dedup vs the kept corpus + itself
     dd = IncrementalDedup(f"{root}/dedup", threshold=args.threshold,
                           mode=args.mode)
@@ -245,6 +296,7 @@ def main() -> int:
 
     print(json.dumps({
         "decontam": m_decon,
+        "quality": m_quality,
         "dedup": m_dedup,
         "ids": m_ids,
         "ann": m_ann,
