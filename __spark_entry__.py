@@ -285,6 +285,48 @@ def _q_cms_eventtype_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation (Cormode & Muthukrishnan 2005
+    §4.2): est = min_i a[i]·b[i] over two same-config states satisfies
+    fa·fb <= est <= fa·fb + eps*Na*Nb w.p. >= 1-delta — the classic
+    sketch equi-join cardinality estimator, plus the self-join (F2)
+    special case. Exact sizes are integer-recomputed by both engines;
+    the estimates are asserted as bound booleans."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import CountMinSketch
+
+    ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    cms = CountMinSketch(eps=0.0005, delta=0.01)
+    j_est, j_bound = cms.join_size_estimate(
+        li, "l_orderkey", orders, "o_orderkey"
+    )
+    f_est, f_bound = cms.join_size_estimate(ev, "user_id")
+    exact_join = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    exact_f2 = int(
+        ev.groupBy("user_id")
+        .count()
+        .select(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(
+            int(exact_join),
+            bool(exact_join <= j_est),
+            bool(j_est <= exact_join + j_bound),
+            int(exact_f2),
+            bool(exact_f2 <= f_est),
+            bool(f_est <= exact_f2 + f_bound),
+        )],
+        "exact_join bigint, join_est_ge boolean, join_est_within boolean,"
+        " exact_f2 bigint, f2_est_ge boolean, f2_est_within boolean",
+    )
+
+
 def _q_bloom_orders_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -2689,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_returnflag_freq": _q_cms_returnflag_freq,
+        "cms_join_size_estimates": _q_cms_join_size_estimates,
         "cms_eventtype_freq": _q_cms_eventtype_freq,
         "bloom_orders_prefilter": _q_bloom_orders_prefilter,
         "kll_price_quantiles": _q_kll_price_quantiles,
@@ -3065,6 +3108,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_eventtype_freq": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS freq"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "cms_join_size_estimates": (
+            "SELECT"
+            " (SELECT CAST(count(*) AS BIGINT) FROM lineitem JOIN orders"
+            "  ON l_orderkey = o_orderkey) AS exact_join,"
+            " TRUE AS join_est_ge, TRUE AS join_est_within,"
+            " (SELECT CAST(sum(c * c) AS BIGINT) FROM"
+            "  (SELECT count(*) AS c FROM events GROUP BY user_id))"
+            "  AS exact_f2,"
+            " TRUE AS f2_est_ge, TRUE AS f2_est_within"
         ),
         "bloom_orders_prefilter": (
             "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed FROM orders"

@@ -146,6 +146,66 @@ class CountMinSketch(MergeableSketch):
     def total(self, state: np.ndarray) -> int:
         return int(state[0].sum())
 
+    # -- inner product / join size ---------------------------------------------
+    def inner_product_estimate(self, a: np.ndarray, b: np.ndarray) -> int:
+        """Inner-product estimate min_i a[i]·b[i] (Cormode & Muthukrishnan
+        2005 §4.2). For the frequency vectors fa, fb the two states
+        summarize::
+
+            fa·fb  <=  est  <=  fa·fb + eps * ||fa||_1 * ||fb||_1
+
+        with probability >= 1 - delta. fa·fb is exactly the row count of
+        the equi-join between the two streams on the sketched column, so
+        this is the classic sketch join-size estimator; it is also exact
+        whenever no two distinct values collide in some row. Works on any
+        two states of the SAME (eps, delta) config — including states
+        merged across partitions/batches (counter add is linear, so the
+        estimate of a merged state is the estimate of the union stream).
+
+        Row dot products are accumulated in Python ints when they could
+        exceed int64 (counts near 1e12 square to ~1e24)."""
+        if a.shape != (self.d, self.w) or b.shape != (self.d, self.w):
+            raise ValueError("CMS state shape mismatch")
+        best = None
+        for i in range(self.d):
+            mx = int(a[i].max(initial=0)) * int(b[i].max(initial=0))
+            if mx * self.w < (1 << 62):
+                v = int(np.dot(a[i], b[i]))
+            else:
+                v = int(np.multiply(
+                    a[i].astype(object), b[i].astype(object)
+                ).sum())
+            if best is None or v < best:
+                best = v
+        return int(best)
+
+    def inner_product_bound(self, total_a: int, total_b: int) -> float:
+        """The one-sided overcount bound eps * ||fa||_1 * ||fb||_1 that
+        holds with probability >= 1 - delta (totals come from
+        ``total(state)``)."""
+        return self.eps * float(total_a) * float(total_b)
+
+    def f2_estimate(self, state: np.ndarray) -> int:
+        """Second frequency moment (self-join size) upper estimate:
+        F2 <= est <= F2 + eps * N^2 with probability >= 1 - delta."""
+        return self.inner_product_estimate(state, state)
+
+    def join_size_estimate(self, df_a, col_a: str, df_b=None,
+                           col_b: str | None = None):
+        """``(est, bound)`` for the equi-join row count between two key
+        columns — one sketch build per side (sharing the library's
+        xxhash64 contract), no join executed. ``df_b=None`` estimates the
+        SELF-join size of ``df_a[col_a]`` (the second frequency moment)
+        from a single state."""
+        sa = self.build(df_a, col_a)
+        if df_b is None:
+            est = self.f2_estimate(sa)
+            t = self.total(sa)
+            return est, self.inner_product_bound(t, t)
+        sb = self.build(df_b, col_b or col_a)
+        est = self.inner_product_estimate(sa, sb)
+        return est, self.inner_product_bound(self.total(sa), self.total(sb))
+
     # -- queries ----------------------------------------------------------------
     def query_hashes(self, state: np.ndarray, h: np.ndarray) -> np.ndarray:
         """Point-frequency estimates for int64 hashes."""

@@ -97,6 +97,53 @@ def test_cms_merge_linear():
     assert (st2 == m).all()
 
 
+def test_cms_inner_product_join_size_bounds():
+    cms = CountMinSketch(eps=0.001, delta=0.01)
+    va = RNG.integers(0, 300, size=40_000)
+    vb = RNG.integers(100, 500, size=30_000)  # partial key overlap
+    sa, sb = cms.new_state(), cms.new_state()
+    cms.update(sa, mix64(va.astype(np.uint64)).view(np.int64))
+    cms.update(sb, mix64(vb.astype(np.uint64)).view(np.int64))
+    ca, cb = np.bincount(va, minlength=500), np.bincount(vb, minlength=500)
+    exact = int(np.dot(ca.astype(np.int64), cb.astype(np.int64)))
+    est = cms.inner_product_estimate(sa, sb)
+    assert exact <= est  # one-sided, like point queries
+    assert est <= exact + cms.inner_product_bound(len(va), len(vb))
+    # linearity under merge: ip(a1+a2, b) per-row is ip(a1,b)+ip(a2,b),
+    # so the min-over-rows estimate of a merged state still upper-bounds
+    # the union stream's true inner product within the union's bound
+    sa2 = cms.new_state()
+    cms.update(sa2, mix64(va.astype(np.uint64)).view(np.int64))
+    m = cms.merge(sa, sa2)
+    est_m = cms.inner_product_estimate(m, sb)
+    assert 2 * exact <= est_m
+    assert est_m <= 2 * exact + cms.inner_product_bound(2 * len(va), len(vb))
+
+
+def test_cms_f2_self_join():
+    cms = CountMinSketch(eps=0.001, delta=0.01)
+    vals = RNG.integers(0, 200, size=50_000)
+    st = cms.new_state()
+    cms.update(st, mix64(vals.astype(np.uint64)).view(np.int64))
+    counts = np.bincount(vals).astype(np.int64)
+    exact = int(np.dot(counts, counts))
+    est = cms.f2_estimate(st)
+    assert exact <= est <= exact + cms.inner_product_bound(len(vals), len(vals))
+
+
+def test_cms_inner_product_no_int64_overflow():
+    cms = CountMinSketch(eps=0.01, delta=0.05)
+    a, b = cms.new_state(), cms.new_state()
+    # counters near 2^40: row dot products reach ~2^80, far past int64 —
+    # the estimator must switch to Python-int accumulation
+    a[:, :8] = 1 << 40
+    b[:, :8] = 1 << 40
+    est = cms.inner_product_estimate(a, b)
+    assert est == 8 * (1 << 80)
+    with pytest.raises(ValueError):
+        cms.inner_product_estimate(a, np.zeros((1, 2), dtype=np.int64))
+
+
 # -- Bloom ----------------------------------------------------------------------
 
 def test_bloom_no_false_negatives_and_fpr():

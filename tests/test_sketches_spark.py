@@ -59,6 +59,27 @@ def test_hll_partition_count_invariance(spark, lineitem):
     assert hll.to_bytes(s1) == hll.to_bytes(s2)
 
 
+def test_cms_join_size_estimate_vs_exact_join(spark, lineitem, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cms = CountMinSketch(eps=0.0005, delta=0.01)
+    est, bound = cms.join_size_estimate(
+        lineitem, "l_orderkey", orders, "o_orderkey"
+    )
+    exact = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).count()
+    assert exact <= est <= exact + bound
+    # self-join (F2) of a skewed key, one state
+    est2, bound2 = cms.join_size_estimate(lineitem, "l_orderkey")
+    exact2 = (
+        lineitem.groupBy("l_orderkey")
+        .count()
+        .select(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    assert exact2 <= est2 <= exact2 + bound2
+
+
 def test_cms_frequencies_vs_exact(spark, lineitem):
     cms = CountMinSketch(eps=0.0005, delta=0.01)
     n = lineitem.count()
