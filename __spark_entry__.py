@@ -327,6 +327,56 @@ def _q_cms_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_embeddings_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions matrix sketch (Liberty 2013; GLPW 2016) over the
+    embeddings table: the merged state's BᵀB must satisfy the PSD
+    sandwich 0 ⪯ AᵀA − BᵀB ⪯ Δ·I against the EXACT Gram (computed
+    distributed via per-partition partial sums — d×d partials, never
+    rows to the driver), with the carried certificate Δ below the
+    published ||A||_F²/ell bound."""
+    import numpy as np
+    import pandas as pdd
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import FrequentDirections
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    n = emb.count()
+    fd = FrequentDirections(d=dim, ell=32)
+    st = fd.build(emb, "embedding")
+
+    def _partial_gram(batches):
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(m):
+                g += m.T @ m
+        yield pdd.DataFrame({"g": [g.ravel().tolist()]})
+
+    parts = emb.select("embedding").mapInPandas(
+        _partial_gram, schema="g array<double>"
+    ).collect()
+    G = np.zeros((dim, dim))
+    for r in parts:
+        G += np.array(r["g"], dtype=np.float64).reshape(dim, dim)
+    diff = G - fd.cov_estimate(st)
+    eig = np.linalg.eigvalsh(diff)
+    scale = max(1.0, float(np.abs(G).max()))
+    return spark.createDataFrame(
+        [(
+            int(n),
+            int(dim),
+            bool(eig.min() >= -1e-9 * scale),
+            bool(eig.max() <= fd.error_certificate(st) + 1e-9 * scale),
+            bool(fd.error_certificate(st) <= fd.published_bound(st) + 1e-12),
+        )],
+        "n_vectors bigint, dim int, psd_ok boolean, cert_ok boolean,"
+        " cert_le_published boolean",
+    )
+
+
 def _q_bloom_orders_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -2732,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_returnflag_freq": _q_cms_returnflag_freq,
         "cms_join_size_estimates": _q_cms_join_size_estimates,
+        "fd_embeddings_gram": _q_fd_embeddings_gram,
         "cms_eventtype_freq": _q_cms_eventtype_freq,
         "bloom_orders_prefilter": _q_bloom_orders_prefilter,
         "kll_price_quantiles": _q_kll_price_quantiles,
@@ -3118,6 +3169,12 @@ def oracle_sql() -> dict[str, str]:
             "  (SELECT count(*) AS c FROM events GROUP BY user_id))"
             "  AS exact_f2,"
             " TRUE AS f2_est_ge, TRUE AS f2_est_within"
+        ),
+        "fd_embeddings_gram": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_vectors,"
+            " CAST(max(len(embedding)) AS INT) AS dim,"
+            " TRUE AS psd_ok, TRUE AS cert_ok,"
+            " TRUE AS cert_le_published FROM embeddings"
         ),
         "bloom_orders_prefilter": (
             "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed FROM orders"

@@ -7,6 +7,7 @@ from .base import MergeableSketch  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
 from .checkpoint import CheckpointedBuild  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
+from .fd import FrequentDirections  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .incremental import (  # noqa: F401
     IncrementalProfile,

@@ -80,7 +80,9 @@ class MergeableSketch(ABC):
 
     #: "hash" -> feed xxhash64(col) int64; "value" -> feed cast-to-double;
     #: "string" -> feed the raw value cast to string (item-identity sketches
-    #: like Misra-Gries that must report the original item back)
+    #: like Misra-Gries that must report the original item back);
+    #: "vector" -> feed the raw array<double> rows (matrix sketches like
+    #: FrequentDirections whose update consumes whole embedding vectors)
     input_kind: str = "hash"
 
     #: True when ``update(st, concat(A, B))`` is BIT-identical to
@@ -140,6 +142,8 @@ class MergeableSketch(ABC):
             return F.xxhash64(F.col(col).cast("string")).alias(alias)
         if self.input_kind == "string":
             return F.col(col).cast("string").alias(alias)
+        if self.input_kind == "vector":
+            return F.col(col).cast("array<double>").alias(alias)
         return F.col(col).cast("double").alias(alias)
 
     #: a sketch that meaningfully folds a batch of int64 n-gram window

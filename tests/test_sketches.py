@@ -144,6 +144,81 @@ def test_cms_inner_product_no_int64_overflow():
         cms.inner_product_estimate(a, np.zeros((1, 2), dtype=np.int64))
 
 
+# -- Frequent Directions --------------------------------------------------------
+
+def _fd_exact_checks(fd, st, A):
+    from recsplit_spark.sketches import FrequentDirections  # noqa: F401
+
+    G = A.T @ A
+    diff = G - fd.cov_estimate(st)
+    eig = np.linalg.eigvalsh(diff)
+    scale = max(1.0, float(np.abs(G).max()))
+    assert eig.min() >= -1e-9 * scale  # 0 <= A'A - B'B
+    assert eig.max() <= fd.error_certificate(st) + 1e-9 * scale
+    assert fd.error_certificate(st) <= fd.published_bound(st) + 1e-12
+    assert abs(st["fro2"] - float((A * A).sum())) <= 1e-6 * scale
+
+
+def test_fd_certificate_and_published_bound():
+    fd_rng = np.random.default_rng(11)
+    A = fd_rng.normal(size=(3_000, 24))
+    from recsplit_spark.sketches import FrequentDirections
+
+    fd = FrequentDirections(d=24, ell=48)
+    st = fd.new_state()
+    fd.update(st, A)
+    _fd_exact_checks(fd, st, A)
+
+
+def test_fd_merge_tree_keeps_certificate():
+    fd_rng = np.random.default_rng(12)
+    A = fd_rng.normal(size=(4_000, 16))
+    from recsplit_spark.sketches import FrequentDirections
+
+    fd = FrequentDirections(d=16, ell=32)
+    states = []
+    for chunk in np.array_split(A, 7):
+        st = fd.new_state()
+        fd.update(st, chunk)
+        states.append(st)
+    merged = states[0]
+    for s in states[1:]:
+        merged = fd.merge(merged, s)
+    _fd_exact_checks(fd, merged, A)
+    # serialization round-trip preserves the invariants and is stable
+    st2 = fd.from_bytes(fd.to_bytes(merged))
+    _fd_exact_checks(fd, st2, A)
+    assert fd.to_bytes(st2) == fd.to_bytes(fd.from_bytes(fd.to_bytes(st2)))
+
+
+def test_fd_top_directions_find_planted_axis():
+    fd_rng = np.random.default_rng(13)
+    u = np.zeros(20)
+    u[3] = 1.0
+    A = fd_rng.normal(size=(5_000, 20)) + 40.0 * fd_rng.normal(
+        size=(5_000, 1)
+    ) * u
+    from recsplit_spark.sketches import FrequentDirections
+
+    fd = FrequentDirections(d=20, ell=16)
+    st = fd.new_state()
+    fd.update(st, A)
+    _, vt = fd.top_directions(st, 1)
+    assert abs(float(vt[0] @ u)) > 0.99
+
+
+def test_fd_config_and_dim_mismatch_raise():
+    from recsplit_spark.sketches import FrequentDirections
+
+    fd = FrequentDirections(d=8, ell=4)
+    st = fd.new_state()
+    with pytest.raises(ValueError):
+        fd.update(st, np.ones((3, 9)))
+    other = FrequentDirections(d=8, ell=6)
+    with pytest.raises(ValueError):
+        other.from_bytes(fd.to_bytes(st))
+
+
 # -- Bloom ----------------------------------------------------------------------
 
 def test_bloom_no_false_negatives_and_fpr():

@@ -80,6 +80,33 @@ def test_cms_join_size_estimate_vs_exact_join(spark, lineitem, sf_dir):
     assert exact2 <= est2 <= exact2 + bound2
 
 
+def test_fd_build_over_embeddings_vs_exact_gram(spark, sf_dir):
+    from recsplit_spark.sketches import FrequentDirections
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    A = np.array([r["embedding"] for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+    fd = FrequentDirections(d=A.shape[1], ell=32)
+    st = fd.build(emb.repartition(5), "embedding")
+    G = A.T @ A
+    diff = G - fd.cov_estimate(st)
+    eig = np.linalg.eigvalsh(diff)
+    scale = max(1.0, float(np.abs(G).max()))
+    assert eig.min() >= -1e-9 * scale
+    assert eig.max() <= fd.error_certificate(st) + 1e-9 * scale
+    assert fd.error_certificate(st) <= fd.published_bound(st) + 1e-12
+    # per-key states merge back into a valid whole-table state
+    by_key = fd.states_by_key(emb, "embedding", ["label"]).collect()
+    assert len(by_key) >= 2
+    st2 = fd.new_state()
+    for r in by_key:
+        st2 = fd.merge(st2, fd.from_bytes(bytes(r["state"])))
+    diff2 = G - fd.cov_estimate(st2)
+    eig2 = np.linalg.eigvalsh(diff2)
+    assert eig2.min() >= -1e-9 * scale
+    assert eig2.max() <= fd.error_certificate(st2) + 1e-9 * scale
+
+
 def test_cms_frequencies_vs_exact(spark, lineitem):
     cms = CountMinSketch(eps=0.0005, delta=0.01)
     n = lineitem.count()
