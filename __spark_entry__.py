@@ -335,10 +335,10 @@ def _q_fd_embeddings_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to the driver), with the carried certificate Δ below the
     published ||A||_F²/ell bound."""
     import numpy as np
-    import pandas as pdd
 
     from recsplit_spark.session import ship_package
     from recsplit_spark.sketches import FrequentDirections
+    from recsplit_spark.sketches.fd import exact_gram
 
     ship_package(spark)
     emb = _t(spark, sf_dir, "embeddings")
@@ -346,21 +346,7 @@ def _q_fd_embeddings_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     fd = FrequentDirections(d=dim, ell=32)
     st = fd.build(emb, "embedding")
-
-    def _partial_gram(batches):
-        g = np.zeros((dim, dim))
-        for pdf in batches:
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            if len(m):
-                g += m.T @ m
-        yield pdd.DataFrame({"g": [g.ravel().tolist()]})
-
-    parts = emb.select("embedding").mapInPandas(
-        _partial_gram, schema="g array<double>"
-    ).collect()
-    G = np.zeros((dim, dim))
-    for r in parts:
-        G += np.array(r["g"], dtype=np.float64).reshape(dim, dim)
+    G = exact_gram(emb, "embedding")
     diff = G - fd.cov_estimate(st)
     eig = np.linalg.eigvalsh(diff)
     scale = max(1.0, float(np.abs(G).max()))

@@ -53,6 +53,35 @@ def _as_matrix(arr, d: int) -> np.ndarray:
     return m
 
 
+def exact_gram(df, col: str) -> np.ndarray:
+    """EXACT AᵀA (d x d) of an embedding column via per-partition partial
+    sums — the driver receives P d×d partials (flattened arrays), never
+    vector rows, so this scales to any row count (it is the verification
+    companion to the sketch: at small d the exact Gram is itself cheap)."""
+    import pandas as pd
+
+    first = df.select(col).first()
+    if first is None:
+        raise ValueError("exact_gram on an empty DataFrame")
+    d = len(first[col])
+
+    def _partial(batches):
+        g = np.zeros((d, d))
+        for pdf in batches:
+            m = np.array(pdf[col].tolist(), dtype=np.float64)
+            if len(m):
+                g += m.T @ m
+        yield pd.DataFrame({"g": [g.ravel().tolist()]})
+
+    rows = df.select(col).mapInPandas(
+        _partial, schema="g array<double>"
+    ).collect()
+    G = np.zeros((d, d))
+    for r in rows:
+        G += np.asarray(r["g"], dtype=np.float64).reshape(d, d)
+    return G
+
+
 class FrequentDirections(MergeableSketch):
     input_kind = "vector"
     elementwise_update = False  # shrink points depend on batch boundaries
