@@ -1,6 +1,6 @@
 """Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash),
 benchmark decontamination, text analysis (token counts, quality, language
-ID, fingerprints), similarity search (brute-force cosine + IVF),
+ID, fingerprints), similarity search (brute-force cosine + IVF + PQ/ADC),
 multimodal column plumbing."""
 
 from . import (  # noqa: F401
@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     incremental_dedup,
     multimodal,
     packing,
+    pq,
     repetition,
     substring_dedup,
     text,

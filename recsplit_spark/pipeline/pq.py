@@ -1,0 +1,322 @@
+"""Product quantization (PQ) — a mergeable-by-construction vector sketch.
+
+PQ (Jegou, Douze & Schmid 2011, "Product Quantization for Nearest
+Neighbor Search") splits a d-dim vector into ``m`` contiguous subvectors
+and quantizes each against its own ``ks``-entry codebook, compressing a
+float32 vector to ``m`` bytes (ks <= 256): 64 dims -> 8 bytes at m=8
+(32x), 768 dims -> 96 bytes at m=96. Approximate inner products against
+a query are then Asymmetric Distance Computation (ADC): one (m, ks)
+lookup table per query, score = sum_j LUT[j, code_j] — no float vectors
+touched at scan time.
+
+Why this is the 100 TB embedding-store shape: 10^12 x 768-dim float32
+vectors are ~3 PB; PQ codes at m=96 are ~96 TB and the ADC scan reads
+bytes, not floats. The encode pass is one arrow_udf projection (no
+shuffle); search is an ADC scan + TakeOrderedAndProject; composed with
+``IVFIndex.assign`` the codes live in centroid-partitioned files and the
+probe IN-filter prunes partitions before any byte is read.
+
+Cosine contract: vectors are L2-normalized BEFORE subspace split (same
+unit-vector contract as ``IVFIndex``), so the ADC score estimates the
+cosine similarity directly. Codebooks minimize per-subspace L2
+reconstruction error (argmin ||x_j - c||^2), the standard PQ objective,
+which bounds the inner-product estimation error by the reconstruction
+error (Cauchy-Schwarz on the residual).
+
+Reference parity note: the reference repo (thomasmueller/minperf) has no
+ANN/vector component; this module extends the pipeline the same way
+``ann.py`` does, re-using its Arrow column kernels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import (
+    _SCORE_CHUNK_ELEMS,
+    _cosine_expr,
+    _list_col_to_matrix,
+    _normalize_rows,
+)
+
+#: serialized-codebook header: magic, m, ks, dsub, iters, seed. The
+#: codebook bytes ARE the code semantics — two codecs with different
+#: trained centroids read each other's codes as garbage — so (like the
+#: sketch-state magics) any change to the training or layout below needs
+#: a new magic, never a reinterpretation of PQC1 bytes.
+_HDR = struct.Struct("<4sIIIII")
+_MAGIC = b"PQC1"
+
+
+def _binary_col_to_codes(col, m: int) -> np.ndarray:
+    """pyarrow (Chunked) binary array of m-byte codes -> (n, m) uint8.
+
+    Zero-copy: binary-array data is contiguous between the first and last
+    offset, so the whole column reshapes without per-row Python. Ragged
+    or null codes are a data bug and fail loudly."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, m), dtype=np.uint8)
+    if col.null_count:
+        raise ValueError("pq code column contains nulls")
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    if not (np.diff(offs) == m).all():
+        raise ValueError(f"pq code column is not fixed {m}-byte codes")
+    flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return flat[offs[0] : offs[-1]].reshape(n, m)
+
+
+def _codes_to_binary_array(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 -> pyarrow binary array of m-byte values, zero-copy
+    from the flat buffer (no per-row bytes objects)."""
+    n, m = codes.shape
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * np.int32(m)).tobytes()
+    )
+    data = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _chunked_argmin_l2(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - cb[c]||^2 == argmax_c (x @ cb.T - ||cb||^2 / 2),
+    score matrix chunked to ``_SCORE_CHUNK_ELEMS`` (same working-set
+    rationale as ``ann._chunked_argmax_scores`` — subvectors are NOT unit
+    norm, so plain dot-argmax would be the wrong objective)."""
+    half_sq = 0.5 * (cb * cb).sum(axis=1)
+    cbt = np.ascontiguousarray(cb.T)
+    rows = max(1, _SCORE_CHUNK_ELEMS // max(1, len(cb)))
+    out = np.empty(len(x), dtype=np.int64)
+    for lo in range(0, len(x), rows):
+        hi = min(len(x), lo + rows)
+        out[lo:hi] = (x[lo:hi] @ cbt - half_sq).argmax(axis=1)
+    return out
+
+
+def _make_encode_fn(bcast, m: int):
+    """Encode batch fn closing over ONLY the broadcast handle (same
+    pickled-closure discipline as ``ann._make_assign_fn``)."""
+
+    def _encode(v: pa.Array) -> pa.Array:
+        cb = bcast.value  # (m, ks, dsub) float32
+        x = _normalize_rows(_list_col_to_matrix(v, np.float32))
+        n = len(x)
+        if n == 0:
+            return _codes_to_binary_array(np.empty((0, m), dtype=np.uint8))
+        dsub = cb.shape[2]
+        if x.shape[1] != m * dsub:
+            raise ValueError(
+                f"vector dim {x.shape[1]} != m*dsub = {m * dsub}"
+            )
+        xs = x.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = _chunked_argmin_l2(
+                np.ascontiguousarray(xs[:, j, :]), cb[j]
+            )
+        return _codes_to_binary_array(codes)
+
+    return _encode
+
+
+class PQCodec:
+    """Product-quantization codec over an ``array<float>`` column.
+
+    ``fit`` trains ``m`` per-subspace codebooks (driver-side vectorized
+    Lloyd over ONE Arrow-gathered sample — codebooks are m*ks*dsub
+    floats, ~786 KB at m=96/ks=256/d=768, always driver-sized no matter
+    the corpus); ``encode`` adds an m-byte binary code column (arrow_udf
+    projection, zero shuffle, codebooks ride one explicit broadcast);
+    ``search`` is the ADC scan; ``search_rerank`` refines the ADC top
+    k*rerank candidates with exact JVM-side cosine (the standard
+    PQ-then-refine recipe).
+    """
+
+    def __init__(self, m: int = 8, ks: int = 256, iters: int = 12, seed: int = 7):
+        if not (2 <= ks <= 256):
+            raise ValueError("ks must be in [2, 256] (codes are uint8)")
+        self.m = int(m)
+        self.ks = int(ks)
+        self.iters = int(iters)
+        self.seed = int(seed)
+        self.codebooks: np.ndarray | None = None  # (m, ks_eff, dsub) f64
+
+    # -- training --------------------------------------------------------
+    def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "PQCodec":
+        """Train per-subspace codebooks on an Arrow-gathered sample.
+
+        One gather of <= sample_size vectors (columnar buffers, no Row
+        objects); per-subspace Lloyd is fully vectorized (scatter-add
+        update, chunked argmin-L2 assignment). Empty clusters keep their
+        previous centroid, matching ``IVFIndex`` Lloyd semantics."""
+        n = df.count()
+        frac = min(1.0, sample_size / max(1, n))
+        col = df.select(vec_col)
+        tbl = (col if frac >= 1.0 else col.sample(frac, seed=self.seed)).toArrow()
+        x = _list_col_to_matrix(tbl.column(0), np.float64)
+        if len(x) == 0:
+            raise ValueError("cannot fit PQ on an empty DataFrame")
+        _normalize_rows(x)
+        d = x.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        dsub = d // self.m
+        xs = x.reshape(len(x), self.m, dsub)
+        rng = np.random.default_rng(self.seed)
+        ks = min(self.ks, len(x))
+        cb = np.empty((self.m, ks, dsub), dtype=np.float64)
+        for j in range(self.m):
+            sub = np.ascontiguousarray(xs[:, j, :])
+            c = sub[rng.choice(len(sub), size=ks, replace=False)].copy()
+            for _ in range(self.iters):
+                a = _chunked_argmin_l2(sub, c)
+                sums = np.zeros_like(c)
+                np.add.at(sums, a, sub)
+                counts = np.bincount(a, minlength=ks)
+                nz = counts > 0
+                c[nz] = sums[nz] / counts[nz, None]
+            cb[j] = c
+        # quantize to float32 at the training boundary: encode broadcasts
+        # float32 anyway, and this makes to_bytes lossless (a freshly
+        # fitted and a deserialized codec produce bit-identical codes and
+        # ADC scores)
+        self.codebooks = cb.astype(np.float32).astype(np.float64)
+        old = getattr(self, "_bcast", None)
+        if old is not None:  # refit invalidates the cached broadcast
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — originating context may be gone
+                pass
+            self._bcast = None
+            self._bcast_sc = None
+        return self
+
+    # -- encode ----------------------------------------------------------
+    def _codebook_broadcast(self, df):
+        # one broadcast per fitted codec, session-keyed (same cache
+        # discipline as IVFIndex.assign — a stale broadcast from a
+        # replaced SparkContext fails on the new session's executors)
+        sc = df.sparkSession.sparkContext
+        bcast = getattr(self, "_bcast", None)
+        if bcast is None or getattr(self, "_bcast_sc", None) is not sc:
+            bcast = sc.broadcast(
+                np.ascontiguousarray(self.codebooks, dtype=np.float32)
+            )
+            self._bcast = bcast
+            self._bcast_sc = sc
+        return bcast
+
+    def encode(self, df, vec_col: str, out_col: str = "pq_code"):
+        """Add the m-byte PQ code column. ONE arrow_udf projection — the
+        scan shape at 10^12 vectors is read-encode-write with zero
+        shuffle; write the output partitioned however the caller's ANN
+        layout wants (e.g. after ``IVFIndex.assign``)."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import BinaryType
+
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        bcast = self._codebook_broadcast(df)
+        _enc = arrow_udf(_make_encode_fn(bcast, self.m), BinaryType())
+        return df.withColumn(out_col, _enc(vec_col))
+
+    # -- search ----------------------------------------------------------
+    def _lut(self, query: np.ndarray) -> np.ndarray:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        dsub = self.codebooks.shape[2]
+        qs = q.reshape(self.m, dsub)
+        # (m, ks): LUT[j, c] = <q_j, codebook_j[c]>; float32 to match the
+        # encode-side precision
+        return np.einsum(
+            "jd,jkd->jk", qs, self.codebooks, optimize=True
+        ).astype(np.float32)
+
+    def score(self, encoded_df, query: np.ndarray, code_col: str = "pq_code",
+              out_col: str = "pq_score"):
+        """Add the ADC approximate-cosine column for one query vector.
+
+        The (m, ks) LUT is <= 96*256*4 = 96 KB — small enough to ship in
+        the task closure (per-task, not per-row; an explicit broadcast
+        would add a round trip for no working-set win)."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import FloatType
+
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        lut = self._lut(query)
+        m = self.m
+        j_idx = np.arange(m)[None, :]
+
+        def _adc(codes: pa.Array) -> pa.Array:
+            c = _binary_col_to_codes(codes, m)
+            if len(c) == 0:
+                return pa.array(np.empty(0, dtype=np.float32), type=pa.float32())
+            return pa.array(lut[j_idx, c].sum(axis=1), type=pa.float32())
+
+        return encoded_df.withColumn(
+            out_col, arrow_udf(_adc, FloatType())(code_col)
+        )
+
+    def search(self, encoded_df, query: np.ndarray, k: int = 10,
+               code_col: str = "pq_code"):
+        """ADC top-k: one byte-scan + TakeOrderedAndProject (no full
+        sort). Compose with IVF by filtering ``encoded_df`` to the probe
+        buckets first — the IN-filter prunes partitions before any code
+        is read."""
+        from pyspark.sql import functions as F
+
+        scored = self.score(encoded_df, query, code_col=code_col)
+        return scored.orderBy(F.desc("pq_score")).limit(k)
+
+    def search_rerank(self, encoded_df, vec_col: str, query: np.ndarray,
+                      k: int = 10, rerank: int = 4,
+                      code_col: str = "pq_code"):
+        """ADC top ``k*rerank`` candidates, re-ranked by EXACT cosine on
+        the original vector column (standard PQ refine step: the byte
+        scan does the winnowing, floats are only read for k*rerank
+        rows)."""
+        from pyspark.sql import functions as F
+
+        cand = self.search(encoded_df, query, k=k * rerank, code_col=code_col)
+        q = np.asarray(query, dtype=np.float64)
+        return (
+            cand.withColumn("cosine", _cosine_expr(vec_col, q))
+            .orderBy(F.desc("cosine"))
+            .limit(k)
+        )
+
+    # -- persistence -------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        """Header + float32 codebook bytes (see _HDR contract note)."""
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        m, ks, dsub = self.codebooks.shape
+        hdr = _HDR.pack(_MAGIC, m, ks, dsub, self.iters, self.seed)
+        return hdr + np.ascontiguousarray(
+            self.codebooks, dtype=np.float32
+        ).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PQCodec":
+        magic, m, ks, dsub, iters, seed = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError(f"bad PQ codec magic {magic!r}")
+        body = np.frombuffer(data, dtype=np.float32, offset=_HDR.size)
+        if body.size != m * ks * dsub:
+            raise ValueError("PQ codec byte length does not match header")
+        codec = cls(m=m, ks=ks, iters=iters, seed=seed)
+        codec.codebooks = body.reshape(m, ks, dsub).astype(np.float64)
+        return codec
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_bcast", None)
+        state.pop("_bcast_sc", None)
+        return state

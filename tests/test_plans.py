@@ -10,6 +10,16 @@ import pyspark.sql.functions as F
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _uncached_catalog(spark):
+    """Plan-shape assertions inspect parquet ReadSchema/pushdown nodes; a
+    cached relation left behind by an earlier test (Spark's cache manager
+    substitutes InMemoryRelation for ANY later scan of the same plan)
+    silently replaces the scan under test. Clear before every plan test."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def li(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")

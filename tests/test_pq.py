@@ -1,0 +1,163 @@
+"""Product-quantization codec: ADC accuracy, code plumbing, round-trips.
+
+Accuracy fixtures are clustered synthetic vectors (the regime PQ is for);
+the ADC-vs-true-cosine tolerance is the PQ reconstruction bound in
+practice, pinned empirically on the seeded fixture.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from recsplit_spark.pipeline.pq import (
+    PQCodec,
+    _binary_col_to_codes,
+    _chunked_argmin_l2,
+    _codes_to_binary_array,
+)
+
+
+def _clustered(n=600, d=32, n_clusters=12, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    x = cents[rng.integers(0, n_clusters, n)] + 0.15 * rng.normal(size=(n, d))
+    return x.astype(np.float64)
+
+
+def _to_df(spark, x):
+    values = pa.array(x.reshape(-1).astype(np.float32), type=pa.float32())
+    offsets = pa.array(
+        np.arange(0, (len(x) + 1) * x.shape[1], x.shape[1], dtype=np.int32)
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, values),
+        }
+    )
+    return spark.createDataFrame(tbl)
+
+
+def test_codes_binary_roundtrip():
+    codes = np.arange(24, dtype=np.uint8).reshape(6, 4)
+    arr = _codes_to_binary_array(codes)
+    assert arr.type == pa.binary()
+    back = _binary_col_to_codes(arr, 4)
+    np.testing.assert_array_equal(back, codes)
+    # sliced arrays keep the offset bookkeeping honest
+    np.testing.assert_array_equal(_binary_col_to_codes(arr.slice(2, 3), 4), codes[2:5])
+    # chunked input
+    ch = pa.chunked_array([arr.slice(0, 3), arr.slice(3, 3)])
+    np.testing.assert_array_equal(_binary_col_to_codes(ch, 4), codes)
+    with pytest.raises(ValueError, match="fixed"):
+        _binary_col_to_codes(pa.array([b"ab", b"abc"]), 2)
+    assert _binary_col_to_codes(pa.array([], type=pa.binary()), 4).shape == (0, 4)
+
+
+def test_argmin_l2_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 8))
+    cb = rng.normal(size=(16, 8))
+    want = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    np.testing.assert_array_equal(_chunked_argmin_l2(x, cb), want)
+
+
+def test_fit_is_deterministic_and_shapes(spark):
+    x = _clustered()
+    df = _to_df(spark, x)
+    a = PQCodec(m=4, ks=16, seed=11).fit(df, "embedding")
+    b = PQCodec(m=4, ks=16, seed=11).fit(df, "embedding")
+    assert a.codebooks.shape == (4, 16, 8)
+    np.testing.assert_array_equal(a.codebooks, b.codebooks)
+
+
+def test_dim_not_divisible_raises(spark):
+    df = _to_df(spark, _clustered(d=30))
+    with pytest.raises(ValueError, match="not divisible"):
+        PQCodec(m=4, ks=8).fit(df, "embedding")
+
+
+def test_ks_bounds():
+    with pytest.raises(ValueError, match="uint8"):
+        PQCodec(ks=512)
+
+
+def test_adc_score_tracks_true_cosine(spark):
+    x = _clustered()
+    df = _to_df(spark, x)
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(df, "embedding").cache()
+    q = x[7]
+    scored = {
+        r["vec_id"]: r["pq_score"]
+        for r in codec.score(enc, q).select("vec_id", "pq_score").collect()
+    }
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    true = xn @ qn
+    err = np.array([scored[i] - true[i] for i in range(len(x))])
+    # ADC error is the projected reconstruction error; on the clustered
+    # fixture with 8 subspaces x 32 codes the mean error is a few percent
+    # (the worst single point sits in the inter-cluster noise tail)
+    assert np.abs(err).max() < 0.35
+    assert np.abs(err).mean() < 0.06
+    enc.unpersist()
+
+
+def test_search_rerank_recall_vs_bruteforce(spark):
+    x = _clustered(n=800)
+    df = _to_df(spark, x)
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(df, "embedding").cache()
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    hits = total = 0
+    for qid in (3, 100, 555):
+        q = x[qid]
+        exact = set(np.argsort(-(xn @ (q / np.linalg.norm(q))))[:10].tolist())
+        got = {
+            r["vec_id"]
+            for r in codec.search_rerank(enc, "embedding", q, k=10).collect()
+        }
+        hits += len(exact & got)
+        total += 10
+    assert hits / total >= 0.8
+    enc.unpersist()
+
+
+def test_bytes_roundtrip_and_codes_identical(spark):
+    x = _clustered(n=300)
+    df = _to_df(spark, x)
+    codec = PQCodec(m=4, ks=16, seed=9).fit(df, "embedding")
+    blob = codec.to_bytes()
+    back = PQCodec.from_bytes(blob)
+    np.testing.assert_array_equal(back.codebooks, codec.codebooks)
+    assert back.to_bytes() == blob
+    a = codec.encode(df, "embedding").select("vec_id", "pq_code").collect()
+    b = back.encode(df, "embedding").select("vec_id", "pq_code").collect()
+    assert sorted((r["vec_id"], bytes(r["pq_code"])) for r in a) == sorted(
+        (r["vec_id"], bytes(r["pq_code"])) for r in b
+    )
+    with pytest.raises(ValueError, match="magic"):
+        PQCodec.from_bytes(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="length"):
+        PQCodec.from_bytes(blob[:-4])
+
+
+def test_encode_plan_has_no_shuffle(spark):
+    x = _clustered(n=200)
+    df = _to_df(spark, x)
+    codec = PQCodec(m=4, ks=8, seed=1).fit(df, "embedding")
+    plan = codec.encode(df, "embedding")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: read-encode, no shuffle
+
+
+def test_unfitted_raises(spark):
+    df = _to_df(spark, _clustered(n=50))
+    codec = PQCodec(m=4, ks=8)
+    with pytest.raises(RuntimeError, match="fit"):
+        codec.encode(df, "embedding")
+    with pytest.raises(RuntimeError, match="fit"):
+        codec.score(df, np.ones(32))
+    with pytest.raises(RuntimeError, match="fit"):
+        codec.to_bytes()
