@@ -733,6 +733,88 @@ def _q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_importance_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (`pipeline.dsir`): hashed-bigram
+    histograms for a planted target vs the 20k-doc raw corpus, int64
+    micro-log-ratio scores, Gumbel-top-k resample. A 1-in-2 xxhash64
+    selector appends the gram (7,3) x8 to 'marked' docs; the target is
+    the marked slice, so resampling must recover marked docs. Checks:
+    (a) the Arrow score kernel equals an exact in-engine SQL recompute
+    of the documented bucket fold (pmod polynomial — the oracle-
+    replicable contract) for ALL docs; (b) >= 90 of the Gumbel top-100
+    are marked; (c) the top-100 set is identical on a different
+    partitioning (the draw is partition-independent by construction);
+    (d) corpus score sum is the seed-pinned constant. Generator and
+    selectors are seed-pinned, so all outputs are constants (precedent:
+    decontaminate_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline import dsir
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    B, n = 512, 2
+    seq = sequences(spark, 20_000, partitions=8)
+    marked = F.pmod(F.xxhash64(F.lit(2), F.col("doc_id")), F.lit(2)) == 0
+    gram = F.array(*[F.lit(t).cast("int") for t in (7, 3) * 8])
+    raw = seq.withColumn(
+        "tokens", F.when(marked, F.concat("tokens", gram)).otherwise(F.col("tokens"))
+    ).cache()
+    target = raw.filter(marked)
+    lr = dsir.feature_logratio_micro(
+        dsir.hashed_window_counts(target, "tokens", buckets=B, n=n),
+        dsir.hashed_window_counts(raw, "tokens", buckets=B, n=n),
+        buckets=B,
+    )
+    scored = dsir.importance_scores(raw, "tokens", lr, n=n).cache()
+    # exact in-engine recompute of the bucket fold + score sum, pure SQL
+    fold = (
+        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),"
+        f" i -> int(pmod(pmod(pmod(0L * {dsir._MIX}L + element_at(tokens, i),"
+        f" {dsir._MOD}L) * {dsir._MIX}L + element_at(tokens, i + 1),"
+        f" {dsir._MOD}L), {B})))"
+    )
+    lr_map = F.array(*[F.lit(int(v)) for v in lr])
+    want = raw.withColumn(
+        "want",
+        F.aggregate(
+            F.expr(fold),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(lr_map, b + 1),
+        ),
+    ).select("doc_id", "want")
+    mismatches = (
+        scored.join(want, "doc_id")
+        .filter(F.col("dsir_score_micro") != F.col("want"))
+        .count()
+    )
+    total = scored.agg(F.sum("dsir_score_micro").alias("s")).collect()[0]["s"]
+    top = dsir.gumbel_topk(scored, 100, seed=3).select("doc_id", marked.alias("m"))
+    picked = top.collect()
+    n_marked = sum(1 for r in picked if r["m"])
+    again = {
+        r["doc_id"]
+        for r in dsir.gumbel_topk(scored.repartition(7), 100, seed=3)
+        .select("doc_id")
+        .collect()
+    }
+    same = again == {r["doc_id"] for r in picked}
+    raw.unpersist()
+    scored.unpersist()
+    return spark.createDataFrame(
+        [(
+            int(20_000),
+            int(total),
+            bool(mismatches == 0),
+            bool(n_marked >= 90),
+            bool(same),
+        )],
+        "n_docs long, score_sum_micro long, scores_match_exact boolean,"
+        " sample_is_marked boolean, sample_deterministic boolean",
+    )
+
+
 def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-oracle check: LSH candidates exact-verified by shingle-Jaccard.
     Precision is exact by construction (every emitted pair passes the true
@@ -2831,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
+        "dsir_importance_sequences": _q_dsir_importance_sequences,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
@@ -3358,6 +3441,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_ann_recall": (
             "SELECT CAST(8 AS BIGINT) AS code_bytes, TRUE AS recall_above_half"
+        ),
+        # Seed-pinned constants + in-engine exact-recompute booleans
+        # (precedent: decontaminate_sequences); the score sum is exact
+        # int64 arithmetic, so it is partitioning-independent
+        "dsir_importance_sequences": (
+            "SELECT CAST(20000 AS BIGINT) AS n_docs,"
+            " CAST(-42027798408 AS BIGINT) AS score_sum_micro,"
+            " TRUE AS scores_match_exact,"
+            " TRUE AS sample_is_marked,"
+            " TRUE AS sample_deterministic"
         ),
         # greedy-vs-kept semantics on chained clusters is not CC dedup, so
         # the invariants are verified in-engine over the exact cosine

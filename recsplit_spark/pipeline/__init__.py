@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     ann,
     decontaminate,
     dedup,
+    dsir,
     incremental_ann,
     incremental_dedup,
     multimodal,

@@ -396,3 +396,28 @@ def test_gopher_quality_stays_jvm_side(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # map-side partials
     # only the text column is read from parquet
     assert "ReadSchema" in plan and "doc_id" not in plan.split("ReadSchema")[1]
+
+
+def test_dsir_plan_shapes(spark, tmp_path_factory):
+    """DSIR scale contract: the histogram is ONE scan whose shuffle is the
+    <= B-row bucket reduce (mapInArrow partials + single Exchange); the
+    scoring pass is a pure arrow_udf projection with NO shuffle; the
+    Gumbel top-k plans as TakeOrderedAndProject (no global sort)."""
+    import numpy as np
+
+    from recsplit_spark.pipeline import dsir
+
+    path = tmp_path_factory.mktemp("dsir") / "seq.parquet"
+    spark.createDataFrame(
+        [(f"d{i}", list(range(i, i + 12))) for i in range(200)],
+        "doc_id string, tokens array<int>",
+    ).write.parquet(str(path))
+    df = spark.read.parquet(str(path))
+    hist = _formatted_plan(dsir.hashed_window_counts(df, "tokens", buckets=64, n=2))
+    assert _nodes(hist, "Exchange") == 1  # only the B-row bucket reduce
+    scored = dsir.importance_scores(df, "tokens", np.zeros(64, np.int64), n=2)
+    splan = _formatted_plan(scored)
+    assert _nodes(splan, "Exchange") == 0  # projection only
+    top = _formatted_plan(dsir.gumbel_topk(scored, 10))
+    assert "TakeOrderedAndProject" in top
+    assert _nodes(top, "Sort") == 0  # no full sort for a global top-k
