@@ -815,6 +815,29 @@ def _q_dsir_importance_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 0.8/0.1/0.1 split (`pipeline.splits.stratified_split`):
+    label = integer slice of u = int(md5('split:' || doc_id)[:12], 16)
+    against cuts floor(cum_frac * 2^48). Pure Column exprs, zero shuffle
+    before the count agg. This oracle is VALUE-LEVEL: DuckDB recomputes
+    every doc's u from the same md5 arithmetic and the same integer cuts,
+    so the per-(split, source) counts must match exactly — the strongest
+    oracle shape available for a sampling operator."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.splits import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("split", "source")
+    )
+
+
 def _q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-oracle check: LSH candidates exact-verified by shingle-Jaccard.
     Precision is exact by construction (every emitted pair passes the true
@@ -2914,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
         "dsir_importance_sequences": _q_dsir_importance_sequences,
+        "stratified_split_documents": _q_stratified_split_documents,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
@@ -3451,6 +3475,19 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS scores_match_exact,"
             " TRUE AS sample_is_marked,"
             " TRUE AS sample_deterministic"
+        ),
+        # value-level: DuckDB recomputes u = int(md5[:12], 16) and the
+        # integer cuts floor({0.8, 0.9} * 2^48) for every doc
+        "stratified_split_documents": (
+            "SELECT CASE"
+            " WHEN u < 225179981368524 THEN 'train'"
+            " WHEN u < 253327479039590 THEN 'val'"
+            " ELSE 'test' END AS split,"
+            " source, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            " SELECT source, CAST(concat('0x',"
+            " substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 12))"
+            " AS UBIGINT) AS u FROM documents)"
+            " GROUP BY 1, 2 ORDER BY split, source"
         ),
         # greedy-vs-kept semantics on chained clusters is not CC dedup, so
         # the invariants are verified in-engine over the exact cosine

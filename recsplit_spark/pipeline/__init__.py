@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     packing,
     pq,
     repetition,
+    splits,
     substring_dedup,
     text,
 )
