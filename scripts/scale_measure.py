@@ -784,12 +784,157 @@ def task_incmphf_compact(n_per_gen: int, gens: int, cores: int,
     return out
 
 
+def task_pqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
+                 ks: int = 256, reps: int = 2) -> dict:
+    """PQ codec at scale: fit on a 20k-vector gather, then the two scans
+    that matter at 10^12 vectors — encode (float read -> byte codes) and
+    ADC search (byte read -> scores -> top-k). Best-of-``reps``; the
+    comparison point is the exact brute-force cosine scan over the same
+    vectors (what the byte scan replaces)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import brute_force_topk
+    from recsplit_spark.pipeline.pq import PQCodec
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-pq", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 11)
+            # clustered: 256 seed directions + noise (PQ's natural regime)
+            cid = ids % 256
+            cents = np.random.default_rng(5).standard_normal((256, dim))
+            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
+                np.float32
+            )
+            flat = pa.array(x.reshape(-1), type=pa.float32())
+            offs = pa.array(
+                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
+            )
+            yield pa.record_batch(
+                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
+                names=["vec_id", "embedding"],
+            )
+
+    vec = (
+        spark.range(0, n_vec, 1, cores * 2)
+        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
+        .persist()
+    )
+    vec.count()
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    codec = PQCodec(m=m, ks=ks, seed=7).fit(vec, "embedding")
+    fit_s = time.time() - t0
+    enc_best = adc_best = bf_best = float("inf")
+    enc = codec.encode(vec, "embedding").persist()
+    for _ in range(reps):
+        t0 = time.time()
+        codec.encode(vec, "embedding").agg(
+            F.sum(F.length("pq_code"))
+        ).collect()
+        enc_best = min(enc_best, time.time() - t0)
+    enc.count()  # materialize the persisted codes for the ADC reps
+    q = np.random.default_rng(5).standard_normal(dim)
+    for _ in range(reps):
+        t0 = time.time()
+        codec.search(enc, q, k=10).collect()
+        adc_best = min(adc_best, time.time() - t0)
+        t0 = time.time()
+        brute_force_topk(vec, "embedding", q, 10).collect()
+        bf_best = min(bf_best, time.time() - t0)
+    probe_after = host_probe_ms()
+    enc.unpersist()
+    vec.unpersist()
+    spark.stop()
+    return {
+        "task": "pqscale",
+        "n_vec": n_vec,
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "compression_x": dim * 4 / m,
+        "fit_sec": round(fit_s, 2),
+        "encode_sec_best": round(enc_best, 2),
+        "encode_vecs_per_sec": round(n_vec / enc_best, 1),
+        "adc_search_sec_best": round(adc_best, 2),
+        "bruteforce_search_sec_best": round(bf_best, 2),
+        "adc_vs_bruteforce": round(bf_best / adc_best, 2),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
+def task_dsirscale(n_docs: int, cores: int, buckets: int = 65_536,
+                   n: int = 2, reps: int = 2) -> dict:
+    """DSIR at scale over the deterministic sequences table: histogram
+    scan (mapInArrow bincount partials + B-row reduce) and the
+    zero-shuffle scoring scan, reported in windows/s."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline import dsir
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-dsir", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    seq = sequences(spark, n_docs, partitions=cores * 2).persist()
+    win = F.sum(F.greatest(F.size("tokens") - (n - 1), F.lit(0)))
+    n_windows = seq.agg(win).collect()[0][0]
+    marked = F.pmod(F.xxhash64(F.lit(2), F.col("doc_id")), F.lit(5)) == 0
+    n_marked_w = seq.filter(marked).agg(win).collect()[0][0]
+    probe_before = host_probe_ms()
+    hist_best = score_best = float("inf")
+    lr = None
+    for _ in range(reps):
+        t0 = time.time()
+        tc = dsir.hashed_window_counts(
+            seq.filter(marked), "tokens", buckets=buckets, n=n
+        )
+        rc = dsir.hashed_window_counts(seq, "tokens", buckets=buckets, n=n)
+        lr = dsir.feature_logratio_micro(tc, rc, buckets=buckets)
+        hist_best = min(hist_best, time.time() - t0)
+    for _ in range(reps):
+        t0 = time.time()
+        dsir.importance_scores(seq, "tokens", lr, n=n).agg(
+            F.sum("dsir_score_micro")
+        ).collect()
+        score_best = min(score_best, time.time() - t0)
+    probe_after = host_probe_ms()
+    seq.unpersist()
+    spark.stop()
+    return {
+        "task": "dsirscale",
+        "n_docs": n_docs,
+        "n_windows": int(n_windows),
+        "buckets": buckets,
+        "ngram": n,
+        "hist_sec_best": round(hist_best, 2),
+        # the two histogram scans touch raw + marked-slice windows
+        "hist_windows_per_sec": round((n_windows + n_marked_w) / hist_best, 1),
+        "score_sec_best": round(score_best, 2),
+        "score_windows_per_sec": round(n_windows / score_best, 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
-                 "smallrungs", "incmphf", "incmphf_compact", "incdedup", "incdedup_tokens", "semdedup"],
+                 "smallrungs", "incmphf", "incmphf_compact", "incdedup",
+                 "incdedup_tokens", "semdedup", "pqscale", "dsirscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -822,6 +967,10 @@ if __name__ == "__main__":
         res = task_incdedup_tokens(args.n or 200_000, args.gens, args.cores)
     elif args.task == "semdedup":
         res = task_semdedup(args.n or 400_000, args.gens, args.cores)
+    elif args.task == "pqscale":
+        res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim)
+    elif args.task == "dsirscale":
+        res = task_dsirscale(args.n or 500_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
