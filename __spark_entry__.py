@@ -733,6 +733,60 @@ def _q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (`pipeline.pq.ivfadc_search`): the two-level ANN funnel —
+    IVF bucket pruning (nprobe/8 of the corpus) composed with the PQ
+    byte scan + exact-cosine rerank. The ADC-only candidate set is
+    asserted to be a subset of the probe-bucket membership (losses come
+    from quantization + pruning only, never from scanning outside the
+    probe set), and rerank recall vs brute force clears the same 0.5
+    gate as the component queries (`ann_ivf_recall`, `pq_ann_recall`)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.pipeline.pq import PQCodec, ivfadc_search
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    idx = ann.IVFIndex(n_centroids=8, nprobe=4, seed=7).fit(emb, "embedding")
+    codec = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+    enc = codec.encode(idx.assign(emb, "embedding"), "embedding").cache()
+    hits = total = 0
+    funnel_contained = True
+    for qid in (3, 50, 200):
+        q = np.array(
+            emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0],
+            dtype=np.float64,
+        )
+        exact = {r["vec_id"] for r in ann.brute_force_topk(emb, "embedding", q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivfadc_search(
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding"
+            ).collect()
+        }
+        hits += len(exact & got)
+        total += 10
+        probe = idx.probe_ids(q)
+        members = {
+            r["vec_id"]
+            for r in enc.filter(F.col("centroid_id").isin(probe))
+            .select("vec_id")
+            .collect()
+        }
+        adc_only = {
+            r["vec_id"] for r in ivfadc_search(idx, codec, enc, q, k=10).collect()
+        }
+        funnel_contained = funnel_contained and adc_only <= members
+    enc.unpersist()
+    return spark.createDataFrame(
+        [(float(4 / 8), bool(funnel_contained), bool(hits / total >= 0.5))],
+        "probe_frac double, funnel_contained boolean, recall_above_half boolean",
+    )
+
+
 def _q_dsir_importance_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`pipeline.dsir`): hashed-bigram
     histograms for a planted target vs the 20k-doc raw corpus, int64
@@ -2936,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
+        "ivfadc_recall": _q_ivfadc_recall,
         "dsir_importance_sequences": _q_dsir_importance_sequences,
         "stratified_split_documents": _q_stratified_split_documents,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -3465,6 +3520,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_ann_recall": (
             "SELECT CAST(8 AS BIGINT) AS code_bytes, TRUE AS recall_above_half"
+        ),
+        "ivfadc_recall": (
+            "SELECT CAST(0.5 AS DOUBLE) AS probe_frac,"
+            " TRUE AS funnel_contained, TRUE AS recall_above_half"
         ),
         # Seed-pinned constants + in-engine exact-recompute booleans
         # (precedent: decontaminate_sequences); the score sum is exact

@@ -649,6 +649,21 @@ class IVFIndex:
         idx.centroids = c
         return idx
 
+    def probe_ids(self, query: np.ndarray, probes: int | None = None) -> list[int]:
+        """The ``probes`` (default nprobe) nearest centroid ids for one
+        query — the driver-side bucket ranking that every search variant
+        (exact ``search``, ``pq.ivfadc_search``) filters on. Ranked at
+        float32 — the precision the centroids persist at (save/load) and
+        assign() broadcasts at, so a freshly-fitted and a reloaded index
+        pick the SAME bucket set near ties."""
+        if self.centroids is None:
+            raise RuntimeError("fit() first")
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        c32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
+        n = self.nprobe if probes is None else int(probes)
+        return np.argsort(-(c32 @ qn.astype(np.float32)))[:n].tolist()
+
     def search(self, indexed_df, vec_col: str, query: np.ndarray, k: int = 10,
                centroid_col: str = "centroid_id"):
         """Top-k within the nprobe nearest centroid buckets. The IN-filter
@@ -657,12 +672,7 @@ class IVFIndex:
         from pyspark.sql import functions as F
 
         q = np.asarray(query, dtype=np.float64)
-        qn = q / max(np.linalg.norm(q), 1e-12)
-        # probe ranking at float32 — the precision the centroids persist
-        # at (save/load) and assign() broadcasts at, so a freshly-fitted
-        # and a reloaded index pick the SAME bucket set near ties
-        c32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
-        probe = np.argsort(-(c32 @ qn.astype(np.float32)))[: self.nprobe].tolist()
+        probe = self.probe_ids(q)
         return (
             indexed_df.filter(F.col(centroid_col).isin(probe))
             .withColumn("cosine", _cosine_expr(vec_col, q))

@@ -320,3 +320,40 @@ class PQCodec:
         state.pop("_bcast", None)
         state.pop("_bcast_sc", None)
         return state
+
+
+def ivfadc_search(index, codec: PQCodec, encoded_df, query: np.ndarray,
+                  k: int = 10, rerank: int = 0, vec_col: str | None = None,
+                  centroid_col: str = "centroid_id",
+                  code_col: str = "pq_code"):
+    """IVFADC (Jegou et al. 2011 §V): IVF bucket pruning composed with the
+    PQ byte scan. ``encoded_df`` carries ``index.assign``'s centroid ids
+    AND ``codec.encode``'s codes (write it partitioned by the centroid
+    column so the IN-filter prunes directories); the probe ranking is
+    ``index.probe_ids`` — identical bucket set to the exact ``search``.
+
+    With ``rerank > 0`` (requires ``vec_col``) the ADC top ``k*rerank``
+    are refined by exact JVM-side cosine — the only rows whose float
+    vectors are read; parquet column pruning means the ADC leg of the
+    scan touches the m-byte code column alone. At 10^12 vectors this is
+    the two-level funnel: directory pruning cuts the corpus to
+    ~nprobe/n_centroids, the byte scan cuts 256 B/vector reads to
+    m bytes, and floats surface for k*rerank rows only."""
+    from pyspark.sql import functions as F
+
+    if rerank > 0 and vec_col is None:
+        raise ValueError("rerank requires vec_col (exact-cosine refine)")
+    q = np.asarray(query, dtype=np.float64)
+    probe = index.probe_ids(q)
+    bucketed = encoded_df.filter(F.col(centroid_col).isin(probe))
+    scored = codec.score(bucketed, q, code_col=code_col)
+    cand = scored.orderBy(F.desc("pq_score")).limit(
+        k * rerank if rerank > 0 else k
+    )
+    if rerank == 0:
+        return cand
+    return (
+        cand.withColumn("cosine", _cosine_expr(vec_col, q))
+        .orderBy(F.desc("cosine"))
+        .limit(k)
+    )

@@ -152,6 +152,87 @@ def test_encode_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan  # pure projection: read-encode, no shuffle
 
 
+def test_ivfadc_search_recall_and_bucket_parity(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex, brute_force_topk
+    from recsplit_spark.pipeline.pq import ivfadc_search
+
+    x = _clustered(n=800)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=4, seed=2).fit(df, "embedding")
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(idx.assign(df, "embedding"), "embedding").cache()
+    hits = total = 0
+    for qid in (3, 100, 555):
+        q = x[qid]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(df, "embedding", q, 10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivfadc_search(
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding"
+            ).collect()
+        }
+        hits += len(exact & got)
+        total += 10
+        # the ADC funnel explores exactly the same probe-bucket set as
+        # the exact IVF search — losses can only come from quantization
+        probe = set(idx.probe_ids(q))
+        in_bucket = {
+            r["vec_id"]
+            for r in ivfadc_search(idx, codec, enc, q, k=10).collect()
+        }
+        bucket_members = {
+            r["vec_id"]
+            for r in enc.filter(enc.centroid_id.isin(list(probe))).collect()
+        }
+        assert in_bucket <= bucket_members
+    assert hits / total >= 0.8
+    enc.unpersist()
+
+
+def test_ivfadc_rerank_requires_vec_col(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ivfadc_search
+
+    x = _clustered(n=120)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=4, nprobe=2, seed=2).fit(df, "embedding")
+    codec = PQCodec(m=4, ks=8, seed=5).fit(df, "embedding")
+    enc = codec.encode(idx.assign(df, "embedding"), "embedding")
+    with pytest.raises(ValueError, match="vec_col"):
+        ivfadc_search(idx, codec, enc, x[0], k=5, rerank=4)
+
+
+def test_ivfadc_partition_pruning_on_bucketed_store(spark, tmp_path):
+    """Written partitioned by centroid_id, the probe IN-filter must land
+    as a PartitionFilter (directory pruning) and the ADC leg must read
+    only (vec_id, pq_code) — the float column never enters the scan."""
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ivfadc_search
+
+    x = _clustered(n=400)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=3, seed=2).fit(df, "embedding")
+    codec = PQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    path = str(tmp_path / "store")
+    codec.encode(idx.assign(df, "embedding"), "embedding").write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    plan = (
+        ivfadc_search(idx, codec, store.select("vec_id", "pq_code", "centroid_id"), x[9], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert "embedding" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
 def test_unfitted_raises(spark):
     df = _to_df(spark, _clustered(n=50))
     codec = PQCodec(m=4, ks=8)
