@@ -764,7 +764,8 @@ def _q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {
             r["vec_id"]
             for r in ivfadc_search(
-                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding"
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding",
+                id_col="vec_id",
             ).collect()
         }
         hits += len(exact & got)

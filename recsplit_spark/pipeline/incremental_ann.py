@@ -61,7 +61,7 @@ from .ann import IVFIndex
 
 _CFG_SCHEMA = (
     "id_col string, vec_col string, n_centroids int, dim int,"
-    " centroid_sha string"
+    " centroid_sha string, codec_sha string"
 )
 _LIN_SCHEMA = "gen int, n long, run_id string, wall_s double"
 
@@ -71,14 +71,34 @@ def _centroid_sha(index: IVFIndex) -> str:
     return hashlib.sha256(c.tobytes()).hexdigest()
 
 
+def _codec_sha(codec) -> str:
+    return hashlib.sha256(codec.to_bytes()).hexdigest()
+
+
 class IncrementalANN:
     """A persisted, appendable IVF-bucketed vector store (see module
     docstring). First ``append`` must receive a FITTED ``index``; later
-    opens reload it from ``<path>/index``."""
+    opens reload it from ``<path>/index``.
 
-    def __init__(self, path: str, index: IVFIndex | None = None) -> None:
+    Optional PQ sidecar: created with a fitted ``PQCodec``, every
+    committed generation additionally carries the m-byte ``pq_code``
+    column (encoded in the same ``assign`` pass pipeline — one extra
+    arrow_udf projection, no extra scan or shuffle) and ``search_adc``
+    runs the IVFADC funnel over the store: partition-pruned probe
+    buckets -> byte-only ADC scan (parquet column pruning keeps the
+    float column out of the read) -> optional exact-cosine rerank. The
+    codec bytes ARE the code semantics (pq.py header note), so the
+    manifest pins sha256(codec bytes) exactly like the centroid sha:
+    a store created without a codec refuses one later (its generations
+    have no code column), and a different codec is refused, never
+    re-read — both the same refuse-don't-adapt contract as the
+    centroid pin."""
+
+    def __init__(self, path: str, index: IVFIndex | None = None,
+                 codec=None) -> None:
         self.path = path.rstrip("/")
         self._index = index
+        self._codec = codec
         self._id_col: str | None = None
         self._vec_col: str | None = None
 
@@ -103,9 +123,18 @@ class IncrementalANN:
                 )
             self._index.save(spark, f"{self.path}/index")
             k, d = self._index.centroids.shape
+            csha = None
+            if self._codec is not None:
+                blob = self._codec.to_bytes()
+                csha = hashlib.sha256(blob).hexdigest()
+                spark.createDataFrame(
+                    [(bytearray(blob),)], "codec binary"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.path}/pq_codec"
+                )
             spark.createDataFrame(
                 [(id_col, vec_col, int(k), int(d),
-                  _centroid_sha(self._index))],
+                  _centroid_sha(self._index), csha)],
                 _CFG_SCHEMA,
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{self.path}/manifest"
@@ -113,10 +142,21 @@ class IncrementalANN:
             self._id_col, self._vec_col = id_col, vec_col
             return
         r = spark.read.parquet(f"{self.path}/manifest").collect()[0]
+        rd = r.asDict()  # .get: pre-PQ manifests have no codec_sha column
         if self._index is None:
             self._index = IVFIndex.load(spark, f"{self.path}/index")
+        pinned_codec = rd.get("codec_sha")
+        if self._codec is None and pinned_codec is not None:
+            from .pq import PQCodec
+
+            blob = bytes(
+                spark.read.parquet(f"{self.path}/pq_codec").collect()[0][
+                    "codec"
+                ]
+            )
+            self._codec = PQCodec.from_bytes(blob)
         pinned = (r["id_col"], r["vec_col"], r["n_centroids"], r["dim"],
-                  r["centroid_sha"])
+                  r["centroid_sha"], pinned_codec)
         k, d = self._index.centroids.shape
         got = (
             id_col or r["id_col"],
@@ -124,13 +164,15 @@ class IncrementalANN:
             int(k),
             int(d),
             _centroid_sha(self._index),
+            _codec_sha(self._codec) if self._codec is not None else None,
         )
         if pinned != got:
             raise RuntimeError(
                 "incremental ANN manifest mismatch: committed "
                 f"{pinned} != requested {got}; vectors assigned under one "
                 "centroid set are unreadable under another (search would "
-                "probe the wrong buckets)"
+                "probe the wrong buckets), and PQ codes are unreadable "
+                "under a different codec"
             )
         self._id_col, self._vec_col = pinned[0], pinned[1]
 
@@ -225,7 +267,13 @@ class IncrementalANN:
             return {"gen": None, "n": 0, "wall_s": time.time() - t0,
                     "skipped_replay": False}
         gdir = f"{self.path}/vectors/gen={gen}"
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        payload = assigned
+        if self._codec is not None:
+            # same pass as the write — one extra arrow_udf projection,
+            # no extra scan; every gen dir in a codec-pinned store
+            # carries the code column (schema-uniform by construction)
+            payload = self._codec.encode(assigned, self._vec_col)
+        payload.write.mode("overwrite").partitionBy("centroid_id").parquet(
             gdir
         )
         assigned.unpersist()
@@ -417,7 +465,10 @@ class IncrementalANN:
         gen = int(rows[-1]["gen"]) + 1 if rows else 0
         if n_kept > 0:
             gdir = f"{self.path}/vectors/gen={gen}"
-            kept_assigned.write.mode("overwrite").partitionBy(
+            payload = kept_assigned
+            if self._codec is not None:
+                payload = self._codec.encode(kept_assigned, vec_col)
+            payload.write.mode("overwrite").partitionBy(
                 "centroid_id"
             ).parquet(gdir)
             run_id = uuid.uuid4().hex
@@ -453,4 +504,39 @@ class IncrementalANN:
         self._check_or_write_manifest(spark, None, None)
         return self._index.search(
             self.vectors(spark), self._vec_col, query, k
+        )
+
+    def codec(self, spark):
+        """The pinned PQ codec, or None for a plain store (loaded from
+        the path on first use, like ``index``)."""
+        self._check_or_write_manifest(spark, None, None)
+        return self._codec
+
+    def search_adc(self, spark, query, k: int = 10, rerank: int = 0):
+        """IVFADC top-k over the committed store (requires the PQ
+        sidecar): probe-set directory pruning -> ADC byte scan (column
+        pruning keeps the float vectors out of the read) -> optional
+        exact-cosine rerank of the top ``k*rerank`` (the only rows whose
+        floats are touched)."""
+        from .pq import ivfadc_search
+
+        self._check_or_write_manifest(spark, None, None)
+        if self._codec is None:
+            raise RuntimeError(
+                f"incremental ANN at {self.path} has no PQ codec pinned; "
+                "create the store with codec= to enable search_adc"
+            )
+        vecs = self.vectors(spark)
+        if rerank == 0:
+            # byte-only scan: project the float column away
+            vecs = vecs.drop(self._vec_col)
+        return ivfadc_search(
+            self._index,
+            self._codec,
+            vecs,
+            query,
+            k=k,
+            rerank=rerank,
+            vec_col=self._vec_col if rerank > 0 else None,
+            id_col=self._id_col if rerank > 0 else None,
         )

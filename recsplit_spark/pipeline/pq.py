@@ -324,6 +324,7 @@ class PQCodec:
 
 def ivfadc_search(index, codec: PQCodec, encoded_df, query: np.ndarray,
                   k: int = 10, rerank: int = 0, vec_col: str | None = None,
+                  id_col: str | None = None,
                   centroid_col: str = "centroid_id",
                   code_col: str = "pq_code"):
     """IVFADC (Jegou et al. 2011 §V): IVF bucket pruning composed with the
@@ -332,28 +333,42 @@ def ivfadc_search(index, codec: PQCodec, encoded_df, query: np.ndarray,
     column so the IN-filter prunes directories); the probe ranking is
     ``index.probe_ids`` — identical bucket set to the exact ``search``.
 
-    With ``rerank > 0`` (requires ``vec_col``) the ADC top ``k*rerank``
-    are refined by exact JVM-side cosine — the only rows whose float
-    vectors are read; parquet column pruning means the ADC leg of the
-    scan touches the m-byte code column alone. At 10^12 vectors this is
-    the two-level funnel: directory pruning cuts the corpus to
-    ~nprobe/n_centroids, the byte scan cuts 256 B/vector reads to
-    m bytes, and floats surface for k*rerank rows only."""
+    ``rerank == 0`` returns the ADC top-k in one scan; the scan reads
+    whatever columns ``encoded_df`` carries, so pass a projection without
+    the float column to keep it byte-only.
+
+    ``rerank > 0`` (requires ``vec_col`` AND ``id_col``) runs the honest
+    two-phase funnel: phase 1 scans ONLY (id, code) — the float column
+    never enters the plan — and collects the top ``k*rerank`` candidate
+    ids (driver-tiny); phase 2 re-reads the probe buckets with an
+    ``id IN (...)`` filter (pushed to parquet, so row-group stats skip
+    everything else) and reranks those rows by exact JVM-side cosine. A
+    single-phase orderBy-then-rerank plan would drag the float column
+    through the whole probe-bucket scan via TakeOrderedAndProject,
+    silently paying 256 B/vector where 8 suffice — measured wrong-shape,
+    hence the explicit phase split. At 10^12 vectors: directory pruning
+    cuts the corpus to ~nprobe/n_centroids, the byte scan cuts the read
+    to m bytes/vector, floats surface for ~k*rerank rows."""
     from pyspark.sql import functions as F
 
-    if rerank > 0 and vec_col is None:
-        raise ValueError("rerank requires vec_col (exact-cosine refine)")
     q = np.asarray(query, dtype=np.float64)
     probe = index.probe_ids(q)
     bucketed = encoded_df.filter(F.col(centroid_col).isin(probe))
-    scored = codec.score(bucketed, q, code_col=code_col)
-    cand = scored.orderBy(F.desc("pq_score")).limit(
-        k * rerank if rerank > 0 else k
-    )
     if rerank == 0:
-        return cand
+        scored = codec.score(bucketed, q, code_col=code_col)
+        return scored.orderBy(F.desc("pq_score")).limit(k)
+    if vec_col is None or id_col is None:
+        raise ValueError(
+            "rerank requires vec_col and id_col (exact-cosine refine "
+            "re-fetches candidate rows by id)"
+        )
+    cand = codec.score(
+        bucketed.select(id_col, code_col), q, code_col=code_col
+    ).orderBy(F.desc("pq_score")).limit(k * rerank)
+    ids = [r[id_col] for r in cand.select(id_col).collect()]
     return (
-        cand.withColumn("cosine", _cosine_expr(vec_col, q))
+        bucketed.filter(F.col(id_col).isin(ids))
+        .withColumn("cosine", _cosine_expr(vec_col, q))
         .orderBy(F.desc("cosine"))
         .limit(k)
     )

@@ -236,6 +236,106 @@ def test_append_dedup_semantic(spark, tmp_path, fitted):
     assert store.total_vectors(spark) == 6
 
 
+def test_pq_sidecar_append_and_search_adc(spark, tmp_path, fitted):
+    """Codec-pinned store: every generation carries pq_code, search_adc
+    over the union matches ivfadc_search over a one-shot assign+encode
+    of the same corpus, and a reopen without the codec object lazy-loads
+    it from the path."""
+    from recsplit_spark.pipeline.pq import PQCodec, ivfadc_search
+
+    idx, base = fitted
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    inc = IncrementalANN(f"{tmp_path}/pqann", index=idx, codec=codec)
+    inc.append(base.filter(F.col("vec_id") < 300), "vec_id", "embedding")
+    inc.append(base.filter(F.col("vec_id") >= 300))
+    assert inc.total_vectors(spark) == 600
+    vecs = inc.vectors(spark)
+    assert "pq_code" in vecs.columns
+    assert vecs.filter(F.col("pq_code").isNull()).count() == 0
+
+    oneshot = codec.encode(idx.assign(base, "embedding"), "embedding").cache()
+    oneshot.count()
+    for qi in (3, 450):
+        q = np.random.default_rng(qi).standard_normal(16)
+        want = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in ivfadc_search(
+                idx, codec, oneshot, q, k=10, rerank=4,
+                vec_col="embedding", id_col="vec_id",
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in inc.search_adc(spark, q, k=10, rerank=4).collect()
+        ]
+        assert got == want
+    oneshot.unpersist()
+
+    # reopen without index/codec objects: both reload from the path
+    inc2 = IncrementalANN(f"{tmp_path}/pqann")
+    q = np.random.default_rng(3).standard_normal(16)
+    assert inc2.search_adc(spark, q, k=5).count() == 5
+    assert inc2.codec(spark).to_bytes() == codec.to_bytes()
+
+    # the ADC leg reads codes, not floats, and prunes to the probe dirs
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc2.search_adc(spark, q, k=5).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [centroid_id" in plan, plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "pq_code" in read_schema and "embedding" not in read_schema
+
+
+def test_pq_sidecar_manifest_pins_codec(spark, tmp_path, fitted):
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    idx, base = fitted
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    inc = IncrementalANN(f"{tmp_path}/pqann", index=idx, codec=codec)
+    inc.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+
+    other = PQCodec(m=4, ks=8, seed=44).fit(base, "embedding")
+    bad = IncrementalANN(f"{tmp_path}/pqann", index=idx, codec=other)
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        bad.append(base.filter(F.col("vec_id") >= 100), "vec_id", "embedding")
+
+    # a plain store refuses a late codec (its generations have no codes)
+    plain = IncrementalANN(f"{tmp_path}/plain", index=idx)
+    plain.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+    late = IncrementalANN(f"{tmp_path}/plain", index=idx, codec=codec)
+    with pytest.raises(RuntimeError, match="manifest mismatch"):
+        late.append(base.filter(F.col("vec_id") >= 100), "vec_id", "embedding")
+    with pytest.raises(RuntimeError, match="no PQ codec"):
+        IncrementalANN(f"{tmp_path}/plain").search_adc(
+            spark, np.zeros(16), k=3
+        )
+
+
+def test_pq_sidecar_append_dedup_carries_codes(spark, tmp_path, fitted):
+    """Survivor generations from append_dedup carry codes too — the
+    dedup-ingest and the ADC search surfaces compose."""
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    idx, base = fitted
+    emb = _clustered_emb(spark)
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    store = IncrementalANN(f"{tmp_path}/sdpq", index=idx, codec=codec)
+    kept0, _ = store.append_dedup(
+        emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", threshold=0.9
+    )
+    assert sorted(r["vec_id"] for r in kept0.collect()) == [0, 2, 3]
+    vecs = store.vectors(spark)
+    assert "pq_code" in vecs.columns
+    assert vecs.filter(F.col("pq_code").isNull()).count() == 0
+    q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    top = store.search_adc(spark, q, k=1, rerank=4).collect()[0]
+    assert top["vec_id"] == 0
+
+
 def test_append_dedup_all_dup_batch_commits_nothing(spark, tmp_path, fitted):
     idx, _ = fitted
     emb = _clustered_emb(spark)

@@ -171,7 +171,8 @@ def test_ivfadc_search_recall_and_bucket_parity(spark):
         got = {
             r["vec_id"]
             for r in ivfadc_search(
-                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding"
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding",
+                id_col="vec_id",
             ).collect()
         }
         hits += len(exact & got)
@@ -231,6 +232,19 @@ def test_ivfadc_partition_pruning_on_bucketed_store(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert "embedding" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # rerank phase 2: the candidate-id fetch is pushed to parquet (In on
+    # the id column) so row-group stats skip the non-candidate rows
+    full = spark.read.parquet(path)
+    plan2 = (
+        ivfadc_search(
+            idx, codec, full, x[9], k=5, rerank=2,
+            vec_col="embedding", id_col="vec_id",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(vec_id" in plan2.split("PushedFilters")[1].split("]")[0]
 
 
 def test_unfitted_raises(spark):
