@@ -788,6 +788,57 @@ def _q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokenizer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE tokenizer (`pipeline.bpe.BPETokenizer`): train on
+    the documents corpus (one word-count shuffle + driver merge loop),
+    encode every doc (zero-shuffle scan), and verify IN-ENGINE that (a)
+    distributed decode(encode(text)) == text for every row — the
+    byte-level exactness contract, (b) total token count sits inside its
+    provable bounds (>= the JVM pre-token count: each pre-token is >= 1
+    token; <= the UTF-8 byte length: merges only shrink), and (c) the
+    trained vocab hits the requested size. The tokenizer round-trips
+    through to_bytes/from_bytes before encoding, so the serialized
+    merge-table contract is on the oracle path. Oracle: constants +
+    TRUE booleans (precedent: decontaminate_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.bpe import BPETokenizer
+    from recsplit_spark.pipeline.text import BPE_TOKEN_PATTERN
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    tok = BPETokenizer.train(docs, "text", vocab_size=320)
+    tok = BPETokenizer.from_bytes(tok.to_bytes())
+    enc = tok.encode(docs, "text").cache()
+    bad_roundtrip = (
+        tok.decode(enc, "tokens", out_col="text2")
+        .filter(F.col("text2") != F.col("text"))
+        .count()
+    )
+    agg = enc.agg(
+        F.sum(F.size("tokens")).alias("toks"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0
+                )
+            )
+        ).alias("pretoks"),
+        F.sum(F.octet_length("text")).alias("bytes"),
+    ).collect()[0]
+    enc.unpersist()
+    docs.unpersist()
+    return spark.createDataFrame(
+        [(
+            int(tok.vocab_size),
+            bool(bad_roundtrip == 0),
+            bool(agg["pretoks"] <= agg["toks"] <= agg["bytes"]),
+        )],
+        "vocab_size long, roundtrip_exact boolean, tokens_within_bounds boolean",
+    )
+
+
 def _q_dsir_importance_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`pipeline.dsir`): hashed-bigram
     histograms for a planted target vs the 20k-doc raw corpus, int64
@@ -2992,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
         "ivfadc_recall": _q_ivfadc_recall,
+        "bpe_tokenizer_documents": _q_bpe_tokenizer_documents,
         "dsir_importance_sequences": _q_dsir_importance_sequences,
         "stratified_split_documents": _q_stratified_split_documents,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -3525,6 +3577,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfadc_recall": (
             "SELECT CAST(0.5 AS DOUBLE) AS probe_frac,"
             " TRUE AS funnel_contained, TRUE AS recall_above_half"
+        ),
+        "bpe_tokenizer_documents": (
+            "SELECT CAST(320 AS BIGINT) AS vocab_size,"
+            " TRUE AS roundtrip_exact, TRUE AS tokens_within_bounds"
         ),
         # Seed-pinned constants + in-engine exact-recompute booleans
         # (precedent: decontaminate_sequences); the score sum is exact

@@ -1,10 +1,11 @@
 """Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash),
 benchmark decontamination, text analysis (token counts, quality, language
-ID, fingerprints), similarity search (brute-force cosine + IVF + PQ/ADC),
-multimodal column plumbing."""
+ID, fingerprints), BPE tokenizer training/encode, similarity search
+(brute-force cosine + IVF + PQ/ADC), multimodal column plumbing."""
 
 from . import (  # noqa: F401
     ann,
+    bpe,
     decontaminate,
     dedup,
     dsir,

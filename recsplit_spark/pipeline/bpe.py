@@ -1,0 +1,297 @@
+"""Byte-level BPE tokenizer: distributed training + zero-shuffle encode.
+
+The Spark-first shape of BPE training (Sennrich et al. 2016; byte-level
+base alphabet as in GPT-2) is NOT an iterative corpus scan — it is:
+
+1. ONE distributed word-count: pre-tokenize with the same regex the
+   text-stats operators use (``text.BPE_TOKEN_PATTERN``), explode,
+   ``groupBy(word).count()`` — one shuffle whose output is bounded by
+   the number of DISTINCT pre-tokens, not corpus size; ``min_count`` +
+   ``max_words`` cap the table (the heavy tail carries ~all the mass,
+   standard practice for corpus-scale tokenizer training).
+2. An Arrow gather of that capped (word, count) table to the driver and
+   the classic incremental merge loop over it — cost is
+   O(words x merges) symbol work on a table of ~10^5-10^6 rows no
+   matter whether the corpus is 1 GB or 100 TB.
+3. ``encode`` as a broadcast of the merge ranks (8 bytes/merge) + one
+   mapInArrow scan with a per-batch pre-token cache (natural text
+   repeats pre-tokens heavily, so the merge loop runs once per DISTINCT
+   pre-token per batch) — zero shuffle, the same scan shape as the
+   other text operators.
+
+Byte-level base alphabet: ids 0..255 are the raw bytes, id 256+i is
+merge i, so ANY input round-trips exactly (no UNK, no normalization).
+Determinism contract: the merge loop breaks count ties by the smallest
+(left, right) id pair, and the word table is count-then-word ordered
+before capping — two trains over the same corpus produce identical
+merge tables (tested), and the serialized merge table IS the token-id
+semantics (``BPT1`` magic; same treat-like-serialization rule as the
+sketch-state magics — a different merge table reads another table's
+token ids as garbage).
+
+Reference parity note: the reference repo (thomasmueller/minperf) has
+no tokenizer; this extends the LLM-pipeline surface (task brief: token
+counting / text analysis) the same way ``text.py`` does.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .text import BPE_TOKEN_PATTERN
+
+_HDR = struct.Struct("<4sI")
+_MAGIC = b"BPT1"
+
+
+def _merge_word(sym: list[int], a: int, b: int, new_id: int) -> list[int]:
+    """One merge pass over a symbol list: every non-overlapping (a, b)
+    occurrence (left-to-right) becomes new_id."""
+    out = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+            out.append(new_id)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _train_merges(words: list[bytes], counts: np.ndarray,
+                  n_merges: int) -> np.ndarray:
+    """Classic incremental BPE trainer over a (word, count) table.
+
+    Keeps pair->total-count and pair->word-index maps updated as merges
+    apply, so each round touches only the words containing the merged
+    pair. Tie-break: max count, then smallest (left, right) — total
+    order, hence deterministic."""
+    syms: list[list[int]] = [list(w) for w in words]
+    pair_counts: dict[tuple[int, int], int] = {}
+    pair_words: dict[tuple[int, int], set[int]] = {}
+
+    def _add(widx: int, sign: int) -> None:
+        s, c = syms[widx], int(counts[widx]) * sign
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(widx)
+
+    for wi in range(len(syms)):
+        _add(wi, +1)
+
+    merges = np.empty((n_merges, 2), dtype=np.int32)
+    done = 0
+    while done < n_merges and pair_counts:
+        best, best_c = None, 0
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and (best is None or p < best)):
+                best, best_c = p, c
+        if best is None or best_c <= 0:
+            break
+        new_id = 256 + done
+        merges[done] = best
+        for wi in sorted(pair_words.get(best, ())):
+            if best[0] not in syms[wi]:
+                continue  # stale index from an earlier merge of this word
+            _add(wi, -1)
+            syms[wi] = _merge_word(syms[wi], best[0], best[1], new_id)
+            _add(wi, +1)
+        # purge exhausted entries so the argmax scan stays proportional
+        # to LIVE pairs
+        for p in [p for p, c in pair_counts.items() if c <= 0]:
+            del pair_counts[p]
+            pair_words.pop(p, None)
+        done += 1
+    return merges[:done]
+
+
+def _encode_token(b: bytes, ranks: dict[tuple[int, int], int]) -> list[int]:
+    """GPT-2-style single-token encode: repeatedly merge the
+    lowest-rank adjacent pair until none applies."""
+    sym = list(b)
+    while len(sym) > 1:
+        best_rank, best_j = None, -1
+        for j in range(len(sym) - 1):
+            r = ranks.get((sym[j], sym[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        a, b2 = sym[best_j], sym[best_j + 1]
+        sym = _merge_word(sym, a, b2, 256 + best_rank)
+    return sym
+
+
+class BPETokenizer:
+    """A trained byte-level BPE tokenizer (see module docstring).
+
+    ``vocab_size`` counts the 256 byte ids; ``merges`` is the ordered
+    (left, right) id table, merge i producing id ``256 + i``."""
+
+    def __init__(self, merges: np.ndarray):
+        m = np.asarray(merges, dtype=np.int32)
+        if m.ndim != 2 or m.shape[1] != 2:
+            raise ValueError("merges must be an (n, 2) id table")
+        self.merges = m
+
+    # -- training ---------------------------------------------------------
+    @classmethod
+    def train(cls, df, text_col: str, vocab_size: int = 512,
+              min_count: int = 1,
+              max_words: int = 1_000_000) -> "BPETokenizer":
+        """One word-count shuffle + a driver merge loop on the capped
+        (word, count) table (Arrow gather — two columns, no Rows)."""
+        from pyspark.sql import functions as F
+
+        if vocab_size < 256:
+            raise ValueError("vocab_size includes the 256 byte ids")
+        toks = df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+                )
+            ).alias("w")
+        )
+        wc = (
+            toks.groupBy("w")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= int(min_count))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(int(max_words))
+        )
+        tbl = wc.toArrow()
+        words = [w.encode("utf-8") for w in tbl.column("w").to_pylist()]
+        counts = tbl.column("c").to_numpy(zero_copy_only=False)
+        merges = _train_merges(words, counts, vocab_size - 256)
+        return cls(merges)
+
+    # -- vocab ------------------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self.merges)
+
+    def vocab(self) -> list[bytes]:
+        """id -> byte string, ids 0..vocab_size-1."""
+        out = [bytes([i]) for i in range(256)]
+        for a, b in self.merges:
+            out.append(out[int(a)] + out[int(b)])
+        return out
+
+    def _ranks(self) -> dict[tuple[int, int], int]:
+        return {
+            (int(a), int(b)): i for i, (a, b) in enumerate(self.merges)
+        }
+
+    # -- driver-side reference paths ---------------------------------------
+    def encode_text(self, text: str) -> list[int]:
+        ranks = self._ranks()
+        out: list[int] = []
+        for m in re.finditer(BPE_TOKEN_PATTERN, text):
+            out.extend(_encode_token(m.group(0).encode("utf-8"), ranks))
+        return out
+
+    def decode_ids(self, ids) -> str:
+        v = self.vocab()
+        return b"".join(v[int(i)] for i in ids).decode("utf-8")
+
+    # -- distributed encode / decode ---------------------------------------
+    def encode(self, df, text_col: str, out_col: str = "tokens"):
+        """Add an ``array<int>`` token column. Pre-tokenization happens
+        JVM-side (``regexp_extract_all`` — the SAME engine and pattern
+        the training word-count used, so train and encode can never
+        disagree on a token boundary, including the Java-vs-Python
+        ``\\s`` unicode edge); the arrow_udf then merges each pre-token
+        with a per-batch cache (the merge loop runs once per DISTINCT
+        pre-token per batch — natural text repeats them heavily). Zero
+        shuffle — broadcast ranks + one scan."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        sc = df.sparkSession.sparkContext
+        bcast = sc.broadcast(self.merges)
+
+        def _enc(col: pa.Array) -> pa.Array:
+            merges = bcast.value
+            ranks = {
+                (int(a), int(b)): i for i, (a, b) in enumerate(merges)
+            }
+            cache: dict[str, list[int]] = {}
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat: list[int] = []
+            offsets = np.zeros(len(col) + 1, dtype=np.int32)
+            for i, row in enumerate(col):
+                pretoks = row.as_py()
+                if pretoks:
+                    for t in pretoks:
+                        ids = cache.get(t)
+                        if ids is None:
+                            ids = _encode_token(t.encode("utf-8"), ranks)
+                            cache[t] = ids
+                        flat.extend(ids)
+                offsets[i + 1] = len(flat)
+            values = pa.array(
+                np.asarray(flat, dtype=np.int32), type=pa.int32()
+            )
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), values
+            )
+
+        pretoks = F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+        )
+        return df.withColumn(
+            out_col, arrow_udf(_enc, ArrayType(IntegerType()))(pretoks)
+        )
+
+    def decode(self, df, tokens_col: str, out_col: str = "text"):
+        """Inverse scan: token ids -> UTF-8 text (broadcast id->bytes
+        table; zero shuffle)."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import StringType
+
+        sc = df.sparkSession.sparkContext
+        bcast = sc.broadcast(self.vocab())
+
+        def _dec(col: pa.Array) -> pa.Array:
+            v = bcast.value
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = []
+            for row in col:
+                ids = row.as_py()
+                if ids is None:
+                    out.append(None)
+                else:
+                    out.append(
+                        b"".join(v[int(i)] for i in ids).decode("utf-8")
+                    )
+            return pa.array(out, type=pa.string())
+
+        return df.withColumn(
+            out_col, arrow_udf(_dec, StringType())(tokens_col)
+        )
+
+    # -- persistence --------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return _HDR.pack(_MAGIC, len(self.merges)) + np.ascontiguousarray(
+            self.merges, dtype=np.int32
+        ).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BPETokenizer":
+        magic, n = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError(f"bad BPE tokenizer magic {magic!r}")
+        body = np.frombuffer(data, dtype=np.int32, offset=_HDR.size)
+        if body.size != n * 2:
+            raise ValueError("BPE tokenizer byte length does not match header")
+        return cls(body.reshape(n, 2).copy())
