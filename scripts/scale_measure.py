@@ -928,13 +928,107 @@ def task_dsirscale(n_docs: int, cores: int, buckets: int = 65_536,
     }
 
 
+def task_bpescale(n_docs: int, cores: int, vocab_size: int = 1024,
+                  n_words: int = 10_000, reps: int = 2) -> dict:
+    """BPE at scale: zipf-sampled synthetic corpus over a ``n_words``
+    vocabulary (realistic distinct-pre-token count), measuring the three
+    cost centers separately — the word-count shuffle, the driver merge
+    loop (corpus-size-independent), and the encode scan (MB/s is the
+    100 TB-relevant number)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.bpe import BPETokenizer
+    from recsplit_spark.pipeline.text import BPE_TOKEN_PATTERN
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-bpe", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    # vocabulary: letter n-grams with zipf-ish lengths, deterministic
+    vrng = np.random.default_rng(3)
+    letters = np.array(list("etaoinshrdlcum"))
+    vocab = [
+        "".join(vrng.choice(letters, size=int(ln)))
+        for ln in np.clip(vrng.zipf(1.7, n_words), 2, 12)
+    ]
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            out = []
+            for i in ids:
+                rng = np.random.default_rng(int(i) + 17)
+                w = rng.zipf(1.3, 200) % n_words
+                out.append(" ".join(vocab[j] for j in w))
+            yield pa.record_batch(
+                [b.column(0), pa.array(out, type=pa.string())],
+                names=["doc_id", "text"],
+            )
+
+    docs = (
+        spark.range(0, n_docs, 1, cores * 2)
+        .mapInArrow(_gen, schema="doc_id long, text string")
+        .persist()
+    )
+    n_bytes = docs.agg(F.sum(F.octet_length("text"))).collect()[0][0]
+    probe_before = host_probe_ms()
+
+    # word-count leg alone (the only corpus-scale training cost)
+    wc_best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+            ).alias("w")
+        ).groupBy("w").agg(F.count("*")).count()
+        wc_best = min(wc_best, time.time() - t0)
+
+    t0 = time.time()
+    tok = BPETokenizer.train(docs, "text", vocab_size=vocab_size)
+    train_s = time.time() - t0
+
+    enc_best = float("inf")
+    n_tokens = 0
+    for _ in range(reps):
+        t0 = time.time()
+        n_tokens = tok.encode(docs, "text").agg(
+            F.sum(F.size("tokens"))
+        ).collect()[0][0]
+        enc_best = min(enc_best, time.time() - t0)
+    probe_after = host_probe_ms()
+    docs.unpersist()
+    spark.stop()
+    return {
+        "task": "bpescale",
+        "n_docs": n_docs,
+        "corpus_mb": round(n_bytes / 1e6, 1),
+        "vocab_size": int(tok.vocab_size),
+        "n_merges": int(len(tok.merges)),
+        "wordcount_sec_best": round(wc_best, 2),
+        "train_sec": round(train_s, 2),
+        "merge_loop_sec": round(train_s - wc_best, 2),
+        "encode_sec_best": round(enc_best, 2),
+        "n_tokens": int(n_tokens),
+        "encode_mb_per_sec": round(n_bytes / 1e6 / enc_best, 1),
+        "encode_tokens_per_sec": round(n_tokens / enc_best, 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--task", required=True,
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
-                 "incdedup_tokens", "semdedup", "pqscale", "dsirscale"],
+                 "incdedup_tokens", "semdedup", "pqscale", "dsirscale",
+                 "bpescale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -971,6 +1065,8 @@ if __name__ == "__main__":
         res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "dsirscale":
         res = task_dsirscale(args.n or 500_000, args.cores)
+    elif args.task == "bpescale":
+        res = task_bpescale(args.n or 200_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
