@@ -69,32 +69,47 @@ def _train_merges(words: list[bytes], counts: np.ndarray,
 
     Keeps pair->total-count and pair->word-index maps updated as merges
     apply, so each round touches only the words containing the merged
-    pair. Tie-break: max count, then smallest (left, right) — total
-    order, hence deterministic."""
+    pair; the per-round argmax is a LAZY HEAP (entries are re-pushed on
+    count change and validated against the live count on pop), so a
+    round costs O(affected words + log P) rather than a scan of all
+    live pairs — the difference between minutes and hours at the
+    production point (32k merges over a ~10^6-word table). Tie-break:
+    max count, then smallest (left, right) — a total order, hence
+    deterministic; the heap ordering ((-count, pair)) realizes exactly
+    that order."""
+    import heapq
+
     syms: list[list[int]] = [list(w) for w in words]
     pair_counts: dict[tuple[int, int], int] = {}
     pair_words: dict[tuple[int, int], set[int]] = {}
+    dirty: set[tuple[int, int]] = set()
 
     def _add(widx: int, sign: int) -> None:
         s, c = syms[widx], int(counts[widx]) * sign
         for j in range(len(s) - 1):
             p = (s[j], s[j + 1])
             pair_counts[p] = pair_counts.get(p, 0) + c
+            dirty.add(p)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(widx)
 
     for wi in range(len(syms)):
         _add(wi, +1)
 
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+    dirty.clear()
+
     merges = np.empty((n_merges, 2), dtype=np.int32)
     done = 0
-    while done < n_merges and pair_counts:
-        best, best_c = None, 0
-        for p, c in pair_counts.items():
-            if c > best_c or (c == best_c and (best is None or p < best)):
-                best, best_c = p, c
-        if best is None or best_c <= 0:
-            break
+    while done < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        live = pair_counts.get(best, 0)
+        if live <= 0:
+            continue  # exhausted pair, stale heap entry
+        if -negc != live:
+            heapq.heappush(heap, (-live, best))  # stale count: re-rank
+            continue
         new_id = 256 + done
         merges[done] = best
         for wi in sorted(pair_words.get(best, ())):
@@ -103,11 +118,15 @@ def _train_merges(words: list[bytes], counts: np.ndarray,
             _add(wi, -1)
             syms[wi] = _merge_word(syms[wi], best[0], best[1], new_id)
             _add(wi, +1)
-        # purge exhausted entries so the argmax scan stays proportional
-        # to LIVE pairs
-        for p in [p for p, c in pair_counts.items() if c <= 0]:
-            del pair_counts[p]
-            pair_words.pop(p, None)
+        del pair_counts[best]
+        pair_words.pop(best, None)
+        # re-push every touched pair at its new count; pops validate
+        # against pair_counts so superseded entries are skipped
+        for p in dirty:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+        dirty.clear()
         done += 1
     return merges[:done]
 
