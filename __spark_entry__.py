@@ -1365,6 +1365,43 @@ def _q_unigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (pipeline/lm.py, Jelinek-Mercer):
+    capped vocab (top 400) + capped bigram table (top 400), both with
+    the deterministic count-then-key cut order both engines replay. The
+    integer outputs (total pairs, pairs hit in the table with in-vocab
+    left word) are exact in DuckDB; the float mean stays out of the
+    oracle and is covered by its provable bounds (every doc's score is
+    >= the unseen-text floor log2((1-lam)/denom) and < 0)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.lm import (
+        top_bigrams,
+        top_vocab,
+        with_bigram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").cache()
+    vocab = top_vocab(docs, "text", vocab_size=400, min_count=2)
+    bigrams = top_bigrams(docs, "text", table_size=400, min_count=2)
+    out = with_bigram_stats(docs, "text", vocab, bigrams, lam=0.7)
+    t = vocab.agg(F.sum("count") + F.count("*")).collect()[0][0]
+    floor = math.log2(0.3 / float(t + 1))
+    res = out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_bigrams"), F.lit(0))).alias("sum_bigrams"),
+        F.sum(F.coalesce(F.col("n_bigram_hits"), F.lit(0))).alias("sum_hits"),
+        (F.min("mean_log2p_bigram") >= F.lit(floor - 1e-9)).alias(
+            "log2p_above_floor"
+        ),
+        (F.max("mean_log2p_bigram") < F.lit(0.0)).alias("log2p_below_zero"),
+    )
+    docs.unpersist()
+    return res
+
+
 def _q_mix_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture sampling (pipeline/mixing.py) in exact
     mode: weight(src_i) = i/4 epochs (0, 0.25, ... 4.75 across the 20
@@ -3058,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_pii_documents": _q_c4_pii_documents,
         "mix_corpus_documents": _q_mix_corpus_documents,
         "unigram_lm_documents": _q_unigram_lm_documents,
+        "bigram_lm_documents": _q_bigram_lm_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
@@ -3689,6 +3727,35 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(n_oov) AS BIGINT) AS sum_oov,"
             " CAST(sum(sum_count) AS BIGINT) AS sum_freq,"
             " TRUE AS log2p_above_floor, TRUE AS log2p_below_zero FROM per"
+        ),
+        # bigram LM: same single-space adjacency (list_zip of shifted
+        # slices), same deterministic cuts for both capped tables; a
+        # "hit" needs the pair in the bigram table AND the left word in
+        # the vocab (the backoff condition); the float mean's bounds are
+        # restated as TRUE
+        "bigram_lm_documents": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            "  FROM documents),"
+            " w AS (SELECT unnest(ws) AS word FROM d),"
+            " vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word"
+            "  HAVING count(*) >= 2 ORDER BY cnt DESC, word ASC LIMIT 400),"
+            " bgall AS (SELECT unnest(list_zip(ws[1:len(ws)-1],"
+            "  ws[2:len(ws)])) AS p FROM d),"
+            " bt AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12"
+            "  FROM bgall GROUP BY w1, w2 HAVING count(*) >= 2"
+            "  ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 400),"
+            " db AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM"
+            "  (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1],"
+            "   ws[2:len(ws)])) AS p FROM d) x),"
+            " j AS (SELECT doc_id, b.c12, v.cnt AS c1 FROM db"
+            "  LEFT JOIN bt b USING (w1, w2)"
+            "  LEFT JOIN vocab v ON db.w1 = v.word)"
+            " SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)"
+            "  AS n_docs,"
+            " CAST(count(*) AS BIGINT) AS sum_bigrams,"
+            " CAST(sum(CASE WHEN c12 IS NOT NULL AND c1 IS NOT NULL"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,"
+            " TRUE AS log2p_above_floor, TRUE AS log2p_below_zero FROM j"
         ),
         "dedup_corpus_documents": (
             "WITH RECURSIVE sh AS ("

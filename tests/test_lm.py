@@ -76,3 +76,108 @@ def test_unigram_stats_match_reference(spark, docs_df):
     # the all-rare doc scores at the OOV floor; common-word docs above it
     assert got[3]["mean_log2p"] == pytest.approx(math.log2(1 / denom))
     assert got[5]["mean_log2p"] > got[3]["mean_log2p"]
+
+
+def _pair_counter():
+    c = Counter()
+    for _, t in DOCS:
+        ws = t.split(" ")
+        c.update(zip(ws, ws[1:]))
+    return c
+
+
+def test_bigram_counts_exact(spark, docs_df):
+    from recsplit_spark.pipeline.lm import bigram_counts
+
+    got = {
+        (r["w1"], r["w2"]): r["count"]
+        for r in bigram_counts(docs_df, "text").collect()
+    }
+    assert got == dict(_pair_counter())
+
+
+def test_top_bigrams_cap_and_tiebreak(spark, docs_df):
+    from recsplit_spark.pipeline.lm import top_bigrams
+
+    c = _pair_counter()
+    want = sorted(
+        ((p, n) for p, n in c.items() if n >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got2 = [
+        ((r["w1"], r["w2"]), r["count"])
+        for r in top_bigrams(docs_df, "text", table_size=2).collect()
+    ]
+    assert got2 == want[:2]
+
+
+def test_bigram_stats_match_reference(spark, docs_df):
+    from recsplit_spark.pipeline.lm import (
+        top_bigrams,
+        top_vocab,
+        with_bigram_stats,
+    )
+
+    lam = 0.7
+    uc = _counter()
+    vocab = {w: n for w, n in uc.items() if n >= 2}
+    total, v = sum(vocab.values()), len(vocab)
+    denom = total + v + 1
+    bg = {p: n for p, n in _pair_counter().items() if n >= 2}
+
+    out = with_bigram_stats(
+        docs_df,
+        "text",
+        top_vocab(docs_df, "text"),
+        top_bigrams(docs_df, "text"),
+        lam=lam,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    for doc_id, text in DOCS:
+        ws = text.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        r = got[doc_id]
+        if not pairs:
+            assert r["n_bigrams"] is None and r["mean_log2p_bigram"] is None
+            continue
+        hits = [p for p in pairs if p in bg and p[0] in vocab]
+        mean = sum(
+            math.log2(
+                (lam * bg[p] / vocab[p[0]] if p in bg and p[0] in vocab else 0.0)
+                + (1 - lam) * (vocab.get(p[1], 0) + 1) / denom
+            )
+            for p in pairs
+        ) / len(pairs)
+        assert r["n_bigrams"] == len(pairs)
+        assert r["n_bigram_hits"] == len(hits)
+        assert abs(r["mean_log2p_bigram"] - mean) < 1e-9, doc_id
+    # unseen-text floor: every score >= log2((1-lam)/denom)
+    floor = math.log2((1 - lam) / denom)
+    for r in got.values():
+        if r["mean_log2p_bigram"] is not None:
+            assert r["mean_log2p_bigram"] >= floor - 1e-9
+    # "the the the" is pure repeated top-bigram -> scores near the top
+    assert got[5]["mean_log2p_bigram"] == max(
+        r["mean_log2p_bigram"]
+        for r in got.values()
+        if r["mean_log2p_bigram"] is not None
+    )
+
+
+def test_bigram_stats_plan_is_broadcast_only(spark, docs_df):
+    from recsplit_spark.pipeline.lm import (
+        top_bigrams,
+        top_vocab,
+        with_bigram_stats,
+    )
+
+    out = with_bigram_stats(
+        docs_df, "text", top_vocab(docs_df, "text"),
+        top_bigrams(docs_df, "text"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the three dimension lookups (pair table, vocab x2) broadcast; the
+    # only shuffle join is the O(docs) per-doc reattach on doc_id (the
+    # same final shape as with_unigram_stats)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
