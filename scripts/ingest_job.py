@@ -23,7 +23,14 @@ of documents flows through the whole incremental family in one job:
   5. optionally (``--profile-spec``) fold the committed clean output
      into the nightly ``IncrementalProfile`` at ``<root>/profile`` — the
      sketches then describe the DEDUPED corpus, and the profile's
-     processed-file manifest keeps the fold idempotent too.
+     processed-file manifest keeps the fold idempotent too;
+  6. optionally (``--pack-capacity``) emit TRAINING EXAMPLES from the
+     committed clean output: text mode tokenizes with a pre-trained BPE
+     blob (``--tokenizer``, from BPETokenizer.to_bytes), tokens mode
+     packs the token arrays directly; deterministic packing means a
+     replay writes identical bins, and reading from the COMMITTED output
+     slot (not the in-flight DataFrame) means a crash between steps 4
+     and 6 is repaired by the retry.
 
 Cluster usage (the north-rule deployment shape, ingest side)::
 
@@ -110,6 +117,16 @@ def main() -> int:
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--theta-k", type=int, default=4096)
     ap.add_argument("--mg-k", type=int, default=1024)
+    ap.add_argument("--pack-capacity", type=int, default=None,
+                    help="emit packed training examples of this token "
+                         "capacity from the committed clean output")
+    ap.add_argument("--tokenizer", default=None,
+                    help="BPETokenizer blob path (required for "
+                         "--pack-capacity in --mode text)")
+    ap.add_argument("--pack-mode", choices=["bins", "concat"],
+                    default="bins")
+    ap.add_argument("--packed-out", default=None,
+                    help="packed-example output dir (default <out>_packed)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -294,6 +311,68 @@ def main() -> int:
             spark, files=_list_data_files(spark, out_slot)
         )
 
+    # 6. optional: packed training examples from the COMMITTED clean
+    # output. Text mode first tokenizes with the shipped BPE blob (the
+    # blob, not a re-train — the merge table is the token-id semantics
+    # and must be the same one every batch uses); deterministic packing
+    # (value-defined groups) makes the replay content-identical, so the
+    # slot logic mirrors step 4.
+    m_pack = None
+    if args.pack_capacity:
+        from pyspark.sql import functions as F
+
+        from recsplit_spark.pipeline import packing as _packing
+
+        clean = spark.read.parquet(out_slot)
+        if args.mode == "text":
+            if not args.tokenizer:
+                raise SystemExit(
+                    "--pack-capacity in --mode text needs --tokenizer "
+                    "(a BPETokenizer.to_bytes blob)"
+                )
+            from recsplit_spark.pipeline.bpe import BPETokenizer
+
+            with open(args.tokenizer, "rb") as fh:
+                tok = BPETokenizer.from_bytes(fh.read())
+            clean = tok.encode(clean, args.text_col, out_col="tokens")
+            tok_col = "tokens"
+        else:
+            tok_col = args.text_col
+        packer = (_packing.pack_bins if args.pack_mode == "bins"
+                  else _packing.pack_concat)
+        packed = packer(
+            clean.select(args.id_col, tok_col),
+            capacity=args.pack_capacity,
+            id_col=args.id_col,
+            col=tok_col,
+        )
+        if args.batch_id is not None:
+            pack_slot = (
+                f"{(args.packed_out or args.out.rstrip('/') + '_packed')}"
+                f"/batch={args.batch_id}"
+            )
+            pack_already = already and _dir_exists(
+                spark, f"{pack_slot}/_SUCCESS"
+            )
+            if not pack_already:
+                packed.write.mode("overwrite").parquet(pack_slot)
+        else:
+            pack_slot = args.packed_out or args.out.rstrip("/") + "_packed"
+            packed.write.mode("error").parquet(pack_slot)
+        st = spark.read.parquet(pack_slot).agg(
+            F.count("*").alias("bins"),
+            F.sum("n_tok").alias("tok"),
+            F.sum("pad").alias("pad"),
+        ).collect()[0]
+        m_pack = {
+            "mode": args.pack_mode,
+            "capacity": args.pack_capacity,
+            "n_bins": int(st["bins"]),
+            "n_tok": int(st["tok"] or 0),
+            "pad": int(st["pad"] or 0),
+            "out": pack_slot,
+        }
+
     print(json.dumps({
         "decontam": m_decon,
         "quality": m_quality,
@@ -301,6 +380,7 @@ def main() -> int:
         "ids": m_ids,
         "ann": m_ann,
         "profile": m_profile,
+        "pack": m_pack,
         "rows_out": n_out,
         "out": out_slot,
         "total_kept": dd.total_kept(spark),
