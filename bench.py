@@ -375,6 +375,47 @@ def run_suite(cores: int) -> dict:
         )
         seq.unpersist()
 
+        # -- BPE tokenizer (round 4 late): the encode SCAN is the corpus
+        # cost (training is vocabulary-bounded driver work, untimed)
+        from recsplit_spark.pipeline.bpe import BPETokenizer
+
+        tok = BPETokenizer.train(docs, "text", vocab_size=320)
+        n_bpe = timed(
+            "bpe_encode_docs",
+            lambda: tok.encode(docs, "text")
+            .agg(F.sum(F.size("tokens")))
+            .collect()[0][0],
+        )
+        extra["bpe_tokens_per_sec"] = round(
+            int(n_bpe) / timings["bpe_encode_docs"], 1
+        )
+
+        # -- IVFADC search (round 4 late): directory-pruned byte scan +
+        # exact rerank over the embeddings table (fits untimed)
+        import numpy as _np
+
+        from recsplit_spark.pipeline.ann import IVFIndex
+        from recsplit_spark.pipeline.pq import PQCodec, ivfadc_search
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        idx = IVFIndex(n_centroids=8, nprobe=4, seed=7).fit(emb, "embedding")
+        codec = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+        encd = codec.encode(idx.assign(emb, "embedding"), "embedding").cache()
+        encd.count()
+        qv = _np.array(
+            emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0],
+            dtype=_np.float64,
+        )
+        timed(
+            "ivfadc_search_emb",
+            lambda: ivfadc_search(
+                idx, codec, encd, qv, k=10, rerank=4,
+                vec_col="embedding", id_col="vec_id",
+            ).collect(),
+        )
+        encd.unpersist()
+        emb.unpersist()
+
     measure()
     probe_after = host_probe_ms()
     # self-healing bracket (judge r3 #2): a suite whose BEFORE probe was
