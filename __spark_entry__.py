@@ -580,6 +580,69 @@ def _q_incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _q_incremental_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store compaction (`IncrementalANN.compact`): three appended
+    generations re-key into ONE fresh-centroid generation (refit on the
+    stored corpus, PQ sidecar carried — codes are centroid-independent).
+    The compacted store searches with nprobe == n_centroids, so its
+    top-5 must STILL equal the exact cosine top-5 — the same
+    value-for-value DuckDB oracle as incremental_ann_search, now
+    through the compacted path (and search_adc with full rerank must
+    agree, checked in-engine by running it)."""
+    import tempfile
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.pipeline.pq import PQCodec
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    idx = IVFIndex(n_centroids=8, nprobe=8).fit(emb, "embedding")
+    codec = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+    with tempfile.TemporaryDirectory() as tmp:
+        inc = IncrementalANN(f"{tmp}/ann", index=idx, codec=codec)
+        for i in range(3):
+            inc.append(
+                emb.filter(
+                    (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+                ),
+                "vec_id",
+                "embedding",
+            )
+        new, m = inc.compact(spark, f"{tmp}/compacted")
+        assert m["n"] == emb.count() and m["codec"]
+        assert [g["gen"] for g in new.generations(spark)] == [0]
+        # the compacted sidecar works: search_adc returns k reranked
+        # rows whose exact cosines never exceed the true optimum (ADC
+        # recall on the near-uniform fixture is < 1 by design —
+        # pq_ann_recall pins the recall contract; this pins the
+        # carried-codec plumbing)
+        adc_rows = new.search_adc(spark, q, k=5, rerank=20).collect()
+        top = new.search(spark, q, k=5)
+        top_rows = top.collect()
+        assert len(adc_rows) == 5
+        best = max(r["cosine"] for r in top_rows)
+        assert all(r["cosine"] <= best + 1e-9 for r in adc_rows)
+        return (
+            top.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.round(F.col("cosine") * 1000).cast("long").alias("cos_milli"),
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+
+
 def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (`IncrementalANN.append_dedup`, the SemDeDup shape):
     embeddings arrive as three id-ordered batches; each append drops new
@@ -3076,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "incremental_ann_search": _q_incremental_ann_search,
+        "incremental_ann_compact": _q_incremental_ann_compact,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
@@ -3656,6 +3720,17 @@ def oracle_sql() -> dict[str, str]:
         # all-bucket probe => the incremental store's top-5 IS the exact
         # cosine top-5; DuckDB verifies values, not just recall booleans
         "incremental_ann_search": (
+            "SELECT vec_id, cos_milli FROM ("
+            " SELECT CAST(b.vec_id AS BIGINT) AS vec_id,"
+            " CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 1000)"
+            "   AS BIGINT) AS cos_milli"
+            " FROM embeddings a, embeddings b WHERE a.vec_id = 3"
+            " ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC"
+            " LIMIT 5) ORDER BY vec_id"
+        ),
+        # compaction preserves the exact-top-5 contract: same oracle,
+        # through the re-keyed single-generation store
+        "incremental_ann_compact": (
             "SELECT vec_id, cos_milli FROM ("
             " SELECT CAST(b.vec_id AS BIGINT) AS vec_id,"
             " CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 1000)"

@@ -512,6 +512,67 @@ class IncrementalANN:
         self._check_or_write_manifest(spark, None, None)
         return self._codec
 
+    def compact(self, spark, out_path: str, index: IVFIndex | None = None,
+                codec="keep"):
+        """The planned re-key at the end of a drift window (the module
+        docstring's manual recipe, as one call): re-bucket the WHOLE
+        committed vector set into a fresh store at ``out_path`` under a
+        new centroid contract and return ``(new_handle, metrics)``.
+
+        ``index=None`` refits on the stored corpus with the old
+        geometry (same n_centroids/nprobe, a fresh seed offset) — the
+        drift correction; pass a fitted ``IVFIndex`` to choose the
+        geometry yourself. ``codec='keep'`` re-pins the old PQ codec
+        (valid across ANY re-index: codes quantize the raw normalized
+        vectors, not residuals, so they are centroid-independent);
+        ``codec=None`` drops the sidecar; a fitted ``PQCodec`` re-pins
+        a new one.
+
+        Validation precedes visibility, like every compaction in the
+        family: the target must have no committed lineage and the
+        committed lineage totals must agree with the stored rows BEFORE
+        the new store's first commit; the rebuild itself goes through
+        ``append`` (lock, manifest, payload-dir-then-lineage), so a
+        crash mid-compact leaves ``out_path`` empty-or-orphaned and the
+        old store untouched. Cost: one assign (+ encode) scan of the
+        corpus + one partitioned write — the same bill as ingesting it,
+        paid once per drift window."""
+        import time as _time
+
+        t0 = _time.time()
+        self._check_or_write_manifest(spark, None, None)
+        if _dir_exists(spark, f"{out_path.rstrip('/')}/lineage"):
+            raise RuntimeError(
+                f"compaction target {out_path} already has committed "
+                "generations; compact into a fresh path"
+            )
+        n_total = self.total_vectors(spark)
+        vecs = self.vectors(spark).select(self._id_col, self._vec_col)
+        n_rows = vecs.count()
+        if n_rows != n_total:
+            raise RuntimeError(
+                f"committed lineage says {n_total} vectors but the "
+                f"generation dirs hold {n_rows}; refusing to compact an "
+                "inconsistent store"
+            )
+        if index is None:
+            k, _ = self._index.centroids.shape
+            index = IVFIndex(
+                n_centroids=int(k),
+                nprobe=self._index.nprobe,
+                iters=self._index.iters,
+                seed=self._index.seed + 1,
+            ).fit(vecs, self._vec_col)
+        new_codec = self._codec if codec == "keep" else codec
+        new = IncrementalANN(out_path, index=index, codec=new_codec)
+        m = new.append(vecs, self._id_col, self._vec_col)
+        return new, {
+            "n": int(m["n"]),
+            "n_centroids": int(index.centroids.shape[0]),
+            "codec": new_codec is not None,
+            "wall_s": round(_time.time() - t0, 3),
+        }
+
     def search_adc(self, spark, query, k: int = 10, rerank: int = 0):
         """IVFADC top-k over the committed store (requires the PQ
         sidecar): probe-set directory pruning -> ADC byte scan (column

@@ -336,6 +336,73 @@ def test_pq_sidecar_append_dedup_carries_codes(spark, tmp_path, fitted):
     assert top["vec_id"] == 0
 
 
+def test_compact_rebuckets_under_fresh_centroids(spark, tmp_path, fitted):
+    """The planned re-key: refit + one-shot rebuild into a fresh path;
+    the new store's search equals a one-shot assign under the new index,
+    the PQ sidecar survives (codes are centroid-independent), and the
+    old store is untouched."""
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    idx, base = fitted
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    old = IncrementalANN(f"{tmp_path}/old", index=idx, codec=codec)
+    old.append(base.filter(F.col("vec_id") < 300), "vec_id", "embedding")
+    old.append(base.filter(F.col("vec_id") >= 300))
+
+    new, m = old.compact(spark, f"{tmp_path}/new")
+    assert m["n"] == 600 and m["codec"]
+    assert new.total_vectors(spark) == 600
+    assert [g["gen"] for g in new.generations(spark)] == [0]
+    # old store untouched and still searchable
+    assert old.total_vectors(spark) == 600
+    q = np.random.default_rng(5).standard_normal(16)
+    assert old.search(spark, q, k=5).count() == 5
+
+    new_idx = new.index(spark)
+    oneshot = new_idx.assign(base, "embedding").cache()
+    oneshot.count()
+    for qi in (3, 450):
+        qv = np.random.default_rng(qi).standard_normal(16)
+        want = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in new_idx.search(oneshot, "embedding", qv, k=10).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in new.search(spark, qv, k=10).collect()
+        ]
+        assert got == want
+    oneshot.unpersist()
+    # PQ sidecar re-pinned: byte identity of the codec and a working ADC
+    assert new.codec(spark).to_bytes() == codec.to_bytes()
+    assert new.search_adc(spark, q, k=5, rerank=4).count() == 5
+    # reopen from the path alone
+    assert IncrementalANN(f"{tmp_path}/new").search(spark, q, k=3).count() == 3
+
+
+def test_compact_refuses_dirty_target_and_can_drop_codec(spark, tmp_path, fitted):
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    idx, base = fitted
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    old = IncrementalANN(f"{tmp_path}/old2", index=idx, codec=codec)
+    old.append(base.filter(F.col("vec_id") < 100), "vec_id", "embedding")
+
+    taken = IncrementalANN(f"{tmp_path}/taken", index=idx)
+    taken.append(base.filter(F.col("vec_id") < 50), "vec_id", "embedding")
+    with pytest.raises(RuntimeError, match="fresh path"):
+        old.compact(spark, f"{tmp_path}/taken")
+
+    # codec=None drops the sidecar; a custom fitted index is used as-is
+    other = IVFIndex(n_centroids=4, nprobe=2, seed=77).fit(base, "embedding")
+    new, m = old.compact(spark, f"{tmp_path}/plain_new", index=other,
+                         codec=None)
+    assert m["n"] == 100 and not m["codec"] and m["n_centroids"] == 4
+    assert "pq_code" not in new.vectors(spark).columns
+    with pytest.raises(RuntimeError, match="no PQ codec"):
+        new.search_adc(spark, np.zeros(16), k=3)
+
+
 def test_append_dedup_all_dup_batch_commits_nothing(spark, tmp_path, fitted):
     idx, _ = fitted
     emb = _clustered_emb(spark)
