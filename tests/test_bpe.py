@@ -158,3 +158,21 @@ def test_train_wordcount_is_single_shuffle(spark):
     wc = toks.groupBy("w").agg(F2.count("*").alias("c"))
     plan = wc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_roundtrip_property_driver_side():
+    """Any unicode string round-trips through encode_text/decode_ids for
+    ANY merge table (byte-level base alphabet: no UNK, no normalization)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = BPETokenizer(
+        np.array([[101, 32], [116, 104], [256, 257]], dtype=np.int32)
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def _check(s):
+        assert tok.decode_ids(tok.encode_text(s)) == s
+
+    _check()
