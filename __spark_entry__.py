@@ -2623,6 +2623,72 @@ def _q_substring_dedup_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_leakage_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout leakage audit (`pipeline.splits.split_leakage`):
+    stratified_split assigns 0.8/0.1/0.1 over the 20k-doc sequences
+    fixture, then a deterministic ~1-in-20 of TRAIN docs AND one pinned
+    VAL doc get the same 13 out-of-vocab tokens (>= 80000, outside the
+    generator's 50257 vocab — a straddle window mixes vocabularies and
+    can never match) spliced in after token 5. The audit must flag
+    exactly the planted train docs, one contaminated window each (a
+    13-token plant has exactly one n=13 window), and audit only the
+    train slice. All checks in-engine; constants seed-pinned (precedent:
+    decontaminate_sequences)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.splits import split_leakage, stratified_split
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_rows = 20_000
+    block = F.transform(
+        F.sequence(F.lit(0), F.lit(12)),
+        lambda j: (F.lit(80_000) + j).cast("int"),
+    )
+    seq = stratified_split(
+        sequences(spark, n_rows, partitions=8),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    first_val = (
+        seq.filter(F.col("split") == "val")
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    plant = (
+        (F.col("split") == "train")
+        & (F.pmod(F.xxhash64(F.lit(21), F.col("doc_id")), F.lit(20)) == 0)
+    ) | (F.col("doc_id") == F.lit(first_val))
+    spliced = F.concat(
+        F.slice("tokens", 1, 5), block,
+        F.slice("tokens", 6, F.size("tokens") - 5),
+    )
+    seq = seq.withColumn(
+        "tokens", F.when(plant, spliced).otherwise(F.col("tokens"))
+    ).withColumn("planted", plant).cache()
+    n_train, n_planted_train = (
+        seq.filter(F.col("split") == "train")
+        .agg(F.count("*"), F.sum(F.col("planted").cast("long")))
+        .collect()[0]
+    )
+    audit = split_leakage(seq, "doc_id", "tokens", n=13).cache()
+    flagged = audit.filter("contaminated")
+    n_flagged = flagged.count()
+    exact = (
+        flagged.filter(~F.col("planted")).count() == 0
+        and flagged.filter(F.col("contam_windows") != 1).count() == 0
+        and audit.filter(F.col("split") != "train").count() == 0
+        and audit.count() == n_train
+    )
+    audit.unpersist()
+    seq.unpersist()
+    return spark.createDataFrame(
+        [(int(n_train), int(n_planted_train), int(n_flagged), bool(exact))],
+        "n_train long, n_planted long, n_flagged long, flags_exact boolean",
+    )
+
+
 def _q_decontaminate_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the north-rule token payload
     (pipeline/decontaminate — the GPT-3 appendix-C n-gram-overlap pass:
@@ -3169,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
         "substring_dedup_sequences": _q_substring_dedup_sequences,
         "decontaminate_sequences": _q_decontaminate_sequences,
+        "split_leakage_sequences": _q_split_leakage_sequences,
         "pack_sequences": _q_pack_sequences,
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
@@ -4072,5 +4139,13 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS cut_exact,"
             " TRUE AS restored,"
             " CAST(0 AS BIGINT) AS contam_after"
+        ),
+        # split-leakage audit: seed-pinned fixture constants + in-engine
+        # exactness boolean (precedent: decontaminate_sequences)
+        "split_leakage_sequences": (
+            "SELECT CAST(15993 AS BIGINT) AS n_train,"
+            " CAST(763 AS BIGINT) AS n_planted,"
+            " CAST(763 AS BIGINT) AS n_flagged,"
+            " TRUE AS flags_exact"
         ),
     }

@@ -84,3 +84,35 @@ def stratified_split(
     for name, cut in reversed(cuts[:-1]):
         expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def split_leakage(
+    df,
+    id_col: str,
+    col: str,
+    split_col: str = "split",
+    holdout: tuple = ("val", "test"),
+    n: int = 13,
+    waves: int = 1,
+):
+    """Leakage audit across an assigned split: the NON-holdout rows plus
+    ``contam_windows`` / ``contaminated`` marking docs that share any
+    verbatim n-token window with a holdout doc — near-verbatim overlap
+    is exactly the eval-set leakage a split by doc id cannot see (the
+    same passage pasted into two docs gets two ids and two splits).
+
+    Pure composition of the decontamination probe: the holdout side
+    indexes ONCE into the 16 B/window hash-pair set (broadcast,
+    wave-sliced when huge) and the train side is one scan checking
+    every window — zero row shuffle on either side, so the audit costs
+    one read of each slice at any corpus size. Drop or cut the flagged
+    docs with ``decontaminate.decontaminate`` using the same holdout
+    windows if the audit fires."""
+    from pyspark.sql import functions as F
+
+    from .decontaminate import benchmark_windows, contamination
+
+    held = df.filter(F.col(split_col).isin(list(holdout)))
+    rest = df.filter(~F.col(split_col).isin(list(holdout)))
+    bw = benchmark_windows(held, col=col, n=n)
+    return contamination(rest, bw, id_col=id_col, col=col, n=n, waves=waves)

@@ -100,3 +100,46 @@ def test_split_plan_is_pure_projection(ids):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan  # no Python on the scan path
+
+
+def test_split_leakage_flags_planted_overlap(spark):
+    """Docs share ids-disjoint splits but doc 7 (train) carries a
+    verbatim 13-token window from doc 3 (val): the audit must flag
+    exactly doc 7, count its windows, and never flag holdout rows."""
+    from recsplit_spark.pipeline.splits import split_leakage
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [1000 * i + j for j in range(30)]))
+    # find a train doc and a val doc under the default salt
+    labeled = stratified_split(
+        spark.createDataFrame(rows, "doc_id long, tokens array<int>"),
+        "doc_id",
+        {"train": 0.6, "val": 0.2, "test": 0.2},
+    )
+    by_split = {
+        r["doc_id"]: r["split"] for r in labeled.select("doc_id", "split").collect()
+    }
+    train_id = next(i for i in range(40) if by_split[i] == "train")
+    val_id = next(i for i in range(40) if by_split[i] == "val")
+    # plant: train doc's tokens 10..22 == val doc's tokens 0..12
+    rows2 = []
+    for i, toks in rows:
+        if i == train_id:
+            toks = toks[:10] + [1000 * val_id + j for j in range(13)] + toks[23:]
+        rows2.append((i, toks))
+    labeled2 = stratified_split(
+        spark.createDataFrame(rows2, "doc_id long, tokens array<int>"),
+        "doc_id",
+        {"train": 0.6, "val": 0.2, "test": 0.2},
+    )
+    audit = split_leakage(labeled2, "doc_id", "tokens")
+    flagged = {
+        r["doc_id"]: r["contam_windows"]
+        for r in audit.filter("contaminated").collect()
+    }
+    assert flagged == {train_id: 1}
+    # only non-holdout rows are audited
+    audited = {r["doc_id"] for r in audit.collect()}
+    assert by_split[val_id] != "train" and val_id not in audited
+    assert audited == {i for i in range(40) if by_split[i] == "train"}
