@@ -131,6 +131,24 @@ def _train_merges(words: list[bytes], counts: np.ndarray,
     return merges[:done]
 
 
+def _ranks_of(merges) -> dict[tuple[int, int], int]:
+    """merge table -> pair -> rank (shared by driver + executor paths)."""
+    return {(int(a), int(b)): i for i, (a, b) in enumerate(merges)}
+
+
+def _vocab_of(merges) -> list[bytes]:
+    """merge table -> id -> byte string (shared by driver + executor
+    paths; ids 0..255 are the raw bytes, 256+i is merge i)."""
+    out = [bytes([i]) for i in range(256)]
+    for a, b in merges:
+        out.append(out[int(a)] + out[int(b)])
+    return out
+
+
+def _decode_ids(vocab: list[bytes], ids) -> str:
+    return b"".join(vocab[int(i)] for i in ids).decode("utf-8")
+
+
 def _encode_token(b: bytes, ranks: dict[tuple[int, int], int]) -> list[int]:
     """GPT-2-style single-token encode: repeatedly merge the
     lowest-rank adjacent pair until none applies."""
@@ -198,15 +216,10 @@ class BPETokenizer:
 
     def vocab(self) -> list[bytes]:
         """id -> byte string, ids 0..vocab_size-1."""
-        out = [bytes([i]) for i in range(256)]
-        for a, b in self.merges:
-            out.append(out[int(a)] + out[int(b)])
-        return out
+        return _vocab_of(self.merges)
 
     def _ranks(self) -> dict[tuple[int, int], int]:
-        return {
-            (int(a), int(b)): i for i, (a, b) in enumerate(self.merges)
-        }
+        return _ranks_of(self.merges)
 
     # -- driver-side reference paths ---------------------------------------
     def encode_text(self, text: str) -> list[int]:
@@ -217,8 +230,7 @@ class BPETokenizer:
         return out
 
     def decode_ids(self, ids) -> str:
-        v = self.vocab()
-        return b"".join(v[int(i)] for i in ids).decode("utf-8")
+        return _decode_ids(self.vocab(), ids)
 
     # -- distributed encode / decode ---------------------------------------
     def encode(self, df, text_col: str, out_col: str = "tokens"):
@@ -238,10 +250,7 @@ class BPETokenizer:
         bcast = sc.broadcast(self.merges)
 
         def _enc(col: pa.Array) -> pa.Array:
-            merges = bcast.value
-            ranks = {
-                (int(a), int(b)): i for i, (a, b) in enumerate(merges)
-            }
+            ranks = _ranks_of(bcast.value)
             cache: dict[str, list[int]] = {}
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -267,8 +276,15 @@ class BPETokenizer:
         pretoks = F.regexp_extract_all(
             F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
         )
+        # NULL text stays NULL (not a 0-token example): the when-guard
+        # nulls the UDF result JVM-side, preserving null-ness through
+        # the encode->decode round trip
         return df.withColumn(
-            out_col, arrow_udf(_enc, ArrayType(IntegerType()))(pretoks)
+            out_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                arrow_udf(_enc, ArrayType(IntegerType()))(pretoks),
+            ),
         )
 
     def decode(self, df, tokens_col: str, out_col: str = "text"):
@@ -287,12 +303,7 @@ class BPETokenizer:
             out = []
             for row in col:
                 ids = row.as_py()
-                if ids is None:
-                    out.append(None)
-                else:
-                    out.append(
-                        b"".join(v[int(i)] for i in ids).decode("utf-8")
-                    )
+                out.append(None if ids is None else _decode_ids(v, ids))
             return pa.array(out, type=pa.string())
 
         return df.withColumn(

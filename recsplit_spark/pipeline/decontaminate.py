@@ -78,6 +78,43 @@ def benchmark_windows(bench_df, col: str = "tokens", n: int = 13):
     )
 
 
+def window_pairs(df, id_col: str, col: str, n: int = 13):
+    """One row per n-token window occurrence:
+    ``DataFrame[<id_col>, h1, h2]`` under the SAME 128-bit hash-pair
+    contract as ``benchmark_windows`` — the distributed-join side of
+    the probe machinery for when BOTH relations are corpus-scale and
+    neither may gather to the driver (e.g. ``splits.split_leakage``'s
+    join method). No kernel-level dedup: downstream counts are
+    per-occurrence, matching ``contamination``'s semantics."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.multi import _flat_ngram_hashes_pos, _series_to_flat
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _pairs(batches):
+        for pdf in batches:
+            flat, lens = _series_to_flat(pdf["__arr"])
+            h1, pos = _flat_ngram_hashes_pos(flat, lens, n)
+            if len(h1) == 0:
+                continue
+            h2 = _second_window_hash(flat, pos, n)
+            n_sh = np.maximum(lens - n + 1, 0)
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__id": ids[doc_of],
+                    "h1": h1.view(np.int64),
+                    "h2": h2.view(np.int64),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(col).alias("__arr")
+    ).mapInPandas(_pairs, schema=f"__id {id_type}, h1 long, h2 long")
+
+
 def _contam_counts(df, id_col, col, n, bench_pdf, waves):
     """Per-doc contaminated-window counts: DataFrame[<id_col>, cnt] with
     one row per CONTAMINATED doc (clean docs emit nothing — the shuffle

@@ -181,11 +181,21 @@ def with_bigram_stats(
     never shuffle, only the O(docs) partial rows do. Outputs: exact
     integers ``n_bigrams`` / ``n_bigram_hits`` (pairs found in the
     table with an in-vocab left word) and the float
-    ``mean_log2p_bigram`` (null for docs with < 2 words)."""
-    totals = vocab.agg(
-        F.sum("count").alias("t"), F.count("*").alias("v")
-    ).collect()[0]
-    total, v = int(totals["t"] or 0), int(totals["v"])
+    ``mean_log2p_bigram`` (null for docs with < 2 words).
+
+    The capped vocab is materialized ONCE (it is driver-sized by the
+    ``top_vocab`` contract — it gets broadcast anyway) and reused for
+    the totals and both lookup sides, so an uncached ``vocab`` argument
+    does not re-run its word-count shuffle three times."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(
+            f"lam must be in (0, 1) (got {lam}): lam=1 makes unseen "
+            "pairs log2(0) and lam=0 is with_unigram_stats"
+        )
+    spark = df.sparkSession
+    vrows = vocab.select("word", "count").collect()
+    total = sum(int(r["count"]) for r in vrows)
+    v = len(vrows)
     denom = float(total + v + 1)
 
     pairs = df.select(
@@ -197,10 +207,14 @@ def with_bigram_stats(
         bigrams.select("w1", "w2", F.col("count").alias("c12"))
     )
     v1 = F.broadcast(
-        vocab.select(F.col("word").alias("w1"), F.col("count").alias("c1"))
+        spark.createDataFrame(vrows, vocab.schema).select(
+            F.col("word").alias("w1"), F.col("count").alias("c1")
+        )
     )
     v2 = F.broadcast(
-        vocab.select(F.col("word").alias("w2"), F.col("count").alias("c2"))
+        spark.createDataFrame(vrows, vocab.schema).select(
+            F.col("word").alias("w2"), F.col("count").alias("c2")
+        )
     )
     j = (
         pairs.join(bg, ["w1", "w2"], "left")

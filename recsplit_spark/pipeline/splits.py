@@ -94,6 +94,7 @@ def split_leakage(
     holdout: tuple = ("val", "test"),
     n: int = 13,
     waves: int = 1,
+    method: str = "probe",
 ):
     """Leakage audit across an assigned split: the NON-holdout rows plus
     ``contam_windows`` / ``contaminated`` marking docs that share any
@@ -101,18 +102,43 @@ def split_leakage(
     is exactly the eval-set leakage a split by doc id cannot see (the
     same passage pasted into two docs gets two ids and two splits).
 
-    Pure composition of the decontamination probe: the holdout side
-    indexes ONCE into the 16 B/window hash-pair set (broadcast,
-    wave-sliced when huge) and the train side is one scan checking
-    every window — zero row shuffle on either side, so the audit costs
-    one read of each slice at any corpus size. Drop or cut the flagged
-    docs with ``decontaminate.decontaminate`` using the same holdout
-    windows if the audit fires."""
+    ``method='probe'`` composes the decontamination probe: the holdout
+    windows gather to a driver hash-pair set (16 B/window, wave-sliced
+    broadcast) and the train side is one zero-shuffle scan. Right when
+    the holdout is benchmark-sized — a FIXED eval set, the common case.
+    ``method='join'`` is the corpus-scale path for when the holdout is
+    a fixed FRACTION of the corpus (a 10% split of 10^12 docs does not
+    gather anywhere): both sides emit 24 B/window (id, h1, h2) rows and
+    an inner hash-join + per-doc count replaces the probe — one shuffle
+    of window hashes, never token arrays. Both methods return identical
+    rows (tested). Drop or cut the flagged docs with
+    ``decontaminate.decontaminate`` using the same holdout windows."""
     from pyspark.sql import functions as F
 
-    from .decontaminate import benchmark_windows, contamination
+    from .decontaminate import benchmark_windows, contamination, window_pairs
 
     held = df.filter(F.col(split_col).isin(list(holdout)))
     rest = df.filter(~F.col(split_col).isin(list(holdout)))
-    bw = benchmark_windows(held, col=col, n=n)
-    return contamination(rest, bw, id_col=id_col, col=col, n=n, waves=waves)
+    if method == "probe":
+        bw = benchmark_windows(held, col=col, n=n)
+        return contamination(rest, bw, id_col=id_col, col=col, n=n,
+                             waves=waves)
+    if method != "join":
+        raise ValueError(f"method must be 'probe' or 'join' (got {method!r})")
+    held_w = window_pairs(held, id_col, col, n).select("h1", "h2").distinct()
+    counts = (
+        window_pairs(rest, id_col, col, n)
+        .join(held_w, ["h1", "h2"], "inner")
+        .groupBy("__id")
+        .agg(F.count("*").alias("__c"))
+    )
+    joined = rest.join(
+        counts.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+    return (
+        joined.withColumn(
+            "contam_windows", F.coalesce(F.col("__c"), F.lit(0)).cast("int")
+        )
+        .withColumn("contaminated", F.col("contam_windows") > 0)
+        .select(*rest.columns, "contam_windows", "contaminated")
+    )

@@ -319,11 +319,14 @@ def main() -> int:
     # slot logic mirrors step 4.
     m_pack = None
     if args.pack_capacity:
+        import hashlib
+
         from pyspark.sql import functions as F
 
         from recsplit_spark.pipeline import packing as _packing
 
         clean = spark.read.parquet(out_slot)
+        tok_sha = None
         if args.mode == "text":
             if not args.tokenizer:
                 raise SystemExit(
@@ -333,11 +336,35 @@ def main() -> int:
             from recsplit_spark.pipeline.bpe import BPETokenizer
 
             with open(args.tokenizer, "rb") as fh:
-                tok = BPETokenizer.from_bytes(fh.read())
+                blob = fh.read()
+            tok_sha = hashlib.sha256(blob).hexdigest()
+            tok = BPETokenizer.from_bytes(blob)
             clean = tok.encode(clean, args.text_col, out_col="tokens")
             tok_col = "tokens"
         else:
             tok_col = args.text_col
+
+        # the packed store pins its config like every sibling state dir:
+        # a replay (or a later batch) under a different capacity/mode/
+        # tokenizer would silently mix incompatible examples — refuse
+        packed_root = args.packed_out or args.out.rstrip("/") + "_packed"
+        pack_cfg = (int(args.pack_capacity), args.pack_mode, tok_sha)
+        cfg_schema = "capacity int, pack_mode string, tokenizer_sha string"
+        if _dir_exists(spark, f"{packed_root}/_manifest"):
+            r = spark.read.parquet(f"{packed_root}/_manifest").collect()[0]
+            pinned = (int(r["capacity"]), r["pack_mode"], r["tokenizer_sha"])
+            if pinned != pack_cfg:
+                raise SystemExit(
+                    f"packed-output manifest mismatch at {packed_root}: "
+                    f"committed {pinned} != requested {pack_cfg}; pack "
+                    "into a fresh --packed-out instead of mixing configs"
+                )
+        else:
+            spark.createDataFrame(
+                [pack_cfg], cfg_schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{packed_root}/_manifest"
+            )
         packer = (_packing.pack_bins if args.pack_mode == "bins"
                   else _packing.pack_concat)
         packed = packer(
@@ -347,17 +374,14 @@ def main() -> int:
             col=tok_col,
         )
         if args.batch_id is not None:
-            pack_slot = (
-                f"{(args.packed_out or args.out.rstrip('/') + '_packed')}"
-                f"/batch={args.batch_id}"
-            )
+            pack_slot = f"{packed_root}/batch={args.batch_id}"
             pack_already = already and _dir_exists(
                 spark, f"{pack_slot}/_SUCCESS"
             )
             if not pack_already:
                 packed.write.mode("overwrite").parquet(pack_slot)
         else:
-            pack_slot = args.packed_out or args.out.rstrip("/") + "_packed"
+            pack_slot = f"{packed_root}/data"
             packed.write.mode("error").parquet(pack_slot)
         st = spark.read.parquet(pack_slot).agg(
             F.count("*").alias("bins"),

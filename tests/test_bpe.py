@@ -65,7 +65,10 @@ def test_train_is_deterministic(spark):
     a = BPETokenizer.train(df, "text", vocab_size=300)
     b = BPETokenizer.train(df.repartition(7), "text", vocab_size=300)
     np.testing.assert_array_equal(a.merges, b.merges)
-    assert a.vocab_size == 300 or a.vocab_size < 300  # may exhaust pairs
+    # the tiny fixture's merge space exhausts at exactly 21 merges (sum
+    # of per-distinct-pre-token (bytes - 1)); a trainer regression that
+    # stops early (or a heap bug) moves this number
+    assert a.vocab_size == 277
 
 
 def test_distributed_encode_matches_driver_and_roundtrips(spark):
@@ -87,11 +90,16 @@ def test_roundtrip_exact_on_unicode(spark):
         (1, "数据 管道 🚀 test"),
         (2, ""),
         (3, "  spaces\tand\nnewlines  "),
+        (4, None),  # NULL text must stay NULL, never become 0 tokens
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     tok = BPETokenizer.train(_corpus(spark), "text", vocab_size=270)
-    out = tok.decode(tok.encode(df, "text"), "tokens", out_col="text2")
+    enc = tok.encode(df, "text")
+    assert enc.filter("doc_id = 4").collect()[0]["tokens"] is None
+    out = tok.decode(enc, "tokens", out_col="text2")
     assert out.filter(F.col("text2") != F.col("text")).count() == 0
+    assert out.filter("doc_id = 4").collect()[0]["text2"] is None
+    df = df.filter("text is not null")
     # byte-level base alphabet: ids always < vocab_size, no UNK ever
     mx = tok.encode(df, "text").select(
         F.max(F.array_max("tokens")).alias("m")

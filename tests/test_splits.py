@@ -143,3 +143,45 @@ def test_split_leakage_flags_planted_overlap(spark):
     audited = {r["doc_id"] for r in audit.collect()}
     assert by_split[val_id] != "train" and val_id not in audited
     assert audited == {i for i in range(40) if by_split[i] == "train"}
+
+
+def test_split_leakage_join_method_matches_probe(spark):
+    """The corpus-scale join path returns row-identical results to the
+    driver-probe path (same hash-pair contract on both sides)."""
+    from recsplit_spark.pipeline.splits import split_leakage
+
+    rows = [(i, [1000 * i + j for j in range(30)]) for i in range(60)]
+    labeled = stratified_split(
+        spark.createDataFrame(rows, "doc_id long, tokens array<int>"),
+        "doc_id",
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+    by_split = {
+        r["doc_id"]: r["split"] for r in labeled.select("doc_id", "split").collect()
+    }
+    train_ids = [i for i in range(60) if by_split[i] == "train"]
+    val_id = next(i for i in range(60) if by_split[i] == "val")
+    rows2 = []
+    for i, toks in rows:
+        if i in train_ids[:3]:  # plant into three train docs
+            toks = toks[:5] + [1000 * val_id + j for j in range(13)] + toks[18:]
+        rows2.append((i, toks))
+    labeled2 = stratified_split(
+        spark.createDataFrame(rows2, "doc_id long, tokens array<int>"),
+        "doc_id",
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+    probe = sorted(
+        (r["doc_id"], r["contam_windows"], r["contaminated"])
+        for r in split_leakage(labeled2, "doc_id", "tokens").collect()
+    )
+    join = sorted(
+        (r["doc_id"], r["contam_windows"], r["contaminated"])
+        for r in split_leakage(
+            labeled2, "doc_id", "tokens", method="join"
+        ).collect()
+    )
+    assert probe == join
+    assert sum(1 for _, _, c in probe if c) == 3
+    with pytest.raises(ValueError, match="probe.*join|join.*probe"):
+        split_leakage(labeled2, "doc_id", "tokens", method="nope")
