@@ -275,6 +275,76 @@ class PQCodec:
         scored = self.score(encoded_df, query, code_col=code_col)
         return scored.orderBy(F.desc("pq_score")).limit(k)
 
+    def search_many(self, encoded_df, queries, k: int = 10,
+                    code_col: str = "pq_code", id_col: str = "vec_id"):
+        """Batched ADC top-k for Q queries in ONE scan of the codes —
+        the serving shape: per-BATCH partial top-k per query inside the
+        Arrow kernel (only Q*k rows per batch ever leave an executor,
+        not Q scores per vector), then one tiny global reduce
+        (Window row_number over ~batches * Q * k rows). Returns
+        ``DataFrame[qid int, <id_col>, pq_score float]`` with k rows
+        per query, ordered within each query by score desc; values
+        match ``search`` per query (tested). LUTs stack to a
+        (Q, m, ks) float32 tensor shipped in the task closure —
+        96 KB/query at m=96/ks=256, so batch a few hundred queries per
+        call and chunk above that."""
+        import pandas as pd
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        luts = np.stack([self._lut(q) for q in queries])  # (Q, m, ks)
+        nq, m = len(queries), self.m
+        j_idx = np.arange(m)[None, :]
+        id_type = encoded_df.schema[id_col].dataType.simpleString()
+
+        def _topk(batches):
+            for b in batches:
+                ids = b.column(0).to_numpy(zero_copy_only=False)
+                codes = _binary_col_to_codes(b.column(1), m)
+                nb = len(codes)
+                if nb == 0:
+                    continue
+                kk = min(k, nb)
+                # (Q, B): gather LUT rows per subspace and sum — chunk B
+                # so the (Q, rows, m) gather stays cache-resident
+                rows = max(1, _SCORE_CHUNK_ELEMS // max(1, nq * m))
+                out_q, out_i, out_s = [], [], []
+                scores = np.empty((nq, nb), dtype=np.float32)
+                for lo in range(0, nb, rows):
+                    hi = min(nb, lo + rows)
+                    scores[:, lo:hi] = luts[:, j_idx, codes[lo:hi]].sum(
+                        axis=2
+                    )
+                part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                for q in range(nq):
+                    out_q.append(np.full(kk, q, dtype=np.int32))
+                    out_i.append(ids[part[q]])
+                    out_s.append(scores[q, part[q]])
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            id_col: np.concatenate(out_i),
+                            "pq_score": np.concatenate(out_s),
+                        }
+                    ),
+                    preserve_index=False,
+                )
+
+        partial = encoded_df.select(id_col, code_col).mapInArrow(
+            _topk, schema=f"qid int, {id_col} {id_type}, pq_score float"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("pq_score"), F.asc(id_col)
+        )
+        return (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search_rerank(self, encoded_df, vec_col: str, query: np.ndarray,
                       k: int = 10, rerank: int = 4,
                       code_col: str = "pq_code"):
@@ -320,6 +390,82 @@ class PQCodec:
         state.pop("_bcast", None)
         state.pop("_bcast_sc", None)
         return state
+
+
+def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
+                       k: int = 10, centroid_col: str = "centroid_id",
+                       code_col: str = "pq_code", id_col: str = "vec_id"):
+    """Batched IVFADC: ONE scan of the UNION of all queries' probe
+    buckets (the IN-filter still prunes directories), each query scored
+    only against its OWN probe set via a (Q, n_centroids) mask inside
+    the kernel, per-batch partial top-k, one Q*k-row global reduce —
+    ``search_many``'s serving shape composed with the IVF funnel.
+    Returns ``DataFrame[qid int, <id_col>, pq_score float]``; per-query
+    rows match the single-query ``ivfadc_search(..., rerank=0)``
+    (tested)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if codec.codebooks is None:
+        raise RuntimeError("fit() first")
+    nq, m = len(queries), codec.m
+    n_cent = index.centroids.shape[0]
+    mask = np.zeros((nq, n_cent), dtype=bool)
+    for qi, q in enumerate(queries):
+        mask[qi, index.probe_ids(q)] = True
+    union = np.flatnonzero(mask.any(axis=0)).tolist()
+    luts = np.stack([codec._lut(q) for q in queries])
+    j_idx = np.arange(m)[None, :]
+    id_type = encoded_df.schema[id_col].dataType.simpleString()
+
+    def _topk(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            codes = _binary_col_to_codes(b.column(1), m)
+            cids = b.column(2).to_numpy(zero_copy_only=False)
+            nb = len(codes)
+            if nb == 0:
+                continue
+            rows = max(1, _SCORE_CHUNK_ELEMS // max(1, nq * m))
+            scores = np.empty((nq, nb), dtype=np.float32)
+            for lo in range(0, nb, rows):
+                hi = min(nb, lo + rows)
+                scores[:, lo:hi] = luts[:, j_idx, codes[lo:hi]].sum(axis=2)
+            scores[~mask[:, cids]] = -np.inf  # outside this query's probes
+            kk = min(k, nb)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                s = scores[qi, part[qi]]
+                keep = np.isfinite(s)
+                out_q.append(np.full(int(keep.sum()), qi, dtype=np.int32))
+                out_i.append(ids[part[qi][keep]])
+                out_s.append(s[keep])
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "pq_score": np.concatenate(out_s),
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    partial = (
+        encoded_df.filter(F.col(centroid_col).isin(union))
+        .select(id_col, code_col, F.col(centroid_col).cast("int"))
+        .mapInArrow(
+            _topk, schema=f"qid int, {id_col} {id_type}, pq_score float"
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("pq_score"), F.asc(id_col))
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def ivfadc_search(index, codec: PQCodec, encoded_df, query: np.ndarray,

@@ -256,3 +256,71 @@ def test_unfitted_raises(spark):
         codec.score(df, np.ones(32))
     with pytest.raises(RuntimeError, match="fit"):
         codec.to_bytes()
+
+
+def test_search_many_matches_per_query_search(spark):
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    x = _clustered(n=700)
+    df = _to_df(spark, x)
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(df, "embedding").cache()
+    queries = [x[3], x[100], x[555], x[9]]
+    many = codec.search_many(enc, queries, k=10).collect()
+    assert len(many) == 4 * 10
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], round(r["pq_score"], 5)))
+    for qi, q in enumerate(queries):
+        want = {
+            (r["vec_id"], round(r["pq_score"], 5))
+            for r in codec.search(enc, q, k=10).collect()
+        }
+        got = set(by_q[qi])
+        # ties at the kth score may resolve to different ids; scores
+        # themselves must agree
+        assert sorted(s for _, s in got) == sorted(
+            s for _, s in want
+        ), qi
+        # and non-tied members must coincide
+        kth = min(s for _, s in want)
+        assert {v for v, s in got if s > kth} == {
+            v for v, s in want if s > kth
+        }
+    # one scan: the only exchange is the Q*k-row global reduce
+    plan = (
+        codec.search_many(enc, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    enc.unpersist()
+
+
+def test_ivfadc_search_many_matches_single_query(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ivfadc_search, ivfadc_search_many
+
+    x = _clustered(n=700)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=3, seed=2).fit(df, "embedding")
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(idx.assign(df, "embedding"), "embedding").cache()
+    queries = [x[3], x[100], x[555]]
+    many = ivfadc_search_many(idx, codec, enc, queries, k=8).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["qid"], []).append(
+            (r["vec_id"], round(r["pq_score"], 5))
+        )
+    for qi, q in enumerate(queries):
+        want = {
+            (r["vec_id"], round(r["pq_score"], 5))
+            for r in ivfadc_search(idx, codec, enc, q, k=8).collect()
+        }
+        got = set(by_q[qi])
+        kth = min(s for _, s in want)
+        assert sorted(s for _, s in got) == sorted(s for _, s in want), qi
+        assert {v for v, s in got if s > kth} == {v for v, s in want if s > kth}
+    enc.unpersist()
