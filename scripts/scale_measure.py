@@ -849,6 +849,13 @@ def task_pqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
         t0 = time.time()
         brute_force_topk(vec, "embedding", q, 10).collect()
         bf_best = min(bf_best, time.time() - t0)
+    # serving shape: 64 queries amortized over ONE scan (search_many)
+    q64 = np.random.default_rng(6).standard_normal((64, dim))
+    many_best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        codec.search_many(enc, list(q64), k=10).collect()
+        many_best = min(many_best, time.time() - t0)
     probe_after = host_probe_ms()
     enc.unpersist()
     vec.unpersist()
@@ -866,6 +873,9 @@ def task_pqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
         "adc_search_sec_best": round(adc_best, 2),
         "bruteforce_search_sec_best": round(bf_best, 2),
         "adc_vs_bruteforce": round(bf_best / adc_best, 2),
+        "search_many_64q_sec_best": round(many_best, 2),
+        "search_many_ms_per_query": round(many_best / 64 * 1000, 2),
+        "batch_amortization_x": round(adc_best * 64 / many_best, 1),
         "probe_before": probe_before,
         "probe_after": probe_after,
         "cores": cores,
