@@ -99,6 +99,42 @@ def _chunked_argmin_l2(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fit_subspace_codebooks(xs: np.ndarray, ks: int, iters: int,
+                            rng) -> np.ndarray:
+    """Per-subspace vectorized Lloyd over (n, m, dsub) training data ->
+    (m, ks, dsub) float64 codebooks (scatter-add update, chunked
+    argmin-L2 assignment; empty clusters keep their previous centroid).
+    Shared by the raw-vector and residual codecs."""
+    n, m, dsub = xs.shape
+    cb = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(xs[:, j, :])
+        c = sub[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            a = _chunked_argmin_l2(sub, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=ks)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
+        cb[j] = c
+    return cb
+
+
+def _encode_codes(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, d) data + (m, ks, dsub) float32/64 codebooks -> (n, m) uint8
+    codes (chunked argmin-L2 per subspace)."""
+    n = len(x)
+    m, _, dsub = cb.shape
+    xs = x.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        codes[:, j] = _chunked_argmin_l2(
+            np.ascontiguousarray(xs[:, j, :]), cb[j]
+        )
+    return codes
+
+
 def _make_encode_fn(bcast, m: int):
     """Encode batch fn closing over ONLY the broadcast handle (same
     pickled-closure discipline as ``ann._make_assign_fn``)."""
@@ -114,13 +150,7 @@ def _make_encode_fn(bcast, m: int):
             raise ValueError(
                 f"vector dim {x.shape[1]} != m*dsub = {m * dsub}"
             )
-        xs = x.reshape(n, m, dsub)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            codes[:, j] = _chunked_argmin_l2(
-                np.ascontiguousarray(xs[:, j, :]), cb[j]
-            )
-        return _codes_to_binary_array(codes)
+        return _codes_to_binary_array(_encode_codes(x, cb))
 
     return _encode
 
@@ -170,18 +200,7 @@ class PQCodec:
         xs = x.reshape(len(x), self.m, dsub)
         rng = np.random.default_rng(self.seed)
         ks = min(self.ks, len(x))
-        cb = np.empty((self.m, ks, dsub), dtype=np.float64)
-        for j in range(self.m):
-            sub = np.ascontiguousarray(xs[:, j, :])
-            c = sub[rng.choice(len(sub), size=ks, replace=False)].copy()
-            for _ in range(self.iters):
-                a = _chunked_argmin_l2(sub, c)
-                sums = np.zeros_like(c)
-                np.add.at(sums, a, sub)
-                counts = np.bincount(a, minlength=ks)
-                nz = counts > 0
-                c[nz] = sums[nz] / counts[nz, None]
-            cb[j] = c
+        cb = _fit_subspace_codebooks(xs, ks, self.iters, rng)
         # quantize to float32 at the training boundary: encode broadcasts
         # float32 anyway, and this makes to_bytes lossless (a freshly
         # fitted and a deserialized codec produce bit-identical codes and
