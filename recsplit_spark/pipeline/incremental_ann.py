@@ -125,6 +125,15 @@ class IncrementalANN:
             k, d = self._index.centroids.shape
             csha = None
             if self._codec is not None:
+                if getattr(self._codec, "needs_centroid", False) and (
+                    _centroid_sha(self._codec.index)
+                    != _centroid_sha(self._index)
+                ):
+                    raise RuntimeError(
+                        "residual PQ codec was fitted against a different "
+                        "centroid set than the store's index; fit it on "
+                        "this index (codes would silently misscore)"
+                    )
                 blob = self._codec.to_bytes()
                 csha = hashlib.sha256(blob).hexdigest()
                 spark.createDataFrame(
@@ -147,14 +156,18 @@ class IncrementalANN:
             self._index = IVFIndex.load(spark, f"{self.path}/index")
         pinned_codec = rd.get("codec_sha")
         if self._codec is None and pinned_codec is not None:
-            from .pq import PQCodec
+            from .pq import codec_from_bytes
 
             blob = bytes(
                 spark.read.parquet(f"{self.path}/pq_codec").collect()[0][
                     "codec"
                 ]
             )
-            self._codec = PQCodec.from_bytes(blob)
+            # magic dispatch: PQC1 raw codec or PQR1 residual codec (the
+            # latter sha-checks the index we just loaded — the manifest's
+            # centroid pin makes that check a tautology here, but a
+            # hand-swapped index dir still fails loudly)
+            self._codec = codec_from_bytes(blob, self._index)
         pinned = (r["id_col"], r["vec_col"], r["n_centroids"], r["dim"],
                   r["centroid_sha"], pinned_codec)
         k, d = self._index.centroids.shape
@@ -522,11 +535,15 @@ class IncrementalANN:
         ``index=None`` refits on the stored corpus with the old
         geometry (same n_centroids/nprobe, a fresh seed offset) — the
         drift correction; pass a fitted ``IVFIndex`` to choose the
-        geometry yourself. ``codec='keep'`` re-pins the old PQ codec
-        (valid across ANY re-index: codes quantize the raw normalized
-        vectors, not residuals, so they are centroid-independent);
-        ``codec=None`` drops the sidecar; a fitted ``PQCodec`` re-pins
-        a new one.
+        geometry yourself. ``codec='keep'`` re-pins a raw ``PQCodec``
+        as-is (raw codes quantize the normalized vectors, so they are
+        centroid-independent), but REFITS a ``ResidualPQ`` with the same
+        config against the new centroids on the stored corpus — residual
+        codes are defined relative to the centroid set, so "keep" keeps
+        the codec CONFIG, never stale index-coupled codebooks.
+        ``codec=None`` drops the sidecar; a fitted codec re-pins a new
+        one (a residual codec must be fitted against the compaction
+        index — a mismatched one is refused).
 
         Validation precedes visibility, like every compaction in the
         family: the target must have no committed lineage and the
@@ -564,6 +581,29 @@ class IncrementalANN:
                 seed=self._index.seed + 1,
             ).fit(vecs, self._vec_col)
         new_codec = self._codec if codec == "keep" else codec
+        if new_codec is not None and getattr(
+            new_codec, "needs_centroid", False
+        ):
+            if codec == "keep":
+                # residual codebooks are coupled to the OLD centroid set:
+                # keep the config, refit against the new index (one extra
+                # sample gather — driver-sized, like the index refit)
+                from .pq import ResidualPQ
+
+                new_codec = ResidualPQ(
+                    index,
+                    m=new_codec.m,
+                    ks=new_codec.ks,
+                    iters=new_codec.iters,
+                    seed=new_codec.seed,
+                ).fit(vecs, self._vec_col)
+            elif _centroid_sha(new_codec.index) != _centroid_sha(index):
+                raise RuntimeError(
+                    "residual PQ codec passed to compact() was fitted "
+                    "against a different centroid set than the compaction "
+                    "index; fit it on the new index (codes would silently "
+                    "misscore)"
+                )
         new = IncrementalANN(out_path, index=index, codec=new_codec)
         m = new.append(vecs, self._id_col, self._vec_col)
         return new, {

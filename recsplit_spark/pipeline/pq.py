@@ -30,6 +30,7 @@ ANN/vector component; this module extends the pipeline the same way
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 import numpy as np
@@ -37,6 +38,7 @@ import pyarrow as pa
 
 from .ann import (
     _SCORE_CHUNK_ELEMS,
+    _chunked_argmax_scores,
     _cosine_expr,
     _list_col_to_matrix,
     _normalize_rows,
@@ -49,6 +51,12 @@ from .ann import (
 #: a new magic, never a reinterpretation of PQC1 bytes.
 _HDR = struct.Struct("<4sIIIII")
 _MAGIC = b"PQC1"
+#: residual codec: same header, followed by the 32-byte sha256 of the
+#: float32 centroid matrix the residuals were taken against — residual
+#: codes are meaningless under any other centroid set, so decode REFUSES
+#: a mismatched index (never adapts), mirroring IncrementalANN's
+#: centroid_sha manifest pin.
+_MAGIC_R = b"PQR1"
 
 
 def _binary_col_to_codes(col, m: int) -> np.ndarray:
@@ -167,6 +175,10 @@ class PQCodec:
     k*rerank candidates with exact JVM-side cosine (the standard
     PQ-then-refine recipe).
     """
+
+    #: raw-vector codes: score needs only the code column (ResidualPQ
+    #: sets True — its scores need the centroid-id column too)
+    needs_centroid = False
 
     def __init__(self, m: int = 8, ks: int = 256, iters: int = 12, seed: int = 7):
         if not (2 <= ks <= 256):
@@ -411,6 +423,271 @@ class PQCodec:
         return state
 
 
+def _make_residual_encode_fn(bcast, m: int):
+    """Residual-encode batch fn: normalize, subtract the assigned
+    centroid, quantize the residual. Closes over ONLY the broadcast
+    handle carrying (codebooks f32, centroids f32)."""
+
+    def _encode(v: pa.Array, cid: pa.Array) -> pa.Array:
+        cb, cent = bcast.value  # (m, ks, dsub) f32, (k, d) f32
+        x = _normalize_rows(_list_col_to_matrix(v, np.float32))
+        n = len(x)
+        if n == 0:
+            return _codes_to_binary_array(np.empty((0, m), dtype=np.uint8))
+        dsub = cb.shape[2]
+        if x.shape[1] != m * dsub:
+            raise ValueError(
+                f"vector dim {x.shape[1]} != m*dsub = {m * dsub}"
+            )
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        if cid.null_count:
+            raise ValueError("centroid-id column contains nulls")
+        c = cid.to_numpy(zero_copy_only=False).astype(np.int64)
+        x -= cent[c]
+        return _codes_to_binary_array(_encode_codes(x, cb))
+
+    return _encode
+
+
+class ResidualPQ:
+    """Residual product quantization — IVFADC proper (Jegou, Douze &
+    Schmid 2011 §V): codes quantize the RESIDUAL ``x - c_cid`` of each
+    (normalized) vector against its assigned IVF centroid, not the raw
+    vector. Residuals concentrate near the origin, so the same ``m``
+    bytes spend their resolution on a much smaller cell — reconstruction
+    error (and hence ADC ranking error) drops versus raw-vector PQ on
+    clustered data (tested).
+
+    Cosine/IP makes the bucket coupling cheap: ``<q, x> ≈ <q, c_cid> +
+    sum_j LUT[j, code_j]`` — ONE LUT for all buckets (identical to raw
+    PQ) plus a per-bucket scalar bias ``<q, c_i>``, so scoring stays a
+    byte gather + one float add. (Under L2 the LUT would be per-probed
+    bucket; the cosine contract avoids that entirely.)
+
+    The centroid set is PART of the code semantics: ``to_bytes`` embeds
+    sha256 of the float32 centroid matrix and ``from_bytes`` refuses a
+    mismatched index — the same refuse-don't-adapt contract as
+    ``IncrementalANN``'s centroid pin. ``score``/``search`` therefore
+    require the centroid-id column (``needs_centroid = True``);
+    ``ivfadc_search``/``ivfadc_search_many`` carry it automatically.
+    """
+
+    needs_centroid = True
+
+    def __init__(self, index, m: int = 8, ks: int = 256, iters: int = 12,
+                 seed: int = 7):
+        if not (2 <= ks <= 256):
+            raise ValueError("ks must be in [2, 256] (codes are uint8)")
+        if getattr(index, "centroids", None) is None:
+            raise ValueError("index must be a fitted IVFIndex")
+        self.index = index
+        self.m = int(m)
+        self.ks = int(ks)
+        self.iters = int(iters)
+        self.seed = int(seed)
+        self.codebooks: np.ndarray | None = None  # (m, ks_eff, dsub) f64
+
+    def _cent32(self) -> np.ndarray:
+        return np.ascontiguousarray(self.index.centroids, dtype=np.float32)
+
+    # -- training --------------------------------------------------------
+    def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "ResidualPQ":
+        """Train per-subspace codebooks on the RESIDUALS of an
+        Arrow-gathered sample. Assignment uses the same float32 centroid
+        precision as ``IVFIndex.assign`` so training-side cells match the
+        encode-side cells exactly."""
+        n = df.count()
+        frac = min(1.0, sample_size / max(1, n))
+        col = df.select(vec_col)
+        tbl = (col if frac >= 1.0 else col.sample(frac, seed=self.seed)).toArrow()
+        x = _list_col_to_matrix(tbl.column(0), np.float64)
+        if len(x) == 0:
+            raise ValueError("cannot fit residual PQ on an empty DataFrame")
+        _normalize_rows(x)
+        d = x.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        cent = self._cent32()
+        if cent.shape[1] != d:
+            raise ValueError(
+                f"vector dim {d} != index centroid dim {cent.shape[1]}"
+            )
+        a = _chunked_argmax_scores(
+            x.astype(np.float32), np.ascontiguousarray(cent.T)
+        )
+        r = x - cent[a].astype(np.float64)
+        xs = r.reshape(len(x), self.m, d // self.m)
+        rng = np.random.default_rng(self.seed)
+        ks = min(self.ks, len(x))
+        cb = _fit_subspace_codebooks(xs, ks, self.iters, rng)
+        # float32 at the training boundary, same rationale as PQCodec:
+        # to_bytes is lossless, fitted == deserialized bit-for-bit
+        self.codebooks = cb.astype(np.float32).astype(np.float64)
+        old = getattr(self, "_bcast", None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — originating context may be gone
+                pass
+            self._bcast = None
+            self._bcast_sc = None
+        return self
+
+    # -- encode ----------------------------------------------------------
+    def _state_broadcast(self, df):
+        # one broadcast per fitted codec carrying (codebooks, centroids)
+        # float32, session-keyed like PQCodec/IVFIndex
+        sc = df.sparkSession.sparkContext
+        bcast = getattr(self, "_bcast", None)
+        if bcast is None or getattr(self, "_bcast_sc", None) is not sc:
+            bcast = sc.broadcast(
+                (
+                    np.ascontiguousarray(self.codebooks, dtype=np.float32),
+                    self._cent32(),
+                )
+            )
+            self._bcast = bcast
+            self._bcast_sc = sc
+        return bcast
+
+    def encode(self, df, vec_col: str, centroid_col: str = "centroid_id",
+               out_col: str = "pq_code"):
+        """Add the m-byte residual-PQ code column. ``df`` must already
+        carry the centroid-id column from ``index.assign`` (the
+        IncrementalANN append path and ``IVFIndex.assign`` output both
+        do). Still ONE arrow_udf projection, zero shuffle."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import BinaryType
+
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        bcast = self._state_broadcast(df)
+        _enc = arrow_udf(_make_residual_encode_fn(bcast, self.m), BinaryType())
+        return df.withColumn(out_col, _enc(vec_col, centroid_col))
+
+    # -- search ----------------------------------------------------------
+    def _lut(self, query: np.ndarray) -> np.ndarray:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        dsub = self.codebooks.shape[2]
+        qs = q.reshape(self.m, dsub)
+        return np.einsum(
+            "jd,jkd->jk", qs, self.codebooks, optimize=True
+        ).astype(np.float32)
+
+    def _bias(self, query: np.ndarray) -> np.ndarray:
+        """(n_centroids,) float32 per-bucket bias ``<q_hat, c_i>``."""
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        return (self._cent32() @ q.astype(np.float32)).astype(np.float32)
+
+    def score(self, encoded_df, query: np.ndarray, code_col: str = "pq_code",
+              out_col: str = "pq_score", centroid_col: str = "centroid_id"):
+        """ADC approximate-cosine column for one query: LUT gather-sum
+        plus the per-bucket bias. LUT + bias ship in the task closure
+        (LUT <= 96 KB as in PQCodec; bias is 4 B/centroid — at the
+        auto-sqrt(n) operating point slice it to the probe union first,
+        which ``ivfadc_search`` does by construction via its bucket
+        filter)."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import FloatType
+
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        lut = self._lut(query)
+        bias = self._bias(query)
+        m = self.m
+        j_idx = np.arange(m)[None, :]
+
+        def _adc(codes: pa.Array, cid: pa.Array) -> pa.Array:
+            c = _binary_col_to_codes(codes, m)
+            if len(c) == 0:
+                return pa.array(np.empty(0, dtype=np.float32), type=pa.float32())
+            if isinstance(cid, pa.ChunkedArray):
+                cid = cid.combine_chunks()
+            ci = cid.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.array(
+                lut[j_idx, c].sum(axis=1) + bias[ci], type=pa.float32()
+            )
+
+        return encoded_df.withColumn(
+            out_col, arrow_udf(_adc, FloatType())(code_col, centroid_col)
+        )
+
+    def search(self, encoded_df, query: np.ndarray, k: int = 10,
+               code_col: str = "pq_code", centroid_col: str = "centroid_id"):
+        """ADC top-k over (already probe-filtered) encoded rows — same
+        shape as ``PQCodec.search`` plus the bias column read. Prefer
+        ``ivfadc_search(index, codec, ...)`` which applies the probe
+        filter for you."""
+        from pyspark.sql import functions as F
+
+        scored = self.score(
+            encoded_df, query, code_col=code_col, centroid_col=centroid_col
+        )
+        return scored.orderBy(F.desc("pq_score")).limit(k)
+
+    # -- persistence -------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        """PQR1 header + centroid sha256 + float32 codebook bytes."""
+        if self.codebooks is None:
+            raise RuntimeError("fit() first")
+        m, ks, dsub = self.codebooks.shape
+        hdr = _HDR.pack(_MAGIC_R, m, ks, dsub, self.iters, self.seed)
+        sha = hashlib.sha256(self._cent32().tobytes()).digest()
+        return hdr + sha + np.ascontiguousarray(
+            self.codebooks, dtype=np.float32
+        ).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, index) -> "ResidualPQ":
+        """Rehydrate against ``index`` — REFUSES (never adapts) if the
+        index's centroid set is not the one the codes were trained
+        against; residual codes under another centroid set are garbage
+        that would silently scan as valid scores."""
+        magic, m, ks, dsub, iters, seed = _HDR.unpack_from(data, 0)
+        if magic != _MAGIC_R:
+            raise ValueError(f"bad residual PQ codec magic {magic!r}")
+        sha = bytes(data[_HDR.size : _HDR.size + 32])
+        cent = np.ascontiguousarray(index.centroids, dtype=np.float32)
+        want = hashlib.sha256(cent.tobytes()).digest()
+        if sha != want:
+            raise ValueError(
+                "residual PQ codec was trained against a different "
+                "centroid set than the given index; refusing to decode "
+                "(codes would silently misscore)"
+            )
+        body = np.frombuffer(data, dtype=np.float32, offset=_HDR.size + 32)
+        if body.size != m * ks * dsub:
+            raise ValueError("PQ codec byte length does not match header")
+        codec = cls(index, m=m, ks=ks, iters=iters, seed=seed)
+        codec.codebooks = body.reshape(m, ks, dsub).astype(np.float64)
+        return codec
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_bcast", None)
+        state.pop("_bcast_sc", None)
+        return state
+
+
+def codec_from_bytes(data: bytes, index=None):
+    """Magic-dispatching codec decode: PQC1 -> ``PQCodec`` (standalone),
+    PQR1 -> ``ResidualPQ`` (requires the index whose centroids the codes
+    were trained against — sha-checked)."""
+    magic = bytes(data[:4])
+    if magic == _MAGIC:
+        return PQCodec.from_bytes(data)
+    if magic == _MAGIC_R:
+        if index is None:
+            raise ValueError(
+                "PQR1 residual codec requires the owning IVF index"
+            )
+        return ResidualPQ.from_bytes(data, index)
+    raise ValueError(f"unknown PQ codec magic {magic!r}")
+
+
 def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
                        k: int = 10, centroid_col: str = "centroid_id",
                        code_col: str = "pq_code", id_col: str = "vec_id"):
@@ -419,9 +696,11 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
     only against its OWN probe set via a (Q, n_centroids) mask inside
     the kernel, per-batch partial top-k, one Q*k-row global reduce —
     ``search_many``'s serving shape composed with the IVF funnel.
-    Returns ``DataFrame[qid int, <id_col>, pq_score float]``; per-query
-    rows match the single-query ``ivfadc_search(..., rerank=0)``
-    (tested)."""
+    Works for both ``PQCodec`` and ``ResidualPQ`` (the residual codec's
+    per-bucket bias is a (Q, n_centroids) float32 gather folded into the
+    same chunk loop). Returns ``DataFrame[qid int, <id_col>, pq_score
+    float]``; per-query rows match the single-query
+    ``ivfadc_search(..., rerank=0)`` (tested)."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -435,6 +714,11 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
         mask[qi, index.probe_ids(q)] = True
     union = np.flatnonzero(mask.any(axis=0)).tolist()
     luts = np.stack([codec._lut(q) for q in queries])
+    bias = (
+        np.stack([codec._bias(q) for q in queries])  # (Q, n_cent) f32
+        if getattr(codec, "needs_centroid", False)
+        else None
+    )
     j_idx = np.arange(m)[None, :]
     id_type = encoded_df.schema[id_col].dataType.simpleString()
 
@@ -451,6 +735,8 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
             for lo in range(0, nb, rows):
                 hi = min(nb, lo + rows)
                 scores[:, lo:hi] = luts[:, j_idx, codes[lo:hi]].sum(axis=2)
+                if bias is not None:
+                    scores[:, lo:hi] += bias[:, cids[lo:hi]]
             scores[~mask[:, cids]] = -np.inf  # outside this query's probes
             kk = min(k, nb)
             part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
@@ -519,16 +805,26 @@ def ivfadc_search(index, codec: PQCodec, encoded_df, query: np.ndarray,
     q = np.asarray(query, dtype=np.float64)
     probe = index.probe_ids(q)
     bucketed = encoded_df.filter(F.col(centroid_col).isin(probe))
+    needs_cent = getattr(codec, "needs_centroid", False)
+
+    def _score(df):
+        if needs_cent:  # ResidualPQ: per-bucket bias needs the cid column
+            return codec.score(
+                df, q, code_col=code_col, centroid_col=centroid_col
+            )
+        return codec.score(df, q, code_col=code_col)
+
     if rerank == 0:
-        scored = codec.score(bucketed, q, code_col=code_col)
+        scored = _score(bucketed)
         return scored.orderBy(F.desc("pq_score")).limit(k)
     if vec_col is None or id_col is None:
         raise ValueError(
             "rerank requires vec_col and id_col (exact-cosine refine "
             "re-fetches candidate rows by id)"
         )
-    cand = codec.score(
-        bucketed.select(id_col, code_col), q, code_col=code_col
+    phase1_cols = [id_col, code_col] + ([centroid_col] if needs_cent else [])
+    cand = _score(
+        bucketed.select(*phase1_cols)
     ).orderBy(F.desc("pq_score")).limit(k * rerank)
     ids = [r[id_col] for r in cand.select(id_col).collect()]
     return (

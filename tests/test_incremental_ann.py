@@ -413,3 +413,72 @@ def test_append_dedup_all_dup_batch_commits_nothing(spark, tmp_path, fitted):
     kept, m = store.append_dedup(dups, threshold=0.9)
     assert m["gen"] is None and m["n_kept"] == 0 and kept.count() == 0
     assert store.total_vectors(spark) == 3
+
+
+def test_residual_codec_store_roundtrip_and_compact(spark, tmp_path, fitted):
+    """A ResidualPQ-pinned store: appends carry residual codes, a fresh
+    handle lazy-loads the codec via magic dispatch (sha-checked against
+    the reloaded index), search_adc matches the one-shot funnel, and
+    compact(codec='keep') REFITS the residual codec against the new
+    centroids instead of carrying stale index-coupled codebooks."""
+    from recsplit_spark.pipeline.pq import ResidualPQ, ivfadc_search
+
+    idx, base = fitted
+    codec = ResidualPQ(idx, m=4, ks=8, seed=3).fit(base, "embedding")
+    inc = IncrementalANN(f"{tmp_path}/rpq", index=idx, codec=codec)
+    inc.append(base.filter(F.col("vec_id") < 300), "vec_id", "embedding")
+    inc.append(base.filter(F.col("vec_id") >= 300))
+    assert inc.total_vectors(spark) == 600
+
+    oneshot = codec.encode(idx.assign(base, "embedding"), "embedding").cache()
+    oneshot.count()
+    q = np.random.default_rng(7).standard_normal(16)
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivfadc_search(
+            idx, codec, oneshot, q, k=10, rerank=4,
+            vec_col="embedding", id_col="vec_id",
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in inc.search_adc(spark, q, k=10, rerank=4).collect()
+    ]
+    assert got == want
+    oneshot.unpersist()
+
+    # fresh handle: codec reloads from the blob as a ResidualPQ
+    inc2 = IncrementalANN(f"{tmp_path}/rpq")
+    reloaded = inc2.codec(spark)
+    assert isinstance(reloaded, ResidualPQ)
+    assert reloaded.to_bytes() == codec.to_bytes()
+    assert inc2.search_adc(spark, q, k=5).count() == 5
+
+    # compact with codec='keep': new centroids -> refit codec, pinned to
+    # the NEW index (old blob would be refused under the new centroids)
+    new, m = inc2.compact(spark, f"{tmp_path}/rpq2")
+    assert m["n"] == 600 and m["codec"]
+    new_codec = new.codec(spark)
+    assert isinstance(new_codec, ResidualPQ)
+    assert new_codec.to_bytes() != codec.to_bytes()
+    assert (new_codec.m, new_codec.ks, new_codec.seed) == (4, 8, 3)
+    assert new.search_adc(spark, q, k=5, rerank=4).count() == 5
+
+
+def test_residual_codec_mismatched_index_refused(spark, tmp_path, fitted):
+    from recsplit_spark.pipeline.pq import ResidualPQ
+
+    idx, base = fitted
+    other = IVFIndex(n_centroids=8, nprobe=3, seed=41).fit(base, "embedding")
+    codec = ResidualPQ(other, m=4, ks=8, seed=3).fit(base, "embedding")
+    bad = IncrementalANN(f"{tmp_path}/badrpq", index=idx, codec=codec)
+    with pytest.raises(RuntimeError, match="different centroid set"):
+        bad.append(base.limit(10), "vec_id", "embedding")
+
+    # explicit mismatched residual codec at compact() is refused too:
+    # the store's codec is pinned to idx, the compaction target is other
+    idx_codec = ResidualPQ(idx, m=4, ks=8, seed=3).fit(base, "embedding")
+    ok = IncrementalANN(f"{tmp_path}/okrpq", index=idx, codec=idx_codec)
+    ok.append(base.limit(50), "vec_id", "embedding")
+    with pytest.raises(RuntimeError, match="different centroid set"):
+        ok.compact(spark, f"{tmp_path}/okrpq2", index=other, codec=idx_codec)

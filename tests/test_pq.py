@@ -324,3 +324,161 @@ def test_ivfadc_search_many_matches_single_query(spark):
         assert sorted(s for _, s in got) == sorted(s for _, s in want), qi
         assert {v for v, s in got if s > kth} == {v for v, s in want if s > kth}
     enc.unpersist()
+
+
+# -- residual PQ (IVFADC proper) ------------------------------------------
+
+
+def _residual_setup(spark, n=800, n_cent=8, m=8, ks=16):
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ResidualPQ
+
+    x = _clustered(n=n)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=n_cent, nprobe=4, seed=2).fit(df, "embedding")
+    codec = ResidualPQ(idx, m=m, ks=ks, seed=5).fit(df, "embedding")
+    enc = codec.encode(idx.assign(df, "embedding"), "embedding")
+    return x, df, idx, codec, enc
+
+
+def test_residual_serde_codes_identical_and_wrong_index_refused(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import (
+        PQCodec,
+        ResidualPQ,
+        codec_from_bytes,
+    )
+
+    x, df, idx, codec, enc = _residual_setup(spark, n=400)
+    blob = codec.to_bytes()
+    back = ResidualPQ.from_bytes(blob, idx)
+    np.testing.assert_array_equal(back.codebooks, codec.codebooks)
+    c1 = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in enc.select("vec_id", "pq_code").collect()
+    )
+    enc2 = back.encode(idx.assign(df, "embedding"), "embedding")
+    c2 = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in enc2.select("vec_id", "pq_code").collect()
+    )
+    assert c1 == c2
+    # magic dispatch
+    assert isinstance(codec_from_bytes(blob, idx), ResidualPQ)
+    raw = PQCodec(m=4, ks=8, seed=5).fit(df, "embedding")
+    assert isinstance(codec_from_bytes(raw.to_bytes()), PQCodec)
+    with pytest.raises(ValueError, match="requires the owning"):
+        codec_from_bytes(blob)
+    # a different centroid set is refused, never adapted
+    other = IVFIndex(n_centroids=8, nprobe=4, seed=99).fit(df, "embedding")
+    with pytest.raises(ValueError, match="different.*centroid"):
+        ResidualPQ.from_bytes(blob, other)
+
+
+def test_residual_adc_beats_raw_pq_accuracy(spark):
+    """The point of residual encoding: on clustered data the same code
+    budget tracks the true cosine tighter than raw-vector PQ (residual
+    cells are much smaller than whole-space cells)."""
+    from recsplit_spark.pipeline.ann import _normalize_rows
+
+    x, df, idx, codec, enc = _residual_setup(spark, n=800, m=8, ks=16)
+    raw = PQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    enc_raw = raw.encode(idx.assign(df, "embedding"), "embedding")
+    xn = _normalize_rows(x.copy())
+    errs = {"residual": [], "raw": []}
+    for qid in (3, 100, 555):
+        q = x[qid]
+        qn = q / np.linalg.norm(q)
+        true = {i: float(xn[i] @ qn) for i in range(len(x))}
+        for name, scored in (
+            ("residual", codec.score(enc, q)),
+            ("raw", raw.score(enc_raw, q)),
+        ):
+            for r in scored.select("vec_id", "pq_score").collect():
+                errs[name].append(abs(r["pq_score"] - true[r["vec_id"]]))
+    mae_res = float(np.mean(errs["residual"]))
+    mae_raw = float(np.mean(errs["raw"]))
+    assert mae_res < mae_raw, (mae_res, mae_raw)
+    # empirically ~0.068 on the seeded fixture (12 true clusters quantized
+    # through 8 coarse centroids); the bound is a regression tripwire
+    assert mae_res < 0.1, mae_res
+
+
+def test_ivfadc_residual_search_recall_and_rerank(spark):
+    from recsplit_spark.pipeline.ann import brute_force_topk
+    from recsplit_spark.pipeline.pq import ivfadc_search
+
+    x, df, idx, codec, enc = _residual_setup(spark)
+    enc = enc.cache()
+    hits = total = 0
+    for qid in (3, 100, 555):
+        q = x[qid]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(df, "embedding", q, 10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivfadc_search(
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding",
+                id_col="vec_id",
+            ).collect()
+        }
+        hits += len(exact & got)
+        total += 10
+        # funnel containment: ADC-only results stay inside probe buckets
+        probe = set(idx.probe_ids(q))
+        in_bucket = {
+            r["vec_id"]
+            for r in ivfadc_search(idx, codec, enc, q, k=10).collect()
+        }
+        members = {
+            r["vec_id"]
+            for r in enc.filter(enc.centroid_id.isin(list(probe))).collect()
+        }
+        assert in_bucket <= members
+    assert hits / total >= 0.8
+    enc.unpersist()
+
+
+def test_ivfadc_search_many_residual_matches_single(spark):
+    from recsplit_spark.pipeline.pq import ivfadc_search, ivfadc_search_many
+
+    x, df, idx, codec, enc = _residual_setup(spark)
+    enc = enc.cache()
+    queries = [x[3], x[100], x[555]]
+    many = ivfadc_search_many(idx, codec, enc, queries, k=8).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["qid"], []).append(
+            (r["vec_id"], round(r["pq_score"], 5))
+        )
+    for qi, q in enumerate(queries):
+        want = {
+            (r["vec_id"], round(r["pq_score"], 5))
+            for r in ivfadc_search(idx, codec, enc, q, k=8).collect()
+        }
+        got = set(by_q[qi])
+        kth = min(s for _, s in want)
+        assert sorted(s for _, s in got) == sorted(s for _, s in want), qi
+        assert {v for v, s in got if s > kth} == {v for v, s in want if s > kth}
+    enc.unpersist()
+
+
+def test_residual_contracts(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ResidualPQ
+
+    x = _clustered(n=100)
+    df = _to_df(spark, x)
+    with pytest.raises(ValueError, match="fitted"):
+        ResidualPQ(IVFIndex(n_centroids=4))
+    idx = IVFIndex(n_centroids=4, nprobe=2, seed=2).fit(df, "embedding")
+    with pytest.raises(ValueError, match="ks"):
+        ResidualPQ(idx, ks=512)
+    codec = ResidualPQ(idx, m=5, ks=8)
+    with pytest.raises(ValueError, match="divisible"):
+        codec.fit(df, "embedding")
+    codec = ResidualPQ(idx, m=4, ks=8)
+    with pytest.raises(RuntimeError, match="fit"):
+        codec.encode(idx.assign(df, "embedding"), "embedding")
