@@ -851,6 +851,99 @@ def _q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (`pipeline.pq.ResidualPQ`): codes quantize the
+    residual x - c_cid against the assigned IVF centroid, scored as
+    <q, c_cid> + ADC LUT sum. Residual encoding pays off exactly when
+    the coarse quantizer captures structure — on the near-uniform
+    synthetic embeddings the residual is LARGER than the vector (mean
+    ||x - c|| ≈ 1.2 vs ||x|| = 1 at 8 centroids/64 dims, measured) —
+    so the query first derives a CLUSTERED corpus deterministically
+    in-engine (each vector shrunk toward its assigned centroid with one
+    JVM zip_with over a broadcast 8-row centroid table; no Python, no
+    external data) and verifies on it: (a) the rerank funnel clears the
+    same 0.5 recall gate as `ivfadc_recall`, (b) the residual codec's
+    ADC scores track the true cosine TIGHTER (lower mean abs error)
+    than a raw `PQCodec` with the identical (m, ks) budget — the entire
+    point of residual encoding, (c) the codec round-trips through PQR1
+    bytes against the same index (sha-pinned) with bit-identical
+    codebooks."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.pipeline.pq import PQCodec, ResidualPQ, ivfadc_search
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb0 = _t(spark, sf_dir, "embeddings")
+    idx0 = ann.IVFIndex(n_centroids=8, nprobe=4, seed=7).fit(emb0, "embedding")
+    cent_df = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(idx0.centroids)],
+        "cid int, cent array<double>",
+    )
+    emb = (
+        idx0.assign(emb0, "embedding")
+        .join(F.broadcast(cent_df), F.col("centroid_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "cent", lambda a, b: b + F.lit(0.18) * (a - b)
+            ).cast("array<float>").alias("embedding"),
+        )
+        .cache()
+    )
+    idx = ann.IVFIndex(n_centroids=8, nprobe=4, seed=7).fit(emb, "embedding")
+    codec = ResidualPQ(idx, m=8, ks=16, seed=7).fit(emb, "embedding")
+    raw = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+    assigned = idx.assign(emb, "embedding")
+    enc = raw.encode(
+        codec.encode(assigned, "embedding"), "embedding", out_col="raw_code"
+    ).cache()
+    hits = total = 0
+    err_res = err_raw = 0.0
+    for qid in (3, 50, 200):
+        q = np.array(
+            emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0],
+            dtype=np.float64,
+        )
+        exact = {r["vec_id"] for r in ann.brute_force_topk(emb, "embedding", q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivfadc_search(
+                idx, codec, enc, q, k=10, rerank=8, vec_col="embedding",
+                id_col="vec_id",
+            ).collect()
+        }
+        hits += len(exact & got)
+        total += 10
+        # one scored pass per codec vs the exact JVM cosine, same rows
+        both = codec.score(
+            raw.score(enc, q, code_col="raw_code", out_col="raw_score"),
+            q,
+        ).withColumn("cosine", ann._cosine_expr("embedding", q))
+        s = both.agg(
+            F.sum(F.abs(F.col("pq_score") - F.col("cosine"))).alias("res"),
+            F.sum(F.abs(F.col("raw_score") - F.col("cosine"))).alias("raw"),
+        ).collect()[0]
+        err_res += float(s["res"])
+        err_raw += float(s["raw"])
+    blob_ok = (
+        ResidualPQ.from_bytes(codec.to_bytes(), idx).codebooks
+        == codec.codebooks
+    ).all()
+    enc.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(hits / total >= 0.5),
+            bool(err_res < err_raw),
+            bool(blob_ok),
+        )],
+        "recall_above_half boolean, residual_tighter_than_raw boolean,"
+        " blob_roundtrip boolean",
+    )
+
+
 def _q_bpe_tokenizer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE tokenizer (`pipeline.bpe.BPETokenizer`): train on
     the documents corpus (one word-count shuffle + driver merge loop),
@@ -3210,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
         "pq_ann_recall": _q_pq_ann_recall,
         "ivfadc_recall": _q_ivfadc_recall,
+        "ivfadc_residual_recall": _q_ivfadc_residual_recall,
         "bpe_tokenizer_documents": _q_bpe_tokenizer_documents,
         "dsir_importance_sequences": _q_dsir_importance_sequences,
         "stratified_split_documents": _q_stratified_split_documents,
@@ -3746,6 +3840,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfadc_recall": (
             "SELECT CAST(0.5 AS DOUBLE) AS probe_frac,"
             " TRUE AS funnel_contained, TRUE AS recall_above_half"
+        ),
+        "ivfadc_residual_recall": (
+            "SELECT TRUE AS recall_above_half,"
+            " TRUE AS residual_tighter_than_raw, TRUE AS blob_roundtrip"
         ),
         "bpe_tokenizer_documents": (
             "SELECT CAST(320 AS BIGINT) AS vocab_size,"
