@@ -641,3 +641,26 @@ class IncrementalANN:
             vec_col=self._vec_col if rerank > 0 else None,
             id_col=self._id_col if rerank > 0 else None,
         )
+
+    def search_adc_many(self, spark, queries, k: int = 10):
+        """Batched IVFADC serving over the committed store: Q queries
+        answered in ONE byte-only scan of the UNION of their probe
+        buckets (``pq.ivfadc_search_many``'s shape — per-batch partial
+        top-k per query inside the kernel, one Q*k-row global reduce).
+        Returns ``DataFrame[qid int, <id_col>, pq_score float]``;
+        per-query rows match ``search_adc(..., rerank=0)``. Works for
+        both the raw and residual codec sidecars."""
+        from .pq import ivfadc_search_many
+
+        self._check_or_write_manifest(spark, None, None)
+        if self._codec is None:
+            raise RuntimeError(
+                f"incremental ANN at {self.path} has no PQ codec pinned; "
+                "create the store with codec= to enable search_adc_many"
+            )
+        # byte-only scan: the float column never enters the plan
+        vecs = self.vectors(spark).drop(self._vec_col)
+        return ivfadc_search_many(
+            self._index, self._codec, vecs, queries, k=k,
+            id_col=self._id_col,
+        )

@@ -482,3 +482,53 @@ def test_residual_codec_mismatched_index_refused(spark, tmp_path, fitted):
     ok.append(base.limit(50), "vec_id", "embedding")
     with pytest.raises(RuntimeError, match="different centroid set"):
         ok.compact(spark, f"{tmp_path}/okrpq2", index=other, codec=idx_codec)
+
+
+def test_search_adc_many_matches_per_query(spark, tmp_path, fitted):
+    """Batched store serving == per-query search_adc(rerank=0), for both
+    codec kinds, and the batched plan never reads the float column."""
+    from recsplit_spark.pipeline.pq import PQCodec, ResidualPQ
+
+    idx, base = fitted
+    for name, codec in (
+        ("raw", PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")),
+        ("res", ResidualPQ(idx, m=4, ks=8, seed=3).fit(base, "embedding")),
+    ):
+        inc = IncrementalANN(f"{tmp_path}/many_{name}", index=idx, codec=codec)
+        inc.append(base, "vec_id", "embedding")
+        queries = [
+            np.random.default_rng(s).standard_normal(16) for s in (3, 7, 11)
+        ]
+        many = inc.search_adc_many(spark, queries, k=6).collect()
+        by_q = {}
+        for r in many:
+            by_q.setdefault(r["qid"], []).append(
+                (r["vec_id"], round(r["pq_score"], 5))
+            )
+        for qi, q in enumerate(queries):
+            want = {
+                (r["vec_id"], round(r["pq_score"], 5))
+                for r in inc.search_adc(spark, q, k=6).collect()
+            }
+            got = set(by_q[qi])
+            kth = min(s for _, s in want)
+            assert sorted(s for _, s in got) == sorted(s for _, s in want)
+            assert {v for v, s in got if s > kth} == {
+                v for v, s in want if s > kth
+            }, (name, qi)
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            inc.search_adc_many(spark, queries, k=6).explain("formatted")
+        plan = buf.getvalue()
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "pq_code" in read_schema and "embedding" not in read_schema
+
+    # a plain store refuses batched ADC like it refuses single-query ADC
+    plain = IncrementalANN(f"{tmp_path}/many_plain", index=idx)
+    plain.append(base.limit(20), "vec_id", "embedding")
+    with pytest.raises(RuntimeError, match="no PQ codec"):
+        plain.search_adc_many(spark, [np.zeros(16)], k=3)
