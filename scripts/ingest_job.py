@@ -102,6 +102,15 @@ def main() -> int:
     ap.add_argument("--ann-index", default=None,
                     help="path of a previously-fitted IVFIndex save "
                          "(required the first time the ANN stage runs)")
+    ap.add_argument("--pq", choices=["raw", "residual"], default=None,
+                    help="pin a PQ codec on the ANN store at creation "
+                         "(every generation then carries byte codes and "
+                         "search_adc works; 'residual' = IVFADC proper, "
+                         "codes coupled to the index's centroid set). "
+                         "Fitted on the FIRST batch; later runs load the "
+                         "pinned codec from the store.")
+    ap.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspaces (code bytes per vector)")
     ap.add_argument("--profile-spec", action="append", default=[],
                     help="fold the KEPT batch into <root>/profile as well "
                          "(same name=kind:col[:ngram=N] syntax as "
@@ -252,7 +261,28 @@ def main() -> int:
 
         idx = (IVFIndex.load(spark, args.ann_index)
                if args.ann_index else None)
-        store = IncrementalANN(f"{root}/ann", index=idx)
+        from recsplit_spark.sketches.incremental import _dir_exists
+
+        codec = None
+        if args.pq is not None and not _dir_exists(
+            spark, f"{root}/ann/manifest"
+        ):
+            # first run: fit the codec on this batch and pin it; later
+            # runs load the pinned codec (and its sha) from the store
+            from recsplit_spark.pipeline.pq import PQCodec, ResidualPQ
+
+            if idx is None:
+                raise SystemExit(
+                    "--pq on the first ANN run requires --ann-index "
+                    "(the codec is fitted against that index)"
+                )
+            vecs = kept.select(args.vec_col)
+            codec = (
+                ResidualPQ(idx, m=args.pq_m).fit(vecs, args.vec_col)
+                if args.pq == "residual"
+                else PQCodec(m=args.pq_m).fit(vecs, args.vec_col)
+            )
+        store = IncrementalANN(f"{root}/ann", index=idx, codec=codec)
         m_ann = store.append(kept.select(args.id_col, args.vec_col),
                              args.id_col, args.vec_col,
                              stream_batch_id=args.batch_id)
