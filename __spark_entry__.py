@@ -944,6 +944,72 @@ def _q_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_opq_adc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric OPQ (`pipeline.pq.OPQCodec`): PCA rotation +
+    eigenvalue-balanced dimension allocation before the subspace split.
+    OPQ pays off when per-dimension energy is skewed, so the query first
+    derives an ANISOTROPIC corpus deterministically in-engine (each
+    embedding scaled by a literal geometric variance ladder — one JVM
+    zip_with, no Python, no external data) and verifies: (a) OPQ's ADC
+    scores track the exact cosine TIGHTER than a raw `PQCodec` at the
+    identical (m, ks) budget, where raw PQ must spend equal code budget
+    on the high- and low-energy subspaces; (b) the fitted rotation is
+    orthogonal (inner products preserved — the inherited search
+    surfaces stay cosine-correct); (c) the codec round-trips through
+    PQO1 bytes with bit-identical rotation and codebooks."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import ann
+    from recsplit_spark.pipeline.pq import OPQCodec, PQCodec
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    emb0 = _t(spark, sf_dir, "embeddings")
+    d = len(emb0.select("embedding").first()[0])
+    ladder = F.array(*[F.lit(float(2.0 ** (-(j % d) / 8.0))) for j in range(d)])
+    emb = emb0.select(
+        "vec_id",
+        F.zip_with("embedding", ladder, lambda a, b: a * b)
+        .cast("array<float>")
+        .alias("embedding"),
+    ).cache()
+    opq = OPQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+    raw = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
+    enc = opq.encode(
+        raw.encode(emb, "embedding", out_col="raw_code"), "embedding"
+    )
+    err_opq = err_raw = 0.0
+    for qid in (3, 50, 200):
+        q = np.array(
+            emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0],
+            dtype=np.float64,
+        )
+        both = opq.score(
+            raw.score(enc, q, code_col="raw_code", out_col="raw_score"), q
+        ).withColumn("cosine", ann._cosine_expr("embedding", q))
+        s = both.agg(
+            F.sum(F.abs(F.col("pq_score") - F.col("cosine"))).alias("o"),
+            F.sum(F.abs(F.col("raw_score") - F.col("cosine"))).alias("r"),
+        ).collect()[0]
+        err_opq += float(s["o"])
+        err_raw += float(s["r"])
+    rot_orthogonal = bool(
+        np.allclose(opq.rotation @ opq.rotation.T, np.eye(d), atol=1e-5)
+    )
+    back = OPQCodec.from_bytes(opq.to_bytes())
+    blob_ok = bool(
+        (back.rotation == opq.rotation).all()
+        and (back.codebooks == opq.codebooks).all()
+    )
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(bool(err_opq < err_raw), rot_orthogonal, blob_ok)],
+        "opq_tighter_than_raw boolean, rotation_orthogonal boolean,"
+        " blob_roundtrip boolean",
+    )
+
+
 def _q_bpe_tokenizer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE tokenizer (`pipeline.bpe.BPETokenizer`): train on
     the documents corpus (one word-count shuffle + driver merge loop),
@@ -3304,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_recall": _q_pq_ann_recall,
         "ivfadc_recall": _q_ivfadc_recall,
         "ivfadc_residual_recall": _q_ivfadc_residual_recall,
+        "opq_adc_embeddings": _q_opq_adc_embeddings,
         "bpe_tokenizer_documents": _q_bpe_tokenizer_documents,
         "dsir_importance_sequences": _q_dsir_importance_sequences,
         "stratified_split_documents": _q_stratified_split_documents,
@@ -3844,6 +3911,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfadc_residual_recall": (
             "SELECT TRUE AS recall_above_half,"
             " TRUE AS residual_tighter_than_raw, TRUE AS blob_roundtrip"
+        ),
+        "opq_adc_embeddings": (
+            "SELECT TRUE AS opq_tighter_than_raw,"
+            " TRUE AS rotation_orthogonal, TRUE AS blob_roundtrip"
         ),
         "bpe_tokenizer_documents": (
             "SELECT CAST(320 AS BIGINT) AS vocab_size,"

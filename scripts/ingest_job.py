@@ -102,11 +102,12 @@ def main() -> int:
     ap.add_argument("--ann-index", default=None,
                     help="path of a previously-fitted IVFIndex save "
                          "(required the first time the ANN stage runs)")
-    ap.add_argument("--pq", choices=["raw", "residual"], default=None,
+    ap.add_argument("--pq", choices=["raw", "opq", "residual"], default=None,
                     help="pin a PQ codec on the ANN store at creation "
                          "(every generation then carries byte codes and "
-                         "search_adc works; 'residual' = IVFADC proper, "
-                         "codes coupled to the index's centroid set). "
+                         "search_adc works; 'opq' adds the learned "
+                         "rotation, 'residual' = IVFADC proper, codes "
+                         "coupled to the index's centroid set). "
                          "Fitted on the FIRST batch; later runs load the "
                          "pinned codec from the store.")
     ap.add_argument("--pq-m", type=int, default=8,
@@ -277,11 +278,15 @@ def main() -> int:
                     "(the codec is fitted against that index)"
                 )
             vecs = kept.select(args.vec_col)
-            codec = (
-                ResidualPQ(idx, m=args.pq_m).fit(vecs, args.vec_col)
-                if args.pq == "residual"
-                else PQCodec(m=args.pq_m).fit(vecs, args.vec_col)
-            )
+            if args.pq == "residual":
+                codec = ResidualPQ(idx, m=args.pq_m)
+            elif args.pq == "opq":
+                from recsplit_spark.pipeline.pq import OPQCodec
+
+                codec = OPQCodec(m=args.pq_m)
+            else:
+                codec = PQCodec(m=args.pq_m)
+            codec = codec.fit(vecs, args.vec_col)
         store = IncrementalANN(f"{root}/ann", index=idx, codec=codec)
         m_ann = store.append(kept.select(args.id_col, args.vec_col),
                              args.id_col, args.vec_col,

@@ -482,3 +482,103 @@ def test_residual_contracts(spark):
     codec = ResidualPQ(idx, m=4, ks=8)
     with pytest.raises(RuntimeError, match="fit"):
         codec.encode(idx.assign(df, "embedding"), "embedding")
+
+
+# -- OPQ (parametric, Ge et al. 2014) ---------------------------------------
+
+
+def _anisotropic(n=800, d=32, seed=3):
+    """Geometric variance ladder + a fixed dense mixing rotation, so the
+    energy is both skewed AND smeared across the naive subspace
+    boundaries — the regime OPQ exists for."""
+    rng = np.random.default_rng(seed)
+    scales = 2.0 ** (-np.arange(d) / 4.0)
+    x = rng.normal(size=(n, d)) * scales
+    mix, _ = np.linalg.qr(np.random.default_rng(9).normal(size=(d, d)))
+    return (x @ mix).astype(np.float64)
+
+
+def test_opq_rotation_is_orthogonal_and_allocation_balances():
+    from recsplit_spark.pipeline.pq import _eigen_allocation
+
+    evals = 2.0 ** (-np.arange(16) / 2.0)
+    perm = _eigen_allocation(evals, 4)
+    assert sorted(perm) == list(range(16))
+    # per-subspace log-variance sums balance far better than contiguous
+    lg = np.log(evals)
+    spread = lambda p: np.ptp([lg[p[i * 4:(i + 1) * 4]].sum() for i in range(4)])
+    assert spread(perm) < spread(np.arange(16)) / 2
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(spark):
+    from recsplit_spark.pipeline.ann import _normalize_rows
+    from recsplit_spark.pipeline.pq import OPQCodec
+
+    x = _anisotropic()
+    df = _to_df(spark, x)
+    opq = OPQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    raw = PQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    # the fitted rotation is orthogonal (within f32 quantization)
+    rt = opq.rotation @ opq.rotation.T
+    np.testing.assert_allclose(rt, np.eye(x.shape[1]), atol=1e-5)
+    enc_o = opq.encode(df, "embedding")
+    enc_r = raw.encode(df, "embedding")
+    xn = _normalize_rows(x.copy())
+    errs = {"opq": [], "raw": []}
+    for qid in (3, 100, 555):
+        q = x[qid]
+        qn = q / np.linalg.norm(q)
+        true = {i: float(xn[i] @ qn) for i in range(len(x))}
+        for name, scored in (("opq", opq.score(enc_o, q)),
+                             ("raw", raw.score(enc_r, q))):
+            for r in scored.select("vec_id", "pq_score").collect():
+                errs[name].append(abs(r["pq_score"] - true[r["vec_id"]]))
+    mae_o = float(np.mean(errs["opq"]))
+    mae_r = float(np.mean(errs["raw"]))
+    assert mae_o < 0.7 * mae_r, (mae_o, mae_r)
+
+
+def test_opq_serde_and_inherited_search_surfaces(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex, brute_force_topk
+    from recsplit_spark.pipeline.pq import (
+        OPQCodec,
+        codec_from_bytes,
+        ivfadc_search,
+        ivfadc_search_many,
+    )
+
+    x = _clustered(n=600)
+    df = _to_df(spark, x)
+    opq = OPQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    back = codec_from_bytes(opq.to_bytes())
+    assert isinstance(back, OPQCodec)
+    np.testing.assert_array_equal(back.rotation, opq.rotation)
+    np.testing.assert_array_equal(back.codebooks, opq.codebooks)
+    idx = IVFIndex(n_centroids=8, nprobe=4, seed=2).fit(df, "embedding")
+    enc = opq.encode(idx.assign(df, "embedding"), "embedding").cache()
+    c1 = sorted((r["vec_id"], r["pq_code"])
+                for r in enc.select("vec_id", "pq_code").collect())
+    c2 = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in back.encode(df, "embedding").select("vec_id", "pq_code").collect()
+    )
+    assert c1 == c2
+    # inherited funnel: recall through rerank + batched parity
+    q = x[100]
+    exact = {r["vec_id"] for r in brute_force_topk(df, "embedding", q, 10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivfadc_search(idx, opq, enc, q, k=10, rerank=8,
+                               vec_col="embedding", id_col="vec_id").collect()
+    }
+    assert len(exact & got) >= 7
+    many = ivfadc_search_many(idx, opq, enc, [q], k=8).collect()
+    single = {
+        (r["vec_id"], round(r["pq_score"], 5))
+        for r in ivfadc_search(idx, opq, enc, q, k=8).collect()
+    }
+    got_many = {(r["vec_id"], round(r["pq_score"], 5)) for r in many}
+    kth = min(s for _, s in single)
+    assert sorted(s for _, s in got_many) == sorted(s for _, s in single)
+    assert {v for v, s in got_many if s > kth} == {v for v, s in single if s > kth}
+    enc.unpersist()
