@@ -533,11 +533,23 @@ class OPQCodec(PQCodec):
         self.rotation: np.ndarray | None = None  # (d, d) f64, rows=dirs
 
     # -- training --------------------------------------------------------
-    def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "OPQCodec":
-        """PCA + eigenvalue allocation on an Arrow-gathered sample, then
-        per-subspace Lloyd on the ROTATED sample. The rotation is d x d
-        driver floats (16 KB at d=64, 2.3 MB at d=768) — always
-        driver/broadcast-sized."""
+    def fit(self, df, vec_col: str, sample_size: int = 20_000,
+            cov: np.ndarray | None = None) -> "OPQCodec":
+        """PCA + eigenvalue allocation, then per-subspace Lloyd on the
+        ROTATED sample. The rotation is d x d driver floats (16 KB at
+        d=64, 2.3 MB at d=768) — always driver/broadcast-sized.
+
+        By default the covariance comes from the same Arrow-gathered
+        sample the codebooks train on. Pass ``cov=`` to use a
+        WHOLE-CORPUS covariance instead — e.g. the FrequentDirections
+        sketch's ``cov_estimate(state)`` (sketches/fd.py): FD states are
+        mergeable and one pass over 10^12 vectors yields a d x d Gram
+        whose spectral error is certified, so the rotation reflects the
+        full spectrum while only the quantization cells come from the
+        sample. (Feed the FD sketch the same normalization the codec
+        sees — unit vectors — for exact agreement; eigh of a rank-ell
+        sketch Gram still yields a full orthonormal basis, the null
+        directions carrying interchangeable near-zero eigenvalues.)"""
         n = df.count()
         frac = min(1.0, sample_size / max(1, n))
         col = df.select(vec_col)
@@ -549,7 +561,14 @@ class OPQCodec(PQCodec):
         d = x.shape[1]
         if d % self.m:
             raise ValueError(f"dim {d} not divisible by m={self.m}")
-        cov = (x.T @ x) / len(x)
+        if cov is None:
+            cov = (x.T @ x) / len(x)
+        else:
+            cov = np.asarray(cov, dtype=np.float64)
+            if cov.shape != (d, d):
+                raise ValueError(
+                    f"cov shape {cov.shape} != ({d}, {d}) for dim-{d} vectors"
+                )
         evals, evecs = np.linalg.eigh(cov)  # ascending, orthonormal cols
         perm = _eigen_allocation(evals, self.m)
         rot = evecs[:, perm].T  # rows = principal dirs in subspace layout

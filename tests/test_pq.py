@@ -582,3 +582,40 @@ def test_opq_serde_and_inherited_search_surfaces(spark):
     assert sorted(s for _, s in got_many) == sorted(s for _, s in single)
     assert {v for v, s in got_many if s > kth} == {v for v, s in single if s > kth}
     enc.unpersist()
+
+
+def test_opq_fit_from_fd_covariance(spark):
+    """The whole-corpus rotation source: an FD sketch's cov_estimate
+    feeds fit(cov=...) — the rotation stays orthogonal and the codec
+    still beats raw PQ on the anisotropic fixture, within ~the
+    sample-covariance OPQ's error."""
+    from recsplit_spark.pipeline.ann import _normalize_rows
+    from recsplit_spark.pipeline.pq import OPQCodec
+    from recsplit_spark.sketches.fd import FrequentDirections
+
+    x = _anisotropic()
+    df = _to_df(spark, x)
+    xn = _normalize_rows(x.copy())
+    fd = FrequentDirections(d=x.shape[1], ell=24)
+    st = fd.new_state()
+    fd.update(st, xn)
+    opq_fd = OPQCodec(m=8, ks=16, seed=5).fit(
+        df, "embedding", cov=fd.cov_estimate(st)
+    )
+    rt = opq_fd.rotation @ opq_fd.rotation.T
+    np.testing.assert_allclose(rt, np.eye(x.shape[1]), atol=1e-5)
+    raw = PQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    enc_o = opq_fd.encode(df, "embedding")
+    enc_r = raw.encode(df, "embedding")
+    errs = {"opq": [], "raw": []}
+    for qid in (3, 100, 555):
+        q = x[qid]
+        qn = q / np.linalg.norm(q)
+        true = {i: float(xn[i] @ qn) for i in range(len(x))}
+        for name, scored in (("opq", opq_fd.score(enc_o, q)),
+                             ("raw", raw.score(enc_r, q))):
+            for r in scored.select("vec_id", "pq_score").collect():
+                errs[name].append(abs(r["pq_score"] - true[r["vec_id"]]))
+    assert float(np.mean(errs["opq"])) < 0.8 * float(np.mean(errs["raw"]))
+    with pytest.raises(ValueError, match="cov shape"):
+        OPQCodec(m=8, ks=16).fit(df, "embedding", cov=np.eye(3))
