@@ -933,6 +933,7 @@ def _q_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         == codec.codebooks
     ).all()
     enc.unpersist()
+    emb.unpersist()
     return spark.createDataFrame(
         [(
             bool(hits / total >= 0.5),

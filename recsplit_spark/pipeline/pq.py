@@ -147,6 +147,65 @@ def _encode_codes(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _unit(query: np.ndarray) -> np.ndarray:
+    """float64 L2-normalized copy of one query vector."""
+    q = np.asarray(query, dtype=np.float64)
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
+def _query_lut(codebooks: np.ndarray, m: int, y: np.ndarray) -> np.ndarray:
+    """(m, ks) ADC lookup table for one (already unit/rotated) query:
+    LUT[j, c] = <y_j, codebook_j[c]>; float32 to match the encode-side
+    precision."""
+    dsub = codebooks.shape[2]
+    qs = y.reshape(m, dsub)
+    return np.einsum(
+        "jd,jkd->jk", qs, codebooks, optimize=True
+    ).astype(np.float32)
+
+
+def _gather_unit_sample(df, vec_col: str, sample_size: int, seed: int,
+                        m: int, what: str) -> np.ndarray:
+    """ONE Arrow gather of <= sample_size vectors (columnar buffers, no
+    Row objects), L2-normalized float64, with the shared empty- and
+    divisibility-contract checks — the training-sample shape all three
+    codec fits share (sampling/normalization here is serialization-
+    adjacent: change it and freshly-fitted codecs diverge from persisted
+    ones, so it must change in ONE place)."""
+    n = df.count()
+    frac = min(1.0, sample_size / max(1, n))
+    col = df.select(vec_col)
+    tbl = (col if frac >= 1.0 else col.sample(frac, seed=seed)).toArrow()
+    x = _list_col_to_matrix(tbl.column(0), np.float64)
+    if len(x) == 0:
+        raise ValueError(f"cannot fit {what} on an empty DataFrame")
+    _normalize_rows(x)
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    return x
+
+
+def _drop_stale_broadcast(codec) -> None:
+    """Refit invalidates the cached session-keyed broadcast."""
+    old = getattr(codec, "_bcast", None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — originating context may be gone
+            pass
+        codec._bcast = None
+        codec._bcast_sc = None
+
+
+def _getstate_without_broadcast(self):
+    # Broadcast handles are session-bound and not driver-picklable: drop
+    # the cache so a fitted codec pickles and re-broadcasts lazily
+    state = self.__dict__.copy()
+    state.pop("_bcast", None)
+    state.pop("_bcast_sc", None)
+    return state
+
+
 def _make_encode_fn(bcast, m: int):
     """Encode batch fn closing over ONLY the broadcast handle (same
     pickled-closure discipline as ``ann._make_assign_fn``)."""
@@ -201,19 +260,9 @@ class PQCodec:
         objects); per-subspace Lloyd is fully vectorized (scatter-add
         update, chunked argmin-L2 assignment). Empty clusters keep their
         previous centroid, matching ``IVFIndex`` Lloyd semantics."""
-        n = df.count()
-        frac = min(1.0, sample_size / max(1, n))
-        col = df.select(vec_col)
-        tbl = (col if frac >= 1.0 else col.sample(frac, seed=self.seed)).toArrow()
-        x = _list_col_to_matrix(tbl.column(0), np.float64)
-        if len(x) == 0:
-            raise ValueError("cannot fit PQ on an empty DataFrame")
-        _normalize_rows(x)
-        d = x.shape[1]
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
-        dsub = d // self.m
-        xs = x.reshape(len(x), self.m, dsub)
+        x = _gather_unit_sample(df, vec_col, sample_size, self.seed,
+                                self.m, "PQ")
+        xs = x.reshape(len(x), self.m, x.shape[1] // self.m)
         rng = np.random.default_rng(self.seed)
         ks = min(self.ks, len(x))
         cb = _fit_subspace_codebooks(xs, ks, self.iters, rng)
@@ -222,14 +271,7 @@ class PQCodec:
         # fitted and a deserialized codec produce bit-identical codes and
         # ADC scores)
         self.codebooks = cb.astype(np.float32).astype(np.float64)
-        old = getattr(self, "_bcast", None)
-        if old is not None:  # refit invalidates the cached broadcast
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — originating context may be gone
-                pass
-            self._bcast = None
-            self._bcast_sc = None
+        _drop_stale_broadcast(self)
         return self
 
     # -- encode ----------------------------------------------------------
@@ -263,15 +305,7 @@ class PQCodec:
 
     # -- search ----------------------------------------------------------
     def _lut(self, query: np.ndarray) -> np.ndarray:
-        q = np.asarray(query, dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        dsub = self.codebooks.shape[2]
-        qs = q.reshape(self.m, dsub)
-        # (m, ks): LUT[j, c] = <q_j, codebook_j[c]>; float32 to match the
-        # encode-side precision
-        return np.einsum(
-            "jd,jkd->jk", qs, self.codebooks, optimize=True
-        ).astype(np.float32)
+        return _query_lut(self.codebooks, self.m, _unit(query))
 
     def score(self, encoded_df, query: np.ndarray, code_col: str = "pq_code",
               out_col: str = "pq_score"):
@@ -420,19 +454,17 @@ class PQCodec:
         codec.codebooks = body.reshape(m, ks, dsub).astype(np.float64)
         return codec
 
-    def __getstate__(self):
-        state = self.__dict__.copy()
-        state.pop("_bcast", None)
-        state.pop("_bcast_sc", None)
-        return state
+    __getstate__ = _getstate_without_broadcast
 
 
 def _eigen_allocation(evals: np.ndarray, m: int) -> np.ndarray:
-    """Parametric-OPQ dimension allocation (Ge, He, Ke & Sun 2014 §4):
-    assign the d principal directions to ``m`` subspaces so the
-    per-subspace variance PRODUCTS balance — greedy on descending
-    eigenvalues, each to the non-full subspace with the smallest
-    log-variance sum. Returns a length-d permutation: position p of the
+    """Parametric-OPQ dimension allocation (Ge, He, Ke & Sun 2014 §4
+    objective): assign the d principal directions to ``m`` subspaces so
+    the per-subspace variance PRODUCTS balance — realized as LPT greedy
+    over SHIFTED non-negative costs processed descending (i.e. smallest
+    eigenvalue first), each to the non-full subspace with the least
+    accumulated cost. The processing order is part of the test-pinned
+    (and hence wire-format) behavior. Returns a length-d permutation: position p of the
     rotated vector holds principal direction perm[p], laid out as m
     contiguous dsub-blocks."""
     d = len(evals)
@@ -550,17 +582,9 @@ class OPQCodec(PQCodec):
         sees — unit vectors — for exact agreement; eigh of a rank-ell
         sketch Gram still yields a full orthonormal basis, the null
         directions carrying interchangeable near-zero eigenvalues.)"""
-        n = df.count()
-        frac = min(1.0, sample_size / max(1, n))
-        col = df.select(vec_col)
-        tbl = (col if frac >= 1.0 else col.sample(frac, seed=self.seed)).toArrow()
-        x = _list_col_to_matrix(tbl.column(0), np.float64)
-        if len(x) == 0:
-            raise ValueError("cannot fit OPQ on an empty DataFrame")
-        _normalize_rows(x)
+        x = _gather_unit_sample(df, vec_col, sample_size, self.seed,
+                                self.m, "OPQ")
         d = x.shape[1]
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
         if cov is None:
             cov = (x.T @ x) / len(x)
         else:
@@ -581,14 +605,7 @@ class OPQCodec(PQCodec):
         ks = min(self.ks, len(x))
         cb = _fit_subspace_codebooks(xs, ks, self.iters, rng)
         self.codebooks = cb.astype(np.float32).astype(np.float64)
-        old = getattr(self, "_bcast", None)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — originating context may be gone
-                pass
-            self._bcast = None
-            self._bcast_sc = None
+        _drop_stale_broadcast(self)
         return self
 
     # -- encode ----------------------------------------------------------
@@ -624,14 +641,9 @@ class OPQCodec(PQCodec):
     def _lut(self, query: np.ndarray) -> np.ndarray:
         # rotate the normalized query into code space; R is orthogonal so
         # <Rq, Rx> = <q, x> and the inherited ADC scan needs no changes
-        q = np.asarray(query, dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        y = self.rotation @ q
-        dsub = self.codebooks.shape[2]
-        qs = y.reshape(self.m, dsub)
-        return np.einsum(
-            "jd,jkd->jk", qs, self.codebooks, optimize=True
-        ).astype(np.float32)
+        return _query_lut(
+            self.codebooks, self.m, self.rotation @ _unit(query)
+        )
 
     # -- persistence -------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -707,20 +719,16 @@ class ResidualPQ:
     # -- training --------------------------------------------------------
     def fit(self, df, vec_col: str, sample_size: int = 20_000) -> "ResidualPQ":
         """Train per-subspace codebooks on the RESIDUALS of an
-        Arrow-gathered sample. Assignment uses the same float32 centroid
-        precision as ``IVFIndex.assign`` so training-side cells match the
-        encode-side cells exactly."""
-        n = df.count()
-        frac = min(1.0, sample_size / max(1, n))
-        col = df.select(vec_col)
-        tbl = (col if frac >= 1.0 else col.sample(frac, seed=self.seed)).toArrow()
-        x = _list_col_to_matrix(tbl.column(0), np.float64)
-        if len(x) == 0:
-            raise ValueError("cannot fit residual PQ on an empty DataFrame")
-        _normalize_rows(x)
+        Arrow-gathered sample. Assignment uses the same float32 CENTROID
+        precision as ``IVFIndex.assign``; the sample itself is
+        normalized in float64 (the shared gather contract), so a vector
+        whose top-2 centroid scores tie within ~1 ulp of float32 can
+        land in the other cell than assign() puts it — accuracy noise on
+        the trained codebooks only, never a code/score mismatch (codes
+        always quantize against the cid column the caller provides)."""
+        x = _gather_unit_sample(df, vec_col, sample_size, self.seed,
+                                self.m, "residual PQ")
         d = x.shape[1]
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
         cent = self._cent32()
         if cent.shape[1] != d:
             raise ValueError(
@@ -737,14 +745,7 @@ class ResidualPQ:
         # float32 at the training boundary, same rationale as PQCodec:
         # to_bytes is lossless, fitted == deserialized bit-for-bit
         self.codebooks = cb.astype(np.float32).astype(np.float64)
-        old = getattr(self, "_bcast", None)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — originating context may be gone
-                pass
-            self._bcast = None
-            self._bcast_sc = None
+        _drop_stale_broadcast(self)
         return self
 
     # -- encode ----------------------------------------------------------
@@ -781,19 +782,12 @@ class ResidualPQ:
 
     # -- search ----------------------------------------------------------
     def _lut(self, query: np.ndarray) -> np.ndarray:
-        q = np.asarray(query, dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        dsub = self.codebooks.shape[2]
-        qs = q.reshape(self.m, dsub)
-        return np.einsum(
-            "jd,jkd->jk", qs, self.codebooks, optimize=True
-        ).astype(np.float32)
+        return _query_lut(self.codebooks, self.m, _unit(query))
 
     def _bias(self, query: np.ndarray) -> np.ndarray:
         """(n_centroids,) float32 per-bucket bias ``<q_hat, c_i>``."""
-        q = np.asarray(query, dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        return (self._cent32() @ q.astype(np.float32)).astype(np.float32)
+        q32 = _unit(query).astype(np.float32)
+        return (self._cent32() @ q32).astype(np.float32)
 
     def score(self, encoded_df, query: np.ndarray, code_col: str = "pq_code",
               out_col: str = "pq_score", centroid_col: str = "centroid_id"):
@@ -878,11 +872,7 @@ class ResidualPQ:
         codec.codebooks = body.reshape(m, ks, dsub).astype(np.float64)
         return codec
 
-    def __getstate__(self):
-        state = self.__dict__.copy()
-        state.pop("_bcast", None)
-        state.pop("_bcast_sc", None)
-        return state
+    __getstate__ = _getstate_without_broadcast
 
 
 def codec_from_bytes(data: bytes, index=None):

@@ -288,6 +288,33 @@ def main() -> int:
                 codec = PQCodec(m=args.pq_m)
             codec = codec.fit(vecs, args.vec_col)
         store = IncrementalANN(f"{root}/ann", index=idx, codec=codec)
+        if args.pq is not None and codec is None:
+            # the store pre-exists, so the flag was not used to fit a
+            # codec — it must AGREE with what the manifest pins; silently
+            # dropping it would bypass the refuse-don't-adapt contract
+            # (the operator believes --pq took effect, search_adc fails
+            # months later)
+            from recsplit_spark.pipeline.pq import (
+                OPQCodec,
+                PQCodec,
+                ResidualPQ,
+            )
+
+            pinned = store.codec(spark)
+            kind = (
+                None if pinned is None
+                else "residual" if isinstance(pinned, ResidualPQ)
+                else "opq" if isinstance(pinned, OPQCodec)
+                else "raw" if isinstance(pinned, PQCodec)
+                else "unknown"
+            )
+            if kind != args.pq:
+                raise SystemExit(
+                    f"--pq {args.pq} requested but the ANN store at "
+                    f"{root}/ann pins {kind!r}; the codec is fixed at "
+                    "store creation (compact() into a fresh store to "
+                    "change it)"
+                )
         m_ann = store.append(kept.select(args.id_col, args.vec_col),
                              args.id_col, args.vec_col,
                              stream_batch_id=args.batch_id)
