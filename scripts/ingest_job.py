@@ -102,7 +102,7 @@ def main() -> int:
     ap.add_argument("--ann-index", default=None,
                     help="path of a previously-fitted IVFIndex save "
                          "(required the first time the ANN stage runs)")
-    ap.add_argument("--pq", choices=["raw", "opq", "residual"], default=None,
+    ap.add_argument("--pq", choices=["raw", "opq", "sq8", "residual"], default=None,
                     help="pin a PQ codec on the ANN store at creation "
                          "(every generation then carries byte codes and "
                          "search_adc works; 'opq' adds the learned "
@@ -284,6 +284,10 @@ def main() -> int:
                 from recsplit_spark.pipeline.pq import OPQCodec
 
                 codec = OPQCodec(m=args.pq_m)
+            elif args.pq == "sq8":
+                from recsplit_spark.pipeline.pq import SQ8Codec
+
+                codec = SQ8Codec()  # 4x: code bytes = dim, no m
             else:
                 codec = PQCodec(m=args.pq_m)
             codec = codec.fit(vecs, args.vec_col)
@@ -298,6 +302,7 @@ def main() -> int:
                 OPQCodec,
                 PQCodec,
                 ResidualPQ,
+                SQ8Codec,
             )
 
             pinned = store.codec(spark)
@@ -305,6 +310,7 @@ def main() -> int:
                 None if pinned is None
                 else "residual" if isinstance(pinned, ResidualPQ)
                 else "opq" if isinstance(pinned, OPQCodec)
+                else "sq8" if isinstance(pinned, SQ8Codec)
                 else "raw" if isinstance(pinned, PQCodec)
                 else "unknown"
             )

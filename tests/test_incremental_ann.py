@@ -487,13 +487,19 @@ def test_residual_codec_mismatched_index_refused(spark, tmp_path, fitted):
 def test_search_adc_many_matches_per_query(spark, tmp_path, fitted):
     """Batched store serving == per-query search_adc(rerank=0), for both
     codec kinds, and the batched plan never reads the float column."""
-    from recsplit_spark.pipeline.pq import OPQCodec, PQCodec, ResidualPQ
+    from recsplit_spark.pipeline.pq import (
+        OPQCodec,
+        PQCodec,
+        ResidualPQ,
+        SQ8Codec,
+    )
 
     idx, base = fitted
     for name, codec in (
         ("raw", PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")),
         ("res", ResidualPQ(idx, m=4, ks=8, seed=3).fit(base, "embedding")),
         ("opq", OPQCodec(m=4, ks=8, seed=3).fit(base, "embedding")),
+        ("sq8", SQ8Codec(seed=3).fit(base, "embedding")),
     ):
         inc = IncrementalANN(f"{tmp_path}/many_{name}", index=idx, codec=codec)
         inc.append(base, "vec_id", "embedding")

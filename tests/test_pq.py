@@ -619,3 +619,81 @@ def test_opq_fit_from_fd_covariance(spark):
     assert float(np.mean(errs["opq"])) < 0.8 * float(np.mean(errs["raw"]))
     with pytest.raises(ValueError, match="cov shape"):
         OPQCodec(m=8, ks=16).fit(df, "embedding", cov=np.eye(3))
+
+
+# -- SQ8 scalar quantization -------------------------------------------------
+
+
+def test_sq8_near_exact_scores_and_serde(spark):
+    from recsplit_spark.pipeline.ann import _normalize_rows
+    from recsplit_spark.pipeline.pq import SQ8Codec, codec_from_bytes
+
+    x = _clustered(n=500)
+    df = _to_df(spark, x)
+    sq = SQ8Codec(seed=5).fit(df, "embedding")
+    assert sq.m == x.shape[1] and sq.codebooks.shape == (x.shape[1], 256, 1)
+    enc = sq.encode(df, "embedding").cache()
+    # d-byte codes (4x compression at float32)
+    assert all(len(r["pq_code"]) == x.shape[1]
+               for r in enc.select("pq_code").limit(5).collect())
+    xn = _normalize_rows(x.copy())
+    q = x[7]
+    qn = q / np.linalg.norm(q)
+    true = xn @ qn
+    scored = {
+        r["vec_id"]: r["pq_score"]
+        for r in sq.score(enc, q).select("vec_id", "pq_score").collect()
+    }
+    err = np.abs(np.array([scored[i] - true[i] for i in range(len(x))]))
+    # 255-step per-dim grid: ~0.1% scale error, ~30x tighter than the
+    # m=8 PQ bound on the same fixture
+    assert err.max() < 0.01, err.max()
+    assert err.mean() < 0.002, err.mean()
+    # top-1 of ADC search is the query itself, no rerank needed
+    top = sq.search(enc, q, k=3).collect()
+    assert top[0]["vec_id"] == 7
+
+    back = codec_from_bytes(sq.to_bytes())
+    assert isinstance(back, SQ8Codec)
+    np.testing.assert_array_equal(back.codebooks, sq.codebooks)
+    c1 = sorted((r["vec_id"], r["pq_code"])
+                for r in enc.select("vec_id", "pq_code").collect())
+    c2 = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in back.encode(df, "embedding").select("vec_id", "pq_code").collect()
+    )
+    assert c1 == c2
+    enc.unpersist()
+    with pytest.raises(ValueError, match="length"):
+        codec_from_bytes(sq.to_bytes()[:-4])
+
+
+def test_sq8_inherited_ivfadc_and_search_many(spark):
+    from recsplit_spark.pipeline.ann import IVFIndex, brute_force_topk
+    from recsplit_spark.pipeline.pq import (
+        SQ8Codec,
+        ivfadc_search,
+        ivfadc_search_many,
+    )
+
+    x = _clustered(n=600)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=4, seed=2).fit(df, "embedding")
+    sq = SQ8Codec(seed=5).fit(df, "embedding")
+    enc = sq.encode(idx.assign(df, "embedding"), "embedding").cache()
+    q = x[100]
+    exact = {r["vec_id"] for r in brute_force_topk(df, "embedding", q, 10).collect()}
+    # SQ8 is near-exact, so even WITHOUT rerank the in-probe recall is
+    # essentially the IVF pruning recall
+    got = {r["vec_id"] for r in ivfadc_search(idx, sq, enc, q, k=10).collect()}
+    assert len(exact & got) >= 7
+    many = ivfadc_search_many(idx, sq, enc, [q], k=8).collect()
+    single = {
+        (r["vec_id"], round(r["pq_score"], 5))
+        for r in ivfadc_search(idx, sq, enc, q, k=8).collect()
+    }
+    got_many = {(r["vec_id"], round(r["pq_score"], 5)) for r in many}
+    kth = min(s for _, s in single)
+    assert sorted(s for _, s in got_many) == sorted(s for _, s in single)
+    assert {v for v, s in got_many if s > kth} == {v for v, s in single if s > kth}
+    enc.unpersist()
