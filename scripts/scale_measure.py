@@ -1064,6 +1064,98 @@ def task_residualscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
     }
 
 
+def task_sq8scale(n_vec: int, cores: int, dim: int = 64,
+                  reps: int = 2) -> dict:
+    """SQ8 at scale: the 4x/near-exact codec point — encode scan
+    throughput (the O(n*d) affine-rounding kernel vs PQ's O(n*d*ks)
+    argmin), ADC top-10 latency vs brute force, and the worst-case
+    ADC-vs-exact-cosine error over a sampled subset."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import _cosine_expr, brute_force_topk
+    from recsplit_spark.pipeline.pq import SQ8Codec
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-sq8", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 11)
+            cid = ids % 256
+            cents = np.random.default_rng(5).standard_normal((256, dim))
+            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
+                np.float32
+            )
+            flat = pa.array(x.reshape(-1), type=pa.float32())
+            offs = pa.array(
+                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
+            )
+            yield pa.record_batch(
+                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
+                names=["vec_id", "embedding"],
+            )
+
+    vec = (
+        spark.range(0, n_vec, 1, cores * 2)
+        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
+        .persist()
+    )
+    vec.count()
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    sq = SQ8Codec(seed=7).fit(vec, "embedding")
+    fit_s = time.time() - t0
+    enc_best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        sq.encode(vec, "embedding").agg(
+            F.sum(F.length("pq_code"))
+        ).collect()
+        enc_best = min(enc_best, time.time() - t0)
+    enc = sq.encode(vec, "embedding").persist()
+    enc.count()
+    q = np.random.default_rng(5).standard_normal(dim)
+    adc_best = bf_best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        sq.search(enc, q, k=10).collect()
+        adc_best = min(adc_best, time.time() - t0)
+        t0 = time.time()
+        brute_force_topk(vec, "embedding", q, 10).collect()
+        bf_best = min(bf_best, time.time() - t0)
+    max_err = float(
+        sq.score(enc.filter(F.col("vec_id") % 97 == 0), q)
+        .withColumn("cosine", _cosine_expr("embedding", q))
+        .agg(F.max(F.abs(F.col("pq_score") - F.col("cosine"))))
+        .collect()[0][0]
+    )
+    probe_after = host_probe_ms()
+    enc.unpersist()
+    vec.unpersist()
+    spark.stop()
+    return {
+        "task": "sq8scale",
+        "n_vec": n_vec,
+        "dim": dim,
+        "compression_x": 4.0,
+        "fit_sec": round(fit_s, 2),
+        "encode_sec_best": round(enc_best, 2),
+        "encode_vecs_per_sec": round(n_vec / enc_best, 1),
+        "adc_search_sec_best": round(adc_best, 2),
+        "bruteforce_search_sec_best": round(bf_best, 2),
+        "adc_vs_bruteforce": round(bf_best / adc_best, 2),
+        "adc_max_abs_err_sampled": round(max_err, 5),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 def task_dsirscale(n_docs: int, cores: int, buckets: int = 65_536,
                    n: int = 2, reps: int = 2) -> dict:
     """DSIR at scale over the deterministic sequences table: histogram
@@ -1220,7 +1312,7 @@ if __name__ == "__main__":
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
-                 "dsirscale", "bpescale"],
+                 "sq8scale", "dsirscale", "bpescale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1257,6 +1349,8 @@ if __name__ == "__main__":
         res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "residualscale":
         res = task_residualscale(args.n or 1_000_000, args.cores, dim=args.dim)
+    elif args.task == "sq8scale":
+        res = task_sq8scale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "dsirscale":
         res = task_dsirscale(args.n or 500_000, args.cores)
     elif args.task == "bpescale":
