@@ -557,9 +557,21 @@ def _make_sq8_encode_fn(bcast):
             return _codes_to_binary_array(np.empty((0, d), dtype=np.uint8))
         if x.shape[1] != d:
             raise ValueError(f"vector dim {x.shape[1]} != fitted dim {d}")
-        c = np.rint((x - vmin) / scale)
-        np.clip(c, 0, 255, out=c)
-        return _codes_to_binary_array(c.astype(np.uint8))
+        out = np.empty((n, d), dtype=np.uint8)
+        # chunk so the f32 temporaries stay L2-resident — a whole Arrow
+        # batch is ~MBs of (x - vmin) / scale scratch, and 32-way
+        # executor concurrency on this DRAM-walled box punishes that
+        # (same chunking rationale as kernel.CHUNK_ELEMS / the sketch
+        # updates). Exact division, not reciprocal multiply: a half-ulp
+        # difference would flip boundary codes and break the
+        # rounding == grid-argmin equivalence the class is built on.
+        rows = max(1, _SCORE_CHUNK_ELEMS // (4 * max(1, d)))
+        for lo in range(0, n, rows):
+            hi = min(n, lo + rows)
+            c = np.rint((x[lo:hi] - vmin) / scale)
+            np.clip(c, 0, 255, out=c)
+            out[lo:hi] = c.astype(np.uint8)
+        return _codes_to_binary_array(out)
 
     return _encode
 
