@@ -979,7 +979,7 @@ def _q_opq_adc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = PQCodec(m=8, ks=16, seed=7).fit(emb, "embedding")
     enc = opq.encode(
         raw.encode(emb, "embedding", out_col="raw_code"), "embedding"
-    )
+    ).cache()
     err_opq = err_raw = 0.0
     for qid in (3, 50, 200):
         q = np.array(
@@ -1003,6 +1003,7 @@ def _q_opq_adc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (back.rotation == opq.rotation).all()
         and (back.codebooks == opq.codebooks).all()
     )
+    enc.unpersist()
     emb.unpersist()
     return spark.createDataFrame(
         [(bool(err_opq < err_raw), rot_orthogonal, blob_ok)],

@@ -535,6 +535,12 @@ def _make_residual_encode_fn(bcast, m: int):
         if cid.null_count:
             raise ValueError("centroid-id column contains nulls")
         c = cid.to_numpy(zero_copy_only=False).astype(np.int64)
+        # range check: a sentinel -1 would silently WRAP to the last
+        # centroid via numpy indexing and corrupt persisted codes
+        if len(c) and (c.min() < 0 or c.max() >= len(cent)):
+            raise ValueError(
+                f"centroid id out of range [0, {len(cent)}) in encode"
+            )
         x -= cent[c]
         return _codes_to_binary_array(_encode_codes(x, cb))
 
@@ -967,6 +973,10 @@ class ResidualPQ:
             if isinstance(cid, pa.ChunkedArray):
                 cid = cid.combine_chunks()
             ci = cid.to_numpy(zero_copy_only=False).astype(np.int64)
+            if ci.min() < 0 or ci.max() >= len(bias):
+                raise ValueError(
+                    f"centroid id out of range [0, {len(bias)}) in score"
+                )
             return pa.array(
                 lut[j_idx, c].sum(axis=1) + bias[ci], type=pa.float32()
             )
@@ -1030,9 +1040,9 @@ class ResidualPQ:
 
 def codec_from_bytes(data: bytes, index=None):
     """Magic-dispatching codec decode: PQC1 -> ``PQCodec`` (standalone),
-    PQO1 -> ``OPQCodec`` (standalone), PQR1 -> ``ResidualPQ`` (requires
-    the index whose centroids the codes were trained against —
-    sha-checked)."""
+    PQO1 -> ``OPQCodec`` (standalone), SQ81 -> ``SQ8Codec``
+    (standalone), PQR1 -> ``ResidualPQ`` (requires the index whose
+    centroids the codes were trained against — sha-checked)."""
     magic = bytes(data[:4])
     if magic == _MAGIC:
         return PQCodec.from_bytes(data)
@@ -1091,6 +1101,11 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
             nb = len(codes)
             if nb == 0:
                 continue
+            if cids.min() < 0 or cids.max() >= mask.shape[1]:
+                raise ValueError(
+                    f"centroid id out of range [0, {mask.shape[1]}) in "
+                    "batched search"
+                )
             rows = max(1, _SCORE_CHUNK_ELEMS // max(1, nq * m))
             scores = np.empty((nq, nb), dtype=np.float32)
             for lo in range(0, nb, rows):

@@ -265,9 +265,16 @@ def main() -> int:
         from recsplit_spark.sketches.incremental import _dir_exists
 
         codec = None
-        if args.pq is not None and not _dir_exists(
-            spark, f"{root}/ann/manifest"
-        ):
+        first_run = not _dir_exists(spark, f"{root}/ann/manifest")
+        if args.pq is not None and first_run and kept.isEmpty():
+            # an all-dropped first batch cannot fit a codec; creating
+            # the store WITHOUT one would permanently pin codec=None
+            # (the codec is fixed at creation), so skip the ANN stage
+            # entirely — the next non-empty batch creates the pinned
+            # store. Replaying this batch id later is still a no-op
+            # for every other stage (their lineage markers committed).
+            m_ann = {"gen": None, "n": 0, "skipped_empty_first_batch": True}
+        elif args.pq is not None and first_run:
             # first run: fit the codec on this batch and pin it; later
             # runs load the pinned codec (and its sha) from the store
             from recsplit_spark.pipeline.pq import PQCodec, ResidualPQ
@@ -291,8 +298,11 @@ def main() -> int:
             else:
                 codec = PQCodec(m=args.pq_m)
             codec = codec.fit(vecs, args.vec_col)
-        store = IncrementalANN(f"{root}/ann", index=idx, codec=codec)
-        if args.pq is not None and codec is None:
+        if m_ann is not None:
+            store = None  # ANN stage skipped this run (see above)
+        else:
+            store = IncrementalANN(f"{root}/ann", index=idx, codec=codec)
+        if store is not None and args.pq is not None and codec is None:
             # the store pre-exists, so the flag was not used to fit a
             # codec — it must AGREE with what the manifest pins; silently
             # dropping it would bypass the refuse-don't-adapt contract
@@ -321,9 +331,10 @@ def main() -> int:
                     "store creation (compact() into a fresh store to "
                     "change it)"
                 )
-        m_ann = store.append(kept.select(args.id_col, args.vec_col),
-                             args.id_col, args.vec_col,
-                             stream_batch_id=args.batch_id)
+        if store is not None:
+            m_ann = store.append(kept.select(args.id_col, args.vec_col),
+                                 args.id_col, args.vec_col,
+                                 stream_batch_id=args.batch_id)
 
     # 4. idempotent per-batch output (same overwrite contract as
     # StreamingDedupIngest). Without --batch-id there is no replay

@@ -784,6 +784,37 @@ def task_incmphf_compact(n_per_gen: int, gens: int, cores: int,
     return out
 
 
+def _clustered_vec_df(spark, n_vec: int, cores: int, dim: int):
+    """Deterministic clustered vectors (256 seed directions + batch-seeded
+    noise), generated executor-side — the SHARED ANN-codec fixture, so
+    the pqscale / residualscale / sq8scale rows are comparable by
+    construction (one definition, not three copies)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _gen(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 11)
+            cid = ids % 256
+            cents = np.random.default_rng(5).standard_normal((256, dim))
+            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
+                np.float32
+            )
+            flat = pa.array(x.reshape(-1), type=pa.float32())
+            offs = pa.array(
+                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
+            )
+            yield pa.record_batch(
+                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
+                names=["vec_id", "embedding"],
+            )
+
+    return spark.range(0, n_vec, 1, cores * 2).mapInArrow(
+        _gen, schema="vec_id long, embedding array<float>"
+    )
+
+
 def task_pqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
                  ks: int = 256, reps: int = 2) -> dict:
     """PQ codec at scale: fit on a 20k-vector gather, then the two scans
@@ -803,30 +834,7 @@ def task_pqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
-    def _gen(batches):
-        for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            rng = np.random.default_rng(int(ids[0]) + 11)
-            # clustered: 256 seed directions + noise (PQ's natural regime)
-            cid = ids % 256
-            cents = np.random.default_rng(5).standard_normal((256, dim))
-            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
-                np.float32
-            )
-            flat = pa.array(x.reshape(-1), type=pa.float32())
-            offs = pa.array(
-                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
-            )
-            yield pa.record_batch(
-                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
-                names=["vec_id", "embedding"],
-            )
-
-    vec = (
-        spark.range(0, n_vec, 1, cores * 2)
-        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
-        .persist()
-    )
+    vec = _clustered_vec_df(spark, n_vec, cores, dim).persist()
     vec.count()
     probe_before = host_probe_ms()
     t0 = time.time()
@@ -912,31 +920,7 @@ def task_residualscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
-    def _gen(batches):
-        for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            rng = np.random.default_rng(int(ids[0]) + 11)
-            # clustered: 256 seed directions + noise (same fixture shape
-            # as task_pqscale so the two rows are comparable)
-            cid = ids % 256
-            cents = np.random.default_rng(5).standard_normal((256, dim))
-            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
-                np.float32
-            )
-            flat = pa.array(x.reshape(-1), type=pa.float32())
-            offs = pa.array(
-                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
-            )
-            yield pa.record_batch(
-                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
-                names=["vec_id", "embedding"],
-            )
-
-    vec = (
-        spark.range(0, n_vec, 1, cores * 2)
-        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
-        .persist()
-    )
+    vec = _clustered_vec_df(spark, n_vec, cores, dim).persist()
     vec.count()
     probe_before = host_probe_ms()
     t0 = time.time()
@@ -1082,29 +1066,7 @@ def task_sq8scale(n_vec: int, cores: int, dim: int = 64,
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
-    def _gen(batches):
-        for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            rng = np.random.default_rng(int(ids[0]) + 11)
-            cid = ids % 256
-            cents = np.random.default_rng(5).standard_normal((256, dim))
-            x = (cents[cid] + 0.3 * rng.standard_normal((len(ids), dim))).astype(
-                np.float32
-            )
-            flat = pa.array(x.reshape(-1), type=pa.float32())
-            offs = pa.array(
-                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
-            )
-            yield pa.record_batch(
-                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
-                names=["vec_id", "embedding"],
-            )
-
-    vec = (
-        spark.range(0, n_vec, 1, cores * 2)
-        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
-        .persist()
-    )
+    vec = _clustered_vec_df(spark, n_vec, cores, dim).persist()
     vec.count()
     probe_before = host_probe_ms()
     t0 = time.time()

@@ -697,3 +697,19 @@ def test_sq8_inherited_ivfadc_and_search_many(spark):
     assert sorted(s for _, s in got_many) == sorted(s for _, s in single)
     assert {v for v, s in got_many if s > kth} == {v for v, s in single if s > kth}
     enc.unpersist()
+
+
+def test_residual_rejects_out_of_range_centroid_ids(spark):
+    """A sentinel -1 centroid id must fail loudly, not wrap to the last
+    centroid via numpy indexing (silent code corruption)."""
+    from pyspark.sql import functions as F
+
+    x, df, idx, codec, enc = _residual_setup(spark, n=120)
+    bad = idx.assign(df, "embedding").withColumn(
+        "centroid_id", F.lit(-1).cast("int")
+    )
+    with pytest.raises(Exception, match="out of range"):
+        codec.encode(bad, "embedding").collect()
+    bad_enc = enc.withColumn("centroid_id", F.lit(-1).cast("int"))
+    with pytest.raises(Exception, match="out of range"):
+        codec.score(bad_enc, x[0]).collect()
