@@ -642,14 +642,18 @@ class IncrementalANN:
             id_col=self._id_col if rerank > 0 else None,
         )
 
-    def search_adc_many(self, spark, queries, k: int = 10):
+    def search_adc_many(self, spark, queries, k: int = 10,
+                        rerank: int = 0):
         """Batched IVFADC serving over the committed store: Q queries
         answered in ONE byte-only scan of the UNION of their probe
         buckets (``pq.ivfadc_search_many``'s shape — per-batch partial
         top-k per query inside the kernel, one Q*k-row global reduce).
         Returns ``DataFrame[qid int, <id_col>, pq_score float]``;
         per-query rows match ``search_adc(..., rerank=0)``. Works for
-        both the raw and residual codec sidecars."""
+        every codec sidecar kind. ``rerank > 0`` adds the batched
+        exact-cosine refine (one id-IN re-read of the probe buckets,
+        driver-tiny gather) and returns ``cosine`` instead of
+        ``pq_score``."""
         from .pq import ivfadc_search_many
 
         self._check_or_write_manifest(spark, None, None)
@@ -658,9 +662,12 @@ class IncrementalANN:
                 f"incremental ANN at {self.path} has no PQ codec pinned; "
                 "create the store with codec= to enable search_adc_many"
             )
-        # byte-only scan: the float column never enters the plan
-        vecs = self.vectors(spark).drop(self._vec_col)
+        vecs = self.vectors(spark)
+        if rerank == 0:
+            # byte-only scan: the float column never enters the plan
+            vecs = vecs.drop(self._vec_col)
         return ivfadc_search_many(
             self._index, self._codec, vecs, queries, k=k,
-            id_col=self._id_col,
+            id_col=self._id_col, rerank=rerank,
+            vec_col=self._vec_col if rerank > 0 else None,
         )

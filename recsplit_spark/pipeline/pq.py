@@ -796,6 +796,54 @@ class OPQCodec(PQCodec):
         _enc = arrow_udf(_make_opq_encode_fn(bcast, self.m), BinaryType())
         return df.withColumn(out_col, _enc(vec_col))
 
+    def rotate(self, df, vec_col: str, out_col: str | None = None):
+        """Materialize the rotated (and normalized) vectors as a column
+        — the composition hook for the full OPQ+IVFADC stack: rotate
+        ONCE at ingest, then fit/assign the ``IVFIndex`` and a
+        ``ResidualPQ`` (or any codec) on the rotated column. Queries on
+        that stack must be rotated the same way
+        (``rotate_query``). One zero-shuffle arrow_udf projection;
+        rotation preserves inner products, so cosine results over the
+        rotated space equal the originals."""
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, FloatType
+
+        if self.rotation is None:
+            raise RuntimeError("fit() first")
+        bcast = self._codebook_broadcast(df)
+
+        def _rot(v: pa.Array) -> pa.Array:
+            _, rot = bcast.value
+            x = _normalize_rows(_list_col_to_matrix(v, np.float32))
+            n = len(x)
+            if n == 0:
+                return pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, dtype=np.int32)),
+                    pa.array(np.empty(0, dtype=np.float32), type=pa.float32()),
+                )
+            if x.shape[1] != rot.shape[0]:
+                raise ValueError(
+                    f"vector dim {x.shape[1]} != rotation dim {rot.shape[0]}"
+                )
+            y = np.ascontiguousarray(x @ rot.T)
+            d = y.shape[1]
+            offs = pa.array(
+                np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()
+            )
+            return pa.ListArray.from_arrays(
+                offs, pa.array(y.reshape(-1), type=pa.float32())
+            )
+
+        _rotate = arrow_udf(_rot, ArrayType(FloatType()))
+        return df.withColumn(out_col or vec_col, _rotate(vec_col))
+
+    def rotate_query(self, query: np.ndarray) -> np.ndarray:
+        """The query-side counterpart of ``rotate``: unit-normalize and
+        rotate one vector (driver-side, d x d matvec)."""
+        if self.rotation is None:
+            raise RuntimeError("fit() first")
+        return self.rotation @ _unit(query)
+
     # -- search ----------------------------------------------------------
     def _lut(self, query: np.ndarray) -> np.ndarray:
         # rotate the normalized query into code space; R is orthogonal so
@@ -1061,7 +1109,8 @@ def codec_from_bytes(data: bytes, index=None):
 
 def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
                        k: int = 10, centroid_col: str = "centroid_id",
-                       code_col: str = "pq_code", id_col: str = "vec_id"):
+                       code_col: str = "pq_code", id_col: str = "vec_id",
+                       rerank: int = 0, vec_col: str | None = None):
     """Batched IVFADC: ONE scan of the UNION of all queries' probe
     buckets (the IN-filter still prunes directories), each query scored
     only against its OWN probe set via a (Q, n_centroids) mask inside
@@ -1071,13 +1120,71 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
     per-bucket bias is a (Q, n_centroids) float32 gather folded into the
     same chunk loop). Returns ``DataFrame[qid int, <id_col>, pq_score
     float]``; per-query rows match the single-query
-    ``ivfadc_search(..., rerank=0)`` (tested)."""
+    ``ivfadc_search(..., rerank=0)`` (tested).
+
+    ``rerank > 0`` (requires ``vec_col``) is the batched two-phase
+    funnel: phase 1 is this byte-only ADC scan at k*rerank candidates
+    per query; phase 2 is ONE ``id IN (union of candidates)`` re-read of
+    the probe buckets (parquet-pushed), Arrow-gathered to the driver
+    (Q*k*rerank rows of d floats — ~650 KB at 64 queries / k=10 /
+    rerank=4 / d=64, always driver-tiny), and the exact per-query cosine
+    rerank is one numpy matmul. Returns ``DataFrame[qid int, <id_col>,
+    cosine float]`` with k rows per query, matching the single-query
+    ``ivfadc_search(..., rerank=r)`` per query."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if codec.codebooks is None:
         raise RuntimeError("fit() first")
+    if rerank > 0:
+        if vec_col is None:
+            raise ValueError(
+                "rerank requires vec_col (exact-cosine refine re-fetches "
+                "candidate rows by id)"
+            )
+        byte_only = encoded_df.select(id_col, code_col, centroid_col)
+        cand = ivfadc_search_many(
+            index, codec, byte_only, queries, k=k * rerank,
+            centroid_col=centroid_col, code_col=code_col, id_col=id_col,
+        ).collect()
+        per_q: dict[int, list] = {}
+        for r in cand:
+            per_q.setdefault(r["qid"], []).append(r[id_col])
+        union_ids = sorted({r[id_col] for r in cand})
+        mask_all = np.zeros(
+            (len(queries), index.centroids.shape[0]), dtype=bool
+        )
+        for qi, q in enumerate(queries):
+            mask_all[qi, index.probe_ids(q)] = True
+        probe_union = np.flatnonzero(mask_all.any(axis=0)).tolist()
+        fetched = (
+            encoded_df.filter(F.col(centroid_col).isin(probe_union))
+            .filter(F.col(id_col).isin(union_ids))
+            .select(id_col, vec_col)
+            .toArrow()
+        )
+        ids_arr = fetched.column(0).to_pylist()
+        vecs = _normalize_rows(
+            _list_col_to_matrix(fetched.column(1), np.float64)
+        )
+        by_id = {i: j for j, i in enumerate(ids_arr)}
+        rows = []
+        for qi, q in enumerate(queries):
+            qn = _unit(q)
+            cids = [c for c in per_q.get(qi, []) if c in by_id]
+            if not cids:
+                continue
+            cos = vecs[[by_id[c] for c in cids]] @ qn
+            order = np.argsort(-cos)[:k]
+            rows.extend(
+                (qi, cids[j], float(cos[j])) for j in order
+            )
+        spark = encoded_df.sparkSession
+        id_type = encoded_df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, f"qid int, {id_col} {id_type}, cosine float"
+        )
     nq, m = len(queries), codec.m
     n_cent = index.centroids.shape[0]
     mask = np.zeros((nq, n_cent), dtype=bool)

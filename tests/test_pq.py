@@ -713,3 +713,86 @@ def test_residual_rejects_out_of_range_centroid_ids(spark):
     bad_enc = enc.withColumn("centroid_id", F.lit(-1).cast("int"))
     with pytest.raises(Exception, match="out of range"):
         codec.score(bad_enc, x[0]).collect()
+
+
+def test_opq_rotate_composition_with_residual_ivfadc(spark):
+    """The full OPQ+IVFADC stack: rotate once at ingest, fit IVF and a
+    ResidualPQ on the ROTATED column, search with the rotated query.
+    Rotation preserves cosine, so exact top-k over the rotated column
+    equals the original's, and the funnel recall carries over."""
+    from recsplit_spark.pipeline.ann import IVFIndex, brute_force_topk
+    from recsplit_spark.pipeline.pq import (
+        OPQCodec,
+        ResidualPQ,
+        ivfadc_search,
+    )
+
+    x = _clustered(n=600)
+    df = _to_df(spark, x)
+    opq = OPQCodec(m=8, ks=16, seed=5).fit(df, "embedding")
+    rot_df = opq.rotate(df, "embedding", out_col="remb").cache()
+    # cosine invariance under the rotation (same ids, same values)
+    q = x[100]
+    rq = opq.rotate_query(q)
+    orig = [(r["vec_id"], round(r["cosine"], 4))
+            for r in brute_force_topk(df, "embedding", q, 10).collect()]
+    rot = [(r["vec_id"], round(r["cosine"], 4))
+           for r in brute_force_topk(rot_df, "remb", rq, 10).collect()]
+    assert {v for v, _ in orig} == {v for v, _ in rot}
+    assert all(abs(a - b) < 2e-3 for (_, a), (_, b) in zip(orig, rot))
+
+    idx = IVFIndex(n_centroids=8, nprobe=4, seed=2).fit(rot_df, "remb")
+    codec = ResidualPQ(idx, m=8, ks=16, seed=5).fit(rot_df, "remb")
+    enc = codec.encode(idx.assign(rot_df, "remb"), "remb").cache()
+    exact = {v for v, _ in orig}
+    got = {
+        r["vec_id"]
+        for r in ivfadc_search(
+            idx, codec, enc, rq, k=10, rerank=8,
+            vec_col="remb", id_col="vec_id",
+        ).collect()
+    }
+    assert len(exact & got) >= 7, (exact, got)
+    enc.unpersist()
+    rot_df.unpersist()
+
+
+def test_ivfadc_search_many_rerank_matches_single_query(spark):
+    """Batched two-phase funnel == per-query ivfadc_search(rerank=r):
+    same ids, same exact cosines, for both codec kinds."""
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import (
+        ResidualPQ,
+        ivfadc_search,
+        ivfadc_search_many,
+    )
+
+    x = _clustered(n=600)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=4, seed=2).fit(df, "embedding")
+    for codec in (
+        PQCodec(m=8, ks=32, seed=5).fit(df, "embedding"),
+        ResidualPQ(idx, m=8, ks=32, seed=5).fit(df, "embedding"),
+    ):
+        enc = codec.encode(idx.assign(df, "embedding"), "embedding").cache()
+        queries = [x[3], x[100], x[555]]
+        many = ivfadc_search_many(
+            idx, codec, enc, queries, k=6, rerank=4, vec_col="embedding"
+        ).collect()
+        by_q = {}
+        for r in many:
+            by_q.setdefault(r["qid"], []).append(
+                (r["vec_id"], round(r["cosine"], 5))
+            )
+        for qi, q in enumerate(queries):
+            want = [
+                (r["vec_id"], round(r["cosine"], 5))
+                for r in ivfadc_search(
+                    idx, codec, enc, q, k=6, rerank=4,
+                    vec_col="embedding", id_col="vec_id",
+                ).collect()
+            ]
+            assert sorted(by_q[qi]) == sorted(want), qi
+        with pytest.raises(ValueError, match="vec_col"):
+            ivfadc_search_many(idx, codec, enc, queries, k=6, rerank=4)
+        enc.unpersist()
