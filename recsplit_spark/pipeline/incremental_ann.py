@@ -238,6 +238,46 @@ class IncrementalANN:
             .parquet(*paths)
         )
 
+    def bucket_stats(self, spark):
+        """Per-bucket vector counts: ``DataFrame[centroid_id int,
+        n long]``. Column pruning keeps vectors and codes out of the
+        read (count over the partition column only); with
+        ``spark.sql.parquet.aggregatePushdown`` the count comes straight
+        from the footers."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.vectors(spark)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def bucket_skew(self, spark) -> dict:
+        """The drift/compaction signal: bucket-size imbalance summary.
+
+        At scale the probe cost of a query is the size of its probed
+        buckets, so ingest drift away from the fitted centroids shows up
+        here FIRST — a rising ``imbalance`` (max/mean) or ``empty``
+        count means hot buckets are absorbing the drifted mass and it is
+        time for the planned re-key (``compact``). Driver cost is one
+        k-row collect."""
+        rows = self.bucket_stats(spark).collect()
+        self._check_or_write_manifest(spark, None, None)
+        k = int(self._index.centroids.shape[0])
+        counts = {int(r["centroid_id"]): int(r["n"]) for r in rows}
+        total = sum(counts.values())
+        mean = total / max(1, k)
+        mx = max(counts.values(), default=0)
+        return {
+            "n_buckets": k,
+            "n_vectors": total,
+            "nonempty_buckets": len(counts),
+            "empty_buckets": k - len(counts),
+            "max_bucket": mx,
+            "mean_bucket": round(mean, 2),
+            "imbalance": round(mx / mean, 3) if total else 0.0,
+        }
+
     # -- append / search ------------------------------------------------------------
     def append(self, df, id_col: str | None = None,
                vec_col: str | None = None,

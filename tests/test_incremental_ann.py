@@ -539,3 +539,30 @@ def test_search_adc_many_matches_per_query(spark, tmp_path, fitted):
     plain.append(base.limit(20), "vec_id", "embedding")
     with pytest.raises(RuntimeError, match="no PQ codec"):
         plain.search_adc_many(spark, [np.zeros(16)], k=3)
+
+
+def test_bucket_stats_and_skew(spark, tmp_path, fitted):
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/skew", index=idx)
+    inc.append(base.filter(F.col("vec_id") < 300), "vec_id", "embedding")
+    inc.append(base.filter(F.col("vec_id") >= 300))
+    stats = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in inc.bucket_stats(spark).collect()
+    }
+    assert sum(stats.values()) == 600
+    # counts match a direct per-bucket count over the committed table
+    direct = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in inc.vectors(spark)
+        .groupBy("centroid_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert stats == direct
+    s = inc.bucket_skew(spark)
+    assert s["n_vectors"] == 600 and s["n_buckets"] == 8
+    assert s["nonempty_buckets"] + s["empty_buckets"] == 8
+    assert s["imbalance"] >= 1.0
+    assert s["max_bucket"] == max(stats.values())
