@@ -796,3 +796,60 @@ def test_ivfadc_search_many_rerank_matches_single_query(spark):
         with pytest.raises(ValueError, match="vec_col"):
             ivfadc_search_many(idx, codec, enc, queries, k=6, rerank=4)
         enc.unpersist()
+
+
+def test_codec_family_serde_property():
+    """Pure-numpy serde property sweep over the whole codec family:
+    from_bytes(to_bytes(c)) reproduces codebooks/rotation/range bit-for-
+    bit and re-serializes to the identical blob, across random shapes."""
+    from recsplit_spark.pipeline.pq import (
+        OPQCodec,
+        PQCodec,
+        ResidualPQ,
+        SQ8Codec,
+        codec_from_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+
+    class _FakeIndex:
+        def __init__(self, k, d):
+            self.centroids = rng.normal(size=(k, d))
+
+    f32 = lambda a: a.astype(np.float32).astype(np.float64)
+    for m, ks, dsub in ((4, 16, 2), (8, 256, 8), (1, 2, 5)):
+        c = PQCodec(m=m, ks=ks, iters=3, seed=int(rng.integers(1, 99)))
+        c.codebooks = f32(rng.normal(size=(m, ks, dsub)))
+        back = codec_from_bytes(c.to_bytes())
+        assert type(back) is PQCodec
+        np.testing.assert_array_equal(back.codebooks, c.codebooks)
+        assert back.to_bytes() == c.to_bytes()
+
+        d = m * dsub
+        o = OPQCodec(m=m, ks=ks, iters=3, seed=1)
+        o.codebooks = f32(rng.normal(size=(m, ks, dsub)))
+        q_, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        o.rotation = f32(q_)
+        back = codec_from_bytes(o.to_bytes())
+        assert type(back) is OPQCodec
+        np.testing.assert_array_equal(back.rotation, o.rotation)
+        np.testing.assert_array_equal(back.codebooks, o.codebooks)
+        assert back.to_bytes() == o.to_bytes()
+
+        idx = _FakeIndex(6, d)
+        r = ResidualPQ(idx, m=m, ks=ks, iters=3, seed=2)
+        r.codebooks = f32(rng.normal(size=(m, ks, dsub)))
+        back = ResidualPQ.from_bytes(r.to_bytes(), idx)
+        np.testing.assert_array_equal(back.codebooks, r.codebooks)
+        assert back.to_bytes() == r.to_bytes()
+        with pytest.raises(ValueError, match="different"):
+            ResidualPQ.from_bytes(r.to_bytes(), _FakeIndex(6, d))
+
+        s = SQ8Codec(seed=3)
+        s._set_range(rng.normal(size=d), np.abs(rng.normal(size=d)) + 1e-4)
+        back = codec_from_bytes(s.to_bytes())
+        assert type(back) is SQ8Codec
+        np.testing.assert_array_equal(back.codebooks, s.codebooks)
+        np.testing.assert_array_equal(back.vmin, s.vmin)
+        np.testing.assert_array_equal(back.scale, s.scale)
+        assert back.to_bytes() == s.to_bytes()
