@@ -1048,6 +1048,104 @@ def task_residualscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
     }
 
 
+def task_opqscale(n_vec: int, cores: int, dim: int = 64, m: int = 8,
+                  ks: int = 256, reps: int = 2) -> dict:
+    """OPQ vs raw PQ at scale on ANISOTROPIC vectors (geometric variance
+    ladder + a fixed dense mixing rotation — the regime the learned
+    rotation exists for): fit both at the same (m, ks) byte budget,
+    measure the rotate+encode scan and the ADC error of each against
+    the exact cosine over a sampled subset."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import _cosine_expr
+    from recsplit_spark.pipeline.pq import OPQCodec, PQCodec
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-opq", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        scales = 2.0 ** (-np.arange(dim) / 4.0)
+        mix, _ = np.linalg.qr(
+            np.random.default_rng(9).standard_normal((dim, dim))
+        )
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 11)
+            x = (
+                (rng.standard_normal((len(ids), dim)) * scales) @ mix
+            ).astype(np.float32)
+            flat = pa.array(x.reshape(-1), type=pa.float32())
+            offs = pa.array(
+                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
+            )
+            yield pa.record_batch(
+                [b.column(0), pa.ListArray.from_arrays(offs, flat)],
+                names=["vec_id", "embedding"],
+            )
+
+    vec = (
+        spark.range(0, n_vec, 1, cores * 2)
+        .mapInArrow(_gen, schema="vec_id long, embedding array<float>")
+        .persist()
+    )
+    vec.count()
+    probe_before = host_probe_ms()
+    t0 = time.time()
+    opq = OPQCodec(m=m, ks=ks, seed=7).fit(vec, "embedding")
+    raw = PQCodec(m=m, ks=ks, seed=7).fit(vec, "embedding")
+    fit_s = time.time() - t0
+    enc_best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        opq.encode(vec, "embedding").agg(
+            F.sum(F.length("pq_code"))
+        ).collect()
+        enc_best = min(enc_best, time.time() - t0)
+    enc = opq.encode(
+        raw.encode(vec, "embedding", out_col="raw_code"), "embedding"
+    ).persist()
+    enc.count()
+    q = np.random.default_rng(5).standard_normal(dim)
+    errs = (
+        opq.score(raw.score(
+            enc.filter(F.col("vec_id") % 97 == 0),
+            q, code_col="raw_code", out_col="raw_score",
+        ), q)
+        .withColumn("cosine", _cosine_expr("embedding", q))
+        .agg(
+            F.avg(F.abs(F.col("pq_score") - F.col("cosine"))).alias("o"),
+            F.avg(F.abs(F.col("raw_score") - F.col("cosine"))).alias("r"),
+        )
+        .collect()[0]
+    )
+    probe_after = host_probe_ms()
+    enc.unpersist()
+    vec.unpersist()
+    spark.stop()
+    return {
+        "task": "opqscale",
+        "n_vec": n_vec,
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "fit_sec": round(fit_s, 2),
+        "encode_sec_best": round(enc_best, 2),
+        "encode_vecs_per_sec": round(n_vec / enc_best, 1),
+        "adc_mae_opq": round(float(errs["o"]), 5),
+        "adc_mae_raw": round(float(errs["r"]), 5),
+        "mae_ratio_raw_over_opq": round(
+            float(errs["r"]) / max(float(errs["o"]), 1e-12), 2
+        ),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 def task_sq8scale(n_vec: int, cores: int, dim: int = 64,
                   reps: int = 2) -> dict:
     """SQ8 at scale: the 4x/near-exact codec point — encode scan
@@ -1274,7 +1372,7 @@ if __name__ == "__main__":
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
-                 "sq8scale", "dsirscale", "bpescale"],
+                 "opqscale", "sq8scale", "dsirscale", "bpescale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1311,6 +1409,8 @@ if __name__ == "__main__":
         res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "residualscale":
         res = task_residualscale(args.n or 1_000_000, args.cores, dim=args.dim)
+    elif args.task == "opqscale":
+        res = task_opqscale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "sq8scale":
         res = task_sq8scale(args.n or 1_000_000, args.cores, dim=args.dim)
     elif args.task == "dsirscale":
