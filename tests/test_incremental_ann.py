@@ -566,3 +566,52 @@ def test_bucket_stats_and_skew(spark, tmp_path, fitted):
     assert s["nonempty_buckets"] + s["empty_buckets"] == 8
     assert s["imbalance"] >= 1.0
     assert s["max_bucket"] == max(stats.values())
+
+
+def test_streaming_ingest_into_codec_pinned_store(spark, tmp_path, fitted):
+    """Streaming micro-batches into a ResidualPQ-pinned store: every
+    generation carries codes (encoded inside the same append pass),
+    batched ADC serving works over the streamed corpus, and replay after
+    checkpoint loss commits nothing twice."""
+    import pandas as pd
+
+    from recsplit_spark.pipeline.pq import ResidualPQ
+    from recsplit_spark.streaming import StreamingANNIngest
+
+    idx, base = fitted
+    codec = ResidualPQ(idx, m=4, ks=8, seed=3).fit(base, "embedding")
+    src = tmp_path / "csrc"
+    src.mkdir()
+    pdf = base.toPandas()
+    for i, (lo, hi) in enumerate([(0, 300), (300, 600)]):
+        pd.DataFrame(pdf[(pdf.vec_id >= lo) & (pdf.vec_id < hi)]).to_parquet(
+            src / f"part-{i}.parquet", index=False
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    store = IncrementalANN(f"{tmp_path}/cann", index=idx, codec=codec)
+    q = StreamingANNIngest(store, "vec_id", "embedding").start(
+        stream(), checkpoint_dir=f"{tmp_path}/cckpt"
+    )
+    q.awaitTermination(180)
+    assert store.total_vectors(spark) == 600
+    vecs = store.vectors(spark)
+    assert vecs.filter(F.col("pq_code").isNull()).count() == 0
+
+    qv = np.random.default_rng(11).standard_normal(16)
+    adc = store.search_adc_many(spark, [qv], k=5, rerank=4).collect()
+    assert len(adc) == 5
+    # replay from scratch: no double commits, serving unchanged
+    ing2 = StreamingANNIngest(
+        IncrementalANN(f"{tmp_path}/cann"), "vec_id", "embedding"
+    )
+    q2 = ing2.start(stream(), checkpoint_dir=f"{tmp_path}/cckpt2")
+    q2.awaitTermination(180)
+    assert all(m["skipped_replay"] for m in ing2.metrics)
+    assert IncrementalANN(f"{tmp_path}/cann").total_vectors(spark) == 600
