@@ -220,11 +220,18 @@ class IncrementalANN:
         self._check_or_write_manifest(spark, None, None)
         return self._index
 
-    def vectors(self, spark):
+    def vectors(self, spark, include_tombstoned: bool = False):
         """The committed bucketed table (id, vector, centroid_id, gen) —
         ONLY lineage-committed generation dirs (orphans from crashed
         appends are invisible), with partition columns preserved via
-        basePath so `search`'s IN-filter prunes directories."""
+        basePath so `search`'s IN-filter prunes directories. Tombstoned
+        ids (``delete``) are anti-joined out unless
+        ``include_tombstoned`` — every downstream surface (search,
+        search_adc/_many, append_dedup probing, bucket stats, compact)
+        reads through here, so a delete is effective everywhere at
+        once."""
+        from pyspark.sql import functions as F
+
         rows = self._lineage_rows(spark)
         if not rows:
             raise RuntimeError(f"nothing committed at {self.path}")
@@ -233,10 +240,102 @@ class IncrementalANN:
             for r in rows
             if int(r["n"]) > 0
         ]
-        return (
+        vec = (
             spark.read.option("basePath", f"{self.path}/vectors")
             .parquet(*paths)
         )
+        if include_tombstoned:
+            return vec
+        if self._id_col is None:  # fresh handle: the anti-join needs it
+            self._check_or_write_manifest(spark, None, None)
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return vec
+        return vec.join(
+            F.broadcast(tomb), on=self._id_col, how="left_anti"
+        )
+
+    # -- deletion (tombstones) -------------------------------------------------
+    def _tombstone_rows(self, spark) -> list:
+        if not _dir_exists(spark, f"{self.path}/tombstone_lineage"):
+            return []
+        return sorted(
+            spark.read.parquet(f"{self.path}/tombstone_lineage").collect(),
+            key=lambda r: int(r["gen"]),
+        )
+
+    def _tombstones(self, spark):
+        """Distinct tombstoned ids, or None if nothing was ever deleted
+        (the common case pays zero extra plan nodes)."""
+        rows = self._tombstone_rows(spark)
+        if not rows:
+            return None
+        paths = [
+            f"{self.path}/tombstones/gen={int(r['gen'])}"
+            for r in rows
+            if int(r["n"]) > 0
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select(self._id_col).distinct()
+
+    def total_tombstoned(self, spark) -> int:
+        """Distinct deleted ids (a re-deleted id counts once)."""
+        self._check_or_write_manifest(spark, None, None)
+        t = self._tombstones(spark)
+        return 0 if t is None else t.count()
+
+    def delete(self, spark, ids, id_col: str | None = None) -> dict:
+        """Tombstone ids: the append-only lake's delete (the
+        right-to-be-forgotten path). Vectors are NOT rewritten — a
+        tombstone generation commits under ``<path>/tombstones/gen=K``
+        (payload-then-lineage, same crash discipline as appends) and
+        ``vectors()`` anti-joins the set out, so search/serving/dedup
+        stop seeing the ids immediately. Physical removal happens at the
+        next ``compact`` (it rebuilds from ``vectors()``, which already
+        excludes tombstones). Deleting an id twice, or an id the store
+        never held, is harmless (the anti-join is set semantics).
+
+        ``ids`` is a DataFrame carrying the store's id column (pass
+        ``id_col=`` if named differently) or a Python list. Tombstone
+        sets ride a broadcast at read time — this is for targeted
+        deletions (the usual case), not bulk expiry; bulk expiry IS a
+        compaction."""
+        t0 = time.time()
+        self._acquire_lock(spark)
+        try:
+            self._check_or_write_manifest(spark, None, None)
+            if isinstance(ids, (list, tuple)):
+                ids_df = spark.createDataFrame(
+                    [(i,) for i in ids], f"{self._id_col} string"
+                ) if ids and isinstance(ids[0], str) else spark.createDataFrame(
+                    [(int(i),) for i in ids], f"{self._id_col} long"
+                )
+            else:
+                ids_df = ids.select(
+                    (ids[id_col] if id_col else ids[self._id_col]).alias(
+                        self._id_col
+                    )
+                )
+            ids_df = ids_df.distinct()
+            n = ids_df.count()
+            rows = self._tombstone_rows(spark)
+            gen = int(rows[-1]["gen"]) + 1 if rows else 0
+            if n > 0:
+                ids_df.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.path}/tombstones/gen={gen}"
+                )
+            wall = time.time() - t0
+            if n > 0:
+                spark.createDataFrame(
+                    [(gen, n, uuid.uuid4().hex, wall)], _LIN_SCHEMA
+                ).write.mode("append").parquet(
+                    f"{self.path}/tombstone_lineage"
+                )
+            return {"gen": gen if n > 0 else None, "n": int(n),
+                    "wall_s": wall}
+        finally:
+            release_writer_lock(spark, self.path)
 
     def bucket_stats(self, spark):
         """Per-bucket vector counts: ``DataFrame[centroid_id int,
@@ -604,14 +703,20 @@ class IncrementalANN:
                 "generations; compact into a fresh path"
             )
         n_total = self.total_vectors(spark)
-        vecs = self.vectors(spark).select(self._id_col, self._vec_col)
-        n_rows = vecs.count()
-        if n_rows != n_total:
+        # consistency check against the PHYSICAL rows (lineage counts
+        # what was appended; tombstones don't rewrite generations)...
+        n_physical = self.vectors(spark, include_tombstoned=True).count()
+        if n_physical != n_total:
             raise RuntimeError(
                 f"committed lineage says {n_total} vectors but the "
-                f"generation dirs hold {n_rows}; refusing to compact an "
-                "inconsistent store"
+                f"generation dirs hold {n_physical}; refusing to compact "
+                "an inconsistent store"
             )
+        # ...but the rebuild reads the LIVE set: compaction is where
+        # tombstoned rows are physically dropped (the new store starts
+        # with an empty tombstone set)
+        vecs = self.vectors(spark).select(self._id_col, self._vec_col)
+        n_rows = vecs.count()
         if index is None:
             k, _ = self._index.centroids.shape
             index = IVFIndex(

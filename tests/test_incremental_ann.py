@@ -615,3 +615,50 @@ def test_streaming_ingest_into_codec_pinned_store(spark, tmp_path, fitted):
     q2.awaitTermination(180)
     assert all(m["skipped_replay"] for m in ing2.metrics)
     assert IncrementalANN(f"{tmp_path}/cann").total_vectors(spark) == 600
+
+
+def test_delete_tombstones_and_compact_drops(spark, tmp_path, fitted):
+    """Tombstone deletion: search/serving stop seeing deleted ids
+    immediately (vectors() anti-join), re-deletes and unknown ids are
+    harmless, and compact() physically drops the tombstoned rows into a
+    clean new store."""
+    from recsplit_spark.pipeline.pq import PQCodec
+
+    idx, base = fitted
+    codec = PQCodec(m=4, ks=8, seed=3).fit(base, "embedding")
+    inc = IncrementalANN(f"{tmp_path}/del", index=idx, codec=codec)
+    inc.append(base, "vec_id", "embedding")
+
+    # pick a query whose exact top-1 is itself, then delete it
+    q = np.array(
+        base.filter(F.col("vec_id") == 42).first()["embedding"],
+        dtype=np.float64,
+    )
+    assert inc.search(spark, q, k=1).first()["vec_id"] == 42
+    m = inc.delete(spark, [42, 43, 999_999])  # 999999 never existed
+    assert m["n"] == 3 and m["gen"] == 0
+    assert inc.total_tombstoned(spark) == 3
+    assert inc.vectors(spark).count() == 598
+    got = {r["vec_id"] for r in inc.search(spark, q, k=5).collect()}
+    assert 42 not in got and 43 not in got
+    adc = {r["vec_id"] for r in inc.search_adc(spark, q, k=5).collect()}
+    assert 42 not in adc and 43 not in adc
+
+    # re-delete + DataFrame form, set semantics
+    m2 = inc.delete(spark, base.filter(F.col("vec_id") < 2).select("vec_id"))
+    assert m2["n"] == 2
+    inc.delete(spark, [42])  # again: harmless
+    assert inc.total_tombstoned(spark) == 5
+    assert inc.vectors(spark).count() == 596
+
+    # fresh handle applies tombstones without any prior manifest call
+    fresh = IncrementalANN(f"{tmp_path}/del")
+    assert fresh.vectors(spark).count() == 596
+
+    # compact: physical drop, clean tombstone slate, codec carried
+    new, mm = inc.compact(spark, f"{tmp_path}/del2")
+    assert mm["n"] == 596
+    assert new.total_vectors(spark) == 596
+    assert new.total_tombstoned(spark) == 0
+    got2 = {r["vec_id"] for r in new.search_adc(spark, q, k=5).collect()}
+    assert 42 not in got2
