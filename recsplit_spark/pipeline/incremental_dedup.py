@@ -106,6 +106,7 @@ _LIN_SCHEMA = (
     "gen int, n_in long, n_kept long, n_matched_old long,"
     " n_clusters long, run_id string, wall_s double"
 )
+_TOMB_SCHEMA = "gen int, n long, run_id string, wall_s double"
 
 
 class IncrementalDedup:
@@ -222,12 +223,15 @@ class IncrementalDedup:
 
     def kept_ids(self, spark, gen: int | None = None):
         """DataFrame[id long] of kept documents — one generation (``gen``)
-        or the whole committed corpus. Reads only the KB-scale sig
-        tables, never the corpus."""
-        paths = self._committed_paths(spark, "sigs", gen)
-        if not paths:
+        or the whole committed corpus, EXCLUDING tombstoned ids (a
+        deleted doc disappears from recomputed outputs too, including
+        streaming replay rewrites — the intended right-to-be-forgotten
+        semantic). Reads only the KB-scale sig tables, never the
+        corpus."""
+        st = self._state(spark, "sigs", gen)
+        if st is None:
             return spark.createDataFrame([], "id long")
-        return spark.read.parquet(*paths).select("id")
+        return st.select("id")
 
     def _committed_paths(self, spark, sub: str, gen: int | None = None):
         rows = self._lineage_rows(spark)
@@ -240,6 +244,89 @@ class IncrementalDedup:
             for r in rows
             if int(r["n_kept"]) > 0
         ]
+
+    def _state(self, spark, sub: str, gen: int | None = None):
+        """Committed state relation (``sigs`` or ``bands``) with the
+        tombstone set anti-joined out, or None if nothing is committed.
+        Every state read goes through here so a ``delete`` is effective
+        everywhere at once (appends stop matching the deleted doc,
+        consolidation drops it physically)."""
+        from pyspark.sql import functions as F
+
+        paths = self._committed_paths(spark, sub, gen)
+        if not paths:
+            return None
+        df = spark.read.parquet(*paths)
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), "id", "left_anti")
+
+    # -- deletion (tombstones) -------------------------------------------------
+    def _tombstone_rows(self, spark) -> list:
+        if not _dir_exists(spark, f"{self.path}/tombstone_lineage"):
+            return []
+        return sorted(
+            spark.read.parquet(f"{self.path}/tombstone_lineage").collect(),
+            key=lambda r: int(r["gen"]),
+        )
+
+    def _tombstones(self, spark):
+        rows = self._tombstone_rows(spark)
+        if not rows:
+            return None
+        paths = [
+            f"{self.path}/tombstones/gen={int(r['gen'])}"
+            for r in rows
+            if int(r["n"]) > 0
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select("id").distinct()
+
+    def total_tombstoned(self, spark) -> int:
+        t = self._tombstones(spark)
+        return 0 if t is None else t.count()
+
+    def delete(self, spark, ids) -> dict:
+        """Tombstone kept ids (right-to-be-forgotten for the dedup
+        state): the deleted doc's band/signature rows stop matching
+        immediately — a FUTURE near-copy of it will be KEPT, which is
+        exactly what forgetting means — and ``consolidate`` drops the
+        rows physically. ``ids`` is an int64 list or a DataFrame whose
+        first selected column is the id. Re-deletes and unknown ids are
+        set-semantics no-ops; same payload-then-lineage crash discipline
+        as appends."""
+        import time as _time
+
+        t0 = _time.time()
+        self._acquire_lock(spark)
+        try:
+            self._check_or_write_manifest(spark)
+            if isinstance(ids, (list, tuple)):
+                ids_df = spark.createDataFrame(
+                    [(int(i),) for i in ids], "id long"
+                )
+            else:
+                ids_df = ids.select(ids.columns[0]).toDF("id")
+            ids_df = ids_df.distinct()
+            n = ids_df.count()
+            rows = self._tombstone_rows(spark)
+            gen = int(rows[-1]["gen"]) + 1 if rows else 0
+            wall = _time.time() - t0
+            if n > 0:
+                ids_df.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.path}/tombstones/gen={gen}"
+                )
+                spark.createDataFrame(
+                    [(gen, n, uuid.uuid4().hex, wall)], _TOMB_SCHEMA
+                ).write.mode("append").parquet(
+                    f"{self.path}/tombstone_lineage"
+                )
+            return {"gen": gen if n > 0 else None, "n": int(n),
+                    "wall_s": wall}
+        finally:
+            self._release_lock(spark)
 
     # -- signatures / verification ----------------------------------------------
     def _signatures(self, df, id_col: str, content_col: str):
@@ -353,10 +440,9 @@ class IncrementalDedup:
             )
 
         # -- new-vs-old: batch band rows join the persisted bucket relation
-        state_paths = self._committed_paths(spark, "bands")
-        if state_paths:
+        old_bands = self._state(spark, "bands")
+        if old_bands is not None:
             batch_bands = _band_rows(sig, "id", self.num_hashes, self.bands)
-            old_bands = spark.read.parquet(*state_paths)
             cand_old = (
                 batch_bands.withColumnRenamed("id", "id_a")
                 .join(
@@ -378,9 +464,7 @@ class IncrementalDedup:
                 .select("id_a", "id_b")
                 .distinct()
             )
-            old_sigs = spark.read.parquet(
-                *self._committed_paths(spark, "sigs")
-            )
+            old_sigs = self._state(spark, "sigs")
             matched_old = (
                 self._verified(cand_old, sig, old_sigs)
                 .select("id_a")
@@ -501,12 +585,14 @@ class IncrementalDedup:
         )
         new._check_or_write_manifest(spark)
         t0 = time.time()
-        sigs = spark.read.parquet(*self._committed_paths(spark, "sigs"))
+        # reads go through _state: consolidation is where tombstoned
+        # rows are physically dropped (the new store starts clean)
+        sigs = self._state(spark, "sigs")
         sigs.write.mode("overwrite").parquet(f"{new_path}/gen=0/sigs")
-        spark.read.parquet(*self._committed_paths(spark, "bands")).write.mode(
+        self._state(spark, "bands").write.mode(
             "overwrite"
         ).parquet(f"{new_path}/gen=0/bands")
-        n_kept = sum(int(r["n_kept"]) for r in rows)
+        n_kept = spark.read.parquet(f"{new_path}/gen=0/sigs").count()
         n_in = sum(int(r["n_in"]) for r in rows)
         hw = self.last_stream_batch_id(spark)
         run_id = uuid.uuid4().hex

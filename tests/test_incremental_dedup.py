@@ -255,3 +255,53 @@ def test_unmarked_replayed_batch_id_does_not_misattribute(spark, tmp_path):
     assert m1r["gen"] is None and m1r["n_in"] == 0
     assert "skipped_replay" in m1r and not m1r["skipped_replay"]
     assert inc.total_kept(spark) == 2
+
+
+def test_delete_unsuppresses_future_near_dups_and_consolidate_drops(
+    spark, tmp_path
+):
+    """Right-to-be-forgotten in the dedup state: after delete(), a
+    future near-copy of the deleted doc is KEPT (its state rows no
+    longer match), kept_ids excludes it immediately, and consolidate
+    drops its rows physically into a clean new store."""
+    inc = IncrementalDedup(f"{tmp_path}/tomb", **CFG)
+    # batch 0: doc 1 is a cluster-7 doc, doc 2 unique
+    kept, m0 = inc.append(
+        _df(spark, [_doc(1, cluster=7), _doc(2)]), "doc_id", "text"
+    )
+    assert m0["n_kept"] == 2
+
+    # a near-copy of doc 1 arrives -> suppressed by state
+    _, m1 = inc.append(
+        _df(spark, [_doc(10, cluster=7, variant=1)]), "doc_id", "text"
+    )
+    assert m1["n_kept"] == 0 and m1["n_matched_old"] == 1
+
+    # forget doc 1
+    d = inc.delete(spark, [1])
+    assert d["n"] == 1
+    assert inc.total_tombstoned(spark) == 1
+    ids = {r["id"] for r in inc.kept_ids(spark).collect()}
+    assert ids == {2}
+
+    # the same near-copy arrives again (new id) -> now KEPT
+    _, m2 = inc.append(
+        _df(spark, [_doc(11, cluster=7, variant=1)]), "doc_id", "text"
+    )
+    assert m2["n_kept"] == 1 and m2["n_matched_old"] == 0
+
+    # re-delete + unknown id: set-semantics no-ops
+    inc.delete(spark, [1, 424242])
+    assert inc.total_tombstoned(spark) == 2  # distinct {1, 424242}
+    assert {r["id"] for r in inc.kept_ids(spark).collect()} == {2, 11}
+
+    # consolidate: physical drop, clean tombstone slate, count honest
+    new = inc.consolidate(spark, f"{tmp_path}/tomb2")
+    assert new.total_tombstoned(spark) == 0
+    assert {r["id"] for r in new.kept_ids(spark).collect()} == {2, 11}
+    assert new.generations(spark)[0]["n_kept"] == 2
+    # and the new store still suppresses near-dups of the SURVIVORS
+    _, m3 = new.append(
+        _df(spark, [_doc(20, cluster=7, variant=2)]), "doc_id", "text"
+    )
+    assert m3["n_matched_old"] == 1 and m3["n_kept"] == 0
