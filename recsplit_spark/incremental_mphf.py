@@ -619,7 +619,8 @@ class IncrementalMPHF:
                 fp_bits: int | None = None,
                 leaf_size: int | None = None,
                 avg_bucket_size: int | None = None,
-                space_priority: bool | None = None):
+                space_priority: bool | None = None,
+                allow_removed: bool = False):
         """The planned re-key at the end of a generational window: rebuild
         the WHOLE key universe as a single generation 0 at ``out_path``
         and return ``(new_handle, remap)`` where ``remap`` is
@@ -632,7 +633,13 @@ class IncrementalMPHF:
         column; compaction is the one operation that re-scans it). That is
         enforced: a row count different from the committed total, or any
         key the old structure cannot resolve, raises before anything is
-        visible at ``out_path``'s lineage. ``gen_col`` (when the lake
+        visible at ``out_path``'s lineage. ``allow_removed=True`` relaxes
+        ONLY the count side — the planned SHRINK after corpus deletions
+        (the forget path): ``df`` may be a strict subset of the appended
+        universe (every key must still resolve in the old structure —
+        novel keys are refused either way), and the remap covers the
+        survivors only (downstream re-keying drops the forgotten ids by
+        construction). ``gen_col`` (when the lake
         carries ingest lineage) routes old-id resolution through the exact
         zero-probe ``evaluate`` path instead of ``route``.
 
@@ -683,16 +690,24 @@ class IncrementalMPHF:
             F.sum(F.col("old_id").isNull().cast("long")).alias("bad"),
         ).collect()[0]
         n_bad = int(chk["bad"]) if chk["bad"] is not None else 0
-        if int(chk["rows"]) != n_total or n_bad:
+        n_rows = int(chk["rows"])
+        bad_count = (
+            (n_rows != n_total) if not allow_removed else (n_rows > n_total)
+        )
+        if bad_count or n_bad:
+            what = "a subset of the" if allow_removed else "the"
+            how = (
+                "the surviving subset of" if allow_removed else "exactly"
+            )
             raise RuntimeError(
-                f"compaction key set ({int(chk['rows'])} rows, {n_bad} "
-                f"unresolvable in the old structure) is not the committed "
-                f"universe of {n_total} keys; df must be exactly the "
-                "appended key universe"
+                f"compaction key set ({n_rows} rows, {n_bad} "
+                f"unresolvable in the old structure) is not {what} "
+                f"committed universe of {n_total} keys; df must be "
+                f"{how} the appended key universe"
             )
 
         m = new.append(df, key_col)
-        assert m["n"] == n_total  # guaranteed by the row-count check
+        assert m["n"] == n_rows  # guaranteed by the row-count check
         remap = new.evaluate(
             old.withColumn("__g0", F.lit(0)), key_col, "__g0",
             out_col="new_id",

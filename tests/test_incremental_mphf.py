@@ -364,3 +364,42 @@ def test_stream_batch_id_makes_append_idempotent(spark, tmp_path):
     union = _union_with_gen([b0, _batch(spark, 9000, 9500), b1])
     v = inc.verify_bijection(union, "k", "g")
     assert v["ok"], v
+
+
+def test_compact_allow_removed_shrinks_universe(spark, tmp_path):
+    """The forget path: compact(allow_removed=True) re-keys a strict
+    SUBSET of the appended universe into a dense [0, n_surviving) id
+    space; novel keys are still refused, and the default strict mode
+    still refuses a subset."""
+    from pyspark.sql import functions as F
+
+    from recsplit_spark import IncrementalMPHF
+
+    inc = IncrementalMPHF(f"{tmp_path}/shrink")
+    b0 = spark.range(0, 500).select(F.concat(F.lit("k"), "id").alias("k"))
+    b1 = spark.range(500, 800).select(F.concat(F.lit("k"), "id").alias("k"))
+    inc.append(b0, "k")
+    inc.append(b1, "k")
+
+    survivors = spark.range(0, 800).filter(F.col("id") % 4 != 0).select(
+        F.concat(F.lit("k"), "id").alias("k")
+    )
+    n_surv = survivors.count()
+    with pytest.raises(RuntimeError, match="exactly"):
+        inc.compact(survivors, "k", f"{tmp_path}/strict")
+
+    new, remap = inc.compact(
+        survivors, "k", f"{tmp_path}/shrunk", allow_removed=True
+    )
+    rows = remap.collect()
+    assert len(rows) == n_surv
+    new_ids = sorted(r["new_id"] for r in rows)
+    assert new_ids == list(range(n_surv))  # dense bijection on survivors
+    assert len({r["old_id"] for r in rows}) == n_surv  # injective remap
+
+    # novel keys refused even with allow_removed
+    novel = survivors.union(
+        spark.createDataFrame([("nope",)], "k string")
+    )
+    with pytest.raises(RuntimeError, match="unresolvable"):
+        inc.compact(novel, "k", f"{tmp_path}/novel", allow_removed=True)
