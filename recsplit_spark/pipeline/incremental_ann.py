@@ -318,6 +318,27 @@ class IncrementalANN:
                     )
                 )
             ids_df = ids_df.distinct()
+            # align the tombstone id TYPE with the store's id column —
+            # a mismatched type poisons every later vectors() anti-join
+            # (the failure surfaces far from the cause). No committed
+            # vectors -> nothing to forget, no-op.
+            from pyspark.sql import functions as F
+
+            if not self._lineage_rows(spark):
+                return {"gen": None, "n": 0, "wall_s": time.time() - t0}
+            id_type = self.vectors(
+                spark, include_tombstoned=True
+            ).schema[self._id_col].dataType
+            casted = ids_df.select(
+                F.col(self._id_col).try_cast(id_type).alias(self._id_col)
+            )
+            if casted.filter(F.col(self._id_col).isNull()).count():
+                raise ValueError(
+                    "ids do not cast to the store's id type "
+                    f"{id_type.simpleString()}; refusing to write a "
+                    "type-mismatched tombstone table"
+                )
+            ids_df = casted
             n = ids_df.count()
             rows = self._tombstone_rows(spark)
             gen = int(rows[-1]["gen"]) + 1 if rows else 0

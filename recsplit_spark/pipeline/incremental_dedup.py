@@ -149,6 +149,31 @@ class IncrementalDedup:
         # integer agreement cutoff: est_jaccard >= threshold without floats
         self._match_min = math.ceil(self.threshold * num_hashes - 1e-9)
 
+    @classmethod
+    def open(cls, spark, path: str, bucket_cap: int = 1000,
+             state_bucket_cap: int = 50) -> "IncrementalDedup":
+        """Open an existing store under its PINNED config — no kwargs to
+        repeat (and no way to mis-repeat them: the banding config is a
+        serialization contract, so handles for maintenance operations
+        like ``delete``/``consolidate`` should adopt it, not restate
+        it). The two caps are runtime knobs, not wire format."""
+        path = path.rstrip("/")
+        if not _dir_exists(spark, f"{path}/manifest"):
+            raise RuntimeError(
+                f"no incremental dedup committed at {path}"
+            )
+        r = spark.read.parquet(f"{path}/manifest").collect()[0]
+        return cls(
+            path,
+            threshold=float(r["threshold"]),
+            num_hashes=int(r["num_hashes"]),
+            bands=int(r["bands"]),
+            shingle=int(r["shingle"]),
+            mode=r["mode"],
+            bucket_cap=bucket_cap,
+            state_bucket_cap=state_bucket_cap,
+        )
+
     # -- manifest / lock (same pattern as the other incremental structures) ----
     def _config_row(self) -> tuple:
         return (
@@ -305,11 +330,32 @@ class IncrementalDedup:
             self._check_or_write_manifest(spark)
             if isinstance(ids, (list, tuple)):
                 ids_df = spark.createDataFrame(
+                    [(i,) for i in ids], "id string"
+                ) if ids and isinstance(ids[0], str) else spark.createDataFrame(
                     [(int(i),) for i in ids], "id long"
                 )
             else:
                 ids_df = ids.select(ids.columns[0]).toDF("id")
             ids_df = ids_df.distinct()
+            # align the tombstone id TYPE with the committed state's id
+            # column: a mismatched type poisons every later state read
+            # (the anti-join casts blow up far from the cause). Nothing
+            # committed yet -> nothing to forget, no-op.
+            from pyspark.sql import functions as F
+
+            paths = self._committed_paths(spark, "sigs")
+            if not paths:
+                return {"gen": None, "n": 0,
+                        "wall_s": _time.time() - t0}
+            id_type = spark.read.parquet(paths[0]).schema["id"].dataType
+            casted = ids_df.select(F.col("id").try_cast(id_type).alias("id"))
+            if casted.filter(F.col("id").isNull()).count():
+                raise ValueError(
+                    "ids do not cast to the store's id type "
+                    f"{id_type.simpleString()}; refusing to write a "
+                    "type-mismatched tombstone table"
+                )
+            ids_df = casted
             n = ids_df.count()
             rows = self._tombstone_rows(spark)
             gen = int(rows[-1]["gen"]) + 1 if rows else 0

@@ -662,3 +662,22 @@ def test_delete_tombstones_and_compact_drops(spark, tmp_path, fitted):
     assert new.total_tombstoned(spark) == 0
     got2 = {r["vec_id"] for r in new.search_adc(spark, q, k=5).collect()}
     assert 42 not in got2
+
+
+def test_delete_refuses_type_mismatched_ids(spark, tmp_path, fitted):
+    """A tombstone table of the wrong id type would poison every later
+    read far from the cause — delete() aligns castable ids and refuses
+    malformed ones at write time."""
+    idx, base = fitted
+    inc = IncrementalANN(f"{tmp_path}/tguard", index=idx)
+    inc.append(base.limit(50), "vec_id", "embedding")
+    with pytest.raises(ValueError, match="do not cast"):
+        inc.delete(spark, ["doc-1", "doc-2"])
+    # numeric strings cast cleanly to the store's long ids
+    m = inc.delete(spark, ["7", "9"])
+    assert m["n"] == 2
+    assert inc.vectors(spark).count() == 48
+    # delete on a store with no committed vectors is a no-op
+    empty = IncrementalANN(f"{tmp_path}/tguard2", index=idx)
+    empty.append(base.limit(0), "vec_id", "embedding")
+    assert empty.delete(spark, [1])["n"] == 0
