@@ -305,3 +305,45 @@ def test_delete_unsuppresses_future_near_dups_and_consolidate_drops(
         _df(spark, [_doc(20, cluster=7, variant=2)]), "doc_id", "text"
     )
     assert m3["n_matched_old"] == 1 and m3["n_kept"] == 0
+
+
+def test_streaming_replay_after_delete_omits_forgotten_doc(
+    spark, tmp_path
+):
+    """The documented forget-vs-replay semantic: a replayed output slot
+    is rewritten WITHOUT docs deleted since the original run — the
+    kept set is recomputed from state, and state excludes tombstones."""
+    import pandas as pd
+
+    from recsplit_spark.streaming import StreamingDedupIngest
+
+    rows = [_doc(1, cluster=3), _doc(2), _doc(3)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        src / "part-0.parquet", index=False
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+
+    inc = IncrementalDedup(f"{tmp_path}/sd", **CFG)
+    ing = StreamingDedupIngest(inc, "doc_id", "text", f"{tmp_path}/clean")
+    ing.start(stream(), checkpoint_dir=f"{tmp_path}/ck1").awaitTermination(120)
+    out = spark.read.parquet(f"{tmp_path}/clean")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+    inc.delete(spark, [2])
+
+    # full replay (checkpoint loss): slot rewritten without doc 2
+    ing2 = StreamingDedupIngest(
+        IncrementalDedup(f"{tmp_path}/sd", **CFG), "doc_id", "text",
+        f"{tmp_path}/clean",
+    )
+    ing2.start(stream(), checkpoint_dir=f"{tmp_path}/ck2").awaitTermination(120)
+    assert all(m["skipped_replay"] for m in ing2.metrics)
+    out2 = spark.read.parquet(f"{tmp_path}/clean")
+    assert {r["doc_id"] for r in out2.collect()} == {1, 3}
