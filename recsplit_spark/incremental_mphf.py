@@ -636,10 +636,15 @@ class IncrementalMPHF:
         visible at ``out_path``'s lineage. ``allow_removed=True`` relaxes
         ONLY the count side — the planned SHRINK after corpus deletions
         (the forget path): ``df`` may be a strict subset of the appended
-        universe (every key must still resolve in the old structure —
-        novel keys are refused either way), and the remap covers the
-        survivors only (downstream re-keying drops the forgotten ids by
-        construction). ``gen_col`` (when the lake
+        universe, the remap covers the survivors only (downstream
+        re-keying drops the forgotten ids by construction), and
+        resolution always goes through the fingerprint-verified
+        ``route`` (``gen_col`` hints are ignored — the hinted path skips
+        verification). Novel keys are refused with probability
+        ``1 - G * 2^-fp_bits`` each (plus a distinct-old-id check that
+        catches FP collisions with survivors); for forget-heavy
+        deployments raise ``fp_bits`` at append time if the residual
+        probabilistic acceptance matters. ``gen_col`` (when the lake
         carries ingest lineage) routes old-id resolution through the exact
         zero-probe ``evaluate`` path instead of ``route``.
 
@@ -680,28 +685,42 @@ class IncrementalMPHF:
         # Validate BEFORE the new structure commits: a wrong key set must
         # raise with out_path's lineage still empty. (An in-batch
         # duplicate additionally fails the append's own build, also
-        # pre-commit.)
-        if gen_col is not None:
-            old = self.evaluate(df, key_col, gen_col, out_col="old_id")
-        else:
+        # pre-commit.) Strict mode gets EXACTNESS from the count backstop
+        # (n_rows == n_total and all resolvable => df IS the universe).
+        # allow_removed relaxes the count, so novel-key detection falls
+        # back to the fingerprints: resolution must go through route()
+        # (gen-hinted evaluate() skips fingerprint verification and would
+        # hand ANY novel key a wrong old_id), and the surviving old_ids
+        # must stay DISTINCT (an FP-accepted novel key colliding with a
+        # survivor shows up as a duplicate). Residual risk is honest and
+        # bounded: a novel key whose true owner was ALSO removed slips
+        # through with probability ~G * 2^-fp_bits — raise fp_bits on
+        # forget-heavy deployments if that matters.
+        if allow_removed or gen_col is None:
             old = self.route(df, key_col, out_col="old_id")
+        else:
+            old = self.evaluate(df, key_col, gen_col, out_col="old_id")
         chk = old.agg(
             F.count("*").alias("rows"),
             F.sum(F.col("old_id").isNull().cast("long")).alias("bad"),
+            F.countDistinct("old_id").alias("dist"),
         ).collect()[0]
         n_bad = int(chk["bad"]) if chk["bad"] is not None else 0
         n_rows = int(chk["rows"])
         bad_count = (
             (n_rows != n_total) if not allow_removed else (n_rows > n_total)
         )
-        if bad_count or n_bad:
+        dup_ids = allow_removed and int(chk["dist"]) != n_rows - n_bad
+        if bad_count or n_bad or dup_ids:
             what = "a subset of the" if allow_removed else "the"
             how = (
                 "the surviving subset of" if allow_removed else "exactly"
             )
             raise RuntimeError(
                 f"compaction key set ({n_rows} rows, {n_bad} "
-                f"unresolvable in the old structure) is not {what} "
+                f"unresolvable in the old structure"
+                + (", duplicate old ids" if dup_ids else "")
+                + f") is not {what} "
                 f"committed universe of {n_total} keys; df must be "
                 f"{how} the appended key universe"
             )

@@ -53,7 +53,10 @@ import numpy as np
 from ..sketches.incremental import (
     _dir_exists,
     acquire_writer_lock,
+    align_tombstone_ids,
+    commit_tombstone_generation,
     read_lineage_rows,
+    read_tombstone_ids,
     release_writer_lock,
     stream_high_water,
 )
@@ -255,29 +258,11 @@ class IncrementalANN:
             F.broadcast(tomb), on=self._id_col, how="left_anti"
         )
 
-    # -- deletion (tombstones) -------------------------------------------------
-    def _tombstone_rows(self, spark) -> list:
-        if not _dir_exists(spark, f"{self.path}/tombstone_lineage"):
-            return []
-        return sorted(
-            spark.read.parquet(f"{self.path}/tombstone_lineage").collect(),
-            key=lambda r: int(r["gen"]),
-        )
-
+    # -- deletion (tombstones; shared machinery in sketches/incremental) --------
     def _tombstones(self, spark):
         """Distinct tombstoned ids, or None if nothing was ever deleted
         (the common case pays zero extra plan nodes)."""
-        rows = self._tombstone_rows(spark)
-        if not rows:
-            return None
-        paths = [
-            f"{self.path}/tombstones/gen={int(r['gen'])}"
-            for r in rows
-            if int(r["n"]) > 0
-        ]
-        if not paths:
-            return None
-        return spark.read.parquet(*paths).select(self._id_col).distinct()
+        return read_tombstone_ids(spark, self.path, self._id_col)
 
     def total_tombstoned(self, spark) -> int:
         """Distinct deleted ids (a re-deleted id counts once)."""
@@ -317,44 +302,14 @@ class IncrementalANN:
                         self._id_col
                     )
                 )
-            ids_df = ids_df.distinct()
-            # align the tombstone id TYPE with the store's id column —
-            # a mismatched type poisons every later vectors() anti-join
-            # (the failure surfaces far from the cause). No committed
-            # vectors -> nothing to forget, no-op.
-            from pyspark.sql import functions as F
-
+            # no committed vectors -> nothing to forget, no-op
             if not self._lineage_rows(spark):
                 return {"gen": None, "n": 0, "wall_s": time.time() - t0}
             id_type = self.vectors(
                 spark, include_tombstoned=True
             ).schema[self._id_col].dataType
-            casted = ids_df.select(
-                F.col(self._id_col).try_cast(id_type).alias(self._id_col)
-            )
-            if casted.filter(F.col(self._id_col).isNull()).count():
-                raise ValueError(
-                    "ids do not cast to the store's id type "
-                    f"{id_type.simpleString()}; refusing to write a "
-                    "type-mismatched tombstone table"
-                )
-            ids_df = casted
-            n = ids_df.count()
-            rows = self._tombstone_rows(spark)
-            gen = int(rows[-1]["gen"]) + 1 if rows else 0
-            if n > 0:
-                ids_df.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.path}/tombstones/gen={gen}"
-                )
-            wall = time.time() - t0
-            if n > 0:
-                spark.createDataFrame(
-                    [(gen, n, uuid.uuid4().hex, wall)], _LIN_SCHEMA
-                ).write.mode("append").parquet(
-                    f"{self.path}/tombstone_lineage"
-                )
-            return {"gen": gen if n > 0 else None, "n": int(n),
-                    "wall_s": wall}
+            ids_df = align_tombstone_ids(ids_df, self._id_col, id_type)
+            return commit_tombstone_generation(spark, self.path, ids_df, t0)
         finally:
             release_writer_lock(spark, self.path)
 
@@ -735,9 +690,9 @@ class IncrementalANN:
             )
         # ...but the rebuild reads the LIVE set: compaction is where
         # tombstoned rows are physically dropped (the new store starts
-        # with an empty tombstone set)
+        # with an empty tombstone set; append's metrics report the live
+        # count — no extra scan here)
         vecs = self.vectors(spark).select(self._id_col, self._vec_col)
-        n_rows = vecs.count()
         if index is None:
             k, _ = self._index.centroids.shape
             index = IVFIndex(

@@ -86,7 +86,11 @@ import uuid
 from ..sketches.incremental import (
     _dir_exists,
     acquire_writer_lock,
+    align_tombstone_ids,
+    commit_tombstone_generation,
     read_lineage_rows,
+    read_tombstone_ids,
+    read_tombstone_rows,
     release_writer_lock,
     stream_high_water,
 )
@@ -106,7 +110,6 @@ _LIN_SCHEMA = (
     "gen int, n_in long, n_kept long, n_matched_old long,"
     " n_clusters long, run_id string, wall_s double"
 )
-_TOMB_SCHEMA = "gen int, n long, run_id string, wall_s double"
 
 
 class IncrementalDedup:
@@ -287,27 +290,9 @@ class IncrementalDedup:
             return df
         return df.join(F.broadcast(tomb), "id", "left_anti")
 
-    # -- deletion (tombstones) -------------------------------------------------
-    def _tombstone_rows(self, spark) -> list:
-        if not _dir_exists(spark, f"{self.path}/tombstone_lineage"):
-            return []
-        return sorted(
-            spark.read.parquet(f"{self.path}/tombstone_lineage").collect(),
-            key=lambda r: int(r["gen"]),
-        )
-
+    # -- deletion (tombstones; shared machinery in sketches/incremental) --------
     def _tombstones(self, spark):
-        rows = self._tombstone_rows(spark)
-        if not rows:
-            return None
-        paths = [
-            f"{self.path}/tombstones/gen={int(r['gen'])}"
-            for r in rows
-            if int(r["n"]) > 0
-        ]
-        if not paths:
-            return None
-        return spark.read.parquet(*paths).select("id").distinct()
+        return read_tombstone_ids(spark, self.path, "id")
 
     def total_tombstoned(self, spark) -> int:
         t = self._tombstones(spark)
@@ -325,6 +310,14 @@ class IncrementalDedup:
         import time as _time
 
         t0 = _time.time()
+        if not _dir_exists(spark, f"{self.path}/manifest"):
+            # a mistyped path must refuse loudly, NOT create a manifest
+            # pinning this handle's config and report a no-op "success"
+            # while the real store keeps matching the docs
+            raise RuntimeError(
+                f"no incremental dedup committed at {self.path}; "
+                "nothing to forget (open() the real store)"
+            )
         self._acquire_lock(spark)
         try:
             self._check_or_write_manifest(spark)
@@ -336,41 +329,14 @@ class IncrementalDedup:
                 )
             else:
                 ids_df = ids.select(ids.columns[0]).toDF("id")
-            ids_df = ids_df.distinct()
-            # align the tombstone id TYPE with the committed state's id
-            # column: a mismatched type poisons every later state read
-            # (the anti-join casts blow up far from the cause). Nothing
-            # committed yet -> nothing to forget, no-op.
-            from pyspark.sql import functions as F
-
+            # nothing committed yet -> nothing to forget, no-op
             paths = self._committed_paths(spark, "sigs")
             if not paths:
                 return {"gen": None, "n": 0,
                         "wall_s": _time.time() - t0}
             id_type = spark.read.parquet(paths[0]).schema["id"].dataType
-            casted = ids_df.select(F.col("id").try_cast(id_type).alias("id"))
-            if casted.filter(F.col("id").isNull()).count():
-                raise ValueError(
-                    "ids do not cast to the store's id type "
-                    f"{id_type.simpleString()}; refusing to write a "
-                    "type-mismatched tombstone table"
-                )
-            ids_df = casted
-            n = ids_df.count()
-            rows = self._tombstone_rows(spark)
-            gen = int(rows[-1]["gen"]) + 1 if rows else 0
-            wall = _time.time() - t0
-            if n > 0:
-                ids_df.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.path}/tombstones/gen={gen}"
-                )
-                spark.createDataFrame(
-                    [(gen, n, uuid.uuid4().hex, wall)], _TOMB_SCHEMA
-                ).write.mode("append").parquet(
-                    f"{self.path}/tombstone_lineage"
-                )
-            return {"gen": gen if n > 0 else None, "n": int(n),
-                    "wall_s": wall}
+            ids_df = align_tombstone_ids(ids_df, "id", id_type)
+            return commit_tombstone_generation(spark, self.path, ids_df, t0)
         finally:
             self._release_lock(spark)
 
@@ -443,15 +409,21 @@ class IncrementalDedup:
             prev = self._replayed_gen(spark, stream_batch_id)
             if prev is not None:
                 gen, row = prev
+                live_ids = self.kept_ids(spark, gen)
                 kept = df.join(
-                    self.kept_ids(spark, gen).withColumnRenamed("id", id_col),
+                    live_ids.withColumnRenamed("id", id_col),
                     id_col,
                     "left_semi",
                 )
                 m = {
                     "gen": gen,
                     "n_in": int(row["n_in"]),
-                    "n_kept": int(row["n_kept"]),
+                    # LIVE count, not the lineage's historical n_kept:
+                    # a delete between the original run and the replay
+                    # shrinks the rewritten slot on purpose, and the
+                    # metrics must agree with the rows (reconciliation
+                    # jobs compare them)
+                    "n_kept": int(live_ids.count()),
                     "n_matched_old": int(row["n_matched_old"]),
                     "n_clusters": int(row["n_clusters"]),
                     "wall_s": time.time() - t0,

@@ -131,6 +131,78 @@ def stream_high_water(rows) -> int:
     return best
 
 
+#: tombstone lineage schema shared by the deletable structures
+#: (IncrementalDedup, IncrementalANN)
+TOMB_SCHEMA = "gen int, n long, run_id string, wall_s double"
+
+
+def read_tombstone_rows(spark, path: str) -> list:
+    """Committed tombstone-lineage rows (sorted by gen), or []."""
+    if not _dir_exists(spark, f"{path}/tombstone_lineage"):
+        return []
+    return sorted(
+        spark.read.parquet(f"{path}/tombstone_lineage").collect(),
+        key=lambda r: int(r["gen"]),
+    )
+
+
+def read_tombstone_ids(spark, path: str, id_col: str):
+    """Distinct tombstoned ids as DataFrame[id_col], or None if nothing
+    was ever deleted (the common case pays zero extra plan nodes)."""
+    rows = read_tombstone_rows(spark, path)
+    if not rows:
+        return None
+    paths = [
+        f"{path}/tombstones/gen={int(r['gen'])}"
+        for r in rows
+        if int(r["n"]) > 0
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select(id_col).distinct()
+
+
+def align_tombstone_ids(ids_df, id_col: str, id_type):
+    """try_cast incoming ids to the store's id type; REFUSE malformed
+    values — a type-mismatched tombstone table poisons every later
+    anti-join far from the cause (the shared guard both deletable
+    structures apply before committing)."""
+    from pyspark.sql import functions as F
+
+    casted = ids_df.select(
+        F.col(ids_df.columns[0]).try_cast(id_type).alias(id_col)
+    )
+    if casted.filter(F.col(id_col).isNull()).count():
+        raise ValueError(
+            f"ids do not cast to the store's id type "
+            f"{id_type.simpleString()}; refusing to write a "
+            "type-mismatched tombstone table"
+        )
+    return casted.distinct()
+
+
+def commit_tombstone_generation(spark, path: str, ids_df, t0: float) -> dict:
+    """Payload-then-lineage tombstone commit (same crash discipline as
+    the structures' appends): writes ``<path>/tombstones/gen=K`` then
+    appends the tombstone-lineage row. ``ids_df`` must already be
+    type-aligned and distinct. Returns the delete metrics dict."""
+    import time as _time
+    import uuid as _uuid
+
+    n = ids_df.count()
+    rows = read_tombstone_rows(spark, path)
+    gen = int(rows[-1]["gen"]) + 1 if rows else 0
+    wall = _time.time() - t0
+    if n > 0:
+        ids_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/tombstones/gen={gen}"
+        )
+        spark.createDataFrame(
+            [(gen, n, _uuid.uuid4().hex, wall)], TOMB_SCHEMA
+        ).write.mode("append").parquet(f"{path}/tombstone_lineage")
+    return {"gen": gen if n > 0 else None, "n": int(n), "wall_s": wall}
+
+
 def _list_data_files(spark, source: str) -> list[str]:
     """Recursively list data files under ``source`` via the Hadoop
     FileSystem API (works for any scheme Spark can read), skipping

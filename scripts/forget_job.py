@@ -59,13 +59,11 @@ def main() -> int:
     root = args.root.rstrip("/")
 
     if args.ids is not None:
+        # keep the RAW strings: each store's delete() try_casts to its
+        # own id type and refuses malformed values. Pre-coercing '007'
+        # to 7 here would silently miss a string-id store's '007'.
         raw = [x.strip() for x in args.ids.split(",") if x.strip()]
-        if all(x.lstrip("-").isdigit() for x in raw):
-            ids_df = spark.createDataFrame(
-                [(int(x),) for x in raw], "id long"
-            )
-        else:
-            ids_df = spark.createDataFrame([(x,) for x in raw], "id string")
+        ids_df = spark.createDataFrame([(x,) for x in raw], "id string")
     else:
         ids_df = spark.read.parquet(args.ids_parquet).select(args.id_col)
 

@@ -345,5 +345,18 @@ def test_streaming_replay_after_delete_omits_forgotten_doc(
     )
     ing2.start(stream(), checkpoint_dir=f"{tmp_path}/ck2").awaitTermination(120)
     assert all(m["skipped_replay"] for m in ing2.metrics)
+    # metrics agree with the rewritten slot (live count, not lineage)
+    assert ing2.metrics[0]["n_kept"] == 2
     out2 = spark.read.parquet(f"{tmp_path}/clean")
     assert {r["doc_id"] for r in out2.collect()} == {1, 3}
+
+
+def test_delete_refuses_uncommitted_path(spark, tmp_path):
+    """A mistyped path must refuse loudly — NOT create a manifest and
+    report a no-op 'success' while the real store keeps matching."""
+    inc = IncrementalDedup(f"{tmp_path}/nope", **CFG)
+    with pytest.raises(RuntimeError, match="no incremental dedup"):
+        inc.delete(spark, [1])
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/nope/manifest")
