@@ -90,7 +90,6 @@ from ..sketches.incremental import (
     commit_tombstone_generation,
     read_lineage_rows,
     read_tombstone_ids,
-    read_tombstone_rows,
     release_writer_lock,
     stream_high_water,
 )
