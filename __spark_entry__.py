@@ -531,6 +531,112 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_forget_family_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The right-to-be-forgotten arc across the incremental family,
+    verified in-engine end to end: (a) IncrementalDedup — a kept doc is
+    deleted and a NEAR-COPY of it appended afterwards is KEPT (its state
+    rows stopped matching), while a near-copy of a surviving doc is
+    still dropped; (b) IncrementalANN — after delete, the deleted id
+    leaves search results immediately and compact() physically drops it
+    (the compacted store's live count shrinks and its tombstone slate is
+    clean); (c) IncrementalMPHF — compact(allow_removed=True) re-keys
+    the surviving subset into a DENSE [0, n_surviving) bijection.
+    Everything runs on the sf tables; booleans are exact set/count
+    checks, so the oracle is constant."""
+    import tempfile
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark import IncrementalMPHF
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    root = tempfile.mkdtemp(prefix="forget_family_")
+
+    # (a) dedup: docs table, delete then re-ingest a near-copy
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dd = IncrementalDedup(
+        f"{root}/dedup", threshold=0.8, num_hashes=64, bands=32, shingle=5
+    )
+    first = docs.filter(F.col("doc_id") < 50)
+    _, m0 = dd.append(first, "doc_id", "text")
+    # near-copies: the original text with one word changed, new ids
+    kept_two = [r for r in first.join(
+        dd.kept_ids(spark).withColumnRenamed("id", "doc_id"), "doc_id",
+        "left_semi").orderBy("doc_id").limit(2).collect()]
+    def _near(r, new_id):
+        w = r["text"].split()
+        if len(w) > 3:
+            w[3] = "FORGETME"
+        return (new_id, " ".join(w))
+    a, b = kept_two[0], kept_two[1]
+    dd.delete(spark, [int(a["doc_id"])])
+    copies = spark.createDataFrame(
+        [_near(a, 9_001), _near(b, 9_002)], "doc_id long, text string"
+    )
+    _, m1 = dd.append(copies, "doc_id", "text")
+    kept_after = {r["id"] for r in dd.kept_ids(spark).collect()}
+    dedup_ok = (
+        9_001 in kept_after            # copy of the FORGOTTEN doc: kept
+        and 9_002 not in kept_after    # copy of a surviving doc: dropped
+        and int(a["doc_id"]) not in kept_after
+    )
+
+    # (b) ANN: delete leaves search immediately; compact drops physically
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(n_centroids=8, nprobe=8, seed=7).fit(emb, "embedding")
+    store = IncrementalANN(f"{root}/ann", index=idx)
+    store.append(emb, "vec_id", "embedding")
+    n_all = store.vectors(spark).count()
+    q = np.array(
+        emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    top_before = store.search(spark, q, k=1).first()["vec_id"]
+    store.delete(spark, [7])
+    got = {r["vec_id"] for r in store.search(spark, q, k=5).collect()}
+    new_store, mm = store.compact(spark, f"{root}/ann2")
+    ann_ok = (
+        top_before == 7
+        and 7 not in got
+        and int(mm["n"]) == n_all - 1
+        and new_store.total_tombstoned(spark) == 0
+        and new_store.vectors(spark).count() == n_all - 1
+    )
+
+    # (c) MPHF: shrink-compact the surviving subset to a dense bijection
+    keys = docs.select(F.col("doc_id").cast("string").alias("k"))
+    inc = IncrementalMPHF(f"{root}/ids")
+    inc.append(keys, "k")
+    surv = keys.filter(F.col("k").cast("long") % 5 != 0)
+    n_surv = surv.count()
+    new_ids, _remap = inc.compact(
+        surv, "k", f"{root}/ids2", allow_removed=True
+    )
+    got_ids = new_ids.route(surv, "k").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mphf_index").alias("nd"),
+        F.min("mphf_index").alias("mn"),
+        F.max("mphf_index").alias("mx"),
+    ).collect()[0]
+    mphf_ok = (
+        int(got_ids["n"]) == n_surv
+        and int(got_ids["nd"]) == n_surv
+        and int(got_ids["mn"]) == 0
+        and int(got_ids["mx"]) == n_surv - 1
+    )
+
+    return spark.createDataFrame(
+        [(bool(dedup_ok), bool(ann_ok), bool(mphf_ok))],
+        "dedup_unsuppressed boolean, ann_forgotten boolean,"
+        " mphf_dense_shrink boolean",
+    )
+
+
 def _q_incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Appendable IVF vector store (`pipeline.incremental_ann.IncrementalANN`):
     embeddings arrive as three id-range batches, each append = one
@@ -3413,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "incremental_ann_search": _q_incremental_ann_search,
+        "forget_family_documents": _q_forget_family_documents,
         "incremental_ann_compact": _q_incremental_ann_compact,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
@@ -3969,6 +4076,10 @@ def oracle_sql() -> dict[str, str]:
         "sq8_adc_embeddings": (
             "SELECT TRUE AS adc_within_1pct,"
             " TRUE AS top1_is_self, TRUE AS blob_roundtrip"
+        ),
+        "forget_family_documents": (
+            "SELECT TRUE AS dedup_unsuppressed, TRUE AS ann_forgotten,"
+            " TRUE AS mphf_dense_shrink"
         ),
         "bpe_tokenizer_documents": (
             "SELECT CAST(320 AS BIGINT) AS vocab_size,"
