@@ -10,6 +10,9 @@ per task is appended to --out.
   python scripts/scale_measure.py --task ivffit   [--n 1000000] [--k 1000]
   python scripts/scale_measure.py --task dedup01
   python scripts/scale_measure.py --task ngramscale [--n 100000] --cores 2
+  python scripts/scale_measure.py --task pqscale|opqscale|sq8scale|residualscale [--n 1000000]
+  python scripts/scale_measure.py --task bpescale|dsirscale [--n 200000]
+  python scripts/scale_measure.py --task incmphf|incdedup|semdedup [--gens 3]
 """
 
 from __future__ import annotations
