@@ -253,6 +253,58 @@ def merge_profile_tables(tables, keys, specs):
     return df.groupBy(*group_cols).applyInPandas(_final, schema=schema)
 
 
+def _subtract_profile_tables(committed, forgotten, keys, specs):
+    """``committed - forgotten`` for all-LINEAR (count-min) profiles:
+    per (keys..., name) the forgotten partial's counter matrix is
+    subtracted from the committed state; keys whose counters empty out
+    are dropped (matching what a survivor re-fold would produce). A
+    partial that exceeds the committed counters means the file's
+    CONTENT changed after it was folded — raises, advising
+    ``forget(refold=True)``."""
+    from pyspark.sql import functions as F
+
+    by_name = {s.name: s.sketch for s in specs}
+    keys = list(keys)
+    group_cols = keys + ["name"]
+    schema = ", ".join(f"{k} string" for k in group_cols) + ", state binary"
+    both = committed.withColumn("__sign", F.lit(1)).unionByName(
+        forgotten.withColumn("__sign", F.lit(-1))
+    )
+
+    def _sub(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = by_name[pdf["name"].iloc[0]]
+        pos, neg = None, None
+        for b, s in zip(pdf["state"], pdf["__sign"]):
+            st = sk.from_bytes(bytes(b))
+            if s > 0:
+                pos = st if pos is None else sk.merge(pos, st)
+            else:
+                neg = st if neg is None else sk.merge(neg, st)
+        empty = pd.DataFrame({c: [] for c in group_cols} | {"state": []})
+        if pos is None:
+            # a forgotten-file partial for a key the committed table
+            # never saw: impossible when the file was actually folded
+            raise ValueError(
+                "forgotten-file partial for a key absent from the "
+                "committed table — file content changed since it was "
+                "folded; use forget(refold=True)"
+            )
+        d = pos if neg is None else pos - neg
+        if neg is not None and (d < 0).any():
+            raise ValueError(
+                "forgotten-file partial exceeds the committed counters "
+                "— file content changed since it was folded; use "
+                "forget(refold=True)"
+            )
+        if sk.total(d) <= 0:
+            return empty
+        out = {k: [pdf[k].iloc[0]] for k in group_cols}
+        out["state"] = [sk.to_bytes(d)]
+        return pd.DataFrame(out)
+
+    return both.groupBy(*group_cols).applyInPandas(_sub, schema=schema)
+
+
 class IncrementalProfile:
     """A persisted, incrementally-updated per-key state table for a set
     of sketch specs (see module docstring)."""
@@ -327,14 +379,17 @@ class IncrementalProfile:
     def _committed_gen(self, spark) -> int:
         from pyspark.sql import functions as F
 
-        if not _dir_exists(spark, f"{self.path}/lineage"):
-            return 0
-        row = (
-            spark.read.parquet(f"{self.path}/lineage")
-            .agg(F.max("gen").alias("g"))
-            .collect()[0]
-        )
-        return int(row["g"] or 0)
+        best = 0
+        for tab in ("lineage", "forget_lineage"):
+            if not _dir_exists(spark, f"{self.path}/{tab}"):
+                continue
+            row = (
+                spark.read.parquet(f"{self.path}/{tab}")
+                .agg(F.max("gen").alias("g"))
+                .collect()[0]
+            )
+            best = max(best, int(row["g"] or 0))
+        return best
 
     # -- writer lock ---------------------------------------------------------
     def _acquire_lock(self, spark) -> None:
@@ -392,15 +447,9 @@ class IncrementalProfile:
             if files is not None
             else _list_data_files(spark, source)
         )
-        if cur_gen > 0:
-            done = {
-                r["file"]
-                for r in spark.read.parquet(f"{self.path}/lineage")
-                .select("file")
-                .collect()
-            }
-        else:
-            done = set()
+        # the folded set, not "every lineage file": a file forgotten via
+        # forget() must re-fold if it is ever presented again
+        done = self._folded_files(spark, cur_gen) if cur_gen > 0 else set()
         new = [f for f in all_files if f not in done]
         if not new:
             return {"gen": cur_gen, "new_files": 0, "rows": 0}
@@ -470,6 +519,177 @@ class IncrementalProfile:
                     fs.delete(st.getPath(), True)
                     dropped.append(g)
             return sorted(dropped)
+        finally:
+            self._release_lock(spark)
+
+    # -- forget (right-to-be-forgotten, file granularity) ---------------------
+    def _folded_files(self, spark, g: int) -> set[str]:
+        """Files whose rows are folded into the state table AS OF
+        generation ``g``: a file counts iff its latest lineage event at
+        gen <= g is a fold, not a forget (files can be forgotten and
+        later re-folded, so per-file event ORDER decides)."""
+        if not _dir_exists(spark, f"{self.path}/lineage"):
+            return set()
+        last_fold: dict[str, int] = {}
+        for r in (
+            spark.read.parquet(f"{self.path}/lineage")
+            .select("file", "gen")
+            .collect()
+        ):
+            if int(r["gen"]) <= g:
+                f = r["file"]
+                last_fold[f] = max(last_fold.get(f, 0), int(r["gen"]))
+        last_forget: dict[str, int] = {}
+        if _dir_exists(spark, f"{self.path}/forget_lineage"):
+            for r in (
+                spark.read.parquet(f"{self.path}/forget_lineage")
+                .select("file", "gen")
+                .collect()
+            ):
+                if int(r["gen"]) <= g:
+                    f = r["file"]
+                    last_forget[f] = max(
+                        last_forget.get(f, 0), int(r["gen"])
+                    )
+        return {
+            f for f, fg in last_fold.items() if fg > last_forget.get(f, 0)
+        }
+
+    def _forget_gens(self, spark) -> list[int]:
+        """Distinct generations committed by forget(), ascending."""
+        if not _dir_exists(spark, f"{self.path}/forget_lineage"):
+            return []
+        return sorted(
+            {
+                int(r["gen"])
+                for r in spark.read.parquet(
+                    f"{self.path}/forget_lineage"
+                )
+                .select("gen")
+                .distinct()
+                .collect()
+            }
+        )
+
+    def forget_lineage(self, spark):
+        """Forget-event lineage: DataFrame[file, gen, lineage (run id),
+        wall_sec] — empty-shaped error if nothing was ever forgotten."""
+        return spark.read.parquet(f"{self.path}/forget_lineage")
+
+    def forget(self, spark, files: list[str], refold: bool = False) -> dict:
+        """Right-to-be-forgotten at FILE granularity — the unit the
+        lineage tracks (id-granularity deletes live on IncrementalDedup
+        / IncrementalANN; a folded sketch state cannot un-fold
+        individual rows). Removes previously-folded files from the
+        committed table and commits the result as a new generation.
+
+        Two paths, picked automatically (``refold=True`` forces the
+        rescan):
+
+        * **linear subtraction** — when every spec is a CountMinSketch
+          AND the forgotten files are still readable: one scan of ONLY
+          the forgotten files, whose counter matrices are subtracted
+          from the committed states. CMS is linear, so
+          ``committed - forgotten == a fresh fold of the survivors``
+          exactly (byte-identical: serialization is a pure function of
+          the counter matrix); keys whose counters empty out are
+          dropped, matching the rebuild. This is the O(forgotten) path
+          — at 10^6 folded files, forgetting 3 never rescans the
+          corpus. The normal deletion workflow hits it: state must stop
+          reflecting the files BEFORE they are physically deleted.
+        * **survivor re-fold** — any other profile (HLL / theta / MG /
+          KLL / t-digest states are not subtractable): one scan of the
+          surviving lineage files. The honest cost; there is no
+          sub-linear forget for non-linear sketches.
+
+        Commit protocol mirrors ``update``: state gen dir FIRST, then
+        the forget-lineage rows under ``<path>/forget_lineage`` — the
+        committed generation is defined by the union of both lineage
+        tables, so a crash in between leaves an ignorable, overwritten
+        orphan. Forgotten file PATHS stay recorded (metadata, not
+        content — required to order per-file events); ``update`` treats
+        a re-presented forgotten file as new and re-folds it.
+
+        Generation algebra across a forget: ``generation_delta`` /
+        ``cms_generation_delta`` / ``generation_sample_added`` refuse
+        ranges that straddle a forget generation (states stop being
+        monotone across it), and ``heavy_ngrams`` resolves over exactly
+        the files folded AS OF its generation. Pre-forget generations
+        still time-travel via ``states(gen=...)`` until vacuumed."""
+        from pyspark.sql import functions as F
+
+        from .cms import CountMinSketch
+
+        t0 = time.time()
+        self._acquire_lock(spark)
+        try:
+            self._check_or_write_manifest(spark)
+            cur = self._committed_gen(spark)
+            if cur == 0:
+                raise ValueError(
+                    f"no committed updates under {self.path}; nothing "
+                    "to forget"
+                )
+            want = sorted({_canon_file(f) for f in files})
+            if not want:
+                raise ValueError("pass at least one file to forget")
+            folded = self._folded_files(spark, cur)
+            unknown = [f for f in want if f not in folded]
+            if unknown:
+                raise ValueError(
+                    "not currently folded (nothing to forget): "
+                    f"{unknown}"
+                )
+            survivors = sorted(folded - set(want))
+            all_cms = all(
+                isinstance(s.sketch, CountMinSketch) for s in self.specs
+            )
+
+            def _readable(f: str) -> bool:
+                fs, p, _ = _fs_for(spark, f)
+                return bool(fs.exists(p))
+
+            if not refold and all_cms and all(_readable(f) for f in want):
+                mode = "subtract"
+                gone = profile_by_key(
+                    spark.read.parquet(*want), self.keys, self.specs
+                )
+                new_tab = _subtract_profile_tables(
+                    self.states(spark), gone, self.keys, self.specs
+                )
+            else:
+                mode = "refold"
+                if survivors:
+                    new_tab = profile_by_key(
+                        spark.read.parquet(*survivors),
+                        self.keys,
+                        self.specs,
+                    )
+                else:
+                    schema = (
+                        ", ".join(f"{k} string" for k in self.keys)
+                        + ", name string, state binary"
+                    )
+                    new_tab = spark.createDataFrame([], schema)
+            gen = cur + 1
+            # state first, forget-lineage second: same crash-window
+            # contract as _update_locked
+            new_tab.write.mode("overwrite").parquet(
+                f"{self.path}/state/gen={gen}"
+            )
+            import uuid
+
+            run_id = f"forget-{int(time.time())}-{uuid.uuid4().hex[:8]}"
+            wall = round(time.time() - t0, 3)
+            spark.createDataFrame(
+                [(f, gen, run_id, wall) for f in want],
+                "file string, gen int, lineage string, wall_sec double",
+            ).write.mode("append").parquet(f"{self.path}/forget_lineage")
+            return {
+                "gen": gen,
+                "forgotten_files": len(want),
+                "mode": mode,
+            }
         finally:
             self._release_lock(spark)
 
@@ -602,6 +822,16 @@ class IncrementalProfile:
             raise ValueError(
                 f"gen_old {gen_old} is after gen_new {g_new}; pass the "
                 "older generation first"
+            )
+        straddled = [
+            g for g in self._forget_gens(spark) if gen_old < g <= g_new
+        ]
+        if straddled:
+            raise ValueError(
+                f"generation range ({gen_old}, {g_new}] straddles "
+                f"forget generation(s) {straddled}: states are not "
+                "monotone across a forget, so generation algebra "
+                "(deltas / added samples) is undefined over it"
             )
         return g_new
 
@@ -916,14 +1146,16 @@ class IncrementalProfile:
             .filter(F.col("name") == name)
             .collect()
         )
-        files = sorted(
-            r["file"]
-            for r in self.lineage(spark)
-            .filter(F.col("gen") <= g)
-            .select("file")
-            .collect()
-        )
-        corpus = spark.read.parquet(*files)
+        # exactly the files FOLDED as of g (forgotten files excluded —
+        # their grams left the rebuilt/subtracted states, so they must
+        # not re-enter via the resolve scan either)
+        files = sorted(self._folded_files(spark, g))
+        if files:
+            corpus = spark.read.parquet(*files)
+        else:
+            # everything forgotten: states are empty, the resolve scan
+            # never runs — any DataFrame supplies the session
+            corpus = spark.range(1)
         return heavy_ngrams_from_states(
             corpus, spec.col, spec.ngram, state_rows, self.keys,
             spec.sketch, top,

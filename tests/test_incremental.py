@@ -689,3 +689,189 @@ def test_canon_file_unifies_local_uri_forms():
         _canon_file("file:///data/dt=2026-08-18%2000/p.parquet")
         == _canon_file("file:/data/dt=2026-08-18 00/p.parquet")
     )
+
+
+# -- forget (right-to-be-forgotten, file granularity) -------------------------
+
+
+def _cms_specs():
+    return [
+        SketchSpec("tok_freq", CountMinSketch(eps=1e-3, delta=1e-3), "n_tok"),
+        SketchSpec("doc_freq", CountMinSketch(eps=1e-3, delta=1e-3), "doc_id"),
+    ]
+
+
+def test_forget_cms_subtract_path(spark, corpus, tmp_path):
+    """All-CMS profile: forget() takes the linear-subtraction path (one
+    scan of ONLY the forgotten files) and the result is byte-identical
+    to a fresh fold of the survivors — CMS linearity made observable.
+    Forgetting everything empties the table (keys whose counters zero
+    out are dropped, matching the rebuild)."""
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    b1_files = _list_data_files(spark, corpus["b1"])
+    m = inc.forget(spark, b1_files)
+    assert m == {"gen": 3, "forgotten_files": 2, "mode": "subtract"}
+    want = _state_set(
+        profile_by_key(
+            spark.read.parquet(corpus["b2"]), ["source"], _cms_specs()
+        )
+    )
+    assert _state_set(inc.states(spark)) == want
+    # time travel: pre-forget generations still answer as of their batch
+    full = _state_set(
+        profile_by_key(corpus["full"], ["source"], _cms_specs())
+    )
+    assert _state_set(inc.states(spark, gen=2)) == full
+    # forget-lineage metadata recorded (paths only — required to order
+    # per-file events; content is gone from the states)
+    fl = inc.forget_lineage(spark).collect()
+    assert sorted(r["file"] for r in fl) == sorted(b1_files)
+    assert all(r["gen"] == 3 and r["lineage"].startswith("forget-") for r in fl)
+    # forget the rest: counters empty out, every key drops
+    m2 = inc.forget(spark, _list_data_files(spark, corpus["b2"]))
+    assert m2["gen"] == 4 and m2["mode"] == "subtract"
+    assert inc.states(spark).count() == 0
+
+
+def test_forget_refold_flag_and_nonlinear_sketches(spark, corpus, tmp_path):
+    """refold=True forces the survivor rescan on an all-CMS profile and
+    is byte-identical to the subtract path; non-subtractable sketches
+    (HLL) always refold."""
+    pa = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "a"))
+    pa.update(spark, source=corpus["b1"])
+    pa.update(spark, source=corpus["b2"])
+    b1_files = _list_data_files(spark, corpus["b1"])
+    assert pa.forget(spark, b1_files)["mode"] == "subtract"
+
+    pb = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "b"))
+    pb.update(spark, source=corpus["b1"])
+    pb.update(spark, source=corpus["b2"])
+    assert pb.forget(spark, b1_files, refold=True)["mode"] == "refold"
+    assert _state_set(pa.states(spark)) == _state_set(pb.states(spark))
+
+    pc = IncrementalProfile(_specs(), ["source"], str(tmp_path / "c"))
+    pc.update(spark, source=corpus["b1"])
+    pc.update(spark, source=corpus["b2"])
+    assert pc.forget(spark, b1_files)["mode"] == "refold"
+    want = _state_set(
+        profile_by_key(spark.read.parquet(corpus["b2"]), ["source"], _specs())
+    )
+    assert _state_set(pc.states(spark)) == want
+
+
+def test_forgotten_file_refolds_on_next_update(spark, corpus, tmp_path):
+    """update() diffs against the FOLDED set, not every lineage path: a
+    file forgotten and later re-presented folds again, restoring the
+    full-rebuild states; a no-op update right after the forget does not
+    resurrect it."""
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    inc.update(spark, source=corpus["b2"])
+    b1_files = _list_data_files(spark, corpus["b1"])
+    inc.forget(spark, b1_files)
+    # committed gen is defined by the UNION of both lineage tables
+    m0 = inc.update(spark, source=corpus["b2"])
+    assert m0 == {"gen": 3, "new_files": 0, "rows": 0}
+    m = inc.update(spark, source=corpus["b1"])
+    assert m["gen"] == 4 and m["new_files"] == 2
+    want = _state_set(
+        profile_by_key(corpus["full"], ["source"], _cms_specs())
+    )
+    assert _state_set(inc.states(spark)) == want
+
+
+def test_forget_contract_errors(spark, corpus, tmp_path):
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="nothing to forget"):
+        inc.forget(spark, ["file:///nope.parquet"])
+    inc.update(spark, source=corpus["b1"])
+    with pytest.raises(ValueError, match="at least one file"):
+        inc.forget(spark, [])
+    with pytest.raises(ValueError, match="not currently folded"):
+        inc.forget(spark, ["file:///never/folded.parquet"])
+    b1_files = _list_data_files(spark, corpus["b1"])
+    inc.forget(spark, b1_files)
+    # already forgotten -> no longer folded
+    with pytest.raises(ValueError, match="not currently folded"):
+        inc.forget(spark, b1_files[:1])
+
+
+def test_generation_algebra_refuses_straddling_forget(spark, tmp_path):
+    """Deltas/added-samples are defined by state monotonicity under
+    appends; a forget breaks it, so any range straddling a forget
+    generation must refuse (while ranges on either side still work)."""
+    from pyspark.sql import functions as F
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _write_batch(spark, 0, 120, p1, parts=1)
+    _write_batch(spark, 120, 320, p2, parts=1)
+    specs = [
+        SketchSpec("toks", CountMinSketch(eps=1e-3, delta=1e-3), "n_tok")
+    ]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=p1)
+    inc.update(spark, source=p2)
+    inc.forget(spark, _list_data_files(spark, p1))  # gen 3
+    _write_batch(spark, 320, 400, str(tmp_path / "b3"), parts=1)
+    inc.update(spark, source=str(tmp_path / "b3"))  # gen 4
+    # pre-forget range still fine
+    assert inc.cms_generation_delta(spark, "toks", [30], 1, 2).count() >= 0
+    # post-forget range still fine
+    assert inc.cms_generation_delta(spark, "toks", [30], 3, 4).count() >= 0
+    for lo, hi in [(1, 3), (2, 4), (1, 4), (2, 3)]:
+        with pytest.raises(ValueError, match="straddles"):
+            inc.cms_generation_delta(spark, "toks", [30], lo, hi)
+
+
+def test_forget_heavy_ngrams_resolves_folded_set_only(spark, tmp_path):
+    """After forgetting batch 1, heavy_ngrams at the committed gen must
+    not contain batch-1's planted gram (the refolded states no longer
+    retain it AND the resolve scan reads only the surviving folded
+    files); time-traveling to the pre-forget gen still resolves it."""
+    from recsplit_spark.sketches.mg import MisraGries
+
+    A, B = _GRAM_A, _GRAM_B
+    p1, p2 = _planted_batches(spark, tmp_path)
+    specs = [SketchSpec("hg3", MisraGries(k=16384), "tokens", ngram=3)]
+    inc = IncrementalProfile(specs, ["source"], str(tmp_path / "prof"))
+    inc.update(spark, source=p1)
+    inc.update(spark, source=p2)
+    m = inc.forget(spark, _list_data_files(spark, p1))
+    assert m["mode"] == "refold"
+    g = inc.heavy_ngrams(spark, "hg3", top=5).collect()
+    grams = {tuple(r["gram"]) for r in g}
+    assert B in grams and A not in grams
+    pre = inc.heavy_ngrams(spark, "hg3", top=5, gen=2).collect()
+    assert A in {tuple(r["gram"]) for r in pre}
+    # forget everything: committed states are empty, resolve never runs
+    inc.forget(spark, _list_data_files(spark, p2))
+    assert inc.heavy_ngrams(spark, "hg3", top=5).count() == 0
+
+
+def test_forget_subtract_detects_changed_file_content(spark, tmp_path):
+    """The subtract path re-reads the forgotten file; if its CONTENT
+    changed since it was folded the partial no longer matches what went
+    in — detected (counters would go negative or hit unseen keys) and
+    surfaced with a refold=True escape hatch, which rebuilds from the
+    true survivors."""
+    import glob
+    import shutil as _sh
+
+    small, big = str(tmp_path / "small"), str(tmp_path / "big")
+    _write_batch(spark, 0, 100, small, parts=1)
+    _write_batch(spark, 0, 300, big, parts=1)
+    data = tmp_path / "data"
+    data.mkdir()
+    f = str(data / "a.parquet")
+    _sh.copy(glob.glob(f"{small}/part-*.parquet")[0], f)
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, files=[f])
+    # swap in different content at the SAME path
+    _sh.copy(glob.glob(f"{big}/part-*.parquet")[0], f)
+    with pytest.raises(Exception, match="file content changed"):
+        inc.forget(spark, [f])
+    m = inc.forget(spark, [f], refold=True)
+    assert m["mode"] == "refold"
+    assert inc.states(spark).count() == 0
