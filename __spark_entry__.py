@@ -637,6 +637,117 @@ def _q_forget_family_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_forget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granularity right-to-be-forgotten on the incremental sketch
+    profile (`IncrementalProfile.forget`, sketches/incremental.py): the
+    documents table is written as two parquet batches (even / odd
+    doc_id) and folded; forgetting the even batch must leave per-lang
+    CMS totals EXACTLY equal to the odd-batch row counts (the CMS row-0
+    sum is the exact fold count — no estimate slack), through BOTH
+    paths: the all-CMS linear-subtraction path (one scan of only the
+    forgotten files) and the forced survivor re-fold, byte-identical to
+    each other and to a fresh fold of the survivors. Re-presenting the
+    forgotten batch re-folds it, restoring the full per-lang counts.
+    An HLL profile (non-linear, auto-refold) lands within the p=12
+    error bound of the odd-batch exact distincts. DuckDB verifies the
+    per-lang integers value-for-value; the byte-identity and bound
+    checks are in-engine booleans."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import CountMinSketch, HyperLogLog
+    from recsplit_spark.sketches.incremental import (
+        IncrementalProfile,
+        _list_data_files,
+    )
+    from recsplit_spark.sketches.multi import SketchSpec, profile_by_key
+
+    ship_package(spark)
+    root = tempfile.mkdtemp(prefix="profile_forget_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{root}/b_even")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{root}/b_odd")
+    even_files = _list_data_files(spark, f"{root}/b_even")
+
+    cms = [SketchSpec("n_docs", CountMinSketch(eps=1e-3, delta=1e-3), "doc_id")]
+
+    def _fold_both(path):
+        p = IncrementalProfile(cms, ["lang"], path)
+        p.update(spark, source=f"{root}/b_even")
+        p.update(spark, source=f"{root}/b_odd")
+        return p
+
+    def _totals(p):
+        sk = cms[0].sketch
+        return {
+            r["lang"]: sk.total(sk.from_bytes(bytes(r["state"])))
+            for r in p.states(spark).collect()
+        }
+
+    def _state_set(df):
+        return {(r["lang"], bytes(r["state"])) for r in df.collect()}
+
+    prof = _fold_both(f"{root}/prof")
+    m = prof.forget(spark, even_files)  # all-CMS -> subtract path
+    after_forget = _totals(prof)
+    sub_states = _state_set(prof.states(spark))
+
+    twin = _fold_both(f"{root}/twin")
+    m2 = twin.forget(spark, even_files, refold=True)
+    fresh = _state_set(
+        profile_by_key(spark.read.parquet(f"{root}/b_odd"), ["lang"], cms)
+    )
+    identical = (
+        m["mode"] == "subtract"
+        and m2["mode"] == "refold"
+        and sub_states == _state_set(twin.states(spark)) == fresh
+    )
+
+    # a re-presented forgotten file re-folds (update diffs the FOLDED set)
+    prof.update(spark, source=f"{root}/b_even")
+    after_refold = _totals(prof)
+
+    hll = [SketchSpec("docs", HyperLogLog(p=12), "doc_id")]
+    ph = IncrementalProfile(hll, ["lang"], f"{root}/prof_h")
+    ph.update(spark, source=f"{root}/b_even")
+    ph.update(spark, source=f"{root}/b_odd")
+    mh = ph.forget(spark, even_files)
+    exact = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{root}/b_odd")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    ests = {r["lang"]: r["estimate"] for r in ph.estimates(spark).collect()}
+    hll_ok = (
+        mh["mode"] == "refold"
+        and set(ests) == set(exact)
+        and all(
+            abs(ests[lg] - exact[lg]) <= max(3.0, 0.15 * exact[lg])
+            for lg in exact
+        )
+    )
+
+    rows = [
+        (
+            lg,
+            int(after_forget.get(lg, 0)),
+            int(after_refold[lg]),
+            bool(identical),
+            bool(hll_ok),
+        )
+        for lg in sorted(after_refold)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_after_forget long, n_after_refold long,"
+        " subtract_identical boolean, hll_within_bound boolean",
+    ).orderBy("lang")
+
+
 def _q_incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Appendable IVF vector store (`pipeline.incremental_ann.IncrementalANN`):
     embeddings arrive as three id-range batches, each append = one
@@ -3520,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "incremental_ann_search": _q_incremental_ann_search,
         "forget_family_documents": _q_forget_family_documents,
+        "profile_forget_documents": _q_profile_forget_documents,
         "incremental_ann_compact": _q_incremental_ann_compact,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "ann_ivf_distributed_recall": _q_ann_ivf_distributed_recall,
@@ -4080,6 +4192,16 @@ def oracle_sql() -> dict[str, str]:
         "forget_family_documents": (
             "SELECT TRUE AS dedup_unsuppressed, TRUE AS ann_forgotten,"
             " TRUE AS mphf_dense_shrink"
+        ),
+        # value-level on the integers: DuckDB recomputes the per-lang
+        # odd-batch and full row counts the forget/re-fold must land on
+        "profile_forget_documents": (
+            "SELECT lang,"
+            " COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_after_forget,"
+            " COUNT(*) AS n_after_refold,"
+            " TRUE AS subtract_identical,"
+            " TRUE AS hll_within_bound"
+            " FROM documents GROUP BY lang ORDER BY lang"
         ),
         "bpe_tokenizer_documents": (
             "SELECT CAST(320 AS BIGINT) AS vocab_size,"
