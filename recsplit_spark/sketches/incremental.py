@@ -68,6 +68,22 @@ def _canon_file(p: str) -> str:
     return unquote(p)
 
 
+def _qualify_input(spark, f: str, known: set) -> str:
+    """Map a caller-supplied file path to its lineage identity: the
+    plain ``_canon_file`` form if the lineage already recorded it that
+    way (back-compat for states whose ``update(files=...)`` runs passed
+    scheme-less paths), else the fully-qualified Hadoop URI
+    (``file:///...``, ``hdfs://nn/...``) — the same form
+    ``_list_data_files`` and ``input_file_name()`` produce, so a bare
+    local path passed to ``forget()`` matches lineage rows written by
+    ``--source`` runs instead of raising "not currently folded"."""
+    c = _canon_file(f)
+    if c in known:
+        return c
+    fs, p, _ = _fs_for(spark, f)
+    return _canon_file(fs.makeQualified(p).toString())
+
+
 def _fs_for(spark, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -442,14 +458,14 @@ class IncrementalProfile:
         from pyspark.sql import functions as F
 
         cur_gen = self._committed_gen(spark)
-        all_files = (
-            sorted(_canon_file(f) for f in files)
-            if files is not None
-            else _list_data_files(spark, source)
-        )
         # the folded set, not "every lineage file": a file forgotten via
         # forget() must re-fold if it is ever presented again
         done = self._folded_files(spark, cur_gen) if cur_gen > 0 else set()
+        all_files = (
+            sorted({_qualify_input(spark, f, done) for f in files})
+            if files is not None
+            else _list_data_files(spark, source)
+        )
         new = [f for f in all_files if f not in done]
         if not new:
             return {"gen": cur_gen, "new_files": 0, "rows": 0}
@@ -630,10 +646,10 @@ class IncrementalProfile:
                     f"no committed updates under {self.path}; nothing "
                     "to forget"
                 )
-            want = sorted({_canon_file(f) for f in files})
-            if not want:
+            if not files:
                 raise ValueError("pass at least one file to forget")
             folded = self._folded_files(spark, cur)
+            want = sorted({_qualify_input(spark, f, folded) for f in files})
             unknown = [f for f in want if f not in folded]
             if unknown:
                 raise ValueError(

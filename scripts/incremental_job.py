@@ -13,13 +13,20 @@ Cluster usage (the north-rule deployment shape, incremental side)::
         --spec docs=hll:doc_id --spec grams5=hll:tokens:ngram=5 \
         [--estimates] [--hll-p 14] [--cms-eps 5e-4] [--cms-delta 0.01] \
         [--theta-k 4096] [--files f1.parquet,f2.parquet] \
-        [--delta-from GEN] [--sample-added-from GEN] [--sample-limit 100]
+        [--delta-from GEN] [--sample-added-from GEN] [--sample-limit 100] \
+        [--forget-files f1.parquet,f2.parquet [--forget-refold]]
 
 Each run folds ONLY the files never folded before (or exactly the
 ``--files`` list — the Iceberg snapshot-diff integration point) and
 merges them into the committed state table. Prints ONE JSON line:
 update metrics (generation, new files, rows) + per-key estimates when
 ``--estimates`` is set. Re-running with nothing new is a no-op.
+
+``--forget-files`` is the right-to-be-forgotten mode (RUNBOOK §3f):
+instead of updating, it removes previously-folded files from the
+committed table as a new generation — all-CMS profiles subtract the
+forgotten files' counters in O(forgotten) (run BEFORE physically
+deleting the files); anything else re-folds the survivors.
 """
 
 from __future__ import annotations
@@ -126,9 +133,28 @@ def main() -> int:
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--theta-k", type=int, default=4096)
     ap.add_argument("--mg-k", type=int, default=1024)
+    ap.add_argument(
+        "--forget-files",
+        default=None,
+        help="comma-separated previously-folded files to FORGET (RTBF,"
+        " file granularity) instead of updating: removes their"
+        " contribution from the committed table as a new generation"
+        " (all-CMS profiles subtract in O(forgotten); others re-fold"
+        " the survivors)",
+    )
+    ap.add_argument(
+        "--forget-refold",
+        action="store_true",
+        help="force the survivor re-fold path for --forget-files",
+    )
     args = ap.parse_args()
-    if (args.source is None) == (args.files is None):
-        raise SystemExit("pass exactly one of --source or --files")
+    n_modes = sum(
+        x is not None for x in (args.source, args.files, args.forget_files)
+    )
+    if n_modes != 1:
+        raise SystemExit(
+            "pass exactly one of --source / --files / --forget-files"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -138,11 +164,18 @@ def main() -> int:
     specs = [_parse_spec(s, args) for s in args.spec]
     inc = IncrementalProfile(specs, args.keys.split(","), args.path)
     t0 = time.time()
-    metrics = inc.update(
-        spark,
-        source=args.source,
-        files=args.files.split(",") if args.files else None,
-    )
+    if args.forget_files is not None:
+        metrics = inc.forget(
+            spark,
+            args.forget_files.split(","),
+            refold=args.forget_refold,
+        )
+    else:
+        metrics = inc.update(
+            spark,
+            source=args.source,
+            files=args.files.split(",") if args.files else None,
+        )
     out = {"path": args.path, **metrics}
     if args.vacuum is not None:
         out["vacuumed_gens"] = inc.vacuum(spark, keep=args.vacuum)

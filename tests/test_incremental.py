@@ -798,6 +798,37 @@ def test_forget_contract_errors(spark, corpus, tmp_path):
         inc.forget(spark, b1_files[:1])
 
 
+def test_bare_local_paths_qualify_to_lineage_identity(spark, corpus, tmp_path):
+    """Caller-supplied scheme-less paths (``/tmp/x.parquet``) must match
+    the fully-qualified ``file:///...`` lineage identity that --source
+    listing writes: forget() accepts them, and update(files=[bare])
+    records the qualified form (so the same file later listed via
+    --source is NOT double-folded)."""
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, source=corpus["b1"])
+    b2_bare = [
+        f[len("file://"):] for f in _list_data_files(spark, corpus["b2"])
+    ]
+    assert all(f.startswith("/") and ":" not in f for f in b2_bare)
+    m = inc.update(spark, files=b2_bare)
+    assert m["new_files"] == len(b2_bare)
+    # recorded qualified: a --source pass over b2 sees nothing new
+    m2 = inc.update(spark, source=corpus["b2"])
+    assert m2["new_files"] == 0
+    # forget with bare paths resolves against the qualified lineage
+    b1_bare = [
+        f[len("file://"):] for f in _list_data_files(spark, corpus["b1"])
+    ]
+    fm = inc.forget(spark, b1_bare)
+    assert fm["forgotten_files"] == len(b1_bare) and fm["mode"] == "subtract"
+    want = _state_set(
+        profile_by_key(
+            spark.read.parquet(corpus["b2"]), ["source"], _cms_specs()
+        )
+    )
+    assert _state_set(inc.states(spark)) == want
+
+
 def test_generation_algebra_refuses_straddling_forget(spark, tmp_path):
     """Deltas/added-samples are defined by state monotonicity under
     appends; a forget breaks it, so any range straddling a forget
