@@ -1726,6 +1726,63 @@ def _q_sequences_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_jsonl_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion surface (``io.read_jsonl``): the documents table
+    exported as JSONL shards and re-read with an EXPLICIT schema (no
+    inference scan — at crawl scale inference is a full extra read) in
+    FAILFAST mode. Per-lang integer aggregates over the re-read copy
+    must match the parquet truth exactly, and per-row text/source/
+    n_chars fidelity is verified in-engine by joining back to the
+    parquet table (``n_mismatch`` pinned to 0 by the oracle)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.io import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    fields = {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        write_jsonl(docs, f"{tmp}/dump", mode="overwrite")
+        back = read_jsonl(spark, f"{tmp}/dump", fields)
+        truth = docs.select(
+            "doc_id",
+            F.col("text").alias("t2"),
+            F.col("source").alias("s2"),
+            F.col("n_chars").alias("c2"),
+        )
+        per_lang = (
+            back.join(truth, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum("doc_id").alias("sum_doc_id"),
+                F.sum(
+                    F.when(
+                        (F.col("text") == F.col("t2"))
+                        & (F.col("source") == F.col("s2"))
+                        & (F.col("n_chars") == F.col("c2")),
+                        0,
+                    ).otherwise(1)
+                ).alias("n_mismatch"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    return spark.createDataFrame(
+        per_lang,
+        "lang string, n_docs bigint, sum_chars bigint,"
+        " sum_doc_id bigint, n_mismatch bigint",
+    )
+
+
 def _q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as pure
     Column expressions: per-rule pass counts over the corpus. Every
@@ -3657,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_documents": _q_unigram_lm_documents,
         "bigram_lm_documents": _q_bigram_lm_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
+        "jsonl_ingest_documents": _q_jsonl_ingest_documents,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4426,6 +4484,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(20000 AS BIGINT) AS n_rows,"
             " TRUE AS token_arrays_equal,"
             " TRUE AS hll_within_bound, TRUE AS kll_within_bound"
+        ),
+        # JSONL round-trip: the per-lang integer aggregates are exact over
+        # the parquet truth (the re-read copy must reproduce them); the
+        # per-row fidelity join happens in-engine and its mismatch count
+        # is pinned to 0
+        "jsonl_ingest_documents": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,"
+            " CAST(0 AS BIGINT) AS n_mismatch"
+            " FROM documents GROUP BY lang ORDER BY lang"
         ),
         # fused one-pass profile: the oracle recomputes the exact distinct
         # doc count; each sketch's bound boolean is checked in-engine

@@ -56,6 +56,89 @@ def write_sequences(df, path: str, mode: str = "error") -> None:
 
 
 # ---------------------------------------------------------------------------
+# JSONL ingestion (web-crawl / annotation dumps)
+# ---------------------------------------------------------------------------
+
+def read_jsonl(spark, path: str, fields, on_bad: str = "error"):
+    """Newline-delimited JSON with an EXPLICIT schema — the raw-dump
+    ingestion surface (crawl shards, annotation exports) feeding the
+    parquet/Iceberg sequences table everything else reads.
+
+    ``fields`` is a ``{name: ddl_type}`` dict (e.g. ``SEQUENCES_FIELDS``)
+    or a full DDL string. The schema is always explicit: Spark's JSON
+    schema inference is a FULL EXTRA SCAN of the input before the real
+    one — at crawl scale that doubles the read — and inferred types
+    drift with the sample (``int`` vs ``bigint``, all-null columns),
+    so ingestion jobs must pin them.
+
+    ``on_bad`` is the malformed-line policy, mapped to the source-level
+    parser modes (no corrupt rows ever leave the scan in ``drop`` mode,
+    so no post-filter pass):
+
+    * ``"error"`` — FAILFAST: any unparseable line or type-mismatched
+      field aborts the job. The right default for pipeline determinism:
+      a silent drop changes every downstream count.
+    * ``"drop"`` — DROPMALFORMED: malformed lines are dropped at the
+      parser. For dirty dumps where the drop is the point; audit the
+      loss by comparing against ``on_bad="keep"`` counts.
+    * ``"keep"`` — PERMISSIVE: malformed lines survive with all data
+      fields null and the raw line in a ``corrupt_record`` string
+      column. NOTE Spark refuses plans whose only referenced column is
+      the internal corrupt-record column — materialize (cache/write)
+      before aggregating ``corrupt_record`` alone.
+
+    Compression is transparent by extension (``.gz``, ``.zst``, ...) but
+    gzip is NOT splittable — one task per ``.gz`` file, so parallelism =
+    shard count. Crawl dumps already ship as many-shard directories,
+    which is exactly what this wants; re-shard or use a splittable codec
+    before ingesting single multi-GB gzip files."""
+    ddl = (
+        ", ".join(f"{k} {v}" for k, v in fields.items())
+        if isinstance(fields, dict)
+        else fields
+    )
+    if on_bad == "error":
+        return spark.read.schema(ddl).option("mode", "FAILFAST").json(path)
+    if on_bad == "drop":
+        return (
+            spark.read.schema(ddl)
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+    if on_bad == "keep":
+        return (
+            spark.read.schema(f"{ddl}, corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "corrupt_record")
+            .json(path)
+        )
+    raise ValueError(
+        f"on_bad must be 'error', 'drop', or 'keep', got {on_bad!r}"
+    )
+
+
+def read_sequences_jsonl(spark, path: str, on_bad: str = "error"):
+    """``read_jsonl`` pinned to the sequences input_hint schema
+    (``doc_id, tokens array<int>, n_tok, source``) — the JSONL-dump
+    side door into every builder that takes ``read_sequences`` output.
+    The explicit schema lands ``tokens`` as ``array<int>`` directly
+    (inference would widen JSON integers to ``bigint``, silently
+    doubling the token payload and breaking the zero-copy int32 Arrow
+    paths downstream)."""
+    return read_jsonl(spark, path, SEQUENCES_FIELDS, on_bad=on_bad)
+
+
+def write_jsonl(df, path: str, mode: str = "error",
+                compression: str | None = None) -> None:
+    """Export a DataFrame as JSONL shards (interchange with non-Spark
+    consumers; parquet remains the pipeline-internal format)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+# ---------------------------------------------------------------------------
 # key-file sources (SURVEY §2.1 S3/S4)
 # ---------------------------------------------------------------------------
 
