@@ -1783,6 +1783,73 @@ def _q_jsonl_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video pipeline end-to-end: a seed-pinned table of
+    decodable PPMV1 video payloads -> sparse ``frame_sample`` (offset-
+    table byte slicing; unsampled frames never decoded or copied) ->
+    ``resize_media`` -> ``extract_features(decoder='ppm')``. Counts and
+    the frame-index sum are fully determined by the plan arithmetic;
+    frame fidelity (sampled payload == the container's own frame) and
+    feature determinism are verified in-engine and pinned as booleans
+    (precedent: sequences_tokens_roundtrip)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import multimodal as mm
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_vid, n_frames, fps = 40, 24, 8.0
+    vids = mm.synthetic_ppm_video(
+        spark, n_vid, n_frames=n_frames, side=16, fps=fps, partitions=4
+    ).cache()
+    sampled = mm.frame_sample(vids, every_s=1.0).cache()
+    agg = sampled.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("media_id").alias("n_videos"),
+        F.sum("frame_idx").alias("idx_sum"),
+    ).collect()[0]
+    src = {r["media_id"]: bytes(r["payload"]) for r in vids.collect()}
+    match = all(
+        np.array_equal(
+            mm.decode_ppm(bytes(r["payload"])),
+            mm.decode_ppm_video_frame(src[r["media_id"]], r["frame_idx"]),
+        )
+        for r in sampled.collect()
+    )
+    feats = mm.extract_features(
+        mm.resize_media(sampled, 8, 8), dim=16, decoder="ppm"
+    )
+    f_rows = {
+        (r["media_id"], r["frame_idx"]): tuple(r["features"])
+        for r in feats.collect()
+    }
+    again = {
+        (r["media_id"], r["frame_idx"]): tuple(r["features"])
+        for r in mm.extract_features(
+            mm.resize_media(sampled.repartition(7), 8, 8),
+            dim=16,
+            decoder="ppm",
+        ).collect()
+    }
+    chain_ok = len(f_rows) == int(agg["n_rows"]) and f_rows == again
+    vids.unpersist()
+    sampled.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_rows"]),
+                int(agg["n_videos"]),
+                int(agg["idx_sum"]),
+                bool(match),
+                bool(chain_ok),
+            )
+        ],
+        "n_rows bigint, n_videos bigint, idx_sum bigint,"
+        " frames_match_source boolean, resize_chain_ok boolean",
+    )
+
+
 def _q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as pure
     Column expressions: per-rule pass counts over the corpus. Every
@@ -3715,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_documents": _q_bigram_lm_documents,
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "jsonl_ingest_documents": _q_jsonl_ingest_documents,
+        "frame_sample_media": _q_frame_sample_media,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4495,6 +4563,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,"
             " CAST(0 AS BIGINT) AS n_mismatch"
             " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        # the video generator and the sampling plan are seed-/arithmetic-
+        # pinned (40 videos x plan [0, 8, 16]); fidelity + determinism
+        # booleans are verified in-engine (precedent:
+        # sequences_tokens_roundtrip)
+        "frame_sample_media": (
+            "SELECT CAST(120 AS BIGINT) AS n_rows,"
+            " CAST(40 AS BIGINT) AS n_videos,"
+            " CAST(960 AS BIGINT) AS idx_sum,"
+            " TRUE AS frames_match_source, TRUE AS resize_chain_ok"
         ),
         # fused one-pass profile: the oracle recomputes the exact distinct
         # doc count; each sketch's bound boolean is checked in-engine

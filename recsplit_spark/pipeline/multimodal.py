@@ -264,3 +264,195 @@ def frame_sample_plan(duration_s: float, fps: float, every_s: float) -> list[int
         raise ValueError("fps and every_s must be positive")
     step = max(1, round(fps * every_s))
     return list(range(0, int(duration_s * fps), step))
+
+
+# ---------------------------------------------------------------------------
+# image resize (pure numpy) + the distributed resize operator
+# ---------------------------------------------------------------------------
+
+def _resize_axis(f: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+    n_in = f.shape[axis]
+    if n_out == n_in:
+        return f
+    if n_out < n_in:
+        # area-mean downscale: contiguous pixel segments per output cell
+        # (consecutive bounds differ by >= n_in/n_out > 1, so every
+        # reduceat segment is nonempty)
+        bounds = np.linspace(0, n_in, n_out + 1).astype(np.int64)
+        s = np.add.reduceat(f, bounds[:-1], axis=axis)
+        shape = [1] * f.ndim
+        shape[axis] = n_out
+        return s / np.diff(bounds).reshape(shape)
+    # nearest-neighbour upscale
+    idx = np.minimum((np.arange(n_out) * n_in) // n_out, n_in - 1)
+    return np.take(f, idx, axis=axis)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Resize a uint8 (h, w[, ch]) image: area-mean per axis when
+    shrinking (each output pixel is the mean of a contiguous input
+    block — vectorized ``reduceat``, no per-pixel Python), nearest
+    neighbour when growing. Channels/grayscale preserved."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("output dims must be positive")
+    f = img.astype(np.float64)
+    f = _resize_axis(f, out_h, axis=0)
+    f = _resize_axis(f, out_w, axis=1)
+    return np.clip(np.rint(f), 0, 255).astype(np.uint8)
+
+
+def resize_media(df, out_h: int, out_w: int, payload_col: str = "payload"):
+    """Distributed image resize: decode PPM/PGM payloads, resize, and
+    re-encode, updating the ``width``/``height`` metadata columns when
+    present. Binary-in/binary-out over ``mapInPandas`` — payload bytes
+    never leave the executor, and the output row shape equals the input
+    shape, so resize chains with ``extract_features`` / any media op."""
+    cols = df.columns
+
+    def _rs(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = [
+                encode_ppm(resize_image(decode_ppm(bytes(p)), out_h, out_w))
+                for p in pdf[payload_col]
+            ]
+            if "width" in out.columns:
+                out["width"] = np.int32(out_w)
+            if "height" in out.columns:
+                out["height"] = np.int32(out_h)
+            yield out[cols]
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(_rs, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# video container (seekable concatenated-PPM) + sparse frame sampling
+# ---------------------------------------------------------------------------
+
+_PPMV_MAGIC = b"PPMV1\n"
+
+
+def encode_ppm_video(frames: list[np.ndarray], fps: float) -> bytes:
+    """Serialize frames as a seekable MJPEG-style container: header
+    (magic, fps f64, n_frames u32) + a u64 FRAME OFFSET TABLE + the
+    concatenated binary PPM frames. The offset table is the scale
+    feature: frame i is ``payload[off[i]:off[i+1]]``, so sampling k of n
+    frames slices k byte ranges and never touches — let alone decodes —
+    the other n-k (real video containers expose the same via their
+    keyframe index)."""
+    if not frames:
+        raise ValueError("pass at least one frame")
+    blobs = [encode_ppm(f) for f in frames]
+    head_len = len(_PPMV_MAGIC) + 8 + 4 + 8 * (len(blobs) + 1)
+    offs = np.cumsum([head_len] + [len(b) for b in blobs]).astype("<u8")
+    return (
+        _PPMV_MAGIC
+        + struct.pack("<dI", float(fps), len(blobs))
+        + offs.tobytes()
+        + b"".join(blobs)
+    )
+
+
+def ppm_video_info(payload: bytes) -> tuple[float, int, np.ndarray]:
+    """Parse a PPMV1 header -> (fps, n_frames, frame offset table)."""
+    if payload[: len(_PPMV_MAGIC)] != _PPMV_MAGIC:
+        raise ValueError("not a PPMV1 payload")
+    pos = len(_PPMV_MAGIC)
+    fps, n = struct.unpack_from("<dI", payload, pos)
+    offs = np.frombuffer(payload, dtype="<u8", offset=pos + 12, count=n + 1)
+    return float(fps), int(n), offs
+
+
+def decode_ppm_video_frame(payload: bytes, i: int) -> np.ndarray:
+    """Decode ONLY frame ``i`` via the offset table (O(frame bytes))."""
+    _, n, offs = ppm_video_info(payload)
+    if not 0 <= i < n:
+        raise ValueError(f"frame {i} out of range [0, {n})")
+    return decode_ppm(payload[offs[i] : offs[i + 1]])
+
+
+def frame_sample(df, every_s: float, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+    """Sparse frame sampling over PPMV1 video payloads: one output row
+    per PLANNED frame (``frame_sample_plan`` on each video's own
+    fps/length) with the frame re-emitted as a standalone PPM payload —
+    the shape ``extract_features(decoder='ppm')`` / ``resize_media``
+    consume, so video chains into the image pipeline. Unsampled frames
+    are never decoded OR copied: the kernel slices the offset table
+    (byte-range reads), so cost scales with sampled bytes, not video
+    bytes. Returns DataFrame[id_col, frame_idx int, t_s double,
+    payload binary]."""
+
+    def _sample(batches):
+        for pdf in batches:
+            ids, idxs, ts, blobs = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                fps, n, offs = ppm_video_info(p)
+                for i in frame_sample_plan(n / fps, fps, every_s):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ts.append(i / fps)
+                    blobs.append(p[offs[i] : offs[i + 1]])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "t_s": np.array(ts, dtype=np.float64),
+                    "payload": blobs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sample,
+        schema=f"{id_col} long, frame_idx int, t_s double, payload binary",
+    )
+
+
+def synthetic_ppm_video(spark, n: int, n_frames: int = 24, side: int = 16,
+                        fps: float = 8.0, partitions: int = 4):
+    """Deterministic decodable video table: each payload is a PPMV1
+    container of seeded gradient frames (frame f of video v depends
+    only on (v, f))."""
+
+    def _gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lo, hi = int(row["lo"]), int(row["hi"])
+                ids = np.arange(lo, hi, dtype=np.int64)
+                payloads = []
+                for v in ids:
+                    frames = []
+                    for f in range(n_frames):
+                        base = mix64(
+                            np.arange(
+                                v * n_frames + f,
+                                v * n_frames + f + side * side * 3,
+                                dtype=np.uint64,
+                            )
+                        ) >> np.uint64(56)
+                        frames.append(
+                            base.astype(np.uint8).reshape(side, side, 3)
+                        )
+                    payloads.append(encode_ppm_video(frames, fps))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "payload": payloads,
+                        "mime": ["video/x-ppmv"] * len(ids),
+                        "width": np.full(len(ids), side, dtype=np.int32),
+                        "height": np.full(len(ids), side, dtype=np.int32),
+                    }
+                )
+
+    bounds = np.linspace(0, n, partitions + 1, dtype=np.int64)
+    ranges = [
+        (int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    seed = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        len(ranges), "lo"
+    )
+    return seed.mapInPandas(_gen, schema=MEDIA_SCHEMA)

@@ -484,6 +484,94 @@ def test_frame_sample_plan():
         multimodal.frame_sample_plan(10.0, 0, 1.0)
 
 
+def test_resize_image_kernel():
+    # exact area-mean on a hand-checked 4x4 -> 2x2
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    got = multimodal.resize_image(img, 2, 2)
+    want = np.array([[2, 4], [10, 12]], dtype=np.uint8)  # 2x2 block means
+    assert np.array_equal(got, want)
+    # nearest upscale 2x2 -> 4x4 repeats each pixel
+    up = multimodal.resize_image(np.array([[1, 2], [3, 4]], np.uint8), 4, 4)
+    assert np.array_equal(
+        up, np.array([[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]])
+    )
+    # channels preserved; mixed shrink/grow per axis
+    rgb = np.random.default_rng(7).integers(0, 256, (10, 6, 3), np.uint8)
+    out = multimodal.resize_image(rgb, 5, 12)
+    assert out.shape == (5, 12, 3)
+    with pytest.raises(ValueError):
+        multimodal.resize_image(rgb, 0, 4)
+
+
+def test_resize_media_operator(spark):
+    media = multimodal.synthetic_ppm_media(spark, 30, side=32, partitions=2)
+    small = multimodal.resize_media(media, 8, 8)
+    rows = small.collect()
+    assert len(rows) == 30
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+    # payloads decode to the kernel's exact output
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows[:5]:
+        want = multimodal.resize_image(
+            multimodal.decode_ppm(src[r["media_id"]]), 8, 8
+        )
+        assert np.array_equal(
+            multimodal.decode_ppm(bytes(r["payload"])), want
+        )
+    # chains into the image feature extractor unchanged
+    feats = multimodal.extract_features(small, dim=16, decoder="ppm")
+    assert feats.count() == 30
+
+
+def test_ppm_video_container_roundtrip():
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(7)
+    ]
+    blob = multimodal.encode_ppm_video(frames, fps=4.0)
+    fps, n, offs = multimodal.ppm_video_info(blob)
+    assert (fps, n) == (4.0, 7) and len(offs) == 8
+    assert int(offs[-1]) == len(blob)  # offsets tile the payload exactly
+    for i, f in enumerate(frames):
+        assert np.array_equal(
+            multimodal.decode_ppm_video_frame(blob, i), f
+        )
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm_video_frame(blob, 7)
+    with pytest.raises(ValueError):
+        multimodal.ppm_video_info(b"AVI ....")
+    with pytest.raises(ValueError):
+        multimodal.encode_ppm_video([], 4.0)
+
+
+def test_frame_sample_operator(spark):
+    """Sparse sampling end-to-end: planned indices only, byte-identical
+    frames, and the output chains into resize + feature extraction."""
+    vids = multimodal.synthetic_ppm_video(
+        spark, 12, n_frames=24, side=16, fps=8.0, partitions=3
+    )
+    sampled = multimodal.frame_sample(vids, every_s=1.0)
+    rows = sampled.collect()
+    plan = multimodal.frame_sample_plan(24 / 8.0, 8.0, 1.0)  # [0, 8, 16]
+    assert sorted({r["frame_idx"] for r in rows}) == plan
+    assert len(rows) == 12 * len(plan)
+    assert all(r["t_s"] == r["frame_idx"] / 8.0 for r in rows)
+    # sampled payloads decode equal to the container's own frames
+    src = {r["media_id"]: bytes(r["payload"]) for r in vids.collect()}
+    for r in rows:
+        want = multimodal.decode_ppm_video_frame(
+            src[r["media_id"]], r["frame_idx"]
+        )
+        assert np.array_equal(
+            multimodal.decode_ppm(bytes(r["payload"])), want
+        )
+    # video -> frames -> resize -> features chains with no re-plumbing
+    feats = multimodal.extract_features(
+        multimodal.resize_media(sampled, 8, 8), dim=16, decoder="ppm"
+    )
+    assert feats.count() == 12 * len(plan)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
