@@ -38,6 +38,8 @@ Cluster usage (the north-rule deployment shape, ingest side)::
     spark-submit --py-files dist/recsplit_spark.zip \
         scripts/ingest_job.py \
         --input  <parquet dir of the NEW batch> \
+        [--input-format jsonl --jsonl-schema 'doc_id bigint, text string,
+         source string' [--on-bad drop]]   # raw crawl-dump side door \
         --root   <lake root: <root>/dedup, <root>/ids, <root>/ann created> \
         --out    <clean-corpus output dir> \
         --id-col doc_id --text-col text \
@@ -137,6 +139,20 @@ def main() -> int:
                     default="bins")
     ap.add_argument("--packed-out", default=None,
                     help="packed-example output dir (default <out>_packed)")
+    ap.add_argument("--input-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="new-batch format; jsonl is the raw-dump side "
+                         "door (crawl shards) and requires "
+                         "--jsonl-schema")
+    ap.add_argument("--jsonl-schema", default=None,
+                    help="explicit DDL schema for --input-format jsonl, "
+                         "e.g. 'doc_id bigint, text string, source "
+                         "string' (schema inference would be a full "
+                         "extra scan of the dump)")
+    ap.add_argument("--on-bad", choices=["error", "drop"], default="error",
+                    help="malformed-JSONL-line policy: error=FAILFAST "
+                         "(default; a silent drop changes every "
+                         "downstream count), drop=DROPMALFORMED")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -149,7 +165,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
     root = args.root.rstrip("/")
-    batch = spark.read.parquet(args.input)
+    if args.input_format == "jsonl":
+        if not args.jsonl_schema:
+            raise SystemExit(
+                "--input-format jsonl requires --jsonl-schema (explicit "
+                "DDL; inference would double the read)"
+            )
+        from recsplit_spark.io import read_jsonl
+
+        batch = read_jsonl(
+            spark, args.input, args.jsonl_schema, on_bad=args.on_bad
+        )
+    else:
+        batch = spark.read.parquet(args.input)
 
     # 0. optional benchmark decontamination — STATELESS (a pure function
     # of the batch), so it sits before the stateful appends and replay
