@@ -1850,6 +1850,79 @@ def _q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard output + epoch ordering
+    (``pipeline/shards.py``): documents written as value-defined
+    (pmod(xxhash64(id), S)) hive-partitioned shards, read back, and
+    permuted per epoch. Totals are exact vs the parquet truth; the
+    determinism contracts (disk membership == recomputed assignment,
+    shard balance, epoch permutation reproducible across partitionings
+    and distinct across epochs) are verified in-engine and pinned as
+    booleans (precedent: sequences_tokens_roundtrip)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline import shards
+
+    docs = _t(spark, sf_dir, "documents").cache()
+    S = 8
+    with tempfile.TemporaryDirectory() as tmp:
+        shards.write_training_shards(docs, f"{tmp}/sh", "doc_id", S)
+        back = shards.read_training_shards(spark, f"{tmp}/sh")
+        agg = back.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct("shard").alias("n_shards"),
+        ).collect()[0]
+        want = {
+            r["doc_id"]: r["shard"]
+            for r in shards.with_shard(docs, "doc_id", S).collect()
+        }
+        got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+        member_ok = got == want
+        from collections import Counter
+
+        sizes = Counter(got.values())
+        balance_ok = (
+            len(sizes) == S
+            and max(sizes.values()) <= 2 * (len(got) / S)
+        )
+    e0 = [
+        r["doc_id"]
+        for r in shards.epoch_order(docs, "doc_id", 0)
+        .select("doc_id")
+        .collect()
+    ]
+    e0b = [
+        r["doc_id"]
+        for r in shards.epoch_order(docs.repartition(7), "doc_id", 0)
+        .select("doc_id")
+        .collect()
+    ]
+    e1 = [
+        r["doc_id"]
+        for r in shards.epoch_order(docs, "doc_id", 1)
+        .select("doc_id")
+        .collect()
+    ]
+    docs.unpersist()
+    epoch_ok = e0 == e0b and e0 != e1 and sorted(e0) == sorted(e1)
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_docs"]),
+                int(agg["sum_doc_id"]),
+                bool(member_ok and int(agg["n_shards"]) == S),
+                bool(balance_ok),
+                bool(epoch_ok),
+            )
+        ],
+        "n_docs bigint, sum_doc_id bigint, membership_ok boolean,"
+        " balance_ok boolean, epoch_ok boolean",
+    )
+
+
 def _q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as pure
     Column expressions: per-rule pass counts over the corpus. Every
@@ -3783,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
         "jsonl_ingest_documents": _q_jsonl_ingest_documents,
         "frame_sample_media": _q_frame_sample_media,
+        "training_shards_documents": _q_training_shards_documents,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4573,6 +4647,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(40 AS BIGINT) AS n_videos,"
             " CAST(960 AS BIGINT) AS idx_sum,"
             " TRUE AS frames_match_source, TRUE AS resize_chain_ok"
+        ),
+        # shard totals are exact over the parquet truth; membership /
+        # balance / epoch-permutation contracts are in-engine booleans
+        # (xxhash64 shard assignment is not DuckDB-recomputable)
+        "training_shards_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,"
+            " TRUE AS membership_ok, TRUE AS balance_ok,"
+            " TRUE AS epoch_ok FROM documents"
         ),
         # fused one-pass profile: the oracle recomputes the exact distinct
         # doc count; each sketch's bound boolean is checked in-engine

@@ -1,7 +1,8 @@
 """Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash),
 benchmark decontamination, text analysis (token counts, quality, language
 ID, fingerprints), BPE tokenizer training/encode, similarity search
-(brute-force cosine + IVF + PQ/ADC), multimodal column plumbing."""
+(brute-force cosine + IVF + PQ/ADC), multimodal column plumbing,
+deterministic training-shard output + epoch ordering."""
 
 from . import (  # noqa: F401
     ann,
@@ -15,6 +16,7 @@ from . import (  # noqa: F401
     packing,
     pq,
     repetition,
+    shards,
     splits,
     substring_dedup,
     text,
