@@ -1368,6 +1368,73 @@ def task_bpescale(n_docs: int, cores: int, vocab_size: int = 1024,
     }
 
 
+def task_shardscale(n_docs: int, cores: int, n_shards: int = 64,
+                    reps: int = 2) -> dict:
+    """Training-shard output + epoch ordering at scale over the
+    deterministic sequences table (~1 KB/row of int32 tokens):
+    value-defined shard write (one exchange + hive-partitioned
+    parquet), the GLOBAL epoch permutation (the range-sort shuffle —
+    noop sink so Catalyst can't drop the sort), and the zero-exchange
+    shard-scope permutation over the shard-partitioned read."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline import shards
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-shards", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    seq = sequences(spark, n_docs, partitions=cores * 2).persist()
+    n_tok = int(seq.agg(F.sum("n_tok")).collect()[0][0])
+    root = tempfile.mkdtemp(prefix="shardscale_")
+    probe_before = host_probe_ms()
+    w_best = g_best = s_best = float("inf")
+    try:
+        for r in range(reps):
+            t0 = time.time()
+            shards.write_training_shards(
+                seq, f"{root}/sh{r}", "doc_id", n_shards
+            )
+            w_best = min(w_best, time.time() - t0)
+        back = shards.read_training_shards(spark, f"{root}/sh0")
+        for _ in range(reps):
+            t0 = time.time()
+            shards.epoch_order(seq, "doc_id", 1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            g_best = min(g_best, time.time() - t0)
+        for _ in range(reps):
+            t0 = time.time()
+            shards.epoch_order(
+                back, "doc_id", 1, scope="shard"
+            ).write.format("noop").mode("overwrite").save()
+            s_best = min(s_best, time.time() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    probe_after = host_probe_ms()
+    seq.unpersist()
+    spark.stop()
+    return {
+        "task": "shardscale",
+        "n_docs": n_docs,
+        "n_tokens": n_tok,
+        "n_shards": n_shards,
+        "write_sec_best": round(w_best, 2),
+        "write_docs_per_sec": round(n_docs / w_best, 1),
+        "epoch_global_sec_best": round(g_best, 2),
+        "epoch_global_docs_per_sec": round(n_docs / g_best, 1),
+        "epoch_shard_sec_best": round(s_best, 2),
+        "epoch_shard_docs_per_sec": round(n_docs / s_best, 1),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1375,7 +1442,8 @@ if __name__ == "__main__":
         choices=["eval1e9", "verify1e9", "ivffit", "dedup01", "ngramscale",
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
-                 "opqscale", "sq8scale", "dsirscale", "bpescale"],
+                 "opqscale", "sq8scale", "dsirscale", "bpescale",
+                 "shardscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1420,6 +1488,8 @@ if __name__ == "__main__":
         res = task_dsirscale(args.n or 500_000, args.cores)
     elif args.task == "bpescale":
         res = task_bpescale(args.n or 200_000, args.cores)
+    elif args.task == "shardscale":
+        res = task_shardscale(args.n or 1_000_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
