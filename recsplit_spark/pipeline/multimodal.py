@@ -25,30 +25,46 @@ MEDIA_SCHEMA = (
 )
 
 
-def synthetic_media(spark, n: int, partitions: int = 4):
-    """Deterministic fake media table (payload = seeded bytes) for tests."""
+def _media_table(spark, n: int, partitions: int, payload_fn, mime: str,
+                 side: int):
+    """Seed-range scaffold shared by the synthetic media generators:
+    partition the id range, then per range emit MEDIA_SCHEMA rows with
+    ``payload_fn(media_id) -> bytes``."""
+
     def _gen(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                lo, hi = int(row["lo"]), int(row["hi"])
-                ids = np.arange(lo, hi, dtype=np.int64)
-                payloads = [
-                    mix64(np.arange(i, i + 16, dtype=np.uint64)).tobytes() for i in ids
-                ]
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                ids = np.arange(int(lo), int(hi), dtype=np.int64)
                 yield pd.DataFrame(
                     {
                         "media_id": ids,
-                        "payload": payloads,
-                        "mime": ["image/fake"] * len(ids),
-                        "width": np.full(len(ids), 64, dtype=np.int32),
-                        "height": np.full(len(ids), 64, dtype=np.int32),
+                        "payload": [payload_fn(int(i)) for i in ids],
+                        "mime": [mime] * len(ids),
+                        "width": np.full(len(ids), side, dtype=np.int32),
+                        "height": np.full(len(ids), side, dtype=np.int32),
                     }
                 )
 
     bounds = np.linspace(0, n, partitions + 1, dtype=np.int64)
-    ranges = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-    seed = spark.createDataFrame(ranges, "lo long, hi long").repartition(len(ranges), "lo")
+    ranges = [
+        (int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    seed = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        len(ranges), "lo"
+    )
     return seed.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_media(spark, n: int, partitions: int = 4):
+    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    return _media_table(
+        spark,
+        n,
+        partitions,
+        lambda i: mix64(np.arange(i, i + 16, dtype=np.uint64)).tobytes(),
+        "image/fake",
+        64,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -177,36 +193,25 @@ def _wav_decode_features(payload: bytes, dim: int) -> np.ndarray:
     return audio_features(decode_wav(payload)[1], dim)
 
 
+def _seeded_frame(seed: int, side: int) -> np.ndarray:
+    """Deterministic (side, side, 3) uint8 image from an integer seed."""
+    base = mix64(
+        np.arange(seed, seed + side * side * 3, dtype=np.uint64)
+    ) >> np.uint64(56)
+    return base.astype(np.uint8).reshape(side, side, 3)
+
+
 def synthetic_ppm_media(spark, n: int, side: int = 32, partitions: int = 4):
     """Deterministic REAL-media table: payload = a decodable binary PPM
     (seeded gradient + hash-noise pattern per media_id)."""
-
-    def _gen(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                lo, hi = int(row["lo"]), int(row["hi"])
-                ids = np.arange(lo, hi, dtype=np.int64)
-                payloads = []
-                for i in ids:
-                    base = mix64(
-                        np.arange(i, i + side * side * 3, dtype=np.uint64)
-                    ) >> np.uint64(56)
-                    img = base.astype(np.uint8).reshape(side, side, 3)
-                    payloads.append(encode_ppm(img))
-                yield pd.DataFrame(
-                    {
-                        "media_id": ids,
-                        "payload": payloads,
-                        "mime": ["image/x-portable-pixmap"] * len(ids),
-                        "width": np.full(len(ids), side, dtype=np.int32),
-                        "height": np.full(len(ids), side, dtype=np.int32),
-                    }
-                )
-
-    bounds = np.linspace(0, n, partitions + 1, dtype=np.int64)
-    ranges = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-    seed = spark.createDataFrame(ranges, "lo long, hi long").repartition(len(ranges), "lo")
-    return seed.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _media_table(
+        spark,
+        n,
+        partitions,
+        lambda i: encode_ppm(_seeded_frame(i, side)),
+        "image/x-portable-pixmap",
+        side,
+    )
 
 
 def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
@@ -259,11 +264,22 @@ def extract_features(
 
 
 def frame_sample_plan(duration_s: float, fps: float, every_s: float) -> list[int]:
-    """Deterministic frame-sampling plan (video): frame indices to decode."""
+    """Deterministic frame-sampling plan (video): frame indices to decode.
+    When the frame COUNT is known exactly, use ``frame_sample_plan_n`` —
+    ``duration_s * fps`` can float-round below the true count and drop
+    the final frame."""
+    if every_s <= 0 or fps <= 0:
+        raise ValueError("fps and every_s must be positive")
+    return frame_sample_plan_n(int(duration_s * fps), fps, every_s)
+
+
+def frame_sample_plan_n(n_frames: int, fps: float, every_s: float) -> list[int]:
+    """``frame_sample_plan`` over an exact frame count (no duration
+    round-trip): indices ``range(0, n_frames, round(fps * every_s))``."""
     if every_s <= 0 or fps <= 0:
         raise ValueError("fps and every_s must be positive")
     step = max(1, round(fps * every_s))
-    return list(range(0, int(duration_s * fps), step))
+    return list(range(0, n_frames, step))
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +400,12 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
     are never decoded OR copied: the kernel slices the offset table
     (byte-range reads), so cost scales with sampled bytes, not video
     bytes. Returns DataFrame[id_col, frame_idx int, t_s double,
-    payload binary]."""
+    payload binary]; ``id_col`` keeps its input type."""
+    id_type = next(
+        f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name == id_col
+    )
 
     def _sample(batches):
         for pdf in batches:
@@ -392,7 +413,9 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 p = bytes(p)
                 fps, n, offs = ppm_video_info(p)
-                for i in frame_sample_plan(n / fps, fps, every_s):
+                # exact count, never the duration round-trip: n/fps*fps
+                # can float-round below n and silently drop final frames
+                for i in frame_sample_plan_n(n, fps, every_s):
                     ids.append(mid)
                     idxs.append(i)
                     ts.append(i / fps)
@@ -408,7 +431,10 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         _sample,
-        schema=f"{id_col} long, frame_idx int, t_s double, payload binary",
+        schema=(
+            f"{id_col} {id_type}, frame_idx int, t_s double,"
+            " payload binary"
+        ),
     )
 
 
@@ -417,42 +443,17 @@ def synthetic_ppm_video(spark, n: int, n_frames: int = 24, side: int = 16,
     """Deterministic decodable video table: each payload is a PPMV1
     container of seeded gradient frames (frame f of video v depends
     only on (v, f))."""
-
-    def _gen(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                lo, hi = int(row["lo"]), int(row["hi"])
-                ids = np.arange(lo, hi, dtype=np.int64)
-                payloads = []
-                for v in ids:
-                    frames = []
-                    for f in range(n_frames):
-                        base = mix64(
-                            np.arange(
-                                v * n_frames + f,
-                                v * n_frames + f + side * side * 3,
-                                dtype=np.uint64,
-                            )
-                        ) >> np.uint64(56)
-                        frames.append(
-                            base.astype(np.uint8).reshape(side, side, 3)
-                        )
-                    payloads.append(encode_ppm_video(frames, fps))
-                yield pd.DataFrame(
-                    {
-                        "media_id": ids,
-                        "payload": payloads,
-                        "mime": ["video/x-ppmv"] * len(ids),
-                        "width": np.full(len(ids), side, dtype=np.int32),
-                        "height": np.full(len(ids), side, dtype=np.int32),
-                    }
-                )
-
-    bounds = np.linspace(0, n, partitions + 1, dtype=np.int64)
-    ranges = [
-        (int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
-    ]
-    seed = spark.createDataFrame(ranges, "lo long, hi long").repartition(
-        len(ranges), "lo"
+    return _media_table(
+        spark,
+        n,
+        partitions,
+        lambda v: encode_ppm_video(
+            [
+                _seeded_frame(v * n_frames + f, side)
+                for f in range(n_frames)
+            ],
+            fps,
+        ),
+        "video/x-ppmv",
+        side,
     )
-    return seed.mapInPandas(_gen, schema=MEDIA_SCHEMA)

@@ -12,12 +12,14 @@ diffs possible.
 
 Epoch ordering is the other half: training wants a different but
 REPRODUCIBLE permutation per epoch. ``epoch_order`` keys a sort on
-``xxhash64(id, epoch)`` — epoch e is a pure function of (ids, e), so
-any worker, any restart, any re-run sees the same permutation. The
-global variant is one range exchange (a real cost at 100 TB — it IS
-the shuffle); ``scope='shard'`` permutes within shards with ZERO
-exchange on a shard-partitioned frame, the standard large-scale
-compromise (shard-local shuffle + shard-order rotation).
+``xxhash64(id, epoch)``. The global variant is a pure function of
+(ids, epoch) — any worker, any restart, any re-run sees the same total
+order — at the cost of one range exchange (a real cost at 100 TB — it
+IS the shuffle). ``scope='shard'`` permutes within partitions with
+ZERO exchange on a shard-partitioned frame, the standard large-scale
+compromise (shard-local shuffle + shard-order rotation); its order is
+pure per partition, while row-to-partition grouping follows the read's
+file packing (see ``epoch_order``).
 """
 
 from __future__ import annotations
@@ -44,12 +46,16 @@ def write_training_shards(df, path: str, id_col: str, n_shards: int,
                           sort_in_shard: bool = True) -> None:
     """Write ``<path>/shard=K/`` parquet dirs with value-defined
     membership and (by default) id-sorted rows within each shard — a
-    fully deterministic layout a re-run reproduces. One exchange
-    (repartition on the shard VALUE), one file per shard (each shard is
-    one write task). Hive-partitioned on ``shard`` so a dataloader
-    reading shard K is a partition-pruned scan."""
+    deterministic-CONTENT layout a re-run reproduces (membership is the
+    column value, row order the in-shard sort; which task writes which
+    shard may drift, the bytes' meaning doesn't). One exchange — range
+    placement on the shard value, which keeps a shard's rows in one
+    task and spreads the S values ~1:1 over S tasks (hash placement
+    collides: measured 64 values into 41 of 64 tasks, a 4x straggler).
+    One file per shard dir. Hive-partitioned on ``shard`` so a
+    dataloader reading shard K is a partition-pruned scan."""
     out = with_shard(df, id_col, n_shards, salt)
-    out = out.repartition(n_shards, "shard")
+    out = out.repartitionByRange(n_shards, "shard")
     if sort_in_shard:
         out = out.sortWithinPartitions("shard", id_col)
     out.write.mode(mode).partitionBy("shard").parquet(path)
@@ -77,10 +83,16 @@ def epoch_order(df, id_col: str, epoch: int, salt: str = "epoch",
     every epoch is a full permutation of the corpus. ``scope='shard'``:
     ``sortWithinPartitions`` only — zero exchange on a frame already
     partitioned by shard (``read_training_shards`` output read as-is,
-    or anything after ``repartition(n, 'shard')``); the permutation is
+    or anything after a shard repartition); the permutation is
     shard-local, so pair it with epoch-rotated shard read ORDER in the
-    dataloader for cross-shard variety. Both are pure functions of
-    (ids, epoch): restarts and re-runs replay the same order."""
+    dataloader for cross-shard variety. Purity: ``global`` is a pure
+    function of (ids, epoch) — any worker, restart, or re-run replays
+    the same total order. ``shard`` is pure PER PARTITION (each
+    partition's rows are totally ordered by the epoch key), but which
+    rows share a partition follows the read's file-to-partition
+    packing — reproducible only under the same files and scan config;
+    treat its guarantee as per-shard-file order, not a global
+    sequence."""
     k = epoch_key(id_col, epoch, salt)
     if scope == "global":
         return df.orderBy(k, F.col(id_col))

@@ -572,6 +572,34 @@ def test_frame_sample_operator(spark):
     assert feats.count() == 12 * len(plan)
 
 
+def test_frame_sample_no_final_frame_truncation(spark):
+    """Regression: sampling must range over the exact frame COUNT — the
+    duration round-trip int((n/fps)*fps) float-rounds below n for many
+    fps (e.g. n=2, fps=1.9 -> 1) and silently dropped final frames."""
+    assert multimodal.frame_sample_plan_n(2, 1.9, 0.5) == [0, 1]
+    vids = multimodal.synthetic_ppm_video(
+        spark, 4, n_frames=2, side=8, fps=1.9, partitions=2
+    )
+    rows = multimodal.frame_sample(vids, every_s=0.5).collect()
+    assert sorted({r["frame_idx"] for r in rows}) == [0, 1]
+    assert len(rows) == 4 * 2
+
+
+def test_frame_sample_preserves_id_type(spark):
+    """Regression: id_col keeps its input type (string doc ids are the
+    sequences-table convention)."""
+    from pyspark.sql import functions as F
+
+    vids = multimodal.synthetic_ppm_video(
+        spark, 3, n_frames=4, side=8, fps=4.0, partitions=1
+    ).withColumn("doc_id", F.concat(F.lit("doc-"), F.col("media_id")))
+    out = multimodal.frame_sample(vids, every_s=1.0, id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in out.collect()} == {
+        "doc-0", "doc-1", "doc-2"
+    }
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
