@@ -344,6 +344,61 @@ def resize_media(df, out_h: int, out_w: int, payload_col: str = "payload"):
     return df.mapInPandas(_rs, schema=schema)
 
 
+def resample_audio_samples(samples: np.ndarray, in_rate: int,
+                           out_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of (n[, ch]) int16 PCM to
+    ``out_rate`` — the audio analogue of ``resize_image`` (good enough
+    for feature pipelines; a windowed-sinc decoder plugs in through the
+    same operator when fidelity matters). Pure ``np.interp`` per
+    channel."""
+    if in_rate <= 0 or out_rate <= 0:
+        raise ValueError("rates must be positive")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n = samples.shape[0]
+    if n == 0 or in_rate == out_rate:
+        return samples.astype(np.int16)
+    m = max(1, int(round(n * out_rate / in_rate)))
+    t_out = np.arange(m, dtype=np.float64) * (in_rate / out_rate)
+    t_in = np.arange(n, dtype=np.float64)
+    out = np.empty((m, samples.shape[1]), dtype=np.int16)
+    for c in range(samples.shape[1]):
+        out[:, c] = np.clip(
+            np.rint(np.interp(t_out, t_in, samples[:, c].astype(np.float64))),
+            -32768,
+            32767,
+        ).astype(np.int16)
+    return out
+
+
+def resample_media(df, out_rate: int, payload_col: str = "payload"):
+    """Distributed audio resample: decode 16-bit PCM WAV payloads,
+    linear-resample to ``out_rate``, re-encode. Binary-in/binary-out
+    over ``mapInPandas`` (same shape contract as ``resize_media``), so
+    it chains with ``extract_features(decoder='wav')``."""
+    cols = df.columns
+
+    def _rs(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            blobs = []
+            for p in pdf[payload_col]:
+                rate, samples = decode_wav(bytes(p))
+                blobs.append(
+                    encode_wav(
+                        resample_audio_samples(samples, rate, out_rate),
+                        out_rate,
+                    )
+                )
+            out[payload_col] = blobs
+            yield out[cols]
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(_rs, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # video container (seekable concatenated-PPM) + sparse frame sampling
 # ---------------------------------------------------------------------------

@@ -585,6 +585,54 @@ def test_frame_sample_no_final_frame_truncation(spark):
     assert len(rows) == 4 * 2
 
 
+def test_resample_audio_kernel():
+    # 440 Hz sine at 8 kHz -> 16 kHz: length doubles, waveform tracks
+    # the analytic 16 kHz sine (linear-interp error small at 18
+    # samples/cycle)
+    t8 = np.arange(800) / 8000.0
+    s8 = np.rint(10000 * np.sin(2 * np.pi * 440 * t8)).astype(np.int16)
+    up = multimodal.resample_audio_samples(s8, 8000, 16000)
+    assert up.shape == (1600, 1)
+    t16 = np.arange(1600) / 16000.0
+    want = 10000 * np.sin(2 * np.pi * 440 * t16)
+    # interior samples track the analytic sine; the final sample falls
+    # past the last input instant and clamps (np.interp edge hold)
+    assert np.max(np.abs(up[:-1, 0].astype(np.float64) - want[:-1])) < 300
+    # identity + stereo shape + downsample length
+    st = np.stack([s8, -s8], axis=1)
+    same = multimodal.resample_audio_samples(st, 8000, 8000)
+    assert np.array_equal(same, st)
+    down = multimodal.resample_audio_samples(st, 8000, 2000)
+    assert down.shape == (200, 2)
+    with pytest.raises(ValueError):
+        multimodal.resample_audio_samples(s8, 0, 8000)
+
+
+def test_resample_media_operator(spark):
+    rng = np.random.default_rng(21)
+    rows = [
+        (
+            int(i),
+            bytearray(
+                multimodal.encode_wav(
+                    rng.integers(-2000, 2000, 400, dtype=np.int16), 8000
+                )
+            ),
+        )
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.resample_media(media, 16000)
+    got = out.collect()
+    assert len(got) == 10
+    for r in got:
+        rate, samples = multimodal.decode_wav(bytes(r["payload"]))
+        assert rate == 16000 and samples.shape[0] == 800
+    # chains into the audio feature extractor
+    feats = multimodal.extract_features(out, dim=16, decoder="wav")
+    assert feats.count() == 10
+
+
 def test_frame_sample_preserves_id_type(spark):
     """Regression: id_col keeps its input type (string doc ids are the
     sequences-table convention)."""
