@@ -52,8 +52,11 @@ def write_training_shards(df, path: str, id_col: str, n_shards: int,
     placement on the shard value, which keeps a shard's rows in one
     task and spreads the S values ~1:1 over S tasks (hash placement
     collides: measured 64 values into 41 of 64 tasks, a 4x straggler).
-    One file per shard dir. Hive-partitioned on ``shard`` so a
-    dataloader reading shard K is a partition-pruned scan."""
+    Range placement samples the child plan to pick boundaries — one
+    extra evaluation of the input; persist upstream if it is expensive
+    to recompute. One file per shard dir. Hive-partitioned on
+    ``shard`` so a dataloader reading shard K is a partition-pruned
+    scan."""
     out = with_shard(df, id_col, n_shards, salt)
     out = out.repartitionByRange(n_shards, "shard")
     if sort_in_shard:
