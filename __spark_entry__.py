@@ -1850,6 +1850,65 @@ def _q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection: block-mean perceptual hash
+    (``multimodal.image_phash``) + pigeonhole Hamming blocking
+    (``dedup.hamming_near_pairs`` — the generic 64-bit machinery shared
+    with SimHash). Fixture: 60 seeded PPM images + 12 planted noisy
+    near-copies (mix64-derived ±2 pixel noise — fully deterministic, no
+    library rng). The operator's pair set is proven EQUAL to the exact
+    all-pairs Hamming scan over the same phashes (brute force in
+    numpy), and every planted copy must pair with its source; counts
+    are pinned constants."""
+    import numpy as np
+
+    from recsplit_spark.pipeline import multimodal as mm
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    rows = []
+    for i in range(60):
+        img = mm._seeded_frame(i * 7919, 32)
+        rows.append((int(i), bytearray(mm.encode_ppm(img))))
+        if i < 12:
+            noise = (
+                mm._seeded_frame(i * 7919 + 1, 32).astype(np.int16) % 5
+            ) - 2
+            noisy = np.clip(img.astype(np.int16) + noise, 0, 255).astype(
+                np.uint8
+            )
+            rows.append((1000 + i, bytearray(mm.encode_ppm(noisy))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    ph = {
+        r["media_id"]: r["phash"]
+        for r in mm.with_phash(media).collect()
+    }
+    ids = sorted(ph)
+    want = {
+        (a, b)
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(ph[a] ^ ph[b]).count("1") <= 6
+    }
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in mm.image_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    planted_ok = all((i, 1000 + i) in got for i in range(12))
+    return spark.createDataFrame(
+        [
+            (
+                len(ids),
+                len(got),
+                bool(got == want),
+                bool(planted_ok),
+            )
+        ],
+        "n_images bigint, n_pairs bigint,"
+        " pairs_match_bruteforce boolean, planted_found boolean",
+    )
+
+
 def _q_training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard output + epoch ordering
     (``pipeline/shards.py``): documents written as value-defined
@@ -3857,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest_documents": _q_jsonl_ingest_documents,
         "frame_sample_media": _q_frame_sample_media,
         "training_shards_documents": _q_training_shards_documents,
+        "image_near_dup_media": _q_image_near_dup_media,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4647,6 +4707,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(40 AS BIGINT) AS n_videos,"
             " CAST(960 AS BIGINT) AS idx_sum,"
             " TRUE AS frames_match_source, TRUE AS resize_chain_ok"
+        ),
+        # the media fixture is mix64-deterministic (60 bases + 12 planted
+        # noisy copies -> exactly the 12 planted pairs, proven equal to
+        # the exact all-pairs Hamming scan in-engine)
+        "image_near_dup_media": (
+            "SELECT CAST(72 AS BIGINT) AS n_images,"
+            " CAST(12 AS BIGINT) AS n_pairs,"
+            " TRUE AS pairs_match_bruteforce, TRUE AS planted_found"
         ),
         # shard totals are exact over the parquet truth; membership /
         # balance / epoch-permutation contracts are in-engine booleans

@@ -677,32 +677,50 @@ def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
     )
 
 
-def simhash_near_pairs(
-    df, id_col: str, text_col: str, max_hamming: int = 3, bucket_cap: int = 1000
+def hamming_near_pairs(
+    hashes, id_col: str, hash_col: str, max_hamming: int = 3,
+    bucket_cap: int = 1000,
 ):
-    """Near-dup candidates by SimHash: 4 x 16-bit block keys — any pair with
-    Hamming distance <= 3 shares at least one intact block (pigeonhole);
-    exact Hamming filter applied after the bucket join. Buckets larger than
-    ``bucket_cap`` are star-linked (see _bucket_candidate_pairs)."""
+    """Near pairs under Hamming distance over ANY 64-bit hash column
+    (SimHash, image perceptual hash, ...): pigeonhole block keys — the
+    smallest block count B in {1, 2, 4, 8, 16} with B > max_hamming, so
+    any pair within ``max_hamming`` has at least one intact block —
+    bucket join (star-capped above ``bucket_cap``), exact ``bit_count``
+    filter after. Block keys are extracted with shift+AND masks: a
+    plain ``%`` inherits the SIGN of the int64 hash on the low block,
+    silently splitting a block-0-intact pair whose sign bits differ
+    into different buckets (regression-tested)."""
     from pyspark.sql import functions as F
 
-    sh = add_simhash(df, id_col, text_col)
-    blocks = sh.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(1 << 16)).cast(
-                        "long"
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "band_key"),
+    for b in (1, 2, 4, 8, 16):
+        if b > max_hamming:
+            n_blocks = b
+            break
+    else:
+        raise ValueError(
+            "max_hamming must be < 16 for 64-bit pigeonhole blocking"
+        )
+    w = 64 // n_blocks
+    if n_blocks == 1:
+        keys = [F.col(hash_col)]
+    else:
+        mask = F.lit((1 << w) - 1)
+        keys = [
+            F.shiftrightunsigned(F.col(hash_col), w * i)
+            .bitwiseAND(mask)
+            .cast("long")
+            for i in range(n_blocks)
+        ]
+    blocks = hashes.select(
+        id_col, F.posexplode(F.array(*keys)).alias("band", "band_key")
     )
     cand = _bucket_candidate_pairs(blocks, id_col, bucket_cap)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    sa = hashes.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
+    )
+    sb = hashes.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b")
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.join(sa, "id_a")
@@ -710,6 +728,20 @@ def simhash_near_pairs(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df, id_col: str, text_col: str, max_hamming: int = 3, bucket_cap: int = 1000
+):
+    """Near-dup candidates by SimHash: pigeonhole block keys over the
+    64-bit simhash (4 x 16-bit at the default max_hamming=3 — any pair
+    within the bound shares an intact block), exact Hamming filter after
+    the bucket join. Buckets larger than ``bucket_cap`` are star-linked
+    (see _bucket_candidate_pairs)."""
+    sh = add_simhash(df, id_col, text_col)
+    return hamming_near_pairs(
+        sh, id_col, "simhash", max_hamming=max_hamming, bucket_cap=bucket_cap
     )
 
 

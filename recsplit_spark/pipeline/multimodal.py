@@ -344,6 +344,70 @@ def resize_media(df, out_h: int, out_w: int, payload_col: str = "payload"):
     return df.mapInPandas(_rs, schema=schema)
 
 
+def image_phash(img: np.ndarray) -> int:
+    """64-bit block-mean perceptual hash: grayscale -> area-mean resize
+    to 8x8 (``resize_image``) -> threshold at the median -> 64 bits
+    (row-major, MSB first). Robust to resize/re-encode/small noise —
+    near-copies land within a few bits of Hamming distance. Returns a
+    SIGNED int64 (the Spark ``long`` convention; uint64 bit pattern
+    preserved via two's complement)."""
+    if img.ndim == 3:
+        img = img.astype(np.float64).mean(axis=2)
+    g = resize_image(img.astype(np.uint8), 8, 8).astype(np.float64)
+    bits = (g > np.median(g)).ravel()
+    u = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def with_phash(df, id_col: str = "media_id", payload_col: str = "payload",
+               out_col: str = "phash", decoder=None):
+    """DataFrame[id_col, out_col long]: perceptual hash per image
+    payload. ``decoder=None`` uses the built-in PPM/PGM codec; any
+    callable ``(payload: bytes) -> np.ndarray`` plugs in JPEG etc."""
+    dec = decoder or decode_ppm
+    id_type = next(
+        f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name == id_col
+    )
+
+    def _ph(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: np.array(
+                        [
+                            image_phash(dec(bytes(p)))
+                            for p in pdf[payload_col]
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _ph, schema=f"{id_col} {id_type}, {out_col} long"
+    )
+
+
+def image_near_dup_pairs(df, id_col: str = "media_id",
+                         payload_col: str = "payload",
+                         max_hamming: int = 6, bucket_cap: int = 1000,
+                         decoder=None):
+    """Image near-duplicate pairs: perceptual hash + pigeonhole Hamming
+    blocking (``dedup.hamming_near_pairs`` — the SimHash machinery over
+    the phash column). One decode pass emits 8 bytes/image; everything
+    after is the bucketed int64 pipeline, so the image payloads never
+    enter the join."""
+    from .dedup import hamming_near_pairs
+
+    ph = with_phash(df, id_col, payload_col, decoder=decoder)
+    return hamming_near_pairs(
+        ph, id_col, "phash", max_hamming=max_hamming, bucket_cap=bucket_cap
+    )
+
+
 def resample_audio_samples(samples: np.ndarray, in_rate: int,
                            out_rate: int) -> np.ndarray:
     """Linear-interpolation resample of (n[, ch]) int16 PCM to

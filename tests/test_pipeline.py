@@ -585,6 +585,71 @@ def test_frame_sample_no_final_frame_truncation(spark):
     assert len(rows) == 4 * 2
 
 
+def test_hamming_near_pairs_sign_bit_regression(spark):
+    """A block-0-intact pair whose SIGN bits differ must bucket
+    together: the old %-based band key inherited the int64 sign on the
+    low block and silently missed such pairs (mask extraction fixes
+    it). h2 flips one bit in each of blocks 1-3 (incl. the sign bit):
+    hamming 3, only block 0 intact."""
+    h1 = 0x1234
+    h2 = h1 ^ (1 << 16) ^ (1 << 32) ^ (1 << 63)
+    h2_signed = h2 - (1 << 64)  # negative int64
+    hashes = spark.createDataFrame(
+        [(1, h1), (2, h2_signed)], "id long, h long"
+    )
+    got = dedup.hamming_near_pairs(hashes, "id", "h", max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 3)]
+    # block-count ladder + the >=16 refusal
+    assert dedup.hamming_near_pairs(hashes, "id", "h", max_hamming=0).count() == 0
+    with pytest.raises(ValueError):
+        dedup.hamming_near_pairs(hashes, "id", "h", max_hamming=16)
+
+
+def test_image_phash_and_near_dup_pairs(spark):
+    """Perceptual-hash image dedup proven vs brute force: plant noisy
+    near-copies of real PPM payloads; the operator's pairs must equal
+    the exact all-pairs Hamming scan over the same phashes."""
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(40):
+        img = multimodal._seeded_frame(i * 7919, 32)
+        rows.append((int(i), bytearray(multimodal.encode_ppm(img))))
+        if i < 8:  # noisy near-copy: same structure, tiny perturbation
+            noisy = np.clip(
+                img.astype(np.int16)
+                + rng.integers(-2, 3, img.shape, dtype=np.int16),
+                0,
+                255,
+            ).astype(np.uint8)
+            rows.append(
+                (1000 + i, bytearray(multimodal.encode_ppm(noisy)))
+            )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    ph = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.with_phash(media).collect()
+    }
+    # determinism + near-copy proximity
+    for i in range(8):
+        d = bin(ph[i] ^ ph[1000 + i]).count("1")
+        assert d <= 6
+    ids = sorted(ph)
+    want = {
+        (a, b, bin(ph[a] ^ ph[b]).count("1"))
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(ph[a] ^ ph[b]).count("1") <= 6
+    }
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["hamming"])
+        for r in multimodal.image_near_dup_pairs(
+            media, max_hamming=6
+        ).collect()
+    }
+    assert got == want
+    assert all((i, 1000 + i) in {(a, b) for a, b, _ in want} for i in range(8))
+
+
 def test_resample_audio_kernel():
     # 440 Hz sine at 8 kHz -> 16 kHz: length doubles, waveform tracks
     # the analytic 16 kHz sine (linear-interp error small at 18
