@@ -1909,6 +1909,62 @@ def _q_image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection: energy-delta fingerprint
+    (``multimodal.audio_fingerprint``) + pigeonhole Hamming blocking
+    (``dedup.hamming_near_pairs`` — the same generic 64-bit machinery
+    as SimHash and the image phash). Fixture: 60 seeded WAV clips + 12
+    planted copies, each run through a volume-halve AND an 8k->12k
+    resample (the two invariances the fingerprint claims). The
+    operator's pair set is proven EQUAL to the exact all-pairs Hamming
+    scan over the same fingerprints; counts are pinned constants."""
+    import numpy as np
+
+    from recsplit_spark.pipeline import multimodal as mm
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    rows = []
+    for i in range(60):
+        base = mm._seeded_clip(i * 524287 + 1)
+        rows.append((int(i), bytearray(mm.encode_wav(base, 8000))))
+        if i < 12:
+            scaled = (base.astype(np.int32) // 2).astype(np.int16)
+            res = mm.resample_audio_samples(scaled, 8000, 12000)
+            rows.append(
+                (1000 + i, bytearray(mm.encode_wav(res, 12000)))
+            )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = {
+        r["media_id"]: r["afp"]
+        for r in mm.with_audio_fingerprint(media).collect()
+    }
+    ids = sorted(fp)
+    want = {
+        (a, b)
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 6
+    }
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in mm.audio_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    planted_ok = all((i, 1000 + i) in got for i in range(12))
+    return spark.createDataFrame(
+        [
+            (
+                len(ids),
+                len(got),
+                bool(got == want),
+                bool(planted_ok),
+            )
+        ],
+        "n_clips bigint, n_pairs bigint,"
+        " pairs_match_bruteforce boolean, planted_found boolean",
+    )
+
+
 def _q_training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard output + epoch ordering
     (``pipeline/shards.py``): documents written as value-defined
@@ -3917,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_media": _q_frame_sample_media,
         "training_shards_documents": _q_training_shards_documents,
         "image_near_dup_media": _q_image_near_dup_media,
+        "audio_near_dup_media": _q_audio_near_dup_media,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4713,6 +4770,15 @@ def oracle_sql() -> dict[str, str]:
         # the exact all-pairs Hamming scan in-engine)
         "image_near_dup_media": (
             "SELECT CAST(72 AS BIGINT) AS n_images,"
+            " CAST(12 AS BIGINT) AS n_pairs,"
+            " TRUE AS pairs_match_bruteforce, TRUE AS planted_found"
+        ),
+        # the audio fixture is mix64-deterministic (60 seeded clips + 12
+        # volume-halved+resampled copies -> exactly the 12 planted
+        # pairs; measured planted Hamming <= 2, min cross distance 16,
+        # proven equal to the exact all-pairs scan in-engine)
+        "audio_near_dup_media": (
+            "SELECT CAST(72 AS BIGINT) AS n_clips,"
             " CAST(12 AS BIGINT) AS n_pairs,"
             " TRUE AS pairs_match_bruteforce, TRUE AS planted_found"
         ),

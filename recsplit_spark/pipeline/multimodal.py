@@ -463,6 +463,102 @@ def resample_media(df, out_rate: int, payload_col: str = "payload"):
     return df.mapInPandas(_rs, schema=schema)
 
 
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """64-bit energy-delta audio fingerprint: mono mixdown -> 65
+    duration-relative mean-energy blocks -> bit i = energy[i+1] >
+    energy[i] (MSB first). The audio analogue of ``image_phash``:
+    invariant to volume scaling (strict comparisons on squared means)
+    and robust to sample-rate conversion (block boundaries are
+    FRACTIONS of total duration, so a resampled copy lands within a
+    few Hamming bits — measured <= 2 on the seeded fixture for a
+    halve-volume + 8k->12k resample chain). Returns a SIGNED int64
+    (Spark ``long`` convention; two's complement)."""
+    mono = (
+        samples.astype(np.float64).mean(axis=1)
+        if samples.ndim == 2
+        else samples.astype(np.float64)
+    )
+    n = len(mono)
+    if n == 0:
+        return 0
+    bounds = np.linspace(0, n, 66).astype(np.int64)
+    cs = np.concatenate(([0.0], np.cumsum(mono * mono)))
+    energy = (cs[bounds[1:]] - cs[bounds[:-1]]) / np.maximum(
+        np.diff(bounds), 1
+    )
+    bits = energy[1:] > energy[:-1]
+    u = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def with_audio_fingerprint(df, id_col: str = "media_id",
+                           payload_col: str = "payload",
+                           out_col: str = "afp", decoder=None):
+    """DataFrame[id_col, out_col long]: energy-delta fingerprint per
+    audio payload. ``decoder=None`` uses the built-in 16-bit PCM WAV
+    codec; any callable ``(payload: bytes) -> (rate, np.ndarray)``
+    plugs in MP3/FLAC etc."""
+    dec = decoder or decode_wav
+    id_type = next(
+        f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name == id_col
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: np.array(
+                        [
+                            audio_fingerprint(dec(bytes(p))[1])
+                            for p in pdf[payload_col]
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _fp, schema=f"{id_col} {id_type}, {out_col} long"
+    )
+
+
+def audio_near_dup_pairs(df, id_col: str = "media_id",
+                         payload_col: str = "payload",
+                         max_hamming: int = 6, bucket_cap: int = 1000,
+                         decoder=None):
+    """Audio near-duplicate pairs: energy-delta fingerprint + pigeonhole
+    Hamming blocking (``dedup.hamming_near_pairs`` — the same generic
+    64-bit machinery as SimHash and ``image_near_dup_pairs``). One
+    decode pass emits 8 bytes/clip; the PCM payloads never enter the
+    join."""
+    from .dedup import hamming_near_pairs
+
+    fp = with_audio_fingerprint(df, id_col, payload_col, decoder=decoder)
+    return hamming_near_pairs(
+        fp, id_col, "afp", max_hamming=max_hamming, bucket_cap=bucket_cap
+    )
+
+
+def _seeded_clip(seed: int, n: int = 6500) -> np.ndarray:
+    """Deterministic (n,) int16 mono clip from an integer seed: 65
+    mix64-derived per-block amplitude envelopes over a mix64
+    pseudo-noise carrier — block energies are distinct by construction,
+    so fingerprints are stable under resampling (the fixture the
+    audio-near-dup tests and oracle query plant copies into)."""
+    scale = np.float64(2.0**64)
+    env_u = mix64(np.arange(seed, seed + 65, dtype=np.uint64))
+    env = 0.15 + 0.85 * (env_u.astype(np.float64) / scale)
+    env_full = np.repeat(env, int(np.ceil(n / 65)))[:n]
+    car_u = mix64(
+        np.arange(seed * 131 + 7, seed * 131 + 7 + n, dtype=np.uint64)
+    )
+    car = (car_u.astype(np.float64) / scale) * 2 - 1
+    return np.rint(env_full * car * 8000).astype(np.int16)
+
+
 # ---------------------------------------------------------------------------
 # video container (seekable concatenated-PPM) + sparse frame sampling
 # ---------------------------------------------------------------------------

@@ -83,3 +83,33 @@ def test_frame_plan_n_covers_first_and_within_range(n, fps, every_s):
     assert all(0 <= i < n for i in plan)
     step = max(1, round(fps * every_s))
     assert plan == list(range(0, n, step))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2000), st.sampled_from([1, 2]), st.integers(0, 2**31 - 1))
+def test_audio_fingerprint_volume_invariance_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    # keep headroom so x2 / x4 scaling is EXACT in int16
+    s = rng.integers(-8192, 8192, (n, ch) if ch == 2 else (n,), dtype=np.int16)
+    f = mm.audio_fingerprint(s)
+    assert -(2**63) <= f < 2**63
+    assert mm.audio_fingerprint(s) == f  # deterministic
+    for c in (2, 4):
+        assert mm.audio_fingerprint((s.astype(np.int32) * c).astype(np.int16)) == f
+    if ch == 2:
+        # equal channels mix down to the mono clip exactly
+        assert mm.audio_fingerprint(
+            np.stack([s[:, 0], s[:, 0]], axis=1)
+        ) == mm.audio_fingerprint(s[:, 0])
+    if n == 0:
+        assert f == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**20), st.sampled_from([12000, 16000, 11025]))
+def test_audio_fingerprint_resample_robustness_property(seed, out_rate):
+    base = mm._seeded_clip(seed)
+    f0 = mm.audio_fingerprint(base)
+    res = mm.resample_audio_samples(base, 8000, out_rate)
+    d = bin((f0 ^ mm.audio_fingerprint(res)) & (2**64 - 1)).count("1")
+    assert d <= 4

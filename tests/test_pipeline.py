@@ -650,6 +650,47 @@ def test_image_phash_and_near_dup_pairs(spark):
     assert all((i, 1000 + i) in {(a, b) for a, b, _ in want} for i in range(8))
 
 
+def test_audio_fingerprint_and_near_dup_pairs(spark):
+    """Audio near-dup proven vs brute force: plant volume-halved AND
+    resampled (8k->12k) copies of seeded WAV clips; the operator's
+    pairs must equal the exact all-pairs Hamming scan over the same
+    fingerprints, and every planted copy must pair with its source."""
+    rows = []
+    for i in range(40):
+        base = multimodal._seeded_clip(i * 524287 + 1)
+        rows.append(
+            (int(i), bytearray(multimodal.encode_wav(base, 8000)))
+        )
+        if i < 8:
+            scaled = (base.astype(np.int32) // 2).astype(np.int16)
+            res = multimodal.resample_audio_samples(scaled, 8000, 12000)
+            rows.append(
+                (1000 + i, bytearray(multimodal.encode_wav(res, 12000)))
+            )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.with_audio_fingerprint(media).collect()
+    }
+    for i in range(8):
+        assert bin(fp[i] ^ fp[1000 + i]).count("1") <= 6
+    ids = sorted(fp)
+    want = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 6
+    }
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["hamming"])
+        for r in multimodal.audio_near_dup_pairs(
+            media, max_hamming=6
+        ).collect()
+    }
+    assert got == want
+    assert all((i, 1000 + i) in {(a, b) for a, b, _ in want} for i in range(8))
+
+
 def test_resample_audio_kernel():
     # 440 Hz sine at 8 kHz -> 16 kHz: length doubles, waveform tracks
     # the analytic 16 kHz sine (linear-interp error small at 18
