@@ -1965,6 +1965,89 @@ def _q_audio_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection: sparse-sampled frame phashes +
+    per-frame pigeonhole Hamming blocking + a least-side frame vote
+    (``multimodal.video_near_dup_pairs``). Fixture: 40 seeded PPMV1
+    videos (24 frames @ 8 fps; sampling plan [0, 8, 16]) + 10 planted
+    copies with mix64-derived ±2 pixel noise on EVERY frame. The
+    operator's (pair, vote) set is proven EQUAL to the exact all-pairs
+    frame-vote over the same sampled phashes (brute force in numpy);
+    every planted copy must pair with its source at the full 3-frame
+    vote; counts are pinned constants."""
+    import numpy as np
+
+    from recsplit_spark.pipeline import multimodal as mm
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    n_frames, fps, side, maxh = 24, 8.0, 16, 6
+    plan = mm.frame_sample_plan_n(n_frames, fps, 1.0)
+
+    def _noisy(img, seed):
+        n = (mm._seeded_frame(seed, side).astype(np.int16) % 5) - 2
+        return np.clip(img.astype(np.int16) + n, 0, 255).astype(np.uint8)
+
+    rows, phs = [], {}
+    for v in range(40):
+        frames = [
+            mm._seeded_frame(v * n_frames + f, side)
+            for f in range(n_frames)
+        ]
+        rows.append((int(v), bytearray(mm.encode_ppm_video(frames, fps))))
+        phs[v] = [mm.image_phash(frames[i]) for i in plan]
+        if v < 10:
+            nf = [
+                _noisy(fr, (v * n_frames + f) * 31 + 5)
+                for f, fr in enumerate(frames)
+            ]
+            rows.append(
+                (1000 + v, bytearray(mm.encode_ppm_video(nf, fps)))
+            )
+            phs[1000 + v] = [mm.image_phash(nf[i]) for i in plan]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    ids = sorted(phs)
+    want = {}
+    for ii, va in enumerate(ids):
+        for vb in ids[ii + 1 :]:
+            ma = {
+                i
+                for i, pa in enumerate(phs[va])
+                for pb in phs[vb]
+                if bin(pa ^ pb).count("1") <= maxh
+            }
+            mb = {
+                j
+                for j, pb in enumerate(phs[vb])
+                for pa in phs[va]
+                if bin(pa ^ pb).count("1") <= maxh
+            }
+            vote = min(len(ma), len(mb))
+            if vote >= 2:
+                want[(va, vb)] = vote
+    got = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in mm.video_near_dup_pairs(
+            media, every_s=1.0, max_hamming=maxh, min_frames=2
+        ).collect()
+    }
+    planted_ok = all(got.get((v, 1000 + v)) == len(plan) for v in range(10))
+    return spark.createDataFrame(
+        [
+            (
+                len(ids),
+                len(got),
+                int(sum(got.values())),
+                bool(got == want),
+                bool(planted_ok),
+            )
+        ],
+        "n_videos bigint, n_pairs bigint, vote_sum bigint,"
+        " pairs_match_bruteforce boolean, planted_found boolean",
+    )
+
+
 def _q_training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard output + epoch ordering
     (``pipeline/shards.py``): documents written as value-defined
@@ -3974,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards_documents": _q_training_shards_documents,
         "image_near_dup_media": _q_image_near_dup_media,
         "audio_near_dup_media": _q_audio_near_dup_media,
+        "video_near_dup_media": _q_video_near_dup_media,
         "onepass_profile_documents": _q_onepass_profile_documents,
         "ngram_profile_sequences": _q_ngram_profile_sequences,
         "profile_by_source_sequences": _q_profile_by_source_sequences,
@@ -4780,6 +4864,17 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dup_media": (
             "SELECT CAST(72 AS BIGINT) AS n_clips,"
             " CAST(12 AS BIGINT) AS n_pairs,"
+            " TRUE AS pairs_match_bruteforce, TRUE AS planted_found"
+        ),
+        # the video fixture is mix64-deterministic (40 videos + 10
+        # per-frame-noisy copies -> exactly the 10 planted pairs, each
+        # at the full 3-sampled-frame vote; measured planted frame
+        # Hamming <= 2, min cross-frame distance 17; proven equal to
+        # the exact all-pairs frame-vote in-engine)
+        "video_near_dup_media": (
+            "SELECT CAST(50 AS BIGINT) AS n_videos,"
+            " CAST(10 AS BIGINT) AS n_pairs,"
+            " CAST(30 AS BIGINT) AS vote_sum,"
             " TRUE AS pairs_match_bruteforce, TRUE AS planted_found"
         ),
         # shard totals are exact over the parquet truth; membership /

@@ -677,19 +677,15 @@ def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
     )
 
 
-def hamming_near_pairs(
-    hashes, id_col: str, hash_col: str, max_hamming: int = 3,
-    bucket_cap: int = 1000,
-):
-    """Near pairs under Hamming distance over ANY 64-bit hash column
-    (SimHash, image perceptual hash, ...): pigeonhole block keys — the
+def _pigeonhole_keys(hash_col: str, max_hamming: int):
+    """Pigeonhole block-key Columns for 64-bit Hamming blocking: the
     smallest block count B in {1, 2, 4, 8, 16} with B > max_hamming, so
-    any pair within ``max_hamming`` has at least one intact block —
-    bucket join (star-capped above ``bucket_cap``), exact ``bit_count``
-    filter after. Block keys are extracted with shift+AND masks: a
-    plain ``%`` inherits the SIGN of the int64 hash on the low block,
-    silently splitting a block-0-intact pair whose sign bits differ
-    into different buckets (regression-tested)."""
+    any pair within ``max_hamming`` has at least one intact block. Keys
+    are extracted with shift+AND masks: a plain ``%`` inherits the SIGN
+    of the int64 hash on the low block, silently splitting a
+    block-0-intact pair whose sign bits differ into different buckets
+    (regression-tested). Shared by ``hamming_near_pairs`` and
+    ``multimodal.video_near_dup_pairs``."""
     from pyspark.sql import functions as F
 
     for b in (1, 2, 4, 8, 16):
@@ -702,15 +698,27 @@ def hamming_near_pairs(
         )
     w = 64 // n_blocks
     if n_blocks == 1:
-        keys = [F.col(hash_col)]
-    else:
-        mask = F.lit((1 << w) - 1)
-        keys = [
-            F.shiftrightunsigned(F.col(hash_col), w * i)
-            .bitwiseAND(mask)
-            .cast("long")
-            for i in range(n_blocks)
-        ]
+        return [F.col(hash_col)]
+    mask = F.lit((1 << w) - 1)
+    return [
+        F.shiftrightunsigned(F.col(hash_col), w * i)
+        .bitwiseAND(mask)
+        .cast("long")
+        for i in range(n_blocks)
+    ]
+
+
+def hamming_near_pairs(
+    hashes, id_col: str, hash_col: str, max_hamming: int = 3,
+    bucket_cap: int = 1000,
+):
+    """Near pairs under Hamming distance over ANY 64-bit hash column
+    (SimHash, image perceptual hash, ...): pigeonhole block keys
+    (``_pigeonhole_keys``), bucket join (star-capped above
+    ``bucket_cap``), exact ``bit_count`` filter after."""
+    from pyspark.sql import functions as F
+
+    keys = _pigeonhole_keys(hash_col, max_hamming)
     blocks = hashes.select(
         id_col, F.posexplode(F.array(*keys)).alias("band", "band_key")
     )

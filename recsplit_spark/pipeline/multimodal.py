@@ -653,6 +653,113 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
     )
 
 
+def with_frame_phash(df, every_s: float, id_col: str = "media_id",
+                     payload_col: str = "payload"):
+    """DataFrame[id_col, frame_idx int, phash long]: block-mean
+    perceptual hash per sparsely-sampled video frame — ``frame_sample``
+    (offset-table byte slicing; unsampled frames never decoded) chained
+    into ``image_phash`` in one extra kernel stage."""
+    id_type = next(
+        f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name == id_col
+    )
+    frames = frame_sample(df, every_s, payload_col, id_col)
+
+    def _ph(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash": np.array(
+                        [
+                            image_phash(decode_ppm(bytes(p)))
+                            for p in pdf["payload"]
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(
+        _ph, schema=f"{id_col} {id_type}, frame_idx int, phash long"
+    )
+
+
+def video_near_dup_pairs(df, id_col: str = "media_id",
+                         payload_col: str = "payload",
+                         every_s: float = 1.0, max_hamming: int = 6,
+                         min_frames: int = 2, bucket_cap: int = 1000):
+    """Video near-duplicate pairs: sparse-sampled frame phashes,
+    pigeonhole Hamming blocking per frame (``dedup._pigeonhole_keys`` —
+    the machinery shared with SimHash / image / audio near-dup), exact
+    per-frame Hamming verify, then a video-level vote: a pair reports
+    with ``n_frames_matched`` = the LEAST side's distinct matched frame
+    positions, kept when >= ``min_frames``.
+
+    Scale shape: the join input is 8 bytes/sampled frame (payloads never
+    enter it); buckets shared by more than ``bucket_cap`` frames are
+    DROPPED, not star-linked — a frame phash common to thousands of
+    videos is boilerplate (title cards, black frames), and matching on
+    it is noise as well as an N^2 join blowup. Star-linking (the text
+    LSH guard) is wrong here because the video vote needs true pair
+    multiplicity, not connectivity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import _pigeonhole_keys
+
+    ph = with_frame_phash(df, every_s, id_col, payload_col)
+    keys = _pigeonhole_keys("phash", max_hamming)
+    blocks = ph.select(
+        id_col,
+        "frame_idx",
+        "phash",
+        F.posexplode(F.array(*keys)).alias("band", "band_key"),
+    )
+    w = Window.partitionBy("band", "band_key")
+    blocks = (
+        blocks.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") <= bucket_cap)
+        .drop("__n")
+    )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("frame_idx").alias("fi_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "band_key",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("frame_idx").alias("fi_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            <= max_hamming
+        )
+        .select("id_a", "fi_a", "id_b", "fi_b")
+        .distinct()
+    )
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("fi_a").alias("__na"),
+            F.countDistinct("fi_b").alias("__nb"),
+        )
+        .withColumn("n_frames_matched", F.least("__na", "__nb"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+        .select("id_a", "id_b", "n_frames_matched")
+    )
+
+
 def synthetic_ppm_video(spark, n: int, n_frames: int = 24, side: int = 16,
                         fps: float = 8.0, partitions: int = 4):
     """Deterministic decodable video table: each payload is a PPMV1

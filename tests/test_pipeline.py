@@ -650,6 +650,70 @@ def test_image_phash_and_near_dup_pairs(spark):
     assert all((i, 1000 + i) in {(a, b) for a, b, _ in want} for i in range(8))
 
 
+def test_video_near_dup_pairs_vs_bruteforce(spark):
+    """Video near-dup proven vs brute force: plant per-frame-noisy
+    copies of seeded PPMV1 videos; the operator's (pair, vote) set must
+    equal the exact all-pairs frame-vote over the same sampled-frame
+    phashes, and every planted copy must pair with its source at the
+    full sampled-frame vote."""
+    n_frames, fps, side, every_s, maxh = 24, 8.0, 16, 1.0, 6
+
+    def _noisy(img, seed):
+        n = (multimodal._seeded_frame(seed, side).astype(np.int16) % 5) - 2
+        return np.clip(img.astype(np.int16) + n, 0, 255).astype(np.uint8)
+
+    rows, phs = [], {}
+    plan = multimodal.frame_sample_plan_n(n_frames, fps, every_s)
+    for v in range(20):
+        frames = [
+            multimodal._seeded_frame(v * n_frames + f, side)
+            for f in range(n_frames)
+        ]
+        rows.append(
+            (int(v), bytearray(multimodal.encode_ppm_video(frames, fps)))
+        )
+        phs[v] = [multimodal.image_phash(frames[i]) for i in plan]
+        if v < 5:
+            nf = [
+                _noisy(fr, (v * n_frames + f) * 31 + 5)
+                for f, fr in enumerate(frames)
+            ]
+            rows.append(
+                (1000 + v, bytearray(multimodal.encode_ppm_video(nf, fps)))
+            )
+            phs[1000 + v] = [multimodal.image_phash(nf[i]) for i in plan]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    # brute-force frame vote over the same sampled phashes
+    ids = sorted(phs)
+    want = {}
+    for ii, va in enumerate(ids):
+        for vb in ids[ii + 1 :]:
+            ma = {
+                i
+                for i, pa in enumerate(phs[va])
+                for pb in phs[vb]
+                if bin(pa ^ pb).count("1") <= maxh
+            }
+            mb = {
+                j
+                for j, pb in enumerate(phs[vb])
+                for pa in phs[va]
+                if bin(pa ^ pb).count("1") <= maxh
+            }
+            vote = min(len(ma), len(mb))
+            if vote >= 2:
+                want[(va, vb)] = vote
+    got = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in multimodal.video_near_dup_pairs(
+            media, every_s=every_s, max_hamming=maxh, min_frames=2
+        ).collect()
+    }
+    assert got == want
+    assert all(got.get((v, 1000 + v)) == len(plan) for v in range(5))
+
+
 def test_audio_fingerprint_and_near_dup_pairs(spark):
     """Audio near-dup proven vs brute force: plant volume-halved AND
     resampled (8k->12k) copies of seeded WAV clips; the operator's
