@@ -714,28 +714,58 @@ def hamming_near_pairs(
 ):
     """Near pairs under Hamming distance over ANY 64-bit hash column
     (SimHash, image perceptual hash, ...): pigeonhole block keys
-    (``_pigeonhole_keys``), bucket join (star-capped above
-    ``bucket_cap``), exact ``bit_count`` filter after."""
+    (``_pigeonhole_keys``), bucket self-join (star-capped above
+    ``bucket_cap``, same semantics as ``_bucket_candidate_pairs``),
+    exact ``bit_count`` filter after.
+
+    The hash rides THROUGH the exploded block rows (8 bytes each), so
+    both self-join sides and the star branch read the one exchange under
+    the bucket window — the ``hashes`` lineage (a payload-decode
+    ``mapInPandas`` for the media callers) evaluates ONCE, not once per
+    join side. The star representative's hash comes from the same window
+    via ``min(struct(id, hash))``."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     keys = _pigeonhole_keys(hash_col, max_hamming)
     blocks = hashes.select(
-        id_col, F.posexplode(F.array(*keys)).alias("band", "band_key")
+        id_col, hash_col, F.posexplode(F.array(*keys)).alias("band", "band_key")
     )
-    cand = _bucket_candidate_pairs(blocks, id_col, bucket_cap)
-    sa = hashes.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
+    w = Window.partitionBy("band", "band_key")
+    ann = blocks.withColumn("__n", F.count("*").over(w)).withColumn(
+        "__rep", F.min(F.struct(F.col(id_col), F.col(hash_col))).over(w)
     )
-    sb = hashes.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b")
+    small = ann.filter(F.col("__n") <= bucket_cap).select(
+        id_col, hash_col, "band", "band_key"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{hash_col}").alias("sh_a"),
+        F.col(f"b.{hash_col}").alias("sh_b"),
+    )
+    star_pairs = ann.filter(
+        (F.col("__n") > bucket_cap)
+        & (F.col(id_col) != F.col(f"__rep.{id_col}"))
+    ).select(
+        F.col(f"__rep.{id_col}").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col(f"__rep.{hash_col}").alias("sh_a"),
+        F.col(hash_col).alias("sh_b"),
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        small_pairs.unionByName(star_pairs)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -344,6 +344,47 @@ def resize_media(df, out_h: int, out_w: int, payload_col: str = "payload"):
     return df.mapInPandas(_rs, schema=schema)
 
 
+def _id_type(df, id_col: str) -> str:
+    """Spark type string of ``id_col``, with a clear error when absent
+    (shared by every media operator that re-emits the id column)."""
+    for f in df.schema.fields:
+        if f.name == id_col:
+            return f.dataType.simpleString()
+    raise ValueError(
+        f"id column {id_col!r} not in DataFrame (have {df.columns})"
+    )
+
+
+def _to_i64(u: int) -> int:
+    """uint64 bit pattern -> signed int64 (Spark ``long`` two's
+    complement convention, shared by every 64-bit media fingerprint)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _hash_media_col(df, id_col: str, payload_col: str, out_col: str, fn):
+    """DataFrame[id_col, out_col long]: 64-bit fingerprint per payload
+    via ``fn(payload: bytes) -> signed int64``, one ``mapInPandas``
+    pass emitting 8 bytes per payload (the shared kernel under
+    ``with_phash`` / ``with_audio_fingerprint``)."""
+    id_type = _id_type(df, id_col)
+
+    def _h(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: np.array(
+                        [fn(bytes(p)) for p in pdf[payload_col]],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _h, schema=f"{id_col} {id_type}, {out_col} long"
+    )
+
+
 def image_phash(img: np.ndarray) -> int:
     """64-bit block-mean perceptual hash: grayscale -> area-mean resize
     to 8x8 (``resize_image``) -> threshold at the median -> 64 bits
@@ -355,8 +396,7 @@ def image_phash(img: np.ndarray) -> int:
         img = img.astype(np.float64).mean(axis=2)
     g = resize_image(img.astype(np.uint8), 8, 8).astype(np.float64)
     bits = (g > np.median(g)).ravel()
-    u = int.from_bytes(np.packbits(bits).tobytes(), "big")
-    return u - (1 << 64) if u >= (1 << 63) else u
+    return _to_i64(int.from_bytes(np.packbits(bits).tobytes(), "big"))
 
 
 def with_phash(df, id_col: str = "media_id", payload_col: str = "payload",
@@ -365,29 +405,8 @@ def with_phash(df, id_col: str = "media_id", payload_col: str = "payload",
     payload. ``decoder=None`` uses the built-in PPM/PGM codec; any
     callable ``(payload: bytes) -> np.ndarray`` plugs in JPEG etc."""
     dec = decoder or decode_ppm
-    id_type = next(
-        f.dataType.simpleString()
-        for f in df.schema.fields
-        if f.name == id_col
-    )
-
-    def _ph(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    out_col: np.array(
-                        [
-                            image_phash(dec(bytes(p)))
-                            for p in pdf[payload_col]
-                        ],
-                        dtype=np.int64,
-                    ),
-                }
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(
-        _ph, schema=f"{id_col} {id_type}, {out_col} long"
+    return _hash_media_col(
+        df, id_col, payload_col, out_col, lambda p: image_phash(dec(p))
     )
 
 
@@ -487,8 +506,7 @@ def audio_fingerprint(samples: np.ndarray) -> int:
         np.diff(bounds), 1
     )
     bits = energy[1:] > energy[:-1]
-    u = int.from_bytes(np.packbits(bits).tobytes(), "big")
-    return u - (1 << 64) if u >= (1 << 63) else u
+    return _to_i64(int.from_bytes(np.packbits(bits).tobytes(), "big"))
 
 
 def with_audio_fingerprint(df, id_col: str = "media_id",
@@ -499,29 +517,9 @@ def with_audio_fingerprint(df, id_col: str = "media_id",
     codec; any callable ``(payload: bytes) -> (rate, np.ndarray)``
     plugs in MP3/FLAC etc."""
     dec = decoder or decode_wav
-    id_type = next(
-        f.dataType.simpleString()
-        for f in df.schema.fields
-        if f.name == id_col
-    )
-
-    def _fp(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    out_col: np.array(
-                        [
-                            audio_fingerprint(dec(bytes(p))[1])
-                            for p in pdf[payload_col]
-                        ],
-                        dtype=np.int64,
-                    ),
-                }
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(
-        _fp, schema=f"{id_col} {id_type}, {out_col} long"
+    return _hash_media_col(
+        df, id_col, payload_col, out_col,
+        lambda p: audio_fingerprint(dec(p)[1]),
     )
 
 
@@ -616,11 +614,7 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
     (byte-range reads), so cost scales with sampled bytes, not video
     bytes. Returns DataFrame[id_col, frame_idx int, t_s double,
     payload binary]; ``id_col`` keeps its input type."""
-    id_type = next(
-        f.dataType.simpleString()
-        for f in df.schema.fields
-        if f.name == id_col
-    )
+    id_type = _id_type(df, id_col)
 
     def _sample(batches):
         for pdf in batches:
@@ -659,11 +653,7 @@ def with_frame_phash(df, every_s: float, id_col: str = "media_id",
     perceptual hash per sparsely-sampled video frame — ``frame_sample``
     (offset-table byte slicing; unsampled frames never decoded) chained
     into ``image_phash`` in one extra kernel stage."""
-    id_type = next(
-        f.dataType.simpleString()
-        for f in df.schema.fields
-        if f.name == id_col
-    )
+    id_type = _id_type(df, id_col)
     frames = frame_sample(df, every_s, payload_col, id_col)
 
     def _ph(batches):
