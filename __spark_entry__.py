@@ -176,6 +176,57 @@ def _q_xor_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefiltered_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-filter semi-join reduction (``filters.prefiltered_join``,
+    the reference filter's stated use case composed as a join pre-check):
+    lineitem is cut down by a broadcast xor filter over the high-value
+    order keys BEFORE the join shuffle. Zero false negatives + the exact
+    downstream join make the result row-identical to the plain SQL join
+    the oracle runs; only might-contain survivors entered the shuffle."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import prefiltered_join
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 150000.0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    j = prefiltered_join(li, dim, "o_orderkey", big_key_col="l_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def _q_blocklist_anti_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist removal (``filters.prefiltered_anti_join``): drop every
+    document whose id is in a known bad-id set. might_contain == False
+    GUARANTEES non-membership, so those rows bypass the anti-join
+    shuffle entirely; only survivors are exact-checked. Output is
+    identical to the plain left_anti, which the oracle restates as the
+    blocklist predicate's complement."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import prefiltered_anti_join
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    block = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    kept = prefiltered_anti_join(docs, block, "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -4001,6 +4052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
         "xor_filter_members": _q_xor_filter_members,
+        "prefiltered_join_orders": _q_prefiltered_join_orders,
+        "blocklist_anti_documents": _q_blocklist_anti_documents,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -4379,6 +4432,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_member_rows_passed,"
             " TRUE AS fpr_within_bound FROM orders"
             " WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+        ),
+        "prefiltered_join_orders": (
+            "SELECT o_orderstatus,"
+            " CAST(count(*) AS BIGINT) AS n_rows,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE o_totalprice >= 150000.0"
+            " GROUP BY o_orderstatus"
+        ),
+        "blocklist_anti_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_kept,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(min(doc_id) AS BIGINT) AS min_id,"
+            " CAST(max(doc_id) AS BIGINT) AS max_id"
+            " FROM documents WHERE doc_id % 13 <> 0"
         ),
         "hll_distinct_orderkey": (
             "SELECT 'hll_l_orderkey' AS check_name,"

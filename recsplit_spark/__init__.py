@@ -21,7 +21,8 @@ def __getattr__(name):  # lazy: keep numpy-only modules importable without pyspa
     if name in ("BDZBuilder", "BDZDescriptor", "build_bdz_from_sigs"):
         from . import bdz
         return getattr(bdz, name)
-    if name in ("MPHFFilter", "XorFilter"):
+    if name in ("MPHFFilter", "XorFilter", "semi_join_prefilter",
+                "prefiltered_join", "prefiltered_anti_join"):
         from . import filters
         return getattr(filters, name)
     if name == "CheckpointedBuild":

@@ -401,3 +401,122 @@ class XorFilter:
             f" RETURNS BOOLEAN RETURN _{name}_probe("
             f"xxhash64(CAST(k AS {cast}), {_sql_salt_lit(self.salt)}))"
         )
+
+
+# ---------------------------------------------------------------------------
+# semi-join reduction — the membership filter USED as a join pre-check
+# ---------------------------------------------------------------------------
+
+def _build_filter(keys, key_col: str, kind: str, fp_bits: int, salt: int):
+    if kind == "xor":
+        return XorFilter.build(keys, key_col, fp_bits=fp_bits, salt=salt)
+    if kind == "mphf":
+        return MPHFFilter.build(keys, key_col, fp_bits=fp_bits)
+    raise ValueError(f"filter kind must be 'xor' or 'mphf', got {kind!r}")
+
+
+def semi_join_prefilter(big, keys, key_col: str, big_key_col: str | None = None,
+                        fp_bits: int = 8, salt: int = 0, kind: str = "xor",
+                        filt=None):
+    """Reduce ``big`` to rows whose key MIGHT appear in ``keys[key_col]`` —
+    the reference's membership-filter use case (``README.md:10``) composed
+    as the classic semi-join reduction: build a broadcast filter over the
+    key universe, probe the huge table BEFORE its shuffle. Zero false
+    negatives means an exact join downstream returns identical rows; the
+    only cost of false positives (~2^-fp_bits of non-matching rows) is
+    shuffle bytes the exact join discards.
+
+    Operating envelope: a broadcast HASH join ships the dim ROWS
+    (~tens of bytes each); the filter ships ~1.23*fp_bits bits/key
+    (xor, 8 bits -> ~1.2 B/key), so key universes ~10-50x past the
+    broadcast-join threshold still fit — 10^8 keys is a ~123 MB
+    broadcast. ``kind='xor'`` gathers 8-byte signatures to the driver
+    at build (the BDZ gather-scale class); ``kind='mphf'`` is the fully
+    distributed build for larger universes. Pass a prebuilt/persisted
+    ``filt`` to skip the build (ingest loops reuse one filter).
+
+    Returns ``(filtered_big, filt)``.
+    """
+    from pyspark.sql import functions as F
+
+    big_key = big_key_col or key_col
+    if filt is None:
+        filt = _build_filter(keys, key_col, kind, fp_bits, salt)
+    out = "__might_contain"
+    while out in big.columns:
+        out = "_" + out
+    filtered = filt.might_contain(big, big_key, out).filter(F.col(out)).drop(out)
+    return filtered, filt
+
+
+def prefiltered_join(big, dim, key_col: str, big_key_col: str | None = None,
+                     fp_bits: int = 8, salt: int = 0, kind: str = "xor",
+                     how: str = "inner", filt=None):
+    """Exact equi-join of ``big`` with ``dim`` on ``key_col`` with a
+    membership-filter semi-join reduction applied to the big side first
+    (``semi_join_prefilter``). Result rows are IDENTICAL to the plain
+    join — the filter has zero false negatives and the exact join
+    discards its false positives — but only might-contain survivors
+    enter the join shuffle.
+
+    Only ``inner`` and ``left_semi`` are legal: an outer/anti join's
+    non-matching big rows are part of the RESULT, so pre-dropping them
+    changes the answer (use ``prefiltered_anti_join`` for the anti
+    shape). When ``big_key_col`` differs, ``dim``'s key column is
+    renamed to it before the join, so the output schema matches
+    ``big.join(dim.withColumnRenamed(...), [big_key_col], how)``.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"prefiltered_join supports inner/left_semi, got {how!r} "
+            "(outer/anti joins keep non-matching rows — prefiltering "
+            "would change the result; see prefiltered_anti_join)"
+        )
+    big_key = big_key_col or key_col
+    filtered, _ = semi_join_prefilter(
+        big, dim, key_col, big_key, fp_bits=fp_bits, salt=salt, kind=kind,
+        filt=filt,
+    )
+    rhs = dim.withColumnRenamed(key_col, big_key) if big_key != key_col else dim
+    return filtered.join(rhs, [big_key], how)
+
+
+def prefiltered_anti_join(big, keys, key_col: str,
+                          big_key_col: str | None = None, fp_bits: int = 8,
+                          salt: int = 0, kind: str = "xor", filt=None):
+    """Exact ``left_anti`` of ``big`` against ``keys[key_col]`` (the
+    blocklist-removal shape: drop every doc whose id appears in a known
+    set) with the membership filter carrying the definite misses.
+
+    ``might_contain == False`` GUARANTEES non-membership, so those rows
+    are anti-join results with zero shuffle; only the might-contain
+    survivors (true members + ~2^-fp_bits of the rest) go through the
+    exact anti-join. Output rows are identical to
+    ``big.join(keys, ..., 'left_anti')``; the shuffled fraction drops
+    from 1.0 to member_fraction + 2^-fp_bits.
+
+    Plan shape: the two output branches read ``big`` TWICE (each is a
+    scan + broadcast probe, no exchange below the union) — that is the
+    deliberate trade, since a narrow re-scan is far cheaper than the
+    full shuffle sort an unfiltered anti-join pays at this size, and
+    when ``keys`` is small enough for Spark to broadcast as rows the
+    native broadcast anti-join needs no prefilter at all. This operator
+    earns its keep in the middle regime: key sets past the row
+    broadcast threshold but within the filter budget (~1.2 B/key).
+    Persist/checkpoint ``big`` first to make it one scan.
+    """
+    from pyspark.sql import functions as F
+
+    big_key = big_key_col or key_col
+    if filt is None:
+        filt = _build_filter(keys, key_col, kind, fp_bits, salt)
+    out = "__might_contain"
+    while out in big.columns:
+        out = "_" + out
+    probed = filt.might_contain(big, big_key, out)
+    definite_miss = probed.filter(~F.col(out)).drop(out)
+    survivors = probed.filter(F.col(out)).drop(out)
+    rhs = keys.select(F.col(key_col).alias(big_key))
+    return definite_miss.unionByName(
+        survivors.join(rhs, [big_key], "left_anti")
+    )

@@ -1435,6 +1435,95 @@ def task_shardscale(n_docs: int, cores: int, n_shards: int = 64,
     }
 
 
+def task_prefilterscale(n_rows: int, cores: int, match_mod: int = 200,
+                        reps: int = 2) -> dict:
+    """Membership-filter semi-join reduction in its operating regime:
+    row-broadcast joins DISABLED (simulating a dim past the broadcast
+    threshold, where a real cluster must sort-merge), so the plain
+    inner/anti joins shuffle all n_rows while the prefiltered paths
+    shuffle only might-contain survivors (match fraction + 2^-8).
+    dim = every ``match_mod``-th key -> ~0.5% true-match selectivity.
+    Fact rows carry a 128-char incompressible-ish payload (sha2 hex —
+    document-shaped rows, not bare keys): the operator's win IS the
+    payload bytes that never enter the shuffle, and on a real cluster
+    those bytes cross the network twice."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import (
+        XorFilter, prefiltered_anti_join, prefiltered_join,
+        semi_join_prefilter,
+    )
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-prefilter", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    big = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 512).alias("payload"),
+    ).persist()
+    dim = spark.range(n_rows // match_mod).select(
+        (F.col("id") * match_mod).alias("k"), (F.col("id") + 7).alias("w")
+    ).persist()
+    n_match = big.count() // match_mod  # keys 0, mod, 2*mod, ...
+    dim.count()
+    t0 = time.time()
+    filt = XorFilter.build(dim, "k")
+    build_sec = time.time() - t0
+    probe_before = host_probe_ms()
+
+    def _noop(df):
+        # keep EVERY column through the plan (count() would let Catalyst
+        # prune the payload before the shuffle and void the comparison)
+        df.write.format("noop").mode("overwrite").save()
+
+    plain_j = pre_j = plain_a = pre_a = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _noop(big.join(dim, ["k"]))
+        plain_j = min(plain_j, time.time() - t0)
+        t0 = time.time()
+        _noop(prefiltered_join(big, dim, "k", filt=filt))
+        pre_j = min(pre_j, time.time() - t0)
+        t0 = time.time()
+        _noop(big.join(dim.select("k"), ["k"], "left_anti"))
+        plain_a = min(plain_a, time.time() - t0)
+        t0 = time.time()
+        _noop(prefiltered_anti_join(big, dim.select("k"), "k", filt=filt))
+        pre_a = min(pre_a, time.time() - t0)
+    n_plain = big.join(dim, ["k"]).count()
+    n_pre = prefiltered_join(big, dim, "k", filt=filt).count()
+    a_plain = big.join(dim.select("k"), ["k"], "left_anti").count()
+    a_pre = prefiltered_anti_join(big, dim.select("k"), "k", filt=filt).count()
+    assert n_plain == n_pre == n_match, (n_plain, n_pre, n_match)
+    assert a_plain == a_pre == n_rows - n_match, (a_plain, a_pre)
+    survivors, _ = semi_join_prefilter(big, dim, "k", filt=filt)
+    n_surv = survivors.count()
+    probe_after = host_probe_ms()
+    big.unpersist(); dim.unpersist()
+    spark.stop()
+    return {
+        "task": "prefilterscale",
+        "n_rows": n_rows,
+        "n_dim_keys": n_rows // match_mod,
+        "n_match_rows": int(n_match),
+        "n_shuffled_prefiltered": int(n_surv),
+        "shuffle_reduction_x": round(n_rows / n_surv, 1),
+        "filter_build_sec": round(build_sec, 2),
+        "filter_bits_per_key": round(filt.bits_per_key, 2),
+        "join_plain_sec_best": round(plain_j, 2),
+        "join_prefiltered_sec_best": round(pre_j, 2),
+        "join_speedup_x": round(plain_j / pre_j, 2),
+        "anti_plain_sec_best": round(plain_a, 2),
+        "anti_prefiltered_sec_best": round(pre_a, 2),
+        "anti_speedup_x": round(plain_a / pre_a, 2),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1443,7 +1532,7 @@ if __name__ == "__main__":
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
                  "opqscale", "sq8scale", "dsirscale", "bpescale",
-                 "shardscale"],
+                 "shardscale", "prefilterscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1490,6 +1579,8 @@ if __name__ == "__main__":
         res = task_bpescale(args.n or 200_000, args.cores)
     elif args.task == "shardscale":
         res = task_shardscale(args.n or 1_000_000, args.cores)
+    elif args.task == "prefilterscale":
+        res = task_prefilterscale(args.n or 20_000_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate

@@ -140,3 +140,82 @@ def test_filters_sql_surface(spark, members, filt, xfilt):
     )
     joined = sql_v.join(df_v, "doc_id")
     assert joined.filter("a <> a2 OR b <> b2").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# semi-join reduction (prefiltered_join / prefiltered_anti_join)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_fixture(spark):
+    """big: 20k fact rows keyed 0..9999 (2 rows/key); dim: the 500 keys
+    divisible by 20, with a payload column."""
+    ship_package(spark)
+    big = spark.range(20_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dim = spark.range(500).select(
+        (F.col("id") * 20).alias("k"), (F.col("id") + 100).alias("w")
+    )
+    return big.cache(), dim.cache()
+
+
+@pytest.mark.parametrize("kind", ["xor", "mphf"])
+def test_prefiltered_join_equals_plain_join(spark, join_fixture, kind):
+    from recsplit_spark.filters import prefiltered_join
+
+    big, dim = join_fixture
+    got = prefiltered_join(big, dim, "k", kind=kind).sort("k", "v")
+    want = big.join(dim, ["k"]).sort("k", "v")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+def test_prefiltered_join_left_semi_and_how_validation(join_fixture):
+    from recsplit_spark.filters import prefiltered_join
+
+    big, dim = join_fixture
+    got = prefiltered_join(big, dim, "k", how="left_semi")
+    want = big.join(dim, ["k"], "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    for how in ("left", "left_anti", "full"):
+        with pytest.raises(ValueError, match="prefiltered_join supports"):
+            prefiltered_join(big, dim, "k", how=how)
+
+
+def test_prefiltered_join_key_rename(join_fixture):
+    from recsplit_spark.filters import prefiltered_join
+
+    big, dim = join_fixture
+    dim2 = dim.withColumnRenamed("k", "dim_key")
+    got = prefiltered_join(big, dim2, "dim_key", big_key_col="k")
+    want = big.join(dim2.withColumnRenamed("dim_key", "k"), ["k"])
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_semi_join_prefilter_selectivity_and_reuse(join_fixture):
+    """The prefilter keeps all 1,000 matching rows plus ~FPR of the
+    18,000 non-matching ones; a prebuilt filter is reused verbatim."""
+    from recsplit_spark.filters import semi_join_prefilter
+
+    big, dim = join_fixture
+    filtered, filt = semi_join_prefilter(big, dim, "k")
+    n = filtered.count()
+    # 1,000 true rows; false positives ~ 19k * 2 rows/key * 1/256 ~ 74
+    assert 1_000 <= n <= 1_000 + 500, n
+    again, same = semi_join_prefilter(big, dim, "k", filt=filt)
+    assert same is filt
+    assert again.count() == n
+
+
+def test_prefiltered_anti_join_equals_plain_anti(join_fixture):
+    from recsplit_spark.filters import prefiltered_anti_join
+
+    big, dim = join_fixture
+    got = prefiltered_anti_join(big, dim.select("k"), "k")
+    want = big.join(dim, ["k"], "left_anti")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == big.columns

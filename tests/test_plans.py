@@ -421,3 +421,47 @@ def test_dsir_plan_shapes(spark, tmp_path_factory):
     top = _formatted_plan(dsir.gumbel_topk(scored, 10))
     assert "TakeOrderedAndProject" in top
     assert _nodes(top, "Sort") == 0  # no full sort for a global top-k
+
+
+def test_prefiltered_join_probe_sits_below_the_join(spark, sf_dir, li):
+    """Semi-join reduction (filters.prefiltered_join): the broadcast
+    filter probe must run on the big side BEFORE the join — at 100 TB
+    the whole point is that only might-contain survivors enter the join
+    exchange. Node ids are post-order, so probe-below-join means a
+    smaller id."""
+    import re
+
+    from recsplit_spark.filters import prefiltered_join
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_totalprice >= 150000.0")
+        .select("o_orderkey", "o_orderstatus")
+    )
+    big = li.select("l_orderkey", "l_quantity")
+    j = prefiltered_join(big, orders, "o_orderkey", big_key_col="l_orderkey")
+    plan = _formatted_plan(j)
+    # one probe on the big side; Catalyst's infer-filter-from-join-keys may
+    # copy it to the dim side (benign: members always pass; dim is small)
+    assert _nodes(plan, "ArrowEvalPython") in (1, 2), plan
+    probe_id = int(re.search(r"^\((\d+)\) ArrowEvalPython", plan, re.M).group(1))
+    join_id = int(re.search(r"^\((\d+)\) \w*Join", plan, re.M).group(1))
+    assert probe_id < join_id, plan
+
+
+def test_prefiltered_anti_join_two_branch_shape(spark, li):
+    """prefiltered_anti_join's documented trade: two probe branches (the
+    definite-miss branch is join-free) unioned, exactly one exact anti
+    join for the survivors."""
+    import re
+
+    from recsplit_spark.filters import prefiltered_anti_join
+
+    big = li.select("l_orderkey", "l_quantity")
+    keys = li.select("l_orderkey").filter("l_orderkey % 7 = 0").distinct()
+    out = prefiltered_anti_join(big, keys, "l_orderkey")
+    plan = _formatted_plan(out)
+    # two probe branches; +1 if Catalyst copies the probe to the keys side
+    assert _nodes(plan, "ArrowEvalPython") in (2, 3), plan
+    assert _nodes(plan, "Union") == 1
+    assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.M)) == 1, plan
