@@ -408,11 +408,43 @@ class XorFilter:
 # ---------------------------------------------------------------------------
 
 def _build_filter(keys, key_col: str, kind: str, fp_bits: int, salt: int):
+    # membership is over the key SET: a duplicated dim/blocklist key (a
+    # many-to-many dim, an event-derived blocklist) must not fail the
+    # duplicate-rejecting MPHF/xor builds
+    keys = keys.select(key_col).distinct()
     if kind == "xor":
         return XorFilter.build(keys, key_col, fp_bits=fp_bits, salt=salt)
     if kind == "mphf":
+        if salt != 0:
+            raise ValueError(
+                "salt is only supported with kind='xor' — the MPHF build "
+                "derives its own salts and would silently ignore it"
+            )
         return MPHFFilter.build(keys, key_col, fp_bits=fp_bits)
     raise ValueError(f"filter kind must be 'xor' or 'mphf', got {kind!r}")
+
+
+def _check_probe_key_mode(filt, big, big_key: str) -> None:
+    """The probe hashes ``big[big_key]`` under the FILTER's key mode. If
+    the big side's own mode differs (string keys vs integral keys), the
+    hash inputs disagree even for values a plain join would coerce-match
+    — silent FALSE NEGATIVES, i.e. dropped matches / resurrected
+    blocklisted rows. Raise loudly instead (the CAST-disagreement trap)."""
+    from .mphf import key_mode_for
+
+    km_filter = getattr(filt, "key_mode", None)
+    if km_filter is None:
+        km_filter = filt.desc.key_mode
+    km_big = key_mode_for(big, big_key)
+    if km_big != km_filter:
+        raise ValueError(
+            f"key-mode mismatch: filter was built over a "
+            f"{'long' if km_filter == 1 else 'string'}-hashed key set but "
+            f"{big_key!r} on the big side is "
+            f"{'integral' if km_big == 1 else 'non-integral'} — the probe "
+            "would hash different bytes than the build and silently drop "
+            "matches. Cast both key columns to one type first."
+        )
 
 
 def semi_join_prefilter(big, keys, key_col: str, big_key_col: str | None = None,
@@ -442,6 +474,7 @@ def semi_join_prefilter(big, keys, key_col: str, big_key_col: str | None = None,
     big_key = big_key_col or key_col
     if filt is None:
         filt = _build_filter(keys, key_col, kind, fp_bits, salt)
+    _check_probe_key_mode(filt, big, big_key)
     out = "__might_contain"
     while out in big.columns:
         out = "_" + out
@@ -510,6 +543,7 @@ def prefiltered_anti_join(big, keys, key_col: str,
     big_key = big_key_col or key_col
     if filt is None:
         filt = _build_filter(keys, key_col, kind, fp_bits, salt)
+    _check_probe_key_mode(filt, big, big_key)
     out = "__might_contain"
     while out in big.columns:
         out = "_" + out

@@ -299,7 +299,8 @@ def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: 
     )
 
 
-def _bucket_candidate_pairs(banded, id_col: str, bucket_cap: int):
+def _bucket_candidate_pairs(banded, id_col: str, bucket_cap: int,
+                            carry: str | None = None):
     """Candidate pairs (id_a < id_b) from (band, band_key) bucket membership,
     with hot-bucket star-linking.
 
@@ -312,25 +313,56 @@ def _bucket_candidate_pairs(banded, id_col: str, bucket_cap: int):
     exact-verified downstream); within an oversized bucket only pairwise
     relations THROUGH the representative are asserted, which is the standard
     LSH-at-scale trade.
+
+    ``carry``: optionally ride a per-id payload column (e.g. the 64-bit
+    hash ``hamming_near_pairs`` verifies with) through to the output as
+    ``<carry>_a``/``<carry>_b`` — both join sides and the star branch
+    then read the ONE exchange under the bucket window, so the banded
+    frame's lineage (a payload decode for the media callers) evaluates
+    once instead of once per downstream hash re-join. The star
+    representative's payload comes from the same window via
+    ``min(struct(id, carry))``; ``carry`` must be functionally dependent
+    on ``id_col`` (one value per id) for the output ``distinct()`` to
+    keep pair semantics unchanged.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "band_key")
-    ann = banded.withColumn("__n", F.count("*").over(w)).withColumn(
-        "__rep", F.min(id_col).over(w)
+    rep = (
+        F.min(F.struct(F.col(id_col), F.col(carry))).over(w)
+        if carry
+        else F.min(id_col).over(w)
     )
-    small = ann.filter(F.col("__n") <= bucket_cap).select(id_col, "band", "band_key")
+    ann = banded.withColumn("__n", F.count("*").over(w)).withColumn("__rep", rep)
+    cols = [id_col] + ([carry] if carry else []) + ["band", "band_key"]
+    small = ann.filter(F.col("__n") <= bucket_cap).select(*cols)
     a, b = small.alias("a"), small.alias("b")
+    sel = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if carry:
+        sel += [
+            F.col(f"a.{carry}").alias(f"{carry}_a"),
+            F.col(f"b.{carry}").alias(f"{carry}_b"),
+        ]
     small_pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ).select(*sel)
+    rep_id = F.col(f"__rep.{id_col}") if carry else F.col("__rep")
+    star_sel = [rep_id.alias("id_a"), F.col(id_col).alias("id_b")]
+    if carry:
+        star_sel += [
+            F.col(f"__rep.{carry}").alias(f"{carry}_a"),
+            F.col(carry).alias(f"{carry}_b"),
+        ]
     star_pairs = ann.filter(
-        (F.col("__n") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
-    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        (F.col("__n") > bucket_cap) & (F.col(id_col) != rep_id)
+    ).select(*star_sel)
     return small_pairs.unionByName(star_pairs).distinct()
 
 
@@ -718,54 +750,25 @@ def hamming_near_pairs(
     ``bucket_cap``, same semantics as ``_bucket_candidate_pairs``),
     exact ``bit_count`` filter after.
 
-    The hash rides THROUGH the exploded block rows (8 bytes each), so
-    both self-join sides and the star branch read the one exchange under
-    the bucket window — the ``hashes`` lineage (a payload-decode
-    ``mapInPandas`` for the media callers) evaluates ONCE, not once per
-    join side. The star representative's hash comes from the same window
-    via ``min(struct(id, hash))``."""
+    The hash rides THROUGH the exploded block rows (8 bytes each) via
+    ``_bucket_candidate_pairs(carry=hash_col)``, so both self-join sides
+    and the star branch read the one exchange under the bucket window —
+    the ``hashes`` lineage (a payload-decode ``mapInPandas`` for the
+    media callers) evaluates ONCE, not once per join side."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     keys = _pigeonhole_keys(hash_col, max_hamming)
     blocks = hashes.select(
         id_col, hash_col, F.posexplode(F.array(*keys)).alias("band", "band_key")
     )
-    w = Window.partitionBy("band", "band_key")
-    ann = blocks.withColumn("__n", F.count("*").over(w)).withColumn(
-        "__rep", F.min(F.struct(F.col(id_col), F.col(hash_col))).over(w)
+    cand = _bucket_candidate_pairs(blocks, id_col, bucket_cap, carry=hash_col)
+    hamming = F.bit_count(
+        F.col(f"{hash_col}_a").bitwiseXOR(F.col(f"{hash_col}_b"))
     )
-    small = ann.filter(F.col("__n") <= bucket_cap).select(
-        id_col, hash_col, "band", "band_key"
-    )
-    a, b = small.alias("a"), small.alias("b")
-    small_pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"a.{hash_col}").alias("sh_a"),
-        F.col(f"b.{hash_col}").alias("sh_b"),
-    )
-    star_pairs = ann.filter(
-        (F.col("__n") > bucket_cap)
-        & (F.col(id_col) != F.col(f"__rep.{id_col}"))
-    ).select(
-        F.col(f"__rep.{id_col}").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.col(f"__rep.{hash_col}").alias("sh_a"),
-        F.col(hash_col).alias("sh_b"),
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        small_pairs.unionByName(star_pairs)
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
 
 

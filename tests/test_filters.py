@@ -219,3 +219,42 @@ def test_prefiltered_anti_join_equals_plain_anti(join_fixture):
     want = big.join(dim, ["k"], "left_anti")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.columns == big.columns
+
+
+def test_prefiltered_join_accepts_duplicate_dim_keys(join_fixture):
+    """The filter is built over the key SET: a many-to-many dim (or
+    duplicated blocklist) must not trip the duplicate-rejecting
+    MPHF/xor builds, and the join output keeps the duplicates exactly
+    like the plain join."""
+    from recsplit_spark.filters import prefiltered_anti_join, prefiltered_join
+
+    big, dim = join_fixture
+    dup_dim = dim.unionByName(dim)  # every key twice
+    got = prefiltered_join(big, dup_dim, "k")
+    want = big.join(dup_dim, ["k"])
+    assert got.count() == want.count()
+    anti = prefiltered_anti_join(big, dup_dim.select("k"), "k")
+    assert anti.count() == big.join(dup_dim, ["k"], "left_anti").count()
+
+
+def test_prefiltered_join_key_mode_mismatch_raises(spark, join_fixture):
+    """String-typed keys on one side hash different bytes than the
+    integral build — a silent false-negative trap; must raise."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.filters import prefiltered_anti_join, prefiltered_join
+
+    big, dim = join_fixture
+    big_str = big.withColumn("k", F.col("k").cast("string"))
+    with pytest.raises(ValueError, match="key-mode mismatch"):
+        prefiltered_join(big_str, dim, "k")
+    with pytest.raises(ValueError, match="key-mode mismatch"):
+        prefiltered_anti_join(big_str, dim.select("k"), "k")
+
+
+def test_prefiltered_join_mphf_salt_rejected(join_fixture):
+    from recsplit_spark.filters import prefiltered_join
+
+    big, dim = join_fixture
+    with pytest.raises(ValueError, match="kind='xor'"):
+        prefiltered_join(big, dim, "k", kind="mphf", salt=7)
