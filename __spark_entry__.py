@@ -227,6 +227,66 @@ def _q_blocklist_anti_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (``pipeline/classifier.py`` — the
+    CCNet/GPT-3 quality-model shape): distributed IRLS logistic
+    regression fitted on deterministic in-engine features whose labels
+    come from a KNOWN generating rule. The fit must recover the rule
+    (raw-space weight cosine > 0.99), separate the classes (accuracy
+    >= 0.98), descend monotonically (damped Newton), and the pure
+    Column-expression scorer must stay in [0, 1]. Learned weights are
+    data-dependent floats, so the oracle pins n_rows exactly and the
+    invariants as bound booleans (house pattern, cf. `fd_embeddings_gram`)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.classifier import LogisticQualityModel
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    us = [
+        (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(1 << 20))
+         / F.lit(float(1 << 20))).alias(f"u{i}")
+        for i in range(3)
+    ]
+    df = docs.select("doc_id", *us)
+    true_w = np.array([2.0, -1.0, 0.5])
+    eta = (
+        F.lit(-0.25)
+        + F.lit(2.0) * F.col("u0")
+        - F.col("u1")
+        + F.lit(0.5) * F.col("u2")
+    )
+    df = df.withColumn("label", (eta > 0).cast("int"))
+    m = LogisticQualityModel.fit(df, ["u0", "u1", "u2"], "label", ridge=1e-3)
+    scored = m.with_score(df)
+    n = df.count()
+    n_correct = scored.filter(
+        (F.col("quality_score") >= 0.5).cast("int") == F.col("label")
+    ).count()
+    raw_w = m.weights / m.sd
+    cos = float(
+        raw_w @ true_w / (np.linalg.norm(raw_w) * np.linalg.norm(true_w))
+    )
+    b = scored.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).collect()[0]
+    h = m.loss_history
+    rows = [(
+        int(n),
+        bool(n_correct >= 0.98 * n),
+        bool(cos > 0.99),
+        bool(all(y <= x + 1e-12 for x, y in zip(h, h[1:]))),
+        bool(0.0 <= b["lo"] <= b["hi"] <= 1.0),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, acc_ok boolean, weights_recovered boolean,"
+        " loss_monotone boolean, scores_in_unit boolean",
+    )
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -4054,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor_filter_members": _q_xor_filter_members,
         "prefiltered_join_orders": _q_prefiltered_join_orders,
         "blocklist_anti_documents": _q_blocklist_anti_documents,
+        "quality_classifier_documents": _q_quality_classifier_documents,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -4448,6 +4509,12 @@ def oracle_sql() -> dict[str, str]:
             " CAST(min(doc_id) AS BIGINT) AS min_id,"
             " CAST(max(doc_id) AS BIGINT) AS max_id"
             " FROM documents WHERE doc_id % 13 <> 0"
+        ),
+        "quality_classifier_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            " TRUE AS acc_ok, TRUE AS weights_recovered,"
+            " TRUE AS loss_monotone, TRUE AS scores_in_unit"
+            " FROM documents"
         ),
         "hll_distinct_orderkey": (
             "SELECT 'hll_l_orderkey' AS check_name,"

@@ -7,6 +7,7 @@ deterministic training-shard output + epoch ordering."""
 from . import (  # noqa: F401
     ann,
     bpe,
+    classifier,
     decontaminate,
     dedup,
     dsir,

@@ -1,0 +1,256 @@
+"""Learned quality classifier — logistic regression over engine-computed
+feature columns (the CCNet / GPT-3-appendix-A shape: a tiny linear model
+over cheap per-doc statistics, scored corpus-wide to pick training data).
+
+Training is distributed Newton/IRLS: each iteration is ONE scan
+computing per-partition partials (X^T W X, X^T (y - p), loss) via
+``mapInArrow``; the driver collects P tiny flattened rows and only ever
+holds the (d+1)x(d+1) normal matrix it must solve anyway — the same
+driver-residency argument as IVF centroids (``ann.IVFIndex``) and the
+DSIR log-ratio table. Scoring is a PURE Column expression (standardize
+-> dot -> sigmoid), zero Python in the hot path, so a fitted model
+scores any corpus size at scan speed and composes with the
+Gopher/C4/repetition filters on the same scan.
+
+No reference analogue (minperf has no learned components); IRLS is
+from scratch (Hastie/Tibshirani/Friedman, ESL §4.4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_QLR_MAGIC = b"QLR1"
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    # numerically stable both tails
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def _log1pexp(x: np.ndarray) -> np.ndarray:
+    """log(1 + exp(x)) without overflow (loss kernel)."""
+    out = np.empty_like(x)
+    big = x > 30
+    out[big] = x[big]
+    out[~big] = np.log1p(np.exp(x[~big]))
+    return out
+
+
+def _check_numeric(df, cols: list[str]) -> None:
+    from pyspark.sql.types import NumericType
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, NumericType):
+            raise ValueError(
+                f"feature/label column {c!r} must be numeric, got "
+                f"{dt.simpleString()}"
+            )
+
+
+class LogisticQualityModel:
+    """Fitted logistic model over standardized features.
+
+    Attributes: ``feature_cols`` (order matters), ``mu``/``sd`` (float64
+    standardization constants, part of the model), ``weights`` (per
+    standardized feature), ``bias``, ``loss_history`` (mean log-loss per
+    Newton iteration, first entry = the w=0 starting loss).
+    """
+
+    def __init__(self, feature_cols: list[str], mu: np.ndarray,
+                 sd: np.ndarray, weights: np.ndarray, bias: float,
+                 loss_history: list[float]) -> None:
+        self.feature_cols = list(feature_cols)
+        self.mu = np.asarray(mu, dtype=np.float64)
+        self.sd = np.asarray(sd, dtype=np.float64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+        self.loss_history = list(loss_history)
+
+    # -- training ---------------------------------------------------------------
+    @classmethod
+    def fit(cls, df, feature_cols: list[str], label_col: str, *,
+            max_iter: int = 25, tol: float = 1e-8, ridge: float = 1e-6,
+            ) -> "LogisticQualityModel":
+        """Distributed Newton/IRLS fit. ``label_col`` must be 0/1
+        (validated in the standardization scan); rows with any null
+        feature/label are dropped. ``ridge`` (L2 on the standardized
+        weights, not the bias) keeps separable data finite and the
+        Hessian invertible. Cost: 1 standardization scan + one scan per
+        Newton iteration (typically 6-10) + one per step-halving (rare).
+        """
+        import pyspark.sql.functions as F
+
+        feature_cols = list(feature_cols)
+        if not feature_cols:
+            raise ValueError("need at least one feature column")
+        _check_numeric(df, feature_cols + [label_col])
+        base = df.select(
+            *[F.col(c).cast("double") for c in feature_cols],
+            F.col(label_col).cast("double").alias("__y"),
+        ).dropna()
+
+        # one exact JVM scan: n, mean/std per feature, label range check
+        aggs = [F.count("*").alias("__n"),
+                F.min("__y").alias("__ymin"), F.max("__y").alias("__ymax"),
+                F.sum("__y").alias("__ysum")]
+        for c in feature_cols:
+            aggs += [F.avg(c).alias(f"__mu_{c}"),
+                     F.stddev_pop(c).alias(f"__sd_{c}")]
+        row = base.agg(*aggs).collect()[0]
+        n = int(row["__n"])
+        if n == 0:
+            raise ValueError("no non-null rows to fit on")
+        if not (row["__ymin"] in (0.0, 1.0) and row["__ymax"] in (0.0, 1.0)):
+            raise ValueError(
+                f"label {label_col!r} must be 0/1; saw range "
+                f"[{row['__ymin']}, {row['__ymax']}]"
+            )
+        if row["__ysum"] in (0, n):
+            raise ValueError("labels are all one class — nothing to fit")
+        mu = np.array([row[f"__mu_{c}"] for c in feature_cols])
+        sd = np.array([row[f"__sd_{c}"] for c in feature_cols])
+        if np.any(sd == 0):
+            flat = [c for c, s in zip(feature_cols, sd) if s == 0]
+            raise ValueError(f"constant feature column(s): {flat}")
+
+        d = len(feature_cols)
+        mu_b, sd_b = mu.copy(), sd.copy()
+
+        def _partials(w_full: np.ndarray, hessian: bool):
+            """One scan -> summed (H, g, loss, n) under weights w_full
+            ([bias, w_1..w_d] in standardized space)."""
+            wb = w_full.copy()
+
+            def _scan(batches):
+                H = np.zeros((d + 1, d + 1)) if hessian else None
+                g = np.zeros(d + 1)
+                loss = 0.0
+                cnt = 0
+                for batch in batches:
+                    cols = [
+                        batch.column(i).to_numpy(zero_copy_only=False)
+                        for i in range(d)
+                    ]
+                    y = batch.column(d).to_numpy(zero_copy_only=False)
+                    Z = np.empty((len(y), d + 1))
+                    Z[:, 0] = 1.0
+                    for i in range(d):
+                        Z[:, i + 1] = (cols[i] - mu_b[i]) / sd_b[i]
+                    eta = Z @ wb
+                    p = _sigmoid(eta)
+                    # log-loss: log(1+exp(eta)) - y*eta, stable
+                    loss += float(np.sum(_log1pexp(eta) - y * eta))
+                    cnt += len(y)
+                    if hessian:
+                        g += Z.T @ (y - p)
+                        W = p * (1.0 - p)
+                        H += (Z * W[:, None]).T @ Z
+                    else:
+                        g += Z.T @ (y - p)
+                out = {
+                    "g": pa.array([g.tolist()]),
+                    "loss": pa.array([loss]),
+                    "n": pa.array([cnt], type=pa.int64()),
+                }
+                if hessian:
+                    out = {"h": pa.array([H.ravel().tolist()]), **out}
+                yield pa.record_batch(
+                    list(out.values()), names=list(out.keys())
+                )
+
+            schema = ("h array<double>, " if hessian else "") + \
+                "g array<double>, loss double, n bigint"
+            rows = base.mapInArrow(_scan, schema=schema).collect()
+            g = np.sum([np.array(r["g"]) for r in rows], axis=0)
+            loss = float(sum(r["loss"] for r in rows))
+            cnt = int(sum(r["n"] for r in rows))
+            H = (
+                np.sum([np.array(r["h"]) for r in rows], axis=0)
+                .reshape(d + 1, d + 1)
+                if hessian else None
+            )
+            return H, g, loss, cnt
+
+        w = np.zeros(d + 1)
+        reg = np.zeros(d + 1)
+        _, g0, loss, cnt = _partials(w, hessian=False)
+        history = [loss / cnt]
+        for _ in range(max_iter):
+            H, g, loss, cnt = _partials(w, hessian=True)
+            reg[1:] = ridge * w[1:]
+            g_reg = g - cnt * reg
+            H_reg = H + cnt * ridge * np.diag([0.0] + [1.0] * d)
+            step = np.linalg.solve(H_reg, g_reg)
+            # damped Newton: halve until the loss does not increase
+            # (each probe is one loss-only scan; rarely triggered)
+            for _halve in range(6):
+                _, _, new_loss, _ = _partials(w + step, hessian=False)
+                if new_loss <= loss + 1e-12 * max(1.0, abs(loss)):
+                    break
+                step *= 0.5
+            w = w + step
+            history.append(new_loss / cnt)
+            if np.max(np.abs(step)) < tol:
+                break
+        return cls(feature_cols, mu, sd, w[1:], w[0], history)
+
+    # -- scoring ----------------------------------------------------------------
+    def score_expr(self):
+        """P(quality=1) as a pure Column expression — no UDF, no
+        shuffle; Catalyst keeps it inside whole-stage codegen."""
+        import pyspark.sql.functions as F
+
+        eta = F.lit(self.bias)
+        for c, w, m, s in zip(self.feature_cols, self.weights,
+                              self.mu, self.sd):
+            eta = eta + F.lit(float(w)) * (
+                (F.col(c).cast("double") - F.lit(float(m))) / F.lit(float(s))
+            )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+    def with_score(self, df, out_col: str = "quality_score"):
+        return df.withColumn(out_col, self.score_expr())
+
+    def score_array(self, X: np.ndarray) -> np.ndarray:
+        """Driver-side reference scorer over an (n, d) float matrix —
+        the kernel tests pin the Column expression against this."""
+        Z = (np.asarray(X, dtype=np.float64) - self.mu) / self.sd
+        return _sigmoid(self.bias + Z @ self.weights)
+
+    # -- serialization ----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        names = "\x00".join(self.feature_cols).encode("utf-8")
+        return (
+            _QLR_MAGIC
+            + struct.pack("<IId", len(self.feature_cols), len(names),
+                          self.bias)
+            + names
+            + self.mu.astype("<f8").tobytes()
+            + self.sd.astype("<f8").tobytes()
+            + self.weights.astype("<f8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "LogisticQualityModel":
+        if data[:4] != _QLR_MAGIC:
+            raise ValueError("bad quality-model header")
+        d, nlen, bias = struct.unpack_from("<IId", data, 4)
+        off = 4 + struct.calcsize("<IId")
+        names = data[off:off + nlen].decode("utf-8").split("\x00")
+        off += nlen
+        mu = np.frombuffer(data, dtype="<f8", count=d, offset=off).copy()
+        off += 8 * d
+        sd = np.frombuffer(data, dtype="<f8", count=d, offset=off).copy()
+        off += 8 * d
+        w = np.frombuffer(data, dtype="<f8", count=d, offset=off).copy()
+        return cls(names, mu, sd, w, bias, [])

@@ -1,0 +1,176 @@
+"""Learned quality classifier (pipeline/classifier.py): distributed IRLS
+vs a pure-numpy reference, weight recovery on a known generating rule,
+Column-expression scoring identity, serde, and input validation."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recsplit_spark.pipeline.classifier import (
+    LogisticQualityModel, _log1pexp, _sigmoid,
+)
+from recsplit_spark.session import ship_package
+
+TRUE_W = np.array([2.0, -1.0, 0.5])
+TRUE_B = -0.25
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    """Deterministic uniforms from xxhash64; labels from a known linear
+    rule (separable — ridge keeps the fit finite)."""
+    ship_package(spark)
+    df = spark.range(4000)
+    us = []
+    for i in range(3):
+        u = (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1 << 20)) /
+             F.lit(float(1 << 20)))
+        us.append(u.alias(f"u{i}"))
+    df = df.select("id", *us)
+    eta = (F.lit(TRUE_B) + F.lit(TRUE_W[0]) * F.col("u0")
+           + F.lit(TRUE_W[1]) * F.col("u1") + F.lit(TRUE_W[2]) * F.col("u2"))
+    return df.withColumn("label", (eta > 0).cast("int")).cache()
+
+
+@pytest.fixture(scope="module")
+def fitted(fixture_df):
+    return LogisticQualityModel.fit(
+        fixture_df, ["u0", "u1", "u2"], "label", ridge=1e-3
+    )
+
+
+def _numpy_irls(X, y, ridge, max_iter=25, tol=1e-8):
+    """The same damped-Newton algorithm, single-node — the distributed
+    fit must agree (float-sum order differences only)."""
+    n, d = X.shape
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    Z = np.hstack([np.ones((n, 1)), (X - mu) / sd])
+    w = np.zeros(d + 1)
+
+    def loss_of(wv):
+        eta = Z @ wv
+        return float(np.sum(_log1pexp(eta) - y * eta))
+
+    for _ in range(max_iter):
+        eta = Z @ w
+        p = _sigmoid(eta)
+        g = Z.T @ (y - p) - n * ridge * np.r_[0.0, w[1:]]
+        W = p * (1 - p)
+        H = (Z * W[:, None]).T @ Z + n * ridge * np.diag([0.0] + [1.0] * d)
+        step = np.linalg.solve(H, g)
+        base = loss_of(w)
+        for _h in range(6):
+            if loss_of(w + step) <= base + 1e-12 * max(1.0, abs(base)):
+                break
+            step *= 0.5
+        w = w + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return mu, sd, w
+
+
+def test_fit_matches_numpy_reference(fixture_df, fitted):
+    pdf = fixture_df.select("u0", "u1", "u2", "label").toPandas()
+    X = pdf[["u0", "u1", "u2"]].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    mu, sd, w = _numpy_irls(X, y, ridge=1e-3)
+    assert np.allclose(fitted.mu, mu, rtol=1e-9)
+    assert np.allclose(fitted.sd, sd, rtol=1e-9)
+    assert np.allclose(fitted.weights, w[1:], rtol=1e-5, atol=1e-7)
+    assert fitted.bias == pytest.approx(w[0], rel=1e-5)
+
+
+def test_weight_recovery_and_accuracy(fixture_df, fitted):
+    # direction recovery: standardized fitted weights, mapped back to
+    # raw space (w_i / sd_i), align with the generating rule
+    raw_w = fitted.weights / fitted.sd
+    cos = raw_w @ TRUE_W / (np.linalg.norm(raw_w) * np.linalg.norm(TRUE_W))
+    assert cos > 0.99, cos
+    scored = fitted.with_score(fixture_df)
+    acc = scored.filter(
+        ((F.col("quality_score") >= 0.5).cast("int") == F.col("label"))
+    ).count() / fixture_df.count()
+    assert acc > 0.98, acc
+    # training loss decreased monotonically (damped Newton)
+    h = fitted.loss_history
+    assert len(h) >= 3 and all(b <= a + 1e-12 for a, b in zip(h, h[1:])), h
+
+
+def test_score_expr_matches_driver_kernel(fixture_df, fitted):
+    pdf = fitted.with_score(fixture_df).select(
+        "u0", "u1", "u2", "quality_score"
+    ).toPandas()
+    X = pdf[["u0", "u1", "u2"]].to_numpy(dtype=np.float64)
+    want = fitted.score_array(X)
+    assert np.allclose(pdf["quality_score"].to_numpy(), want, atol=1e-12)
+
+
+def test_partition_invariance(fixture_df):
+    a = LogisticQualityModel.fit(
+        fixture_df.repartition(3), ["u0", "u1", "u2"], "label", ridge=1e-3
+    )
+    b = LogisticQualityModel.fit(
+        fixture_df.repartition(17), ["u0", "u1", "u2"], "label", ridge=1e-3
+    )
+    assert np.allclose(a.weights, b.weights, rtol=1e-6)
+    assert a.bias == pytest.approx(b.bias, rel=1e-6)
+
+
+def test_serde_roundtrip(fixture_df, fitted):
+    back = LogisticQualityModel.from_bytes(fitted.to_bytes())
+    assert back.feature_cols == fitted.feature_cols
+    assert np.array_equal(back.mu, fitted.mu)
+    assert np.array_equal(back.sd, fitted.sd)
+    assert np.array_equal(back.weights, fitted.weights)
+    assert back.bias == fitted.bias
+    X = np.array([[0.1, 0.9, 0.4], [0.7, 0.2, 0.8]])
+    assert np.array_equal(back.score_array(X), fitted.score_array(X))
+
+
+def test_input_validation(spark, fixture_df):
+    with pytest.raises(ValueError, match="must be numeric"):
+        LogisticQualityModel.fit(
+            fixture_df.withColumn("s", F.lit("x")), ["s"], "label"
+        )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        LogisticQualityModel.fit(
+            fixture_df.withColumn("bad", F.col("u0") * 2), ["u0"], "bad"
+        )
+    with pytest.raises(ValueError, match="one class"):
+        LogisticQualityModel.fit(
+            fixture_df.withColumn("one", F.lit(1)), ["u0"], "one"
+        )
+    with pytest.raises(ValueError, match="constant feature"):
+        LogisticQualityModel.fit(
+            fixture_df.withColumn("c", F.lit(3.0)), ["c"], "label"
+        )
+
+
+def test_null_rows_dropped(spark):
+    ship_package(spark)
+    df = spark.range(400).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") % 7).cast("double")).alias("x"),
+        ((F.col("id") % 7) >= 3).cast("int").alias("label"),
+    )
+    m = LogisticQualityModel.fit(df, ["x"], "label", ridge=1e-3)
+    assert m.weights[0] > 0  # higher x -> label 1 on the kept rows
+
+
+def test_gopher_integration_smoke(spark, sf_dir):
+    """Fit over REAL engine-computed quality features on the documents
+    table; scores must be valid probabilities and separate the derived
+    label better than chance."""
+    from recsplit_spark.pipeline.text import with_quality_stats
+
+    ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = with_quality_stats(docs, "text").withColumn(
+        "label", (F.length("text") > 200).cast("int")
+    )
+    num_cols = ["n_tokens", "avg_token_len", "stop_ratio_en"]
+    m = LogisticQualityModel.fit(feats, num_cols, "label", ridge=1e-4)
+    s = m.with_score(feats).agg(
+        F.min("quality_score"), F.max("quality_score")
+    ).collect()[0]
+    assert 0.0 <= s[0] <= s[1] <= 1.0

@@ -465,3 +465,22 @@ def test_prefiltered_anti_join_two_branch_shape(spark, li):
     assert _nodes(plan, "ArrowEvalPython") in (2, 3), plan
     assert _nodes(plan, "Union") == 1
     assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.M)) == 1, plan
+
+
+def test_quality_classifier_score_is_pure_column_expr(spark, sf_dir):
+    """The fitted model's score must be a whole-stage-codegen Column
+    expression — no Python evaluation node, no exchange: at 100 TB the
+    scorer rides the same scan as the other quality filters."""
+    import numpy as np
+
+    from recsplit_spark.pipeline.classifier import LogisticQualityModel
+
+    m = LogisticQualityModel(
+        ["n_chars"], np.array([100.0]), np.array([50.0]),
+        np.array([0.8]), -0.2, [],
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(m.with_score(docs).select("doc_id", "quality_score"))
+    assert "EvalPython" not in plan, plan
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert "WholeStageCodegen" in plan or "Project" in plan
