@@ -1524,6 +1524,70 @@ def task_prefilterscale(n_rows: int, cores: int, match_mod: int = 200,
     }
 
 
+def task_classifierscale(n_rows: int, cores: int, d: int = 8,
+                         reps: int = 2) -> dict:
+    """Learned quality classifier at scale: IRLS fit (one mapInArrow
+    partial-sum scan per Newton iteration, driver holds only the
+    (d+1)^2 normal matrix) and the pure-Column scoring scan, over
+    deterministic xxhash64-uniform features with labels from a known
+    rule."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.classifier import LogisticQualityModel
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-classifier", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    cols = [
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1 << 20))
+         / F.lit(float(1 << 20))).alias(f"u{i}")
+        for i in range(d)
+    ]
+    df = spark.range(n_rows).select("id", *cols)
+    rng = np.random.default_rng(7)
+    tw = rng.normal(size=d).round(3)
+    eta = F.lit(-0.2)
+    for i in range(d):
+        eta = eta + F.lit(float(tw[i])) * F.col(f"u{i}")
+    df = df.withColumn("label", (eta > 0).cast("int")).persist()
+    df.count()
+    feature_cols = [f"u{i}" for i in range(d)]
+    probe_before = host_probe_ms()
+    fit_best = score_best = float("inf")
+    m = None
+    iters = 0
+    for _ in range(reps):
+        t0 = time.time()
+        m = LogisticQualityModel.fit(df, feature_cols, "label", ridge=1e-3)
+        fit_best = min(fit_best, time.time() - t0)
+        iters = len(m.loss_history) - 1
+    for _ in range(reps):
+        t0 = time.time()
+        m.with_score(df).agg(F.sum("quality_score")).collect()
+        score_best = min(score_best, time.time() - t0)
+    raw_w = m.weights / m.sd
+    cos = float(raw_w @ tw / (np.linalg.norm(raw_w) * np.linalg.norm(tw)))
+    probe_after = host_probe_ms()
+    df.unpersist()
+    spark.stop()
+    return {
+        "task": "classifierscale",
+        "n_rows": n_rows,
+        "d": d,
+        "newton_iters": iters,
+        "fit_sec_best": round(fit_best, 2),
+        "fit_rows_per_sec_per_iter": round(n_rows * iters / fit_best, 1),
+        "score_sec_best": round(score_best, 2),
+        "score_rows_per_sec": round(n_rows / score_best, 1),
+        "weight_cosine": round(cos, 4),
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1532,7 +1596,7 @@ if __name__ == "__main__":
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
                  "opqscale", "sq8scale", "dsirscale", "bpescale",
-                 "shardscale", "prefilterscale"],
+                 "shardscale", "prefilterscale", "classifierscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1581,6 +1645,8 @@ if __name__ == "__main__":
         res = task_shardscale(args.n or 1_000_000, args.cores)
     elif args.task == "prefilterscale":
         res = task_prefilterscale(args.n or 20_000_000, args.cores)
+    elif args.task == "classifierscale":
+        res = task_classifierscale(args.n or 10_000_000, args.cores, d=args.dim if args.dim != 64 else 8)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
