@@ -174,3 +174,46 @@ def test_gopher_integration_smoke(spark, sf_dir):
         F.min("quality_score"), F.max("quality_score")
     ).collect()[0]
     assert 0.0 <= s[0] <= s[1] <= 1.0
+
+
+# -- pure-numpy property tests (no Spark) ------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_sigmoid_log1pexp_stable_property(x):
+    a = np.array([x])
+    s = _sigmoid(a)[0]
+    assert 0.0 <= s <= 1.0
+    l = _log1pexp(a)[0]
+    assert np.isfinite(l) and l >= max(x, 0.0) - 1e-9
+    # complementary identities
+    assert _sigmoid(-a)[0] == pytest.approx(1.0 - s, abs=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(0, 2**31 - 1),
+)
+def test_model_serde_roundtrip_property(d, seed):
+    rng = np.random.default_rng(seed)
+    m = LogisticQualityModel(
+        [f"f{i}" for i in range(d)],
+        rng.normal(size=d),
+        np.abs(rng.normal(size=d)) + 1e-3,
+        rng.normal(size=d),
+        float(rng.normal()),
+        [],
+    )
+    back = LogisticQualityModel.from_bytes(m.to_bytes())
+    assert back.feature_cols == m.feature_cols
+    assert np.array_equal(back.mu, m.mu)
+    assert np.array_equal(back.sd, m.sd)
+    assert np.array_equal(back.weights, m.weights)
+    assert back.bias == m.bias
+    X = rng.normal(size=(5, d))
+    assert np.array_equal(back.score_array(X), m.score_array(X))
