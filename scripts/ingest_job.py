@@ -6,9 +6,11 @@ of documents flows through the whole incremental family in one job:
      against a held-out benchmark's n-grams first — drop contaminated
      docs or cut the contaminated spans; stateless, so replay safety is
      untouched and ids are only ever assigned to clean documents;
-  0b. optionally (``--scrub-pii`` / ``--quality``, text mode) scrub PII
-     and apply the published stateless doc filters (gopher, repetition,
-     c4) before dedup — also pure functions of the batch;
+  0b. optionally (``--scrub-pii`` / ``--quality`` / ``--quality-model``,
+     text mode) scrub PII, apply the published stateless doc filters
+     (gopher, repetition, c4), then score with a pre-trained learned
+     quality model (``LogisticQualityModel`` blob; pure-Column scoring
+     fuses into the same scan) — all pure functions of the batch;
   1. ``IncrementalDedup.append``  — near-dedup the batch against the
      persisted kept-corpus LSH state (old text never rescanned);
   2. ``IncrementalMPHF.append``   — assign the SURVIVORS stable
@@ -99,6 +101,14 @@ def main() -> int:
     ap.add_argument("--scrub-pii", action="store_true",
                     help="replace email/IPv4/phone matches with <KIND> "
                          "tokens before any other stage (--mode text)")
+    ap.add_argument("--quality-model", default=None,
+                    help="path to a serialized LogisticQualityModel blob "
+                         "(pipeline/classifier.py): scores "
+                         "with_quality_stats features over --text-col and "
+                         "keeps docs with score >= --quality-threshold; "
+                         "runs AFTER the rule filters (--mode text)")
+    ap.add_argument("--quality-threshold", type=float, default=0.5,
+                    help="P(keep) cut for --quality-model")
     ap.add_argument("--vec-col", default=None,
                     help="embedding column; enables the ANN stage")
     ap.add_argument("--ann-index", default=None,
@@ -234,11 +244,11 @@ def main() -> int:
     # batch, so replay safety and the id contract are untouched —
     # dropped docs never reach dedup state or get an id.
     m_quality = None
-    if args.quality or args.scrub_pii:
+    if args.quality or args.scrub_pii or args.quality_model:
         if args.mode != "text":
             raise SystemExit(
-                "--quality/--scrub-pii require --mode text (the rules "
-                "are defined on strings, not token arrays)"
+                "--quality/--scrub-pii/--quality-model require --mode "
+                "text (the rules are defined on strings, not token arrays)"
             )
         from recsplit_spark.pipeline import text as _text
         from recsplit_spark.pipeline.repetition import (
@@ -261,10 +271,39 @@ def main() -> int:
             batch = _text.scrub_pii(batch, args.text_col)
         for n in names:
             batch = filters[n](batch)
+        if args.quality_model:
+            # learned model LAST: it scores the scrubbed, rule-surviving
+            # text; scoring is a pure Column expr so it fuses into the
+            # same scan as the rule filters
+            from pyspark.sql import functions as F
+
+            from recsplit_spark.pipeline.classifier import (
+                LogisticQualityModel,
+            )
+
+            with open(args.quality_model, "rb") as fh:
+                qm = LogisticQualityModel.from_bytes(fh.read())
+            feats = _text.with_quality_stats(batch, args.text_col)
+            missing = [c for c in qm.feature_cols if c not in feats.columns]
+            if missing:
+                raise SystemExit(
+                    f"--quality-model needs feature columns {missing} that "
+                    "with_quality_stats does not produce"
+                )
+            added = [c for c in feats.columns if c not in batch.columns]
+            batch = (
+                qm.with_score(feats, "__qscore")
+                .filter(F.col("__qscore") >= args.quality_threshold)
+                .drop("__qscore", *added)
+            )
         batch = batch.persist()
         m_quality = {
             "scrub_pii": bool(args.scrub_pii),
             "filters": names,
+            "model": args.quality_model,
+            "model_threshold": (
+                args.quality_threshold if args.quality_model else None
+            ),
             "in": n_in_q,
             "dropped": n_in_q - batch.count(),
         }
