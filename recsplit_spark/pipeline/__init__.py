@@ -13,6 +13,8 @@ from . import (  # noqa: F401
     dsir,
     incremental_ann,
     incremental_dedup,
+    lm,
+    mixing,
     multimodal,
     packing,
     pq,
