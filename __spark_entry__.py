@@ -287,6 +287,30 @@ def _q_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC AUC (``classifier.auc_exact`` — two-level
+    prefix sum, never a single-partition global window): n_chars
+    ranking P(lang = 'en'), with heavy score ties exercising the
+    average-rank handling. The statistic is returned as the RATIONAL
+    ``numer2 / (2 * n_pos * n_neg)`` — all integers, which the DuckDB
+    oracle recomputes independently with SQL window functions, so the
+    match is bit-exact (no float-order ambiguity)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.classifier import auc_exact
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    r = auc_exact(docs, "n_chars", "is_en")
+    return spark.createDataFrame(
+        [(int(r["numer2"]), int(r["n_pos"]), int(r["n_neg"]))],
+        "numer2 bigint, n_pos bigint, n_neg bigint",
+    )
+
+
 def _q_hll_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
@@ -4115,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefiltered_join_orders": _q_prefiltered_join_orders,
         "blocklist_anti_documents": _q_blocklist_anti_documents,
         "quality_classifier_documents": _q_quality_classifier_documents,
+        "auc_documents": _q_auc_documents,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -4515,6 +4540,26 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS acc_ok, TRUE AS weights_recovered,"
             " TRUE AS loss_monotone, TRUE AS scores_in_unit"
             " FROM documents"
+        ),
+        "auc_documents": (
+            "WITH g AS ("
+            " SELECT n_chars AS s,"
+            "  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_at,"
+            "  COUNT(*) - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+            "   AS neg_at"
+            " FROM documents GROUP BY n_chars"
+            "), c AS ("
+            " SELECT pos_at, neg_at,"
+            "  COALESCE(SUM(neg_at) OVER (ORDER BY s"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "   AS neg_below"
+            " FROM g)"
+            " SELECT"
+            " CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS BIGINT)"
+            "  AS numer2,"
+            " CAST(SUM(pos_at) AS BIGINT) AS n_pos,"
+            " CAST(SUM(neg_at) AS BIGINT) AS n_neg"
+            " FROM c"
         ),
         "hll_distinct_orderkey": (
             "SELECT 'hll_l_orderkey' AS check_name,"

@@ -254,3 +254,107 @@ class LogisticQualityModel:
         off += 8 * d
         w = np.frombuffer(data, dtype="<f8", count=d, offset=off).copy()
         return cls(names, mu, sd, w, bias, [])
+
+
+# ---------------------------------------------------------------------------
+# exact ranking evaluation — distributed ROC AUC
+# ---------------------------------------------------------------------------
+
+def auc_exact(df, score_col: str, label_col: str) -> dict:
+    """Exact ROC AUC (Mann-Whitney U with average-rank tie handling)
+    over any score/0-1-label pair, as a RATIONAL number:
+    ``auc = numer2 / (2 * n_pos * n_neg)`` with ``numer2`` =
+    sum over score groups of ``pos_at * (2*neg_strictly_below +
+    neg_at)`` — an integer, so two engines computing it independently
+    must agree bit-for-bit (no float-order ambiguity; the oracle
+    recomputes it with SQL window functions).
+
+    Distributed shape — the classic two-level prefix sum, NEVER a
+    single-partition global window: (1) groupBy(score) partial counts
+    (one shuffle, |distinct scores| rows); (2) range partition + local
+    sort of the GROUP rows; (3) per-partition negative totals collected
+    (P tiny rows) -> broadcast prefix offsets; (4) one mapInPandas pass
+    emits a per-partition partial numerator. Accumulation switches to
+    Python ints when ``2 * n_pos * n_neg`` approaches int64 (the CMS
+    inner-product precedent); exact at any scale.
+
+    Returns ``{"auc", "numer2", "n_pos", "n_neg"}``. Raises if either
+    class is absent.
+    """
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    _check_numeric(df, [score_col, label_col])
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).dropna()
+    g = base.groupBy("__s").agg(
+        F.sum("__y").alias("pos_at"),
+        (F.count("*") - F.sum("__y")).alias("neg_at"),
+    )
+    spark = df.sparkSession
+    p = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
+    g2 = (
+        g.repartitionByRange(p, "__s")
+        .sortWithinPartitions("__s")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        parts = {
+            int(r["pid"]): (int(r["neg"]), int(r["pos"]))
+            for r in g2.groupBy("pid")
+            .agg(F.sum("neg_at").alias("neg"), F.sum("pos_at").alias("pos"))
+            .collect()
+        }
+        n_neg = sum(v[0] for v in parts.values())
+        n_pos = sum(v[1] for v in parts.values())
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError(
+                f"AUC needs both classes; n_pos={n_pos}, n_neg={n_neg}"
+            )
+        # strictly-below-negatives offset per range partition
+        offsets, acc = {}, 0
+        for pid in sorted(parts):
+            offsets[pid] = acc
+            acc += parts[pid][0]
+        # int64 is safe iff every addend and the total fit comfortably
+        use_int64 = 2 * n_pos * n_neg < 2**62
+
+        def _numer(batches):
+            tot = 0
+            last_pid = None
+            cum = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                if pid != last_pid:
+                    cum = offsets[pid]
+                    last_pid = pid
+                pos_at = pdf["pos_at"].to_numpy()
+                neg_at = pdf["neg_at"].to_numpy()
+                below = cum + np.concatenate(([0], np.cumsum(neg_at)[:-1]))
+                cum = int(below[-1] + neg_at[-1])
+                if use_int64:
+                    tot += int(np.sum(pos_at * (2 * below + neg_at)))
+                else:
+                    tot += sum(
+                        int(pa_) * (2 * int(b_) + int(na_))
+                        for pa_, b_, na_ in zip(pos_at, below, neg_at)
+                    )
+            yield pd.DataFrame({"numer2": [str(tot)]})
+
+        numer2 = sum(
+            int(r["numer2"])
+            for r in g2.mapInPandas(_numer, schema="numer2 string").collect()
+        )
+    finally:
+        g2.unpersist()
+    return {
+        "auc": numer2 / (2 * n_pos * n_neg),
+        "numer2": numer2,
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+    }

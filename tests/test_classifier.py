@@ -217,3 +217,73 @@ def test_model_serde_roundtrip_property(d, seed):
     assert back.bias == m.bias
     X = rng.normal(size=(5, d))
     assert np.array_equal(back.score_array(X), m.score_array(X))
+
+
+# -- exact distributed AUC ----------------------------------------------------
+
+from recsplit_spark.pipeline.classifier import auc_exact
+
+
+def _auc_ref(scores, labels):
+    """Average-rank Mann-Whitney reference (single-node)."""
+    order = np.argsort(scores, kind="mergesort")
+    s, y = np.asarray(scores)[order], np.asarray(labels)[order]
+    ranks = np.empty(len(s))
+    i, r = 0, 1
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (2 * r + (j - i) - 1) / 2
+        r += j - i
+        i = j
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2
+    return u / (n_pos * n_neg), int(round(2 * u)), n_pos, n_neg
+
+
+def test_auc_exact_matches_reference_with_ties(spark):
+    ship_package(spark)
+    rng = np.random.default_rng(11)
+    scores = rng.integers(0, 25, 3000).astype(float)  # heavy ties
+    labels = (rng.random(3000) < 1 / (1 + np.exp(-(scores - 12) / 5)))
+    df = spark.createDataFrame(
+        [(float(s), int(l)) for s, l in zip(scores, labels)], "s double, y int"
+    )
+    got = auc_exact(df, "s", "y")
+    auc, numer2, n_pos, n_neg = _auc_ref(scores, labels.astype(int))
+    assert got["numer2"] == numer2
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["auc"] == pytest.approx(auc, abs=1e-12)
+
+
+def test_auc_exact_edge_cases(spark):
+    ship_package(spark)
+    # perfect separation -> 1; reversed -> 0; all-tied -> exactly 0.5
+    perfect = spark.createDataFrame(
+        [(float(i), int(i >= 50)) for i in range(100)], "s double, y int"
+    )
+    assert auc_exact(perfect, "s", "y")["auc"] == 1.0
+    rev = perfect.selectExpr("-s AS s", "y")
+    assert auc_exact(rev, "s", "y")["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(1.0, i % 3 == 0) for i in range(90)], "s double, y boolean"
+    ).selectExpr("s", "CAST(y AS INT) AS y")
+    t = auc_exact(tied, "s", "y")
+    assert t["auc"] == 0.5 and t["numer2"] == t["n_pos"] * t["n_neg"]
+    one_class = spark.createDataFrame(
+        [(float(i), 1) for i in range(10)], "s double, y int"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        auc_exact(one_class, "s", "y")
+
+
+def test_auc_exact_partition_invariance(spark):
+    ship_package(spark)
+    rng = np.random.default_rng(5)
+    rows = [(float(v), int(v % 7 < 3)) for v in rng.integers(0, 40, 2000)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    a = auc_exact(df.repartition(1), "s", "y")
+    b = auc_exact(df.repartition(13), "s", "y")
+    assert a == b
