@@ -75,6 +75,16 @@ class LogisticQualityModel:
         self.weights = np.asarray(weights, dtype=np.float64)
         self.bias = float(bias)
         self.loss_history = list(loss_history)
+        lens = {len(self.feature_cols), len(self.mu), len(self.sd),
+                len(self.weights)}
+        if len(lens) != 1:
+            # refuse, don't adapt: a silent zip-truncation in score_expr
+            # would drop trailing weights with no error
+            raise ValueError(
+                "inconsistent model: "
+                f"{len(self.feature_cols)} names, {len(self.mu)} mu, "
+                f"{len(self.sd)} sd, {len(self.weights)} weights"
+            )
 
     # -- training ---------------------------------------------------------------
     @classmethod
@@ -99,9 +109,12 @@ class LogisticQualityModel:
             F.col(label_col).cast("double").alias("__y"),
         ).dropna()
 
-        # one exact JVM scan: n, mean/std per feature, label range check
+        # one exact JVM scan: n, mean/std per feature, label validation.
+        # The bad-label COUNT (not just min/max) catches interior
+        # non-0/1 values like a soft-label 0.5 whose extremes look fine.
         aggs = [F.count("*").alias("__n"),
-                F.min("__y").alias("__ymin"), F.max("__y").alias("__ymax"),
+                F.sum((~F.col("__y").isin(0.0, 1.0)).cast("long"))
+                .alias("__ybad"),
                 F.sum("__y").alias("__ysum")]
         for c in feature_cols:
             aggs += [F.avg(c).alias(f"__mu_{c}"),
@@ -110,10 +123,10 @@ class LogisticQualityModel:
         n = int(row["__n"])
         if n == 0:
             raise ValueError("no non-null rows to fit on")
-        if not (row["__ymin"] in (0.0, 1.0) and row["__ymax"] in (0.0, 1.0)):
+        if int(row["__ybad"]) != 0:
             raise ValueError(
-                f"label {label_col!r} must be 0/1; saw range "
-                f"[{row['__ymin']}, {row['__ymax']}]"
+                f"label {label_col!r} must be 0/1; "
+                f"{int(row['__ybad'])} rows hold other values"
             )
         if row["__ysum"] in (0, n):
             raise ValueError("labels are all one class — nothing to fit")
@@ -181,27 +194,66 @@ class LogisticQualityModel:
             )
             return H, g, loss, cnt
 
+        import math
+
+        def _tol(ref: float) -> float:
+            return 1e-12 * max(1.0, abs(ref))
+
+        # Scan economy: loss at w=0 is EXACTLY n*log 2 (eta = 0 for
+        # every row), so no seeding scan; each Newton step is accepted
+        # optimistically and VERIFIED by the next iteration's Hessian
+        # scan (which computes the loss anyway) — one scan per
+        # iteration, with loss-only backtracking probes only when a
+        # step actually overshot (rare), plus at most one final
+        # verification scan. history holds the TRUE loss of every
+        # accepted iterate.
+        D = np.diag([0.0] + [1.0] * d)
         w = np.zeros(d + 1)
+        w_prev = None
+        loss_acc = n * math.log(2.0)
+        history = [math.log(2.0)]
         reg = np.zeros(d + 1)
-        _, g0, loss, cnt = _partials(w, hessian=False)
-        history = [loss / cnt]
-        for _ in range(max_iter):
-            H, g, loss, cnt = _partials(w, hessian=True)
+        cnt = n
+        pending = False  # last step accepted but not yet loss-verified
+        it = 0
+        while it < max_iter:
+            H, g, loss_w, cnt = _partials(w, hessian=True)
+            if pending and loss_w > loss_acc + _tol(loss_acc):
+                # overshoot: roll back and halve with loss-only probes,
+                # recording the loss of the point ACTUALLY accepted
+                step = w - w_prev
+                lw = loss_w
+                for _halve in range(6):
+                    step *= 0.5
+                    _, _, lw, _ = _partials(w_prev + step, hessian=False)
+                    if lw <= loss_acc + _tol(loss_acc):
+                        break
+                w = w_prev + step
+                loss_acc = lw
+                history[-1] = lw / cnt
+                pending = False
+                continue  # redo the Hessian at the repaired point
+            history[-1] = loss_w / cnt
+            loss_acc = loss_w
+            pending = False
+            it += 1
             reg[1:] = ridge * w[1:]
-            g_reg = g - cnt * reg
-            H_reg = H + cnt * ridge * np.diag([0.0] + [1.0] * d)
-            step = np.linalg.solve(H_reg, g_reg)
-            # damped Newton: halve until the loss does not increase
-            # (each probe is one loss-only scan; rarely triggered)
-            for _halve in range(6):
-                _, _, new_loss, _ = _partials(w + step, hessian=False)
-                if new_loss <= loss + 1e-12 * max(1.0, abs(loss)):
-                    break
-                step *= 0.5
-            w = w + step
-            history.append(new_loss / cnt)
+            step = np.linalg.solve(H + cnt * ridge * D, g - cnt * reg)
             if np.max(np.abs(step)) < tol:
                 break
+            w_prev, w = w, w + step
+            history.append(history[-1])  # placeholder until verified
+            pending = True
+        if pending:
+            # max_iter exhausted right after an unverified step: verify
+            # it with one loss scan; on overshoot keep the previous
+            # (verified) iterate rather than an unprobed point
+            _, _, lf, cnt2 = _partials(w, hessian=False)
+            if lf > loss_acc + _tol(loss_acc):
+                w = w_prev
+                history.pop()
+            else:
+                history[-1] = lf / cnt2
         return cls(feature_cols, mu, sd, w[1:], w[0], history)
 
     # -- scoring ----------------------------------------------------------------
@@ -287,8 +339,20 @@ def auc_exact(df, score_col: str, label_col: str) -> dict:
     _check_numeric(df, [score_col, label_col])
     base = df.select(
         F.col(score_col).cast("double").alias("__s"),
-        F.col(label_col).cast("long").alias("__y"),
+        F.col(label_col).cast("double").alias("__y"),
     ).dropna()
+    # validate BEFORE casting to long: a 0.5 soft label truncates to 0
+    # silently, and a label of 2 makes per-group neg_at negative —
+    # both would return a garbage "AUC" with no error
+    n_bad = base.agg(
+        F.sum((~F.col("__y").isin(0.0, 1.0)).cast("long"))
+    ).collect()[0][0]
+    if n_bad:
+        raise ValueError(
+            f"label {label_col!r} must be 0/1; {int(n_bad)} rows hold "
+            "other values"
+        )
+    base = base.withColumn("__y", F.col("__y").cast("long"))
     g = base.groupBy("__s").agg(
         F.sum("__y").alias("pos_at"),
         (F.count("*") - F.sum("__y")).alias("neg_at"),

@@ -213,11 +213,24 @@ def with_repetition_signals(df, text_col: str):
 
 def gopher_repetition_filter(df, text_col: str):
     """Keep only documents within every repetition bound; returns
-    ``df``'s columns unchanged."""
+    ``df``'s columns unchanged — names AND values (an input column
+    colliding with a signal name, ``n_chars`` above all, is protected
+    rather than silently replaced by the recomputed signal)."""
     import pyspark.sql.functions as F
 
-    return (
-        with_repetition_signals(df, text_col)
+    from .text import _rename_aside, _restore_aside
+
+    sig = [
+        c
+        for c in with_repetition_signals(
+            df.select(text_col).limit(0), text_col
+        ).columns
+        if c != text_col
+    ]
+    work, collide = _rename_aside(df, sig)
+    out = (
+        with_repetition_signals(work, text_col)
         .filter(F.col("rep_pass"))
-        .select(*df.columns)
+        .drop(*sig)
     )
+    return _restore_aside(out, collide).select(*df.columns)

@@ -229,13 +229,45 @@ def with_gopher_quality(
     )
 
 
+def _rename_aside(df, sig_cols):
+    """(renamed_df, collide): rename input columns that collide with the
+    signal names to ``__orig_<c>`` BEFORE a signal builder runs — the
+    builders ``withColumn``-replace fixed stat names (``n_chars`` on the
+    documents tables, e.g.), so without this a ``*_filter`` wrapper
+    would silently return recomputed values in place of user data."""
+    collide = [c for c in sig_cols if c in df.columns]
+    work = df
+    for c in collide:
+        work = work.withColumnRenamed(c, f"__orig_{c}")
+    return work, collide
+
+
+def _restore_aside(out, collide):
+    for c in collide:
+        out = out.withColumnRenamed(f"__orig_{c}", c)
+    return out
+
+
 def gopher_filter(df, text_col: str, **kwargs):
     """Keep only documents passing every Gopher rule; returns ``df``'s
-    columns unchanged (the signal/flag columns are dropped)."""
+    columns unchanged — names AND values (input columns colliding with
+    the signal names are protected, not recomputed)."""
     from pyspark.sql import functions as F
 
-    flagged = with_gopher_quality(df, text_col, **kwargs)
-    return flagged.filter(F.col("gopher_pass")).select(*df.columns)
+    sig = [
+        c
+        for c in with_gopher_quality(
+            df.select(text_col).limit(0), text_col, **kwargs
+        ).columns
+        if c != text_col
+    ]
+    work, collide = _rename_aside(df, sig)
+    out = (
+        with_gopher_quality(work, text_col, **kwargs)
+        .filter(F.col("gopher_pass"))
+        .drop(*sig)
+    )
+    return _restore_aside(out, collide).select(*df.columns)
 
 
 def with_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
@@ -335,12 +367,16 @@ def with_c4_lines(
 
 def c4_filter(df, text_col: str, **kwargs):
     """Apply the C4 rules and keep only passing docs, with ``text_col``
-    replaced by the cleaned (kept-lines) text; other columns unchanged."""
+    replaced by the cleaned (kept-lines) text; other columns unchanged
+    (names and values — colliding inputs protected)."""
     from pyspark.sql import functions as F
 
-    out = with_c4_lines(df, text_col, **kwargs).filter(F.col("c4_keep"))
-    cols = [
-        F.col("c4_text").alias(text_col) if c == text_col else F.col(c)
-        for c in df.columns
-    ]
-    return out.select(*cols)
+    sig = ["c4_text", "n_kept_lines", "c4_keep"]
+    work, collide = _rename_aside(df, sig)
+    out = (
+        with_c4_lines(work, text_col, **kwargs)
+        .filter(F.col("c4_keep"))
+        .withColumn(text_col, F.col("c4_text"))
+        .drop(*sig)
+    )
+    return _restore_aside(out, collide).select(*df.columns)

@@ -283,19 +283,39 @@ def main() -> int:
 
             with open(args.quality_model, "rb") as fh:
                 qm = LogisticQualityModel.from_bytes(fh.read())
-            feats = _text.with_quality_stats(batch, args.text_col)
-            missing = [c for c in qm.feature_cols if c not in feats.columns]
+            # with_quality_stats uses withColumn, which would REPLACE any
+            # pre-existing batch column sharing a stat name (n_chars on
+            # the documents tables, for one) with a recomputed value —
+            # silent corruption of user columns. Rename collisions aside
+            # first, restore after scoring.
+            stat_cols = [
+                c
+                for c in _text.with_quality_stats(
+                    batch.select(args.text_col).limit(0), args.text_col
+                ).columns
+                if c != args.text_col
+            ]
+            missing = [c for c in qm.feature_cols if c not in stat_cols]
             if missing:
                 raise SystemExit(
                     f"--quality-model needs feature columns {missing} that "
                     "with_quality_stats does not produce"
                 )
-            added = [c for c in feats.columns if c not in batch.columns]
-            batch = (
-                qm.with_score(feats, "__qscore")
+            collide = [c for c in stat_cols if c in batch.columns]
+            orig_cols = batch.columns
+            work = batch
+            for c in collide:
+                work = work.withColumnRenamed(c, f"__orig_{c}")
+            work = (
+                qm.with_score(
+                    _text.with_quality_stats(work, args.text_col), "__qscore"
+                )
                 .filter(F.col("__qscore") >= args.quality_threshold)
-                .drop("__qscore", *added)
+                .drop("__qscore", *stat_cols)
             )
+            for c in collide:
+                work = work.withColumnRenamed(f"__orig_{c}", c)
+            batch = work.select(*orig_cols)
         batch = batch.persist()
         m_quality = {
             "scrub_pii": bool(args.scrub_pii),

@@ -1601,7 +1601,7 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
     ap.add_argument("--k", type=int, default=1000)
-    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--dim", type=int, default=None)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r04.jsonl"))
     ap.add_argument("--path", default="/root/repo/.scale_tmp/blocked_1e9")
@@ -1614,7 +1614,7 @@ if __name__ == "__main__":
     elif args.task == "verify1e9":
         res = task_verify1e9(args.n or 1_000_000_000, args.path, args.cores)
     elif args.task == "ivffit":
-        res = task_ivffit(args.n or 1_000_000, args.k, args.dim, args.cores)
+        res = task_ivffit(args.n or 1_000_000, args.k, args.dim or 64, args.cores)
     elif args.task == "ngramscale":
         res = task_ngramscale(args.n or 100_000, args.cores)
     elif args.task == "smallrungs":
@@ -1630,13 +1630,13 @@ if __name__ == "__main__":
     elif args.task == "semdedup":
         res = task_semdedup(args.n or 400_000, args.gens, args.cores)
     elif args.task == "pqscale":
-        res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim)
+        res = task_pqscale(args.n or 1_000_000, args.cores, dim=args.dim or 64)
     elif args.task == "residualscale":
-        res = task_residualscale(args.n or 1_000_000, args.cores, dim=args.dim)
+        res = task_residualscale(args.n or 1_000_000, args.cores, dim=args.dim or 64)
     elif args.task == "opqscale":
-        res = task_opqscale(args.n or 1_000_000, args.cores, dim=args.dim)
+        res = task_opqscale(args.n or 1_000_000, args.cores, dim=args.dim or 64)
     elif args.task == "sq8scale":
-        res = task_sq8scale(args.n or 1_000_000, args.cores, dim=args.dim)
+        res = task_sq8scale(args.n or 1_000_000, args.cores, dim=args.dim or 64)
     elif args.task == "dsirscale":
         res = task_dsirscale(args.n or 500_000, args.cores)
     elif args.task == "bpescale":
@@ -1646,7 +1646,7 @@ if __name__ == "__main__":
     elif args.task == "prefilterscale":
         res = task_prefilterscale(args.n or 20_000_000, args.cores)
     elif args.task == "classifierscale":
-        res = task_classifierscale(args.n or 10_000_000, args.cores, d=args.dim if args.dim != 64 else 8)
+        res = task_classifierscale(args.n or 10_000_000, args.cores, d=args.dim or 8)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate

@@ -287,3 +287,50 @@ def test_auc_exact_partition_invariance(spark):
     a = auc_exact(df.repartition(1), "s", "y")
     b = auc_exact(df.repartition(13), "s", "y")
     assert a == b
+
+
+def test_soft_labels_rejected(spark, fixture_df):
+    """Interior non-0/1 labels (soft labels) must raise even though the
+    min/max extremes look like a valid 0/1 range."""
+    soft = fixture_df.withColumn(
+        "label",
+        F.when(F.col("id") % 5 == 0, 0.5).otherwise(F.col("label")),
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        LogisticQualityModel.fit(soft, ["u0"], "label")
+
+
+def test_auc_rejects_non_binary_labels(spark):
+    ship_package(spark)
+    two = spark.createDataFrame(
+        [(float(i), (i % 3)) for i in range(60)], "s double, y int"
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        auc_exact(two, "s", "y")
+    soft = spark.createDataFrame(
+        [(float(i), 0.5 if i % 4 == 0 else float(i % 2)) for i in range(60)],
+        "s double, y double",
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        auc_exact(soft, "s", "y")
+
+
+def test_model_shape_mismatch_refused():
+    with pytest.raises(ValueError, match="inconsistent model"):
+        LogisticQualityModel(
+            ["a", "b"], np.zeros(2), np.ones(2), np.zeros(3), 0.0, []
+        )
+    # a blob whose name section lost a name must refuse, not truncate
+    m = LogisticQualityModel(
+        ["a", "b"], np.zeros(2), np.ones(2), np.zeros(2), 0.0, []
+    )
+    blob = bytearray(m.to_bytes())
+    # shrink the names payload: "a\x00b" -> "a" (adjust declared length)
+    import struct as _struct
+
+    d, nlen, bias = _struct.unpack_from("<IId", blob, 4)
+    off = 4 + _struct.calcsize("<IId")
+    new = blob[:4] + _struct.pack("<IId", d, 1, bias) + blob[off:off + 1] \
+        + blob[off + nlen:]
+    with pytest.raises(ValueError, match="inconsistent model"):
+        LogisticQualityModel.from_bytes(bytes(new))

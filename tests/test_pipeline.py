@@ -1513,3 +1513,52 @@ def test_c4_lines_match_reference(spark):
     # lines; brace/lorem/thin fail the DOC rule outright
     assert rows == want and "good" in rows and "js" in rows
     assert {"brace", "lorem", "thin", "empty"}.isdisjoint(rows)
+
+
+def test_quality_filters_preserve_colliding_user_columns(spark):
+    """The *_filter wrappers promise df's columns unchanged — VALUES
+    included. An input column named like a signal (n_chars, n_words,
+    n_tokens, ...) must come back with its ORIGINAL values, not the
+    recomputed signal (regression: with_repetition_signals withColumns
+    n_chars and the wrapper's select kept the recomputed copy)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.repetition import gopher_repetition_filter
+    from recsplit_spark.pipeline.text import c4_filter, gopher_filter
+
+    templates = [
+        "the river near town {k} carries a narrow path that only local "
+        "walkers ever seem to find worth following at dawn.",
+        "an old garden behind house {k} reveals its morning light when "
+        "someone opens the gate and waits for the mist to lift.",
+        "that engine from workshop {k} follows a steady rhythm which "
+        "the younger crew members still struggle to reproduce.",
+        "every market on square {k} shapes a quiet trade in small "
+        "goods and the sellers know each buyer by first name.",
+        "a faint signal over ridge {k} holds its tone for hours and "
+        "nobody in the valley can explain where it comes from.",
+        "the harbor at mile {k} guides the open water toward stone "
+        "walls built by people whose names are mostly forgotten.",
+        "one forest past field {k} crosses a long season without rain "
+        "yet keeps the deep shade that travelers depend upon.",
+    ]
+
+    def _doc(i):
+        return "\n".join(t.format(k=i * 7 + j) for j, t in enumerate(templates))
+
+    df = spark.createDataFrame(
+        [(i, _doc(i), -7, -9) for i in range(20)],
+        "doc_id long, text string, n_chars long, n_words long",
+    )
+    for name, filt in (
+        ("repetition", lambda d: gopher_repetition_filter(d, "text")),
+        ("gopher", lambda d: gopher_filter(d, "text")),
+        ("c4", lambda d: c4_filter(d, "text")),
+    ):
+        out = filt(df)
+        assert out.columns == df.columns
+        assert out.count() > 0, f"{name} dropped every fixture doc"
+        vals = out.select(
+            F.collect_set("n_chars"), F.collect_set("n_words")
+        ).collect()[0]
+        assert vals[0] == [-7] and vals[1] == [-9], (name, vals)
