@@ -287,6 +287,95 @@ def _q_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_quality_classifier_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped per-key training (``classifier.fit_by_key`` — one model
+    per source, every Newton iteration ONE scan for ALL groups): each
+    source gets a DIFFERENT generating rule (the u1 weight sign depends
+    on the source name), and each fitted model must recover ITS OWN rule
+    and separate its classes. Groups are SMALL at sf0.01 (~25 rows), so
+    the bounds are small-sample-calibrated: accuracy >= 0.88 and raw-
+    space weight cosine > 0.9 (measured worst across the 20 sources:
+    24/25 and 0.960). The oracle pins per-source n_rows exactly; the
+    learned invariants are bound booleans."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.classifier import fit_by_key
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    us = [
+        (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(1 << 20))
+         / F.lit(float(1 << 20))).alias(f"u{i}")
+        for i in range(3)
+    ]
+    df = docs.select("doc_id", "source", *us)
+    # per-source rule: u1's sign flips on the LAST CHARACTER's parity
+    # (recomputable driver-side below), with the intercept shifted per
+    # sign so both classes stay populated in every group
+    even = F.ascii(F.substring("source", -1, 1)) % 2 == 0
+    sgn = F.when(even, F.lit(1.0)).otherwise(F.lit(-1.0))
+    eta = (
+        F.lit(-0.25)
+        - (sgn + F.lit(1.0)) * F.lit(0.75)
+        + F.lit(2.0) * F.col("u0")
+        + sgn * F.col("u1")
+        + F.lit(0.5) * F.col("u2")
+    )
+    df = df.withColumn("label", (eta > 0).cast("int")).persist()
+    try:
+        models, skipped = fit_by_key(
+            df, ["u0", "u1", "u2"], "label", ["source"], ridge=1e-3
+        )
+        assert not skipped, skipped
+        # score every row with ITS source's model in one Column expr
+        expr = F.lit(None).cast("double")
+        for (src,), m in models.items():
+            expr = F.when(F.col("source") == src, m.score_expr()).otherwise(
+                expr
+            )
+        per = (
+            df.withColumn("__q", expr)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    ((F.col("__q") >= 0.5).cast("int") == F.col("label"))
+                    .cast("long")
+                ).alias("__ok"),
+            )
+            .collect()
+        )
+        rows = []
+        for r in sorted(per, key=lambda r: r["source"]):
+            m = models[(r["source"],)]
+            raw_w = m.weights / m.sd
+            tw = np.array(
+                [2.0, 1.0 if ord(r["source"][-1]) % 2 == 0 else -1.0, 0.5]
+            )
+            cos = float(
+                raw_w @ tw / (np.linalg.norm(raw_w) * np.linalg.norm(tw))
+            )
+            rows.append(
+                (
+                    r["source"],
+                    int(r["n_rows"]),
+                    bool(r["__ok"] >= 0.88 * r["n_rows"]),
+                    bool(cos > 0.9),
+                )
+            )
+    finally:
+        df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "source string, n_rows bigint, acc_ok boolean,"
+        " weights_recovered boolean",
+    )
+
+
 def _q_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed ROC AUC (``classifier.auc_exact`` — two-level
     prefix sum, never a single-partition global window): n_chars
@@ -4139,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefiltered_join_orders": _q_prefiltered_join_orders,
         "blocklist_anti_documents": _q_blocklist_anti_documents,
         "quality_classifier_documents": _q_quality_classifier_documents,
+        "quality_classifier_by_source": _q_quality_classifier_by_source,
         "auc_documents": _q_auc_documents,
         "hll_distinct_orderkey": _q_hll_distinct_orderkey,
         "hll_distinct_by_source": _q_hll_distinct_by_source,
@@ -4540,6 +4630,11 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS acc_ok, TRUE AS weights_recovered,"
             " TRUE AS loss_monotone, TRUE AS scores_in_unit"
             " FROM documents"
+        ),
+        "quality_classifier_by_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows,"
+            " TRUE AS acc_ok, TRUE AS weights_recovered"
+            " FROM documents GROUP BY source"
         ),
         "auc_documents": (
             "WITH g AS ("

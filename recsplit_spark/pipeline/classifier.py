@@ -132,8 +132,11 @@ class LogisticQualityModel:
             raise ValueError("labels are all one class — nothing to fit")
         mu = np.array([row[f"__mu_{c}"] for c in feature_cols])
         sd = np.array([row[f"__sd_{c}"] for c in feature_cols])
-        if np.any(sd == 0):
-            flat = [c for c, s in zip(feature_cols, sd) if s == 0]
+        # relative epsilon: Spark's grouped variance returns ~1e-16, not
+        # exact 0, for a constant column
+        flat_mask = sd <= 1e-12 * np.maximum(1.0, np.abs(mu))
+        if np.any(flat_mask):
+            flat = [c for c, f in zip(feature_cols, flat_mask) if f]
             raise ValueError(f"constant feature column(s): {flat}")
 
         d = len(feature_cols)
@@ -422,3 +425,217 @@ def auc_exact(df, score_col: str, label_col: str) -> dict:
         "n_pos": n_pos,
         "n_neg": n_neg,
     }
+
+
+def fit_by_key(df, feature_cols: list[str], label_col: str,
+               group_cols: list[str], *, max_iter: int = 25,
+               tol: float = 1e-8, ridge: float = 1e-6,
+               max_groups: int = 10_000):
+    """One logistic model PER GROUP (e.g. a quality model per source)
+    with the same scan economy as ``LogisticQualityModel.fit``: every
+    Newton iteration is ONE ``mapInPandas`` scan computing
+    per-(partition x group) partials for ALL groups at once; the driver
+    folds G normal matrices and solves G (d+1)-sized systems (the
+    ``profile_by_key`` shape — G x P tiny partial rows move, never
+    data). Steps are accepted optimistically and verified by the NEXT
+    iteration's scan (per-group rollback+halving on overshoot; one
+    final loss-only scan verifies any still-pending step).
+
+    Returns ``(models, skipped)``: ``models`` maps the group-key tuple
+    (Spark CAST-string forms of the group values) to a fitted
+    ``LogisticQualityModel``; ``skipped`` maps unfittable groups to a
+    reason (``"one class"`` / ``"constant feature <c>"``). Rows with a
+    null feature, label, or group value are dropped; non-0/1 labels
+    raise. The G x P partial collect bounds this to ``max_groups``
+    groups (a per-SOURCE quality model is tens of groups; for more,
+    shard the input by group range).
+    """
+    import math
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    feature_cols = list(feature_cols)
+    group_cols = list(group_cols)
+    if not feature_cols or not group_cols:
+        raise ValueError("need at least one feature and one group column")
+    _check_numeric(df, feature_cols + [label_col])
+    d = len(feature_cols)
+    base = df.select(
+        *[F.col(k).cast("string").alias(f"__k_{i}")
+          for i, k in enumerate(group_cols)],
+        *[F.col(c).cast("double").alias(f"__f_{i}")
+          for i, c in enumerate(feature_cols)],
+        F.col(label_col).cast("double").alias("__y"),
+    ).dropna()
+    kcols = [f"__k_{i}" for i in range(len(group_cols))]
+    fcols = [f"__f_{i}" for i in range(d)]
+
+    aggs = [F.count("*").alias("__n"),
+            F.sum((~F.col("__y").isin(0.0, 1.0)).cast("long"))
+            .alias("__ybad"),
+            F.sum("__y").alias("__ysum")]
+    for c in fcols:
+        aggs += [F.avg(c).alias(f"__mu_{c}"),
+                 F.stddev_pop(c).alias(f"__sd_{c}")]
+    stats = base.groupBy(*kcols).agg(*aggs).collect()
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"{len(stats)} groups exceed max_groups={max_groups} — the "
+            "G x P partial collect would be data-sized; shard by group"
+        )
+    bad = {tuple(r[k] for k in kcols): int(r["__ybad"])
+           for r in stats if int(r["__ybad"])}
+    if bad:
+        raise ValueError(
+            f"label {label_col!r} must be 0/1; bad rows per group: {bad}"
+        )
+
+    skipped: dict[tuple, str] = {}
+    state: dict[tuple, dict] = {}
+    for r in stats:
+        key = tuple(r[k] for k in kcols)
+        n_g = int(r["__n"])
+        if r["__ysum"] in (0, n_g):
+            skipped[key] = "one class"
+            continue
+        mu = np.array([r[f"__mu_{c}"] for c in fcols])
+        sd = np.array([r[f"__sd_{c}"] for c in fcols])
+        # same relative epsilon as fit(): grouped variance of a constant
+        # comes back ~1e-16, not exact 0
+        flat_mask = sd <= 1e-12 * np.maximum(1.0, np.abs(mu))
+        if np.any(flat_mask):
+            flat = feature_cols[int(np.flatnonzero(flat_mask)[0])]
+            skipped[key] = f"constant feature {flat}"
+            continue
+        state[key] = {
+            "mu": mu, "sd": sd, "n": n_g,
+            "w": np.zeros(d + 1), "w_prev": None,
+            "loss_acc": n_g * math.log(2.0),
+            "history": [math.log(2.0)],
+            "pending": False, "done": False,
+        }
+
+    def _tolr(ref: float) -> float:
+        return 1e-12 * max(1.0, abs(ref))
+
+    out_schema = (
+        ", ".join(f"{k} string" for k in kcols)
+        + ", h array<double>, g array<double>, loss double, n bigint"
+    )
+
+    def _scan_partials(params: dict, hessian: bool):
+        """One scan -> per-group folded (H, g, loss, n). ``params`` maps
+        group key -> (mu, sd, w)."""
+
+        def _kernel(batches):
+            acc: dict[tuple, list] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for key, sub in pdf.groupby(kcols, sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    p = params.get(key)
+                    if p is None:
+                        continue
+                    mu, sd, wv = p
+                    y = sub["__y"].to_numpy()
+                    Z = np.empty((len(y), d + 1))
+                    Z[:, 0] = 1.0
+                    for i, c in enumerate(fcols):
+                        Z[:, i + 1] = (sub[c].to_numpy() - mu[i]) / sd[i]
+                    eta = Z @ wv
+                    pr = _sigmoid(eta)
+                    a = acc.setdefault(
+                        key,
+                        [np.zeros((d + 1, d + 1)), np.zeros(d + 1), 0.0, 0],
+                    )
+                    a[2] += float(np.sum(_log1pexp(eta) - y * eta))
+                    a[3] += len(y)
+                    a[1] += Z.T @ (y - pr)
+                    if hessian:
+                        W = pr * (1.0 - pr)
+                        a[0] += (Z * W[:, None]).T @ Z
+            rows = {
+                **{k: [] for k in kcols}, "h": [], "g": [],
+                "loss": [], "n": [],
+            }
+            for key, (H, g, loss, cnt) in acc.items():
+                for kc, kv in zip(kcols, key):
+                    rows[kc].append(kv)
+                rows["h"].append(H.ravel().tolist() if hessian else [])
+                rows["g"].append(g.tolist())
+                rows["loss"].append(loss)
+                rows["n"].append(cnt)
+            yield pd.DataFrame(rows)
+
+        folded: dict[tuple, list] = {}
+        for r in base.mapInPandas(_kernel, schema=out_schema).collect():
+            key = tuple(r[k] for k in kcols)
+            f = folded.setdefault(
+                key, [np.zeros((d + 1) * (d + 1)), np.zeros(d + 1), 0.0, 0]
+            )
+            if hessian:
+                f[0] += np.array(r["h"])
+            f[1] += np.array(r["g"])
+            f[2] += float(r["loss"])
+            f[3] += int(r["n"])
+        return {
+            k: ((v[0].reshape(d + 1, d + 1) if hessian else None),
+                v[1], v[2], v[3])
+            for k, v in folded.items()
+        }
+
+    D = np.diag([0.0] + [1.0] * d)
+    it = 0
+    while it < max_iter and any(not s["done"] for s in state.values()):
+        params = {
+            k: (s["mu"], s["sd"], s["w"])
+            for k, s in state.items() if not s["done"]
+        }
+        parts = _scan_partials(params, hessian=True)
+        it += 1
+        for key, s in state.items():
+            if s["done"] or key not in parts:
+                continue
+            H, g, loss_w, cnt = parts[key]
+            if s["pending"] and loss_w > s["loss_acc"] + _tolr(s["loss_acc"]):
+                # overshoot: halve the last step; the NEXT scan verifies
+                s["w"] = s["w_prev"] + (s["w"] - s["w_prev"]) * 0.5
+                continue
+            s["history"][-1] = loss_w / cnt
+            s["loss_acc"] = loss_w
+            s["pending"] = False
+            reg = np.zeros(d + 1)
+            reg[1:] = ridge * s["w"][1:]
+            step = np.linalg.solve(H + cnt * ridge * D, g - cnt * reg)
+            if np.max(np.abs(step)) < tol:
+                s["done"] = True
+                continue
+            s["w_prev"], s["w"] = s["w"], s["w"] + step
+            s["history"].append(s["history"][-1])
+            s["pending"] = True
+    still = {
+        k: (s["mu"], s["sd"], s["w"])
+        for k, s in state.items() if s["pending"]
+    }
+    if still:
+        parts = _scan_partials(still, hessian=False)
+        for key, s in state.items():
+            if not s["pending"] or key not in parts:
+                continue
+            _, _, lf, cnt = parts[key]
+            if lf > s["loss_acc"] + _tolr(s["loss_acc"]):
+                s["w"] = s["w_prev"]
+                s["history"].pop()
+            else:
+                s["history"][-1] = lf / cnt
+    models = {
+        k: LogisticQualityModel(
+            feature_cols, s["mu"], s["sd"], s["w"][1:], s["w"][0],
+            s["history"],
+        )
+        for k, s in state.items()
+    }
+    return models, skipped

@@ -334,3 +334,75 @@ def test_model_shape_mismatch_refused():
         + blob[off + nlen:]
     with pytest.raises(ValueError, match="inconsistent model"):
         LogisticQualityModel.from_bytes(bytes(new))
+
+
+# -- grouped per-key training -------------------------------------------------
+
+from recsplit_spark.pipeline.classifier import fit_by_key
+
+
+@pytest.fixture(scope="module")
+def grouped_df(spark, fixture_df):
+    """Three groups with DIFFERENT generating rules (per-source quality
+    models), plus one one-class group and one constant-feature group."""
+    g = F.pmod(F.xxhash64(F.col("id"), F.lit(99)), F.lit(3))
+    df = fixture_df.withColumn("src", F.concat(F.lit("s"), g))
+    # per-group rule: group k flips the sign of u1's weight parity-wise
+    eta = (
+        F.lit(-0.25)
+        + F.lit(2.0) * F.col("u0")
+        + F.when(F.col("src") == "s1", F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.col("u1")
+        + F.lit(0.5) * F.col("u2")
+    )
+    return df.withColumn("label", (eta > 0).cast("int")).cache()
+
+
+def test_fit_by_key_matches_independent_fits(grouped_df):
+    models, skipped = fit_by_key(
+        grouped_df, ["u0", "u1", "u2"], "label", ["src"], ridge=1e-3
+    )
+    assert skipped == {}
+    assert set(models) == {("s0",), ("s1",), ("s2",)}
+    for key, m in models.items():
+        solo = LogisticQualityModel.fit(
+            grouped_df.filter(F.col("src") == key[0]),
+            ["u0", "u1", "u2"], "label", ridge=1e-3,
+        )
+        assert np.allclose(m.weights, solo.weights, rtol=1e-5, atol=1e-7), key
+        assert m.bias == pytest.approx(solo.bias, rel=1e-5)
+        assert np.allclose(m.mu, solo.mu) and np.allclose(m.sd, solo.sd)
+        h = m.loss_history
+        assert all(b <= a + 1e-12 for a, b in zip(h, h[1:])), (key, h)
+    # the s1 model must have learned the FLIPPED u1 sign
+    assert models[("s1",)].weights[1] > 0 > models[("s0",)].weights[1]
+
+
+def test_fit_by_key_skips_unfittable_groups(spark, grouped_df):
+    df = grouped_df.withColumn(
+        "label",
+        F.when(F.col("src") == "s2", F.lit(1)).otherwise(F.col("label")),
+    ).withColumn(
+        "u2",
+        F.when(F.col("src") == "s0", F.lit(3.0)).otherwise(F.col("u2")),
+    )
+    models, skipped = fit_by_key(
+        df, ["u0", "u1", "u2"], "label", ["src"], ridge=1e-3
+    )
+    assert skipped == {("s2",): "one class",
+                      ("s0",): "constant feature u2"}
+    assert set(models) == {("s1",)}
+
+
+def test_fit_by_key_validation(spark, grouped_df):
+    soft = grouped_df.withColumn(
+        "label",
+        F.when(F.col("id") % 11 == 0, 0.5).otherwise(F.col("label")),
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        fit_by_key(soft, ["u0"], "label", ["src"])
+    with pytest.raises(ValueError, match="max_groups"):
+        fit_by_key(
+            grouped_df.withColumn("src", F.col("id")),
+            ["u0"], "label", ["src"], max_groups=100,
+        )
