@@ -353,9 +353,9 @@ def _q_quality_classifier_by_source(
         for r in sorted(per, key=lambda r: r["source"]):
             m = models[(r["source"],)]
             raw_w = m.weights / m.sd
-            tw = np.array(
-                [2.0, 1.0 if ord(r["source"][-1]) % 2 == 0 else -1.0, 0.5]
-            )
+            # mirror Spark's ascii(substring(source, -1, 1)): '' -> 0
+            last = ord(r["source"][-1]) if r["source"] else 0
+            tw = np.array([2.0, 1.0 if last % 2 == 0 else -1.0, 0.5])
             cos = float(
                 raw_w @ tw / (np.linalg.norm(raw_w) * np.linalg.norm(tw))
             )

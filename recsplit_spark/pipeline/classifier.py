@@ -438,11 +438,17 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
     folds G normal matrices and solves G (d+1)-sized systems (the
     ``profile_by_key`` shape — G x P tiny partial rows move, never
     data). Steps are accepted optimistically and verified by the NEXT
-    iteration's scan (per-group rollback+halving on overshoot; one
-    final loss-only scan verifies any still-pending step).
+    iteration's scan; on overshoot a group's step halves (verified next
+    scan, at most 6 halvings before the point is accepted as-is, like
+    ``fit``'s probe cap — a stuck group therefore costs at most ~6
+    extra scans, never the whole budget), and one final loss-only scan
+    settles any still-pending step (rolling back on overshoot, exactly
+    like ``fit``). ``max_iter`` bounds the TOTAL scan count.
 
     Returns ``(models, skipped)``: ``models`` maps the group-key tuple
-    (Spark CAST-string forms of the group values) to a fitted
+    (PYTHON-str forms of the group values — the same key convention as
+    the per-key sketch state tables, see the working notes on
+    CAST-vs-str divergence for bool/float keys) to a fitted
     ``LogisticQualityModel``; ``skipped`` maps unfittable groups to a
     reason (``"one class"`` / ``"constant feature <c>"``). Rows with a
     null feature, label, or group value are dropped; non-0/1 labels
@@ -462,8 +468,7 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
     _check_numeric(df, feature_cols + [label_col])
     d = len(feature_cols)
     base = df.select(
-        *[F.col(k).cast("string").alias(f"__k_{i}")
-          for i, k in enumerate(group_cols)],
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(group_cols)],
         *[F.col(c).cast("double").alias(f"__f_{i}")
           for i, c in enumerate(feature_cols)],
         F.col(label_col).cast("double").alias("__y"),
@@ -479,12 +484,14 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
         aggs += [F.avg(c).alias(f"__mu_{c}"),
                  F.stddev_pop(c).alias(f"__sd_{c}")]
     stats = base.groupBy(*kcols).agg(*aggs).collect()
+    if not stats:
+        raise ValueError("no non-null rows to fit on")
     if len(stats) > max_groups:
         raise ValueError(
             f"{len(stats)} groups exceed max_groups={max_groups} — the "
             "G x P partial collect would be data-sized; shard by group"
         )
-    bad = {tuple(r[k] for k in kcols): int(r["__ybad"])
+    bad = {tuple(str(r[k]) for k in kcols): int(r["__ybad"])
            for r in stats if int(r["__ybad"])}
     if bad:
         raise ValueError(
@@ -494,7 +501,7 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
     skipped: dict[tuple, str] = {}
     state: dict[tuple, dict] = {}
     for r in stats:
-        key = tuple(r[k] for k in kcols)
+        key = tuple(str(r[k]) for k in kcols)
         n_g = int(r["__n"])
         if r["__ysum"] in (0, n_g):
             skipped[key] = "one class"
@@ -505,15 +512,15 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
         # comes back ~1e-16, not exact 0
         flat_mask = sd <= 1e-12 * np.maximum(1.0, np.abs(mu))
         if np.any(flat_mask):
-            flat = feature_cols[int(np.flatnonzero(flat_mask)[0])]
-            skipped[key] = f"constant feature {flat}"
+            flat = [c for c, f in zip(feature_cols, flat_mask) if f]
+            skipped[key] = f"constant feature {', '.join(flat)}"
             continue
         state[key] = {
             "mu": mu, "sd": sd, "n": n_g,
             "w": np.zeros(d + 1), "w_prev": None,
             "loss_acc": n_g * math.log(2.0),
             "history": [math.log(2.0)],
-            "pending": False, "done": False,
+            "pending": False, "done": False, "halves": 0,
         }
 
     def _tolr(ref: float) -> float:
@@ -536,6 +543,7 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
                 for key, sub in pdf.groupby(kcols, sort=False):
                     if not isinstance(key, tuple):
                         key = (key,)
+                    key = tuple(str(v) for v in key)
                     p = params.get(key)
                     if p is None:
                         continue
@@ -600,13 +608,19 @@ def fit_by_key(df, feature_cols: list[str], label_col: str,
             if s["done"] or key not in parts:
                 continue
             H, g, loss_w, cnt = parts[key]
-            if s["pending"] and loss_w > s["loss_acc"] + _tolr(s["loss_acc"]):
-                # overshoot: halve the last step; the NEXT scan verifies
+            if (s["pending"] and s["halves"] < 6
+                    and loss_w > s["loss_acc"] + _tolr(s["loss_acc"])):
+                # overshoot: halve the last step; the NEXT scan verifies.
+                # After 6 halvings the point is accepted as-is with its
+                # TRUE loss recorded (fit()'s probe-cap behavior) so one
+                # pathological group cannot consume the whole budget.
                 s["w"] = s["w_prev"] + (s["w"] - s["w_prev"]) * 0.5
+                s["halves"] += 1
                 continue
             s["history"][-1] = loss_w / cnt
             s["loss_acc"] = loss_w
             s["pending"] = False
+            s["halves"] = 0
             reg = np.zeros(d + 1)
             reg[1:] = ridge * s["w"][1:]
             step = np.linalg.solve(H + cnt * ridge * D, g - cnt * reg)

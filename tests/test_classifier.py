@@ -406,3 +406,36 @@ def test_fit_by_key_validation(spark, grouped_df):
             grouped_df.withColumn("src", F.col("id")),
             ["u0"], "label", ["src"], max_groups=100,
         )
+
+
+def test_fit_by_key_pending_final_scan_and_empty_input(spark, grouped_df):
+    """max_iter=1 exits right after an optimistic step: the final
+    loss-only scan must verify it and the history must hold TRUE losses
+    (monotone from log 2). All-null input raises like fit()."""
+    import math
+
+    models, _ = fit_by_key(
+        grouped_df, ["u0", "u1", "u2"], "label", ["src"],
+        ridge=1e-3, max_iter=1,
+    )
+    for key, m in models.items():
+        h = m.loss_history
+        assert h[0] == pytest.approx(math.log(2.0))
+        assert len(h) == 2 and h[1] <= h[0], (key, h)
+    empty = grouped_df.withColumn("label", F.lit(None).cast("int"))
+    with pytest.raises(ValueError, match="no non-null rows"):
+        fit_by_key(empty, ["u0"], "label", ["src"])
+
+
+def test_fit_by_key_python_str_key_forms(spark):
+    """Model keys use PYTHON-str forms ('True', not Spark CAST 'true') —
+    the per-key sketch-table convention, so the two per-key surfaces
+    stay join-compatible on bool/float group columns."""
+    ship_package(spark)
+    df = spark.range(2000).select(
+        (F.col("id") % 2 == 0).alias("grp"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 20))
+         / F.lit(float(1 << 20))).alias("x"),
+    ).withColumn("label", (F.col("x") > 0.5).cast("int"))
+    models, skipped = fit_by_key(df, ["x"], "label", ["grp"], ridge=1e-3)
+    assert set(models) == {("True",), ("False",)}, (set(models), skipped)
