@@ -58,6 +58,59 @@ class SketchSpec:
     ngram: int | None = None
 
 
+def parse_spec(
+    text: str,
+    *,
+    hll_p: int = 14,
+    cms_eps: float = 5e-4,
+    cms_delta: float = 0.01,
+    bloom_n: int = 1_000_000,
+    bloom_fpr: float = 0.01,
+    theta_k: int = 4096,
+    mg_k: int = 1024,
+) -> "SketchSpec":
+    """Parse a ``name=kind:col[:ngram=N]`` spec string into a SketchSpec.
+
+    The one parser behind both job scripts' ``--spec``/``--profile-spec``
+    flags (scripts/incremental_job.py, scripts/ingest_job.py) — lives in
+    the library so a deployed entry script plus dist/recsplit_spark.zip
+    is self-contained (no sibling-script import at runtime). Raises
+    ``ValueError`` on a malformed spec; the CLIs wrap it in SystemExit.
+    """
+    from . import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        MisraGries,
+        ThetaSketch,
+    )
+
+    try:
+        name, rest = text.split("=", 1)
+        parts = rest.split(":")
+        kind, col = parts[0], parts[1]
+        ngram = None
+        for extra in parts[2:]:
+            k, v = extra.split("=", 1)
+            if k != "ngram":
+                raise ValueError(f"unknown spec option {k!r}")
+            ngram = int(v)
+    except (ValueError, IndexError) as e:
+        raise ValueError(
+            f"bad spec {text!r} (want name=kind:col[:ngram=N]): {e}"
+        ) from None
+    mk = {
+        "hll": lambda: HyperLogLog(p=hll_p),
+        "cms": lambda: CountMinSketch(eps=cms_eps, delta=cms_delta),
+        "bloom": lambda: BloomFilter(n_expected=bloom_n, fpr=bloom_fpr),
+        "theta": lambda: ThetaSketch(k=theta_k),
+        "mg": lambda: MisraGries(k=mg_k),
+    }.get(kind)
+    if mk is None:
+        raise ValueError(f"bad spec {text!r}: unknown sketch kind {kind!r}")
+    return SketchSpec(name, mk(), col, ngram=ngram)
+
+
 def _flat_ngram_hashes_pos(
     flat: np.ndarray, lens: np.ndarray, n: int
 ) -> tuple[np.ndarray, np.ndarray]:

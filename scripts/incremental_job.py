@@ -37,41 +37,22 @@ import time
 
 
 def _parse_spec(text: str, args) -> "SketchSpec":
-    from recsplit_spark.sketches import (
-        BloomFilter,
-        CountMinSketch,
-        HyperLogLog,
-        MisraGries,
-        ThetaSketch,
-    )
-    from recsplit_spark.sketches.multi import SketchSpec
+    """CLI shim over the library parser (sketches.multi.parse_spec)."""
+    from recsplit_spark.sketches.multi import parse_spec
 
     try:
-        name, rest = text.split("=", 1)
-        parts = rest.split(":")
-        kind, col = parts[0], parts[1]
-        ngram = None
-        for extra in parts[2:]:
-            k, v = extra.split("=", 1)
-            if k != "ngram":
-                raise ValueError(f"unknown spec option {k!r}")
-            ngram = int(v)
-    except (ValueError, IndexError) as e:
-        raise SystemExit(
-            f"bad --spec {text!r} (want name=kind:col[:ngram=N]): {e}"
-        ) from None
-    mk = {
-        "hll": lambda: HyperLogLog(p=args.hll_p),
-        "cms": lambda: CountMinSketch(eps=args.cms_eps, delta=args.cms_delta),
-        "bloom": lambda: BloomFilter(
-            n_expected=args.bloom_n, fpr=args.bloom_fpr
-        ),
-        "theta": lambda: ThetaSketch(k=args.theta_k),
-        "mg": lambda: MisraGries(k=args.mg_k),
-    }.get(kind)
-    if mk is None:
-        raise SystemExit(f"bad --spec {text!r}: unknown sketch kind {kind!r}")
-    return SketchSpec(name, mk(), col, ngram=ngram)
+        return parse_spec(
+            text,
+            hll_p=args.hll_p,
+            cms_eps=args.cms_eps,
+            cms_delta=args.cms_delta,
+            bloom_n=args.bloom_n,
+            bloom_fpr=args.bloom_fpr,
+            theta_k=args.theta_k,
+            mg_k=args.mg_k,
+        )
+    except ValueError as e:
+        raise SystemExit(f"--spec: {e}") from None
 
 
 def main() -> int:

@@ -70,6 +70,30 @@ import json
 import time
 
 
+def _profile_specs(args):
+    """--profile-spec strings -> SketchSpecs via the library parser
+    (recsplit_spark.sketches.multi.parse_spec — no sibling-script
+    import, so the deployed shape of entry-script + zip is enough)."""
+    from recsplit_spark.sketches.multi import parse_spec
+
+    try:
+        return [
+            parse_spec(
+                t,
+                hll_p=args.hll_p,
+                cms_eps=args.cms_eps,
+                cms_delta=args.cms_delta,
+                bloom_n=args.bloom_n,
+                bloom_fpr=args.bloom_fpr,
+                theta_k=args.theta_k,
+                mg_k=args.mg_k,
+            )
+            for t in args.profile_spec
+        ]
+    except ValueError as e:
+        raise SystemExit(f"--profile-spec: {e}") from None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="new-batch parquet dir")
@@ -166,6 +190,52 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
+    # ---- preflight: every cheap precondition, BEFORE the session and
+    # the stateful appends. A SystemExit raised at stage 3+ leaves
+    # dedup/ids state committed, and in the no-batch-id form the retry
+    # then near-dedups the batch against its OWN just-committed state
+    # and writes an (almost) empty corpus slot without error — so
+    # anything that can be validated from the flags and local blobs
+    # must fail here instead.
+    if args.pack_capacity and args.mode == "text" and not args.tokenizer:
+        raise SystemExit(
+            "--pack-capacity in --mode text needs --tokenizer "
+            "(a BPETokenizer.to_bytes blob)"
+        )
+    if args.tokenizer and args.mode == "tokens":
+        raise SystemExit(
+            "--tokenizer is a text-mode flag; tokens mode packs the "
+            "token arrays as-is (refusing rather than silently "
+            "ignoring the blob — its merge table would NOT govern "
+            "the packed ids)"
+        )
+    if (args.pq or args.ann_index) and not args.vec_col:
+        raise SystemExit(
+            "--pq/--ann-index without --vec-col would be silently "
+            "ignored (the ANN stage only runs over an embedding column)"
+        )
+    if args.tokenizer:
+        from recsplit_spark.pipeline.bpe import BPETokenizer
+
+        try:
+            with open(args.tokenizer, "rb") as fh:
+                BPETokenizer.from_bytes(fh.read())
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--tokenizer {args.tokenizer}: {e}") from None
+    qm = None
+    if args.quality_model:
+        from recsplit_spark.pipeline.classifier import LogisticQualityModel
+
+        try:
+            with open(args.quality_model, "rb") as fh:
+                qm = LogisticQualityModel.from_bytes(fh.read())
+        except (OSError, ValueError) as e:
+            raise SystemExit(
+                f"--quality-model {args.quality_model}: {e}"
+            ) from None
+    if args.profile_spec:
+        _profile_specs(args)  # malformed --profile-spec fails now
+
     from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
     from recsplit_spark.incremental_mphf import IncrementalMPHF
     from recsplit_spark.session import get_spark, ship_package
@@ -175,6 +245,21 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
     root = args.root.rstrip("/")
+
+    # preflight, continued: the one check that needs the session. The
+    # FIRST ANN run creates the store and must have --ann-index (with
+    # --pq, the codec is fitted against it too); discovering that at
+    # stage 3 would be after the dedup/ids commits.
+    if args.vec_col and not args.ann_index:
+        from recsplit_spark.sketches.incremental import _dir_exists
+
+        if not _dir_exists(spark, f"{root}/ann/manifest"):
+            raise SystemExit(
+                "--vec-col on the FIRST ANN run requires --ann-index "
+                "(the store is created against that fitted IVFIndex; "
+                "later runs read it from the store manifest)"
+            )
+
     if args.input_format == "jsonl":
         if not args.jsonl_schema:
             raise SystemExit(
@@ -277,17 +362,12 @@ def main() -> int:
             # same scan as the rule filters
             from pyspark.sql import functions as F
 
-            from recsplit_spark.pipeline.classifier import (
-                LogisticQualityModel,
-            )
-
-            with open(args.quality_model, "rb") as fh:
-                qm = LogisticQualityModel.from_bytes(fh.read())
-            # with_quality_stats uses withColumn, which would REPLACE any
-            # pre-existing batch column sharing a stat name (n_chars on
-            # the documents tables, for one) with a recomputed value —
-            # silent corruption of user columns. Rename collisions aside
-            # first, restore after scoring.
+            # qm was parsed in preflight (a bad blob fails before any
+            # state commit). with_quality_stats uses withColumn, which
+            # would REPLACE any pre-existing batch column sharing a stat
+            # name (n_chars on the documents tables, for one) with a
+            # recomputed value — silent corruption of user columns.
+            # Rename collisions aside first, restore after scoring.
             stat_cols = [
                 c
                 for c in _text.with_quality_stats(
@@ -454,21 +534,12 @@ def main() -> int:
     # repaired by the retry folding the then-unfolded files.
     m_profile = None
     if args.profile_spec:
-        import importlib.util as _ilu
-        import os as _os
-
-        spec_mod_path = _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)), "incremental_job.py"
-        )
-        _s = _ilu.spec_from_file_location("_inc_job", spec_mod_path)
-        _inc_job = _ilu.module_from_spec(_s)
-        _s.loader.exec_module(_inc_job)
         from recsplit_spark.sketches.incremental import (
             IncrementalProfile,
             _list_data_files,
         )
 
-        specs = [_inc_job._parse_spec(t, args) for t in args.profile_spec]
+        specs = _profile_specs(args)
         prof = IncrementalProfile(
             specs, [k for k in args.profile_keys.split(",") if k],
             f"{root}/profile",
@@ -516,7 +587,10 @@ def main() -> int:
         packed_root = args.packed_out or args.out.rstrip("/") + "_packed"
         pack_cfg = (int(args.pack_capacity), args.pack_mode, tok_sha)
         cfg_schema = "capacity int, pack_mode string, tokenizer_sha string"
-        if _dir_exists(spark, f"{packed_root}/_manifest"):
+        # probe the _SUCCESS marker, not the bare dir (same as the step-4
+        # slot check): a crash mid-manifest-write leaves a dir with no
+        # committed parquet, and the overwrite below repairs it
+        if _dir_exists(spark, f"{packed_root}/_manifest/_SUCCESS"):
             r = spark.read.parquet(f"{packed_root}/_manifest").collect()[0]
             pinned = (int(r["capacity"]), r["pack_mode"], r["tokenizer_sha"])
             if pinned != pack_cfg:

@@ -193,3 +193,42 @@ def test_ingest_job_two_batches_then_byte_identical_replay(
     assert m3["profile"]["new_files"] == 0
     assert m3["total_ids"] == n1 + n2
     assert _slot_md5(slot) == before
+
+
+def test_ingest_job_preflight_refuses_before_any_state_commit(
+    spark, ingest_lake, monkeypatch, capsys, tmp_path
+):
+    """Bad flag combinations must fail BEFORE the stateful appends —
+    a stage-3+ SystemExit leaves dedup/ids committed and turns the
+    retry into an empty-output run (reviewed failure mode)."""
+    root = ingest_lake
+    lake = tmp_path / "lake"
+
+    def run(extra):
+        argv = [
+            "--input", str(root / "batch1"),
+            "--root", str(lake),
+            "--out", str(tmp_path / "clean"),
+            "--id-col", "doc_id", "--text-col", "text",
+        ] + extra
+        job = _load_job()
+        monkeypatch.setattr(sys, "argv", ["ingest_job.py"] + argv)
+        with pytest.raises(SystemExit):
+            job.main()
+        # the defining property: nothing stateful was created
+        assert not (lake / "dedup").exists()
+        assert not (lake / "ids").exists()
+
+    # text-mode packing without a tokenizer blob
+    run(["--mode", "text", "--pack-capacity", "256"])
+    # tokens-mode --tokenizer is refused, not silently dropped
+    run(["--mode", "tokens", "--pack-capacity", "256",
+         "--tokenizer", str(root / "bpe.blob")])
+    # unreadable quality-model blob fails before the input scan
+    run(["--mode", "text", "--quality-model", str(root / "nope.blob")])
+    # malformed --profile-spec
+    run(["--profile-spec", "docs=hll"])
+    # --pq without --vec-col would be silently ignored
+    run(["--pq", "sq8"])
+    # FIRST ANN run without --ann-index (needs the session: FS probe)
+    run(["--vec-col", "embedding"])
