@@ -55,6 +55,18 @@ def main() -> int:
                     help="queries per union-probe scan")
     args = ap.parse_args()
 
+    # preflight: a negative batch size makes the chunk loop EMPTY, so
+    # the job would print a success JSON with rows_out 0 and exit 0
+    # without writing anything — refuse the nonsense values up front
+    if args.k <= 0:
+        raise SystemExit(f"--k must be positive (got {args.k})")
+    if args.batch_size <= 0:
+        raise SystemExit(
+            f"--batch-size must be positive (got {args.batch_size})"
+        )
+    if args.rerank < 0:
+        raise SystemExit(f"--rerank must be >= 0 (got {args.rerank})")
+
     import numpy as np
 
     from recsplit_spark.pipeline.ann import _list_col_to_matrix
@@ -67,18 +79,48 @@ def main() -> int:
     t0 = time.time()
 
     store = IncrementalANN(args.store)
+    # the result rows are (qid, <store id_col>, score): a --qid-col that
+    # shadows the store's pinned id column would duplicate a column name
+    # at the join and fail the parquet write AFTER the search work ran
+    try:
+        _pinned_id = spark.read.parquet(
+            f"{args.store.rstrip('/')}/manifest"
+        ).collect()[0]["id_col"]
+    except Exception:
+        _pinned_id = None  # no committed store; search raises properly
+    if _pinned_id is not None and args.qid_col == _pinned_id:
+        raise SystemExit(
+            f"--qid-col {args.qid_col!r} collides with the store's id "
+            "column (the output carries both); rename the query-id "
+            "column"
+        )
     qtbl = (
         spark.read.parquet(args.queries)
         .select(args.qid_col, args.vec_col)
         .toArrow()
     )
-    qids = qtbl.column(0).to_pylist()
     qvecs = _list_col_to_matrix(qtbl.column(1), np.float64)
-    n_q = len(qids)
+    n_q = qtbl.num_rows
     if n_q == 0:
         raise SystemExit(f"no queries in {args.queries}")
 
     score_col = "cosine" if args.rerank > 0 else "pq_score"
+
+    # ONE global (absolute index -> caller qid) map, built from the
+    # Arrow column itself so the qid type — int, string, decimal,
+    # whatever the query parquet holds — survives exactly (no DDL
+    # string to parse, no first-row type sniffing); the kernel's
+    # chunk-local qids are shifted to absolute indices per chunk
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    id_map = spark.createDataFrame(
+        pa.table({
+            "__q": pa.array(range(n_q), type=pa.int64()),
+            args.qid_col: qtbl.column(0).combine_chunks(),
+        })
+    )
+
     n_rows = 0
     first = True
     for lo in range(0, n_q, args.batch_size):
@@ -89,19 +131,9 @@ def main() -> int:
             k=args.k,
             rerank=args.rerank,
         )
-        # map the chunk-local qid back to the caller's query ids (the
-        # mapping table is chunk-sized — broadcast join, no shuffle of
-        # the result rows)
-        from pyspark.sql import functions as F
-
-        id_map = spark.createDataFrame(
-            [(i - lo, qids[i]) for i in range(lo, hi)],
-            f"__q int, {args.qid_col} string",
-        ) if isinstance(qids[0], str) else spark.createDataFrame(
-            [(i - lo, qids[i]) for i in range(lo, hi)], f"__q int, {args.qid_col} long"
-        )
         out = (
-            res.withColumnRenamed("qid", "__q")
+            res.withColumn("__q", (F.col("qid") + F.lit(lo)).cast("long"))
+            .drop("qid")
             .join(F.broadcast(id_map), "__q")
             .drop("__q")
             .cache()

@@ -63,6 +63,10 @@ def main() -> int:
         # own id type and refuses malformed values. Pre-coercing '007'
         # to 7 here would silently miss a string-id store's '007'.
         raw = [x.strip() for x in args.ids.split(",") if x.strip()]
+        if not raw:
+            # a quoting slip (--ids "$IDS" with IDS unset) must not
+            # print a success JSON for a no-op "deletion"
+            raise SystemExit("--ids is empty: nothing to forget")
         ids_df = spark.createDataFrame([(x,) for x in raw], "id string")
     else:
         ids_df = spark.read.parquet(args.ids_parquet).select(args.id_col)
