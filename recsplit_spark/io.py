@@ -29,13 +29,21 @@ SEQUENCES_FIELDS = {
 }
 
 
+def read_input(spark, source: str):
+    """Parquet-path-vs-catalog-table dispatch, shared by the job scripts
+    and ``read_sequences`` (one rule, one place: a source containing a
+    path separator or a ``.parquet`` suffix is a parquet location,
+    anything else resolves through the session catalog — Iceberg/Hive
+    table names land there)."""
+    if "/" in source or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    return spark.table(source)
+
+
 def read_sequences(spark, source: str, validate: bool = True):
     """Load the sequences table from a parquet path or a catalog/Iceberg
     table name. ``validate`` checks the input_hint schema contract."""
-    if "/" in source or source.endswith(".parquet"):
-        df = spark.read.parquet(source)
-    else:
-        df = spark.table(source)
+    df = read_input(spark, source)
     if validate:
         have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         missing = {

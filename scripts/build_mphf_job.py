@@ -57,12 +57,10 @@ def main() -> int:
     # --py-files makes recsplit_spark importable on executors; importing here
     # (after session creation) works both under spark-submit and locally
     from recsplit_spark.blocked import BlockedMPHFBuilder
+    from recsplit_spark.io import read_input
     from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
 
-    if "/" in args.input or args.input.endswith(".parquet"):
-        df = spark.read.parquet(args.input)
-    else:
-        df = spark.table(args.input)  # Iceberg/catalog table
+    df = read_input(spark, args.input)  # parquet path or Iceberg table
 
     keys = df.select(args.key_col).distinct()
     t0 = time.time()
@@ -78,14 +76,36 @@ def main() -> int:
         ).build(keys, args.key_col, args.output)
         n, bpk = mphf.n, mphf.bits_per_key
     else:
-        desc = RecSplitBuilder(
-            leaf_size=args.leaf, avg_bucket_size=args.avg_bucket, salt=args.salt,
-            space_priority=args.space_priority,
-        ).build(keys, args.key_col)
+        if args.algo == "bdz":
+            # gather-scale fallback algorithm (viable to ~10^8 keys on
+            # the driver; use --blocked --algo bdz beyond that); leaf/
+            # avg-bucket/space-priority are recsplit knobs
+            if args.space_priority:
+                raise SystemExit(
+                    "--space-priority selects a recsplit split rule; "
+                    "bdz has no split tree"
+                )
+            from recsplit_spark.bdz import BDZBuilder, BDZDescriptor
+
+            desc = BDZBuilder(salt=args.salt).build(keys, args.key_col)
+            mphf = BDZDescriptor.from_bytes(desc.to_bytes())
+        else:
+            desc = RecSplitBuilder(
+                leaf_size=args.leaf, avg_bucket_size=args.avg_bucket,
+                salt=args.salt, space_priority=args.space_priority,
+            ).build(keys, args.key_col)
+            mphf = MPHFDescriptor.from_bytes(desc.to_bytes())
         blob = desc.to_bytes()
         sc = spark.sparkContext
+        # overwrite semantics like every other state write in the repo:
+        # Hadoop's pickle save refuses an existing dir, which would kill
+        # a re-submitted job AFTER the full rebuild
+        from recsplit_spark.sketches.incremental import _fs_for
+
+        fs, p, _ = _fs_for(spark, f"{args.output}/descriptor")
+        if fs.exists(p):
+            fs.delete(p, True)
         sc.parallelize([bytearray(blob)], 1).saveAsPickleFile(f"{args.output}/descriptor")
-        mphf = MPHFDescriptor.from_bytes(blob)
         n, bpk = desc.n, desc.bits_per_key
     build_s = time.time() - t0
 
@@ -107,6 +127,18 @@ def main() -> int:
                 res["ok"] and res["n_keys"] == n
             )
         else:
+            if n >= 10**8:
+                # CLAUDE.md: full-bijection checks at >= 10^8 keys MUST
+                # go through BlockedMPHF.verify_bijection — this agg
+                # re-shuffles all n indices and its spill ENOSPC'd this
+                # box at 10^9. The descriptor is already persisted, so
+                # emit the build metrics, then refuse the verify.
+                print(json.dumps(result))
+                raise SystemExit(
+                    f"--verify at n={n} needs the in-kernel per-block "
+                    "check: use --blocked (the countDistinct agg "
+                    "re-shuffles all n indices and spills)"
+                )
             out = mphf.evaluate(keys, args.key_col)
             row = out.agg(
                 F.countDistinct("mphf_index").alias("d"),

@@ -57,7 +57,12 @@ def main() -> int:
     ap.add_argument("--tdigest-compression", type=float, default=200)
     ap.add_argument("--bloom-n", type=int, default=1_000_000)
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
-    ap.add_argument("--quantiles", default="0.5,0.9,0.99")
+    ap.add_argument(
+        "--quantiles",
+        default=None,
+        help="kll/tdigest global mode only (default 0.5,0.9,0.99); the "
+        "per-group path reports each group's single 'estimate'",
+    )
     ap.add_argument("--theta-k", type=int, default=4096)
     ap.add_argument("--mg-k", type=int, default=1024)
     ap.add_argument("--top", type=int, default=20, help="mg: top items to print")
@@ -78,6 +83,26 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # preflight: flags that only the global path honors must not be
+    # silently ignored — the operator planning a later merge via
+    # StreamingSketch(state_path=...) would find nothing there
+    if (args.group_by or args.pairwise) and args.state_out:
+        raise SystemExit(
+            "--state-out is global-mode only (per-group states: use "
+            "sketches states_by_key / the incremental profile)"
+        )
+    if (args.group_by or args.pairwise) and args.checkpoint:
+        raise SystemExit(
+            "--checkpoint is global-mode only (resumable per-key "
+            "builds: sketches.CheckpointedBuild per key set, or the "
+            "incremental profile)"
+        )
+    if args.quantiles is not None and (args.group_by or args.pairwise):
+        raise SystemExit(
+            "--quantiles is global-mode only (the per-group path "
+            "reports one 'estimate' per group)"
+        )
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("recsplit-sketch").getOrCreate()
@@ -91,10 +116,9 @@ def main() -> int:
         ThetaSketch,
     )
 
-    if "/" in args.input or args.input.endswith(".parquet"):
-        df = spark.read.parquet(args.input)
-    else:
-        df = spark.table(args.input)
+    from recsplit_spark.io import read_input
+
+    df = read_input(spark, args.input)
 
     sk = {
         "hll": lambda: HyperLogLog(p=args.hll_p),
@@ -106,7 +130,11 @@ def main() -> int:
         "mg": lambda: MisraGries(k=args.mg_k),
     }[args.sketch]()
 
-    qs = [float(q) for q in args.quantiles.split(",") if q]
+    qs = [
+        float(q)
+        for q in (args.quantiles or "0.5,0.9,0.99").split(",")
+        if q
+    ]
     t0 = time.time()
     out: dict = {"sketch": args.sketch, "col": args.col, "input": args.input}
     if args.pairwise:
@@ -121,21 +149,18 @@ def main() -> int:
             pairs_df.write.mode("overwrite").parquet(args.pairwise_out)
             out["pairs_out"] = args.pairwise_out
             out["n_pairs"] = spark.read.parquet(args.pairwise_out).count()
-            out["wall_sec"] = round(time.time() - t0, 3)
-            print(json.dumps(out))
-            spark.stop()
-            return 0
-        rows = pairs_df.collect()
-        out["pairs"] = [
-            {
-                "a": r["key_a"],
-                "b": r["key_b"],
-                "union_est": r["union_est"],
-                "inter_est": r["inter_est"],
-                "jaccard_est": r["jaccard_est"],
-            }
-            for r in rows
-        ]
+        else:
+            rows = pairs_df.collect()
+            out["pairs"] = [
+                {
+                    "a": r["key_a"],
+                    "b": r["key_b"],
+                    "union_est": r["union_est"],
+                    "inter_est": r["inter_est"],
+                    "jaccard_est": r["jaccard_est"],
+                }
+                for r in rows
+            ]
     elif args.group_by:
         if args.sketch == "mg":
             rows = sk.states_by_key(
@@ -174,7 +199,15 @@ def main() -> int:
         else:
             state = sk.build(df, args.col, ngram=args.ngram)
         if args.sketch in ("kll", "tdigest"):
-            out["quantiles"] = {str(q): float(sk.quantile(state, q)) for q in qs}
+            import math
+
+            # empty input -> NaN quantiles; json.dumps would emit bare
+            # NaN (invalid JSON) and break the one-JSON-line contract
+            qvals = {}
+            for q in qs:
+                v = float(sk.quantile(state, q))
+                qvals[str(q)] = None if math.isnan(v) else v
+            out["quantiles"] = qvals
         elif args.sketch == "cms":
             out["total"] = int(sk.total(state))
         elif args.sketch in ("hll", "theta"):
