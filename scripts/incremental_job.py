@@ -137,12 +137,30 @@ def main() -> int:
             "pass exactly one of --source / --files / --forget-files"
         )
 
+    # preflight (same convention as ingest_job): everything checkable
+    # from the flags alone fails BEFORE the session and the committed
+    # mutation — a SystemExit after update()/forget() leaves the state
+    # advanced with the metrics line never printed
+    if args.forget_refold and args.forget_files is None:
+        raise SystemExit(
+            "--forget-refold only applies with --forget-files "
+            "(refusing rather than silently running a normal update)"
+        )
+    specs = [_parse_spec(s, args) for s in args.spec]
+    if args.delta_from is not None or args.sample_added_from is not None:
+        from recsplit_spark.sketches import ThetaSketch
+
+        if not any(isinstance(s.sketch, ThetaSketch) for s in specs):
+            raise SystemExit(
+                "--delta-from/--sample-added-from need at least one"
+                " theta spec (set algebra)"
+            )
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("recsplit-incremental").getOrCreate()
     from recsplit_spark.sketches import IncrementalProfile
 
-    specs = [_parse_spec(s, args) for s in args.spec]
     inc = IncrementalProfile(specs, args.keys.split(","), args.path)
     t0 = time.time()
     if args.forget_files is not None:
@@ -158,46 +176,55 @@ def main() -> int:
             files=args.files.split(",") if args.files else None,
         )
     out = {"path": args.path, **metrics}
-    if args.vacuum is not None:
-        out["vacuumed_gens"] = inc.vacuum(spark, keep=args.vacuum)
-    if args.estimates:
-        rows = inc.estimates(spark).collect()
-        keys = args.keys.split(",")
-        out["estimates"] = [
-            {**{k: r[k] for k in keys}, "name": r["name"], "estimate": r["estimate"]}
-            for r in rows
-        ]
-    if args.delta_from is not None or args.sample_added_from is not None:
-        from recsplit_spark.sketches import ThetaSketch
+    # optional read-only analytics run BEFORE vacuum (a delta reads the
+    # very generations a vacuum would delete) and any failure there —
+    # a typo'd gen, a forget-straddled range — still emits the metrics
+    # line for the mutation that DID commit
+    try:
+        if args.estimates:
+            rows = inc.estimates(spark).collect()
+            out["estimates"] = [
+                {
+                    **{k: r[k] for k in inc.keys},
+                    "name": r["name"],
+                    "estimate": r["estimate"],
+                }
+                for r in rows
+            ]
+        if args.delta_from is not None or args.sample_added_from is not None:
+            from recsplit_spark.sketches import ThetaSketch
 
-        thetas = [s for s in specs if isinstance(s.sketch, ThetaSketch)]
-        if not thetas:
-            raise SystemExit(
-                "--delta-from/--sample-added-from need at least one"
-                " theta spec (set algebra)"
-            )
-        if args.delta_from is not None:
-            out["deltas"] = {
-                s.name: [
-                    r.asDict()
-                    for r in inc.generation_delta(
-                        spark, s.name, args.delta_from
-                    ).collect()
-                ]
-                for s in thetas
-            }
-        if args.sample_added_from is not None:
-            out["added_samples"] = {
-                s.name: [
-                    r.asDict()
-                    for r in inc.generation_sample_added(
-                        spark, s.name, args.sample_added_from
-                    )
-                    .limit(args.sample_limit)
-                    .collect()
-                ]
-                for s in thetas
-            }
+            thetas = [s for s in specs if isinstance(s.sketch, ThetaSketch)]
+            if args.delta_from is not None:
+                out["deltas"] = {
+                    s.name: [
+                        r.asDict()
+                        for r in inc.generation_delta(
+                            spark, s.name, args.delta_from
+                        ).collect()
+                    ]
+                    for s in thetas
+                }
+            if args.sample_added_from is not None:
+                out["added_samples"] = {
+                    s.name: [
+                        r.asDict()
+                        for r in inc.generation_sample_added(
+                            spark, s.name, args.sample_added_from
+                        )
+                        .limit(args.sample_limit)
+                        .collect()
+                    ]
+                    for s in thetas
+                }
+        if args.vacuum is not None:
+            out["vacuumed_gens"] = inc.vacuum(spark, keep=args.vacuum)
+    except ValueError as e:
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+        raise SystemExit(
+            f"analytics stage failed after the committed mutation: {e}"
+        ) from None
     out["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(out))
     spark.stop()
