@@ -50,6 +50,13 @@ from .ann import (
 #: sketch-state magics) any change to the training or layout below needs
 #: a new magic, never a reinterpretation of PQC1 bytes.
 _HDR = struct.Struct("<4sIIIII")
+# rerank candidate-fetch dispatch: at most this many ids ride a literal
+# IN filter (parquet-pushed); above it the fetch switches to a broadcast
+# semi-join — a Q*k*rerank-literal In expression explodes the Catalyst
+# tree (driver OOM at 128K ids). Both branches are row-identical
+# (tested); module-level so tests can pin either branch.
+_RERANK_IN_THRESHOLD = 1024
+
 _MAGIC = b"PQC1"
 #: residual codec: same header, followed by the 32-byte sha256 of the
 #: float32 centroid matrix the residuals were taken against — residual
@@ -1144,26 +1151,40 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
                 "candidate rows by id)"
             )
         byte_only = encoded_df.select(id_col, code_col, centroid_col)
-        cand = ivfadc_search_many(
+        cand_tbl = ivfadc_search_many(
             index, codec, byte_only, queries, k=k * rerank,
             centroid_col=centroid_col, code_col=code_col, id_col=id_col,
-        ).collect()
+        ).toArrow()  # Q*k*rerank rows: Arrow, never Row objects
+        cand_qids = cand_tbl.column("qid").to_pylist()
+        cand_ids = cand_tbl.column(id_col).to_pylist()
         per_q: dict[int, list] = {}
-        for r in cand:
-            per_q.setdefault(r["qid"], []).append(r[id_col])
-        union_ids = sorted({r[id_col] for r in cand})
+        for cq, ci in zip(cand_qids, cand_ids):
+            per_q.setdefault(cq, []).append(ci)
+        union_ids = sorted(set(cand_ids))
         mask_all = np.zeros(
             (len(queries), index.centroids.shape[0]), dtype=bool
         )
         for qi, q in enumerate(queries):
             mask_all[qi, index.probe_ids(q)] = True
         probe_union = np.flatnonzero(mask_all.any(axis=0)).tolist()
-        fetched = (
-            encoded_df.filter(F.col(centroid_col).isin(probe_union))
-            .filter(F.col(id_col).isin(union_ids))
-            .select(id_col, vec_col)
-            .toArrow()
-        )
+        bucketed = encoded_df.filter(F.col(centroid_col).isin(probe_union))
+        spark = encoded_df.sparkSession
+        id_type = encoded_df.schema[id_col].dataType.simpleString()
+        if len(union_ids) > _RERANK_IN_THRESHOLD:
+            # a literal IN list of Q*k*rerank ids (128K at Q=256, k=10,
+            # rerank=50) explodes the Catalyst expression tree — the
+            # driver OOMs before the scan starts. Past ~1K ids the
+            # candidate set rides a broadcast semi-join instead; below
+            # it the IN filter keeps its parquet pushdown.
+            id_df = spark.createDataFrame(
+                [(i,) for i in union_ids], f"{id_col} {id_type}"
+            )
+            bucketed = bucketed.join(
+                F.broadcast(id_df), id_col, "left_semi"
+            )
+        else:
+            bucketed = bucketed.filter(F.col(id_col).isin(union_ids))
+        fetched = bucketed.select(id_col, vec_col).toArrow()
         ids_arr = fetched.column(0).to_pylist()
         vecs = _normalize_rows(
             _list_col_to_matrix(fetched.column(1), np.float64)
@@ -1180,8 +1201,6 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
             rows.extend(
                 (qi, cids[j], float(cos[j])) for j in order
             )
-        spark = encoded_df.sparkSession
-        id_type = encoded_df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             rows, f"qid int, {id_col} {id_type}, cosine float"
         )

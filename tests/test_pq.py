@@ -326,6 +326,43 @@ def test_ivfadc_search_many_matches_single_query(spark):
     enc.unpersist()
 
 
+def test_ivfadc_many_rerank_semijoin_branch_row_identical(
+    spark, monkeypatch
+):
+    """The rerank candidate fetch dispatches on |union_ids|: a literal
+    IN filter below _RERANK_IN_THRESHOLD, a broadcast semi-join above
+    (a Q*k*rerank-literal In expression explodes the Catalyst tree —
+    128K ids at serving scale OOMed the driver). Both branches must be
+    row-identical; pin the threshold to each side on the same inputs."""
+    from recsplit_spark.pipeline import pq as pqmod
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.pq import ivfadc_search_many
+
+    x = _clustered(n=700)
+    df = _to_df(spark, x)
+    idx = IVFIndex(n_centroids=8, nprobe=3, seed=2).fit(df, "embedding")
+    codec = PQCodec(m=8, ks=32, seed=5).fit(df, "embedding")
+    enc = codec.encode(idx.assign(df, "embedding"), "embedding").cache()
+    queries = [x[3], x[100], x[555], x[10]]
+
+    def run():
+        return sorted(
+            (r["qid"], r["vec_id"], round(r["cosine"], 6))
+            for r in ivfadc_search_many(
+                idx, codec, enc, queries, k=6, rerank=5,
+                vec_col="embedding",
+            ).collect()
+        )
+
+    monkeypatch.setattr(pqmod, "_RERANK_IN_THRESHOLD", 10**9)
+    via_in = run()
+    monkeypatch.setattr(pqmod, "_RERANK_IN_THRESHOLD", 0)
+    via_semijoin = run()
+    assert via_in == via_semijoin
+    assert len(via_in) == 6 * len(queries)
+    enc.unpersist()
+
+
 # -- residual PQ (IVFADC proper) ------------------------------------------
 
 
