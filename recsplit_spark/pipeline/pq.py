@@ -1120,12 +1120,13 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
                        rerank: int = 0, vec_col: str | None = None):
     """Batched IVFADC: ONE scan of the UNION of all queries' probe
     buckets (the IN-filter still prunes directories), each query scored
-    only against its OWN probe set via a (Q, n_centroids) mask inside
-    the kernel, per-batch partial top-k, one Q*k-row global reduce —
-    ``search_many``'s serving shape composed with the IVF funnel.
-    Works for both ``PQCodec`` and ``ResidualPQ`` (the residual codec's
-    per-bucket bias is a (Q, n_centroids) float32 gather folded into the
-    same chunk loop). Returns ``DataFrame[qid int, <id_col>, pq_score
+    only against its OWN probe set via a UNION-LOCAL (Q, U) mask inside
+    the kernel (U <= Q*nprobe — never (Q, n_centroids), which is 256 MB
+    of closure per task at the auto sqrt(n) operating point), per-batch
+    partial top-k, one Q*k-row global reduce — ``search_many``'s serving
+    shape composed with the IVF funnel. Works for both ``PQCodec`` and
+    ``ResidualPQ`` (the residual codec's per-bucket bias is gathered to
+    the same (Q, U) columns and folded into the chunk loop). Returns ``DataFrame[qid int, <id_col>, pq_score
     float]``; per-query rows match the single-query
     ``ivfadc_search(..., rerank=0)`` (tested).
 
@@ -1161,12 +1162,11 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
         for cq, ci in zip(cand_qids, cand_ids):
             per_q.setdefault(cq, []).append(ci)
         union_ids = sorted(set(cand_ids))
-        mask_all = np.zeros(
-            (len(queries), index.centroids.shape[0]), dtype=bool
-        )
-        for qi, q in enumerate(queries):
-            mask_all[qi, index.probe_ids(q)] = True
-        probe_union = np.flatnonzero(mask_all.any(axis=0)).tolist()
+        probe_union = np.unique(
+            np.concatenate(
+                [np.asarray(index.probe_ids(q)) for q in queries]
+            )
+        ).tolist()
         bucketed = encoded_df.filter(F.col(centroid_col).isin(probe_union))
         spark = encoded_df.sparkSession
         id_type = encoded_df.schema[id_col].dataType.simpleString()
@@ -1206,13 +1206,26 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
         )
     nq, m = len(queries), codec.m
     n_cent = index.centroids.shape[0]
-    mask = np.zeros((nq, n_cent), dtype=bool)
-    for qi, q in enumerate(queries):
-        mask[qi, index.probe_ids(q)] = True
-    union = np.flatnonzero(mask.any(axis=0)).tolist()
+    # per-query probe masks live in UNION-LOCAL coordinates: the task
+    # closure carries (Q, U) with U <= Q*nprobe, never (Q, n_centroids)
+    # — at the auto sqrt(n) operating point (10^6 centroids) a dense
+    # (Q, n_cent) bool mask is 256 MB per task at Q=256, and the
+    # residual bias matrix in the same shape is 1 GB of float32
+    probe_lists = [
+        np.sort(np.asarray(index.probe_ids(q), dtype=np.int64))
+        for q in queries
+    ]
+    union_arr = np.unique(np.concatenate(probe_lists))
+    union = union_arr.tolist()
+    mask_u = np.zeros((nq, len(union_arr)), dtype=bool)
+    for qi, pl in enumerate(probe_lists):
+        mask_u[qi, np.searchsorted(union_arr, pl)] = True
     luts = np.stack([codec._lut(q) for q in queries])
-    bias = (
-        np.stack([codec._bias(q) for q in queries])  # (Q, n_cent) f32
+    bias_u = (
+        # gather each (n_cent,) bias down to the union columns one query
+        # at a time — the full-width vector is transient per query, the
+        # stacked closure is (Q, U) f32
+        np.stack([codec._bias(q)[union_arr] for q in queries])
         if getattr(codec, "needs_centroid", False)
         else None
     )
@@ -1227,9 +1240,14 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
             nb = len(codes)
             if nb == 0:
                 continue
-            if cids.min() < 0 or cids.max() >= mask.shape[1]:
+            # remap centroid ids to union-local columns; the pre-filter
+            # restricts rows to union buckets, so a miss here is a
+            # malformed store, not a routine case
+            loc = np.searchsorted(union_arr, cids)
+            loc_c = np.minimum(loc, len(union_arr) - 1)
+            if not np.array_equal(union_arr[loc_c], cids):
                 raise ValueError(
-                    f"centroid id out of range [0, {mask.shape[1]}) in "
+                    "centroid id outside the probed bucket union in "
                     "batched search"
                 )
             rows = max(1, _SCORE_CHUNK_ELEMS // max(1, nq * m))
@@ -1237,9 +1255,9 @@ def ivfadc_search_many(index, codec: PQCodec, encoded_df, queries,
             for lo in range(0, nb, rows):
                 hi = min(nb, lo + rows)
                 scores[:, lo:hi] = luts[:, j_idx, codes[lo:hi]].sum(axis=2)
-                if bias is not None:
-                    scores[:, lo:hi] += bias[:, cids[lo:hi]]
-            scores[~mask[:, cids]] = -np.inf  # outside this query's probes
+                if bias_u is not None:
+                    scores[:, lo:hi] += bias_u[:, loc_c[lo:hi]]
+            scores[~mask_u[:, loc_c]] = -np.inf  # outside this query's probes
             kk = min(k, nb)
             part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             out_q, out_i, out_s = [], [], []
