@@ -401,9 +401,16 @@ class IncrementalANN:
             # no extra scan; every gen dir in a codec-pinned store
             # carries the code column (schema-uniform by construction)
             payload = self._codec.encode(assigned, self._vec_col)
-        payload.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            gdir
-        )
+        # co-locate each centroid before the partitioned write: a bare
+        # partitionBy emits one file per (task x centroid-it-touches) —
+        # measured 78K files for a 144K-row compact at 316 centroids,
+        # and task_count x n_centroids is filesystem-fatal at the
+        # sqrt(n) operating point. The hash repartition caps it at one
+        # file per centroid per gen; the shuffle moves exactly the
+        # payload once (same bill class as the dedup/id shuffles).
+        payload.repartition("centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(gdir)
         assigned.unpersist()
         run_id = uuid.uuid4().hex
         if stream_batch_id is not None:
@@ -596,9 +603,11 @@ class IncrementalANN:
             payload = kept_assigned
             if self._codec is not None:
                 payload = self._codec.encode(kept_assigned, vec_col)
-            payload.write.mode("overwrite").partitionBy(
-                "centroid_id"
-            ).parquet(gdir)
+            # see append: co-locate per centroid or the write emits
+            # task_count x n_centroids files
+            payload.repartition("centroid_id").write.mode(
+                "overwrite"
+            ).partitionBy("centroid_id").parquet(gdir)
             run_id = uuid.uuid4().hex
             if stream_batch_id is not None:
                 run_id = f"sb{int(stream_batch_id)}:{run_id}"
