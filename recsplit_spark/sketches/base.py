@@ -27,6 +27,19 @@ import numpy as np
 import pandas as pd
 
 
+def feed_series(series: pd.Series, ngram: int | None) -> np.ndarray:
+    """THE batch feed: scalar values as-is, or (``ngram=n``) every
+    n-token window hash via ``multi.series_window_hashes``. One shared
+    kernel for the batch partials AND the streaming operators — the
+    window-hash feed is a persisted-state contract (see CLAUDE.md), so
+    it must never fork into per-module copies."""
+    if ngram is None:
+        return series.to_numpy()
+    from .multi import series_window_hashes
+
+    return series_window_hashes(series, ngram)
+
+
 def _buffer_cap(sk) -> int:
     """Max buffered elements per group before materializing a real state.
 
@@ -196,11 +209,7 @@ class MergeableSketch(ABC):
         )
 
         def _batch_input(series: pd.Series) -> np.ndarray:
-            if ngram is None:
-                return series.to_numpy()
-            from .multi import series_window_hashes
-
-            return series_window_hashes(series, ngram)
+            return feed_series(series, ngram)
 
         # Bounded-memory grouped fold (_fold_cell/_emit_cell): small
         # groups buffer raw inputs and materialize their dense state one

@@ -28,15 +28,31 @@ from .sketches.base import MergeableSketch
 
 
 def _feed(series, ngram: int | None):
-    """The per-micro-batch feed: scalar values, or (``ngram=n``) all
-    n-token window hashes — the same kernel as the batch ``ngram``
-    entry points, so stream-vs-batch byte-identity holds. With a
-    window feed, ``n_total`` counts windows, not rows."""
-    if ngram is None:
-        return series.to_numpy()
-    from .sketches.multi import series_window_hashes
+    """The per-micro-batch feed — literally the batch kernel
+    (``sketches.base.feed_series``), so stream-vs-batch byte-identity
+    holds by construction, not by parallel maintenance. With a window
+    feed, ``n_total`` counts windows, not rows."""
+    from .sketches.base import feed_series
 
-    return series_window_hashes(series, ngram)
+    return feed_series(series, ngram)
+
+
+def _fold_into_state(sketch: MergeableSketch, ngram: int | None,
+                     state, pdf_iter):
+    """Shared stateful-operator body: load (or init) the serialized
+    sketch from the group state, fold every arriving batch through the
+    batch feed, write the state back. Returns ``(sketch_state, n)``."""
+    if state.exists:
+        blob, n = state.get
+        st = sketch.from_bytes(bytes(blob))
+    else:
+        st, n = sketch.new_state(), 0
+    for pdf in pdf_iter:
+        arr = _feed(pdf["__in"], ngram)
+        sketch.update(st, arr)
+        n += len(arr)
+    state.update((sketch.to_bytes(st), n))
+    return st, n
 
 
 class _ForeachBatchSink:
@@ -195,9 +211,17 @@ class StreamingSketch(_ForeachBatchSink):
 
         agg = StreamingSketch(HyperLogLog(p=14), "doc_id",
                               state_path="/ckpt/hll_state")
-        q = agg.start(stream_df)   # or .foreach_batch as your own sink step
+        q = agg.start(stream_df, checkpoint_dir="/ckpt/hll")
         q.awaitTermination()
         agg.estimate()
+
+    The ``(last_batch_id, state)`` sidecar's replay guard is only sound
+    against batch ids from ONE stable checkpoint lineage, so
+    ``state_path`` REQUIRES ``checkpoint_dir`` on ``start`` and the
+    sidecar pins the checkpoint it was built under (a resume under a
+    different checkpoint renumbers batches from 0 — the guard would
+    silently skip all new data). Callers driving ``foreach_batch``
+    from their own sink own that contract themselves.
     """
 
     def __init__(
@@ -214,8 +238,30 @@ class StreamingSketch(_ForeachBatchSink):
         self.state_path = state_path
         self.state = sketch.new_state()
         self.last_batch_id = -1
+        self._checkpoint: str | None = None
+        self._bound_checkpoint: str | None = None
         if state_path and os.path.exists(state_path):
             self._load()
+
+    def start(self, stream_df, checkpoint_dir: str | None = None, **trigger):
+        if self.state_path and not checkpoint_dir:
+            raise ValueError(
+                "StreamingSketch(state_path=...) requires checkpoint_dir "
+                "on start(): without a stable checkpoint, a re-run "
+                "renumbers micro-batches from 0 and the sidecar's replay "
+                "guard silently skips every new batch"
+            )
+        if checkpoint_dir:
+            cp = checkpoint_dir.rstrip("/")
+            if self._bound_checkpoint and self._bound_checkpoint != cp:
+                raise ValueError(
+                    f"state at {self.state_path} was built under "
+                    f"checkpoint {self._bound_checkpoint!r}; resuming "
+                    f"under {cp!r} would replay unrelated batch ids — "
+                    "keep the checkpoint or start a fresh state_path"
+                )
+            self._checkpoint = cp
+        return super().start(stream_df, checkpoint_dir, **trigger)
 
     # -- persistence ---------------------------------------------------------
     def _load(self) -> None:
@@ -224,10 +270,16 @@ class StreamingSketch(_ForeachBatchSink):
         (hlen,) = struct.unpack_from("<I", raw, 0)
         meta = json.loads(raw[4 : 4 + hlen])
         self.last_batch_id = meta["last_batch_id"]
+        self._bound_checkpoint = meta.get("checkpoint")
         self.state = self.sketch.from_bytes(raw[4 + hlen :])
 
     def _save(self) -> None:
-        meta = json.dumps({"last_batch_id": self.last_batch_id}).encode()
+        meta = json.dumps(
+            {
+                "last_batch_id": self.last_batch_id,
+                "checkpoint": self._checkpoint or self._bound_checkpoint,
+            }
+        ).encode()
         tmp = f"{self.state_path}.tmp"
         with open(tmp, "wb") as f:
             f.write(struct.pack("<I", len(meta)) + meta + self.sketch.to_bytes(self.state))
@@ -279,6 +331,16 @@ def windowed_sketch(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     sketch._check_ngram(ngram)
+    # applyInPandasWithState hands group keys to the worker as tz-NAIVE
+    # pandas Timestamps in the SESSION timezone, and a naive
+    # Timestamp.timestamp() assumes UTC — in any non-UTC session the
+    # timeout would be shifted by the tz offset (west of UTC it lands
+    # BEFORE the watermark and the query dies with
+    # INVALID_TIMEOUT_TIMESTAMP; east of it windows finalize hours
+    # late). Capture the session tz once and localize in the worker.
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
     in_expr = (
         sketch._input_expr(col)
         if ngram is None
@@ -314,17 +376,15 @@ def windowed_sketch(
                 }
             )
             return
-        if state.exists:
-            blob, n = state.get
-            st = sketch.from_bytes(bytes(blob))
-        else:
-            st, n = sketch.new_state(), 0
-        for pdf in pdf_iter:
-            arr = _feed(pdf["__in"], ngram)
-            sketch.update(st, arr)
-            n += len(arr)
-        state.update((sketch.to_bytes(st), n))
-        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
+        st, n = _fold_into_state(sketch, ngram, state, pdf_iter)
+        end = (
+            win_end.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
+            if win_end.tzinfo is None
+            else win_end
+        )
+        state.setTimeoutTimestamp(int(end.timestamp() * 1000))
         yield pd.DataFrame(
             {
                 "window_start": [win_start],
@@ -353,27 +413,29 @@ def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str,
     of ``col`` (live per-source distinct-n-gram tracking, no row
     explosion).
     """
-    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     sketch._check_ngram(ngram)
-    out_schema = f"{key_col} string, estimate double, n_total long"
+    if key_col in ("estimate", "n_total"):
+        raise ValueError(
+            f"key_col {key_col!r} collides with a fixed output column "
+            "(estimate, n_total); alias the key first"
+        )
+    # backticks: the user's column name goes into a DDL string, and
+    # names with spaces/hyphens are legal parquet columns
+    out_schema = f"`{key_col}` string, estimate double, n_total long"
     state_schema = "blob binary, n long"
 
     def _update(key, pdf_iter, state: "GroupState"):
-        if state.exists:
-            blob, n = state.get
-            st = sketch.from_bytes(bytes(blob))
-        else:
-            st, n = sketch.new_state(), 0
-        for pdf in pdf_iter:
-            arr = _feed(pdf["__in"], ngram)
-            sketch.update(st, arr)
-            n += len(arr)
-        state.update((sketch.to_bytes(st), n))
+        st, n = _fold_into_state(sketch, ngram, state, pdf_iter)
         yield pd.DataFrame(
             {
-                key_col: [key[0]],
+                # PYTHON-str key form — the per-key state-table contract
+                # (multi._stage1_by_key uses str(kt[j]); Spark CAST
+                # disagrees for bool/float/NULL keys, see CLAUDE.md) —
+                # so streaming per-key rows join/compare cleanly against
+                # every batch per-key surface
+                key_col: [str(key[0])],
                 "estimate": [float(sketch.estimate(st))],
                 "n_total": [n],
             }
@@ -382,11 +444,12 @@ def stateful_sketch_by_key(stream_df, sketch: MergeableSketch, col: str,
     in_expr = (
         sketch._input_expr(col)
         if ngram is None
-        else F.col(col).alias("__in")
+        else stream_df[col].alias("__in")
     )
-    src = stream_df.select(
-        in_expr, F.col(key_col).cast("string").alias(key_col)
-    )
-    return src.groupBy(key_col).applyInPandasWithState(
+    # group on the RAW key value (indexed access, not F.col — dotted or
+    # spaced names resolve literally); stringification happens kernel-
+    # side with str() to match the batch key forms
+    src = stream_df.select(in_expr, stream_df[key_col].alias("__key"))
+    return src.groupBy("__key").applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

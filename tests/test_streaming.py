@@ -58,14 +58,26 @@ def test_streaming_kll_quantile_bound(spark, staged_dir):
 
 def test_streaming_resume_skips_replayed(spark, staged_dir, tmp_path):
     state_path = str(tmp_path / "hll_state.bin")
+    ckpt = str(tmp_path / "ckpt")
     agg = StreamingSketch(HyperLogLog(p=12), "doc_id", state_path=state_path)
-    q = agg.start(_read_stream(spark, staged_dir))
+    # the sidecar's replay guard is only sound under ONE checkpoint
+    # lineage: state_path without checkpoint_dir is refused, and a
+    # resume under a DIFFERENT checkpoint is refused (its batch ids
+    # restart from 0 — the guard would silently skip all new data)
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        agg.start(_read_stream(spark, staged_dir))
+    q = agg.start(_read_stream(spark, staged_dir), checkpoint_dir=ckpt)
     q.awaitTermination(120)
     est1 = agg.estimate()
     # new aggregator from the persisted state: replays of already-folded
     # batch ids must be no-ops, so the estimate is unchanged
     agg2 = StreamingSketch(HyperLogLog(p=12), "doc_id", state_path=state_path)
     assert agg2.last_batch_id == agg.last_batch_id
+    with pytest.raises(ValueError, match="was built under"):
+        agg2.start(
+            _read_stream(spark, staged_dir),
+            checkpoint_dir=str(tmp_path / "other_ckpt"),
+        )
     import pandas as pd
 
     replay_df = spark.read.parquet(staged_dir)
@@ -466,3 +478,90 @@ def test_streaming_dedup_ingest_exactly_once_output(spark, tmp_path):
     )
     assert again == want
     assert IncrementalDedup(state, **cfg).total_kept(spark) == len(want)
+
+
+def test_windowed_sketch_nonutc_session_timezone(spark, timed_dir, tmp_path):
+    """Event-time timeouts must survive a non-UTC session timezone: the
+    group key reaches the worker as a tz-naive SESSION-LOCAL timestamp,
+    and a naive .timestamp() assumes UTC — pre-fix, a west-of-UTC
+    session shifted the timeout 8h early and the engine killed the
+    query with INVALID_TIMEOUT_TIMESTAMP once the watermark advanced."""
+    from recsplit_spark.streaming import windowed_sketch
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/Los_Angeles")
+    try:
+        hll = HyperLogLog(p=12)
+        stream = (
+            spark.readStream.schema("doc_id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(timed_dir)
+        )
+        out = windowed_sketch(
+            stream, hll, "doc_id", "ts", "10 minutes", "1 minute"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_hll_tz")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tz"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None  # pre-fix: INVALID_TIMEOUT_TIMESTAMP
+        pdf = spark.sql(
+            "SELECT window_start, final FROM win_hll_tz"
+        ).toPandas()
+        # the watermark passed at least the first window's end, so its
+        # state timed out and emitted the final row
+        assert bool(pdf["final"].any())
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
+def test_stateful_by_key_bool_keys_python_str_forms(spark, tmp_path):
+    """Streaming per-key output must carry PYTHON-str key forms
+    ('True'/'False'), matching every batch per-key surface
+    (multi._stage1_by_key / base partials use str(kt)); a Spark CAST
+    would emit 'true'/'false' and zero-match any join against batch
+    state tables (the bool-key regression class CLAUDE.md pins)."""
+    import pandas as pd
+
+    from recsplit_spark.streaming import stateful_sketch_by_key
+
+    src_dir = tmp_path / "bool_src"
+    src_dir.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(200)],
+            "flag": [i % 3 == 0 for i in range(200)],
+        }
+    ).to_parquet(src_dir / "part-0.parquet", index=False)
+
+    hll = HyperLogLog(p=12)
+    stream = (
+        spark.readStream.schema("doc_id string, flag boolean")
+        .parquet(str(src_dir))
+    )
+    out = stateful_sketch_by_key(stream, hll, "doc_id", "flag")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("per_key_bool")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bool"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pdf = spark.sql("SELECT flag, estimate FROM per_key_bool").toPandas()
+    got = dict(zip(pdf["flag"], pdf["estimate"]))
+    batch = {
+        r["flag"]: r["estimate"]
+        for r in hll.aggregate(
+            spark.read.parquet(str(src_dir)), "doc_id", ["flag"]
+        ).collect()
+    }
+    assert set(batch) == {"True", "False"}  # batch contract: str() forms
+    assert got == batch  # streaming matches key-for-key, value-for-value
