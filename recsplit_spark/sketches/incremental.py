@@ -40,6 +40,7 @@ artifact.
 from __future__ import annotations
 
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -66,6 +67,19 @@ def _canon_file(p: str) -> str:
     if p.startswith("file:"):
         p = "file:///" + p[5:].lstrip("/")
     return unquote(p)
+
+
+def _lineage_match_key(p: str) -> str:
+    """Scheme-insensitive identity used ONLY for the processed-file
+    diff. Legacy lineage rows (pre-qualification ``update(files=...)``
+    runs) recorded bare local paths (``/data/x.parquet``) while modern
+    listings produce ``file:///data/x.parquet`` — the fold-vs-skip
+    decision must treat those as the SAME file, or a later
+    ``update(source=...)`` silently re-folds (double-counts) every
+    legacy-recorded file. Lineage rows themselves keep whatever form
+    they were written with; only the membership test strips the local
+    scheme."""
+    return p[7:] if p.startswith("file://") else p
 
 
 def _qualify_input(spark, f: str, known: set) -> str:
@@ -109,12 +123,21 @@ def acquire_writer_lock(spark, path: str, what: str) -> None:
     try:
         out = fs.create(lock, False)
         out.close()
-    except Exception:
-        raise RuntimeError(
-            f"{what} at {path} is locked by another writer (_lock "
-            "exists); if a previous run crashed, remove the stale lock "
-            "with break_lock()"
-        ) from None
+    except Exception as e:
+        # only an existing-lock failure means "locked" — a transient IO
+        # or permission error must NOT advise break_lock(): following
+        # that advice against a LIVE lock is exactly the silent
+        # lost-batch the lock exists to prevent
+        java = getattr(e, "java_exception", None)
+        jname = java.getClass().getName() if java is not None else ""
+        jmsg = str(java.getMessage() or "") if java is not None else str(e)
+        if "AlreadyExists" in jname or "already exists" in jmsg.lower():
+            raise RuntimeError(
+                f"{what} at {path} is locked by another writer (_lock "
+                "exists); if a previous run crashed, remove the stale "
+                "lock with break_lock()"
+            ) from None
+        raise
 
 
 def release_writer_lock(spark, path: str) -> None:
@@ -187,7 +210,10 @@ def align_tombstone_ids(ids_df, id_col: str, id_type):
 
     casted = ids_df.select(
         F.col(ids_df.columns[0]).try_cast(id_type).alias(id_col)
-    )
+    ).localCheckpoint()  # pin ONE evaluation: the null check below and
+    # the later count+write must see the same rows, or a
+    # nondeterministic ids_df (sample(), a re-read of a mutating table)
+    # sneaks a malformed id past the guard on re-evaluation
     if casted.filter(F.col(id_col).isNull()).count():
         raise ValueError(
             f"ids do not cast to the store's id type "
@@ -202,29 +228,31 @@ def commit_tombstone_generation(spark, path: str, ids_df, t0: float) -> dict:
     the structures' appends): writes ``<path>/tombstones/gen=K`` then
     appends the tombstone-lineage row. ``ids_df`` must already be
     type-aligned and distinct. Returns the delete metrics dict."""
-    import time as _time
-    import uuid as _uuid
-
     n = ids_df.count()
     rows = read_tombstone_rows(spark, path)
     gen = int(rows[-1]["gen"]) + 1 if rows else 0
-    wall = _time.time() - t0
+    wall = time.time() - t0
     if n > 0:
         ids_df.coalesce(1).write.mode("overwrite").parquet(
             f"{path}/tombstones/gen={gen}"
         )
         spark.createDataFrame(
-            [(gen, n, _uuid.uuid4().hex, wall)], TOMB_SCHEMA
+            [(gen, n, uuid.uuid4().hex, wall)], TOMB_SCHEMA
         ).write.mode("append").parquet(f"{path}/tombstone_lineage")
     return {"gen": gen if n > 0 else None, "n": int(n), "wall_s": wall}
 
 
-def _list_data_files(spark, source: str) -> list[str]:
+def _list_data_files_raw(spark, source: str) -> dict[str, str]:
     """Recursively list data files under ``source`` via the Hadoop
     FileSystem API (works for any scheme Spark can read), skipping
-    hidden/commit-protocol entries (``_SUCCESS``, ``.crc`` ...)."""
+    hidden/commit-protocol entries (``_SUCCESS``, ``.crc`` ...).
+    Returns ``{canonical lineage form -> RAW filesystem path}``: the
+    canonical form (percent-decoded) is the lineage identity, but the
+    READER must get the raw path — a file literally named
+    ``a%20b.parquet`` decodes to ``a b.parquet``, which does not
+    exist."""
     fs, root, _ = _fs_for(spark, source)
-    out: list[str] = []
+    out: dict[str, str] = {}
     stack = [root]
     while stack:
         p = stack.pop()
@@ -235,8 +263,14 @@ def _list_data_files(spark, source: str) -> list[str]:
             if st.isDirectory():
                 stack.append(st.getPath())
             else:
-                out.append(_canon_file(st.getPath().toString()))
-    return sorted(out)
+                raw = st.getPath().toString()
+                out[_canon_file(raw)] = raw
+    return out
+
+
+def _list_data_files(spark, source: str) -> list[str]:
+    """Sorted canonical data-file list (see ``_list_data_files_raw``)."""
+    return sorted(_list_data_files_raw(spark, source))
 
 
 def merge_profile_tables(tables, keys, specs):
@@ -439,8 +473,6 @@ class IncrementalProfile:
         Single-writer: a ``<path>/_lock`` file guards the whole
         read-fold-commit sequence (see ``_acquire_lock``); concurrent
         updates raise instead of silently losing a batch."""
-        from pyspark.sql import functions as F
-
         if (source is None) == (files is None):
             raise ValueError("pass exactly one of source= or files=")
         t0 = time.time()
@@ -461,16 +493,26 @@ class IncrementalProfile:
         # the folded set, not "every lineage file": a file forgotten via
         # forget() must re-fold if it is ever presented again
         done = self._folded_files(spark, cur_gen) if cur_gen > 0 else set()
-        all_files = (
-            sorted({_qualify_input(spark, f, done) for f in files})
-            if files is not None
-            else _list_data_files(spark, source)
-        )
-        new = [f for f in all_files if f not in done]
+        if files is not None:
+            raw_for = {}
+            for f in files:
+                raw_for.setdefault(_qualify_input(spark, f, done), f)
+            all_files = sorted(raw_for)
+        else:
+            raw_for = _list_data_files_raw(spark, source)
+            all_files = sorted(raw_for)
+        # membership via the scheme-insensitive key: legacy lineage rows
+        # hold bare local paths, modern listings file:///... — a raw
+        # comparison would re-fold (double-count) every legacy file
+        done_keys = {_lineage_match_key(d) for d in done}
+        new = [f for f in all_files if _lineage_match_key(f) not in done_keys]
         if not new:
             return {"gen": cur_gen, "new_files": 0, "rows": 0}
 
-        df_new = spark.read.parquet(*new)
+        # read the RAW paths (canonical forms are percent-decoded and a
+        # literal %XX in a file name would PATH_NOT_FOUND); lineage rows
+        # record the canonical identity
+        df_new = spark.read.parquet(*[raw_for.get(f, f) for f in new])
         new_states = profile_by_key(df_new, self.keys, self.specs)
         if cur_gen > 0:
             cur = spark.read.parquet(f"{self.path}/state/gen={cur_gen}")
@@ -495,8 +537,6 @@ class IncrementalProfile:
             .count()
             .collect()
         }
-        import uuid
-
         run_id = f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
         wall = round(time.time() - t0, 3)
         spark.createDataFrame(
@@ -667,9 +707,50 @@ class IncrementalProfile:
 
             if not refold and all_cms and all(_readable(f) for f in want):
                 mode = "subtract"
-                gone = profile_by_key(
-                    spark.read.parquet(*want), self.keys, self.specs
-                )
+                src = spark.read.parquet(*want)
+                # content-drift guard: subtraction equals a survivor
+                # re-fold only if the forgotten files still hold exactly
+                # the rows that were folded. Grown content trips the
+                # negative-counter check, but SHRUNK content subtracts
+                # cleanly and silently leaves the missing rows' counts
+                # attributed to nothing — compare each file's current
+                # row count against the n_rows its latest fold event
+                # recorded (cheap: metadata-only count + tiny collect)
+                # and refuse on any mismatch.
+                cur_counts = {
+                    _lineage_match_key(_canon_file(r["f"])): int(r["count"])
+                    for r in src.groupBy(
+                        F.input_file_name().alias("f")
+                    ).count().collect()
+                }
+                recorded: dict[str, int] = {}
+                for r in (
+                    spark.read.parquet(f"{self.path}/lineage")
+                    .select("file", "gen", "n_rows")
+                    .collect()
+                ):
+                    k = _lineage_match_key(r["file"])
+                    g = int(r["gen"])
+                    if g <= cur and (
+                        k not in recorded or g > recorded[k][0]
+                    ):
+                        recorded[k] = (g, int(r["n_rows"]))
+                drift = {
+                    f: (recorded[_lineage_match_key(f)][1],
+                        cur_counts.get(_lineage_match_key(f), 0))
+                    for f in want
+                    if _lineage_match_key(f) in recorded
+                    and recorded[_lineage_match_key(f)][1]
+                    != cur_counts.get(_lineage_match_key(f), 0)
+                }
+                if drift:
+                    raise ValueError(
+                        "forgotten file content changed since it was "
+                        f"folded (recorded vs current row counts: {drift}); "
+                        "subtraction would commit a wrong state — pass "
+                        "refold=True to rebuild from the survivors"
+                    )
+                gone = profile_by_key(src, self.keys, self.specs)
                 new_tab = _subtract_profile_tables(
                     self.states(spark), gone, self.keys, self.specs
                 )
@@ -693,8 +774,6 @@ class IncrementalProfile:
             new_tab.write.mode("overwrite").parquet(
                 f"{self.path}/state/gen={gen}"
             )
-            import uuid
-
             run_id = f"forget-{int(time.time())}-{uuid.uuid4().hex[:8]}"
             wall = round(time.time() - t0, 3)
             spark.createDataFrame(

@@ -906,3 +906,89 @@ def test_forget_subtract_detects_changed_file_content(spark, tmp_path):
     m = inc.forget(spark, [f], refold=True)
     assert m["mode"] == "refold"
     assert inc.states(spark).count() == 0
+
+
+def test_forget_subtract_detects_shrunk_file_content(spark, tmp_path):
+    """The shrink direction of content drift: a forgotten file whose
+    content LOST rows since folding subtracts cleanly (no negative
+    counters), silently leaving the missing rows' counts attributed to
+    nothing — the row-count-vs-lineage guard must refuse it too, not
+    just the grown direction the negative-counter check happens to
+    catch."""
+    import glob
+    import shutil as _sh
+
+    small, big = str(tmp_path / "small"), str(tmp_path / "big")
+    _write_batch(spark, 0, 100, small, parts=1)
+    _write_batch(spark, 0, 300, big, parts=1)
+    data = tmp_path / "data"
+    data.mkdir()
+    f = str(data / "a.parquet")
+    _sh.copy(glob.glob(f"{big}/part-*.parquet")[0], f)  # fold the BIG one
+    inc = IncrementalProfile(_cms_specs(), ["source"], str(tmp_path / "p"))
+    inc.update(spark, files=[f])
+    # swap in SMALLER content at the same path
+    _sh.copy(glob.glob(f"{small}/part-*.parquet")[0], f)
+    with pytest.raises(Exception, match="content changed"):
+        inc.forget(spark, [f])
+    m = inc.forget(spark, [f], refold=True)
+    assert m["mode"] == "refold"
+    assert inc.states(spark).count() == 0
+
+
+def test_legacy_bare_lineage_paths_not_refolded_by_source_update(
+    spark, tmp_path
+):
+    """Back-compat both directions: lineage rows recorded as BARE local
+    paths (pre-qualification runs) must match the qualified
+    file:///... forms a later update(source=...) lists — a raw string
+    comparison would silently re-fold (double-count) every
+    legacy-recorded file."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    _write_batch(spark, 0, 200, str(src), parts=1)
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "p"))
+    m1 = inc.update(spark, source=str(src))
+    assert m1["new_files"] == 1
+    before = _state_set(inc.states(spark))
+    # rewrite the lineage rows into the legacy bare form (strip scheme)
+    lineage_dir = f"{tmp_path}/p/lineage"
+    rows = spark.read.parquet(lineage_dir).withColumn(
+        "file", F.regexp_replace("file", "^file://", "")
+    )
+    pdf = rows.toPandas()
+    import shutil as _sh
+
+    _sh.rmtree(lineage_dir)
+    spark.createDataFrame(pdf).write.parquet(lineage_dir)
+    # the same source must now be a NO-OP, not a double fold
+    m2 = inc.update(spark, source=str(src))
+    assert m2["new_files"] == 0
+    assert _state_set(inc.states(spark)) == before
+
+
+def test_literal_percent_escape_filename_folds(spark, tmp_path):
+    """A file literally named with a %XX sequence must still be
+    READABLE by update(): the canonical lineage identity percent-
+    decodes, but the reader has to get the raw path (the decoded one
+    does not exist on disk)."""
+    import glob
+    import shutil as _sh
+
+    staged = str(tmp_path / "staged")
+    _write_batch(spark, 0, 150, staged, parts=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    _sh.copy(
+        glob.glob(f"{staged}/part-*.parquet")[0],
+        str(src / "a%20weird.parquet"),
+    )
+    inc = IncrementalProfile(_specs()[:1], ["source"], str(tmp_path / "p"))
+    m = inc.update(spark, source=str(src))
+    assert m["new_files"] == 1
+    # the data actually folded: per-source distinct-doc estimates exist
+    assert inc.states(spark).count() > 0
+    # and the diff still recognizes the file as processed on replay
+    m2 = inc.update(spark, source=str(src))
+    assert m2["new_files"] == 0
