@@ -34,10 +34,31 @@ def read_input(spark, source: str):
     and ``read_sequences`` (one rule, one place: a source containing a
     path separator or a ``.parquet`` suffix is a parquet location,
     anything else resolves through the session catalog — Iceberg/Hive
-    table names land there)."""
+    table names land there). A bare name that is NOT a catalog table
+    falls back to a directory probe (a relative parquet dir like
+    ``--input data`` would otherwise die with TABLE_OR_VIEW_NOT_FOUND,
+    hiding that the path merely lacked a separator); a catalog entry
+    still wins that ambiguity — prefix the path with ``./`` to force
+    the file reading of a shadowed name."""
     if "/" in source or source.endswith(".parquet"):
         return spark.read.parquet(source)
-    return spark.table(source)
+    if spark.catalog.tableExists(source):
+        return spark.table(source)
+    import os
+
+    if os.path.isdir(source):
+        # qualify against the PYTHON cwd: the JVM's working dir is
+        # pinned at session launch and does not follow a later chdir
+        return spark.read.parquet(os.path.abspath(source))
+    from .sketches.incremental import _dir_exists
+
+    if _dir_exists(spark, source):  # non-local default FS (hdfs etc.)
+        return spark.read.parquet(source)
+    raise ValueError(
+        f"input {source!r} is neither a catalog table nor an existing "
+        "path (paths with no separator are tried as tables first; use "
+        "./name to force a relative directory)"
+    )
 
 
 def read_sequences(spark, source: str, validate: bool = True):
@@ -80,20 +101,34 @@ def read_jsonl(spark, path: str, fields, on_bad: str = "error"):
     so ingestion jobs must pin them.
 
     ``on_bad`` is the malformed-line policy, mapped to the source-level
-    parser modes (no corrupt rows ever leave the scan in ``drop`` mode,
-    so no post-filter pass):
+    parser modes (no corrupt rows ever leave the scan, so no post-filter
+    pass). IMPORTANT — the modes apply to each query plan's REQUIRED
+    columns, a property of Spark's JSON source, not this wrapper: the
+    parser only validates the fields a plan actually reads, so a plain
+    ``.count()`` (required schema empty) neither drops nor fails rows
+    whose fields are type-mismatched, and ``.select("doc_id")`` does not
+    police ``tokens``. A plan that reads every field gets the full
+    policy; anything pruned is unpoliced. To pin ONE materialization of
+    the policy across differently-pruned consumers, cache or write the
+    frame first (the ingest job writes to parquet immediately, which is
+    the recommended shape).
 
-    * ``"error"`` — FAILFAST: any unparseable line or type-mismatched
-      field aborts the job. The right default for pipeline determinism:
-      a silent drop changes every downstream count.
-    * ``"drop"`` — DROPMALFORMED: malformed lines are dropped at the
-      parser. For dirty dumps where the drop is the point; audit the
-      loss by comparing against ``on_bad="keep"`` counts.
-    * ``"keep"`` — PERMISSIVE: malformed lines survive with all data
-      fields null and the raw line in a ``corrupt_record`` string
-      column. NOTE Spark refuses plans whose only referenced column is
-      the internal corrupt-record column — materialize (cache/write)
-      before aggregating ``corrupt_record`` alone.
+    * ``"error"`` — FAILFAST: an unparseable line, or a type-mismatched
+      REQUIRED field, aborts the job. The right default for pipeline
+      determinism: a silent drop changes every downstream count.
+    * ``"drop"`` — DROPMALFORMED: lines malformed w.r.t. the required
+      fields are dropped at the parser. For dirty dumps where the drop
+      is the point; audit the loss by comparing a full-schema
+      materialization against ``on_bad="keep"`` counts.
+    * ``"keep"`` — PERMISSIVE: whole-line JSON failures survive with
+      all data fields null; a syntactically-valid line with some BAD
+      field keeps its parseable fields (partial result). In BOTH cases
+      the raw line lands in ``corrupt_record`` — test THAT column for
+      corruption, never "data field is null" (partial results have
+      non-null data fields). NOTE Spark refuses plans whose only
+      referenced column is the internal corrupt-record column —
+      materialize (cache/write) before aggregating ``corrupt_record``
+      alone.
 
     Compression is transparent by extension (``.gz``, ``.zst``, ...) but
     gzip is NOT splittable — one task per ``.gz`` file, so parallelism =
@@ -105,24 +140,29 @@ def read_jsonl(spark, path: str, fields, on_bad: str = "error"):
         if isinstance(fields, dict)
         else fields
     )
-    if on_bad == "error":
-        return spark.read.schema(ddl).option("mode", "FAILFAST").json(path)
-    if on_bad == "drop":
-        return (
-            spark.read.schema(ddl)
-            .option("mode", "DROPMALFORMED")
-            .json(path)
+    modes = {"error": "FAILFAST", "drop": "DROPMALFORMED",
+             "keep": "PERMISSIVE"}
+    if on_bad not in modes:
+        raise ValueError(
+            f"on_bad must be 'error', 'drop', or 'keep', got {on_bad!r}"
         )
     if on_bad == "keep":
-        return (
-            spark.read.schema(f"{ddl}, corrupt_record string")
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "corrupt_record")
-            .json(path)
+        names = (
+            set(fields) if isinstance(fields, dict)
+            else {f.split()[0].strip("`") for f in fields.split(",")}
         )
-    raise ValueError(
-        f"on_bad must be 'error', 'drop', or 'keep', got {on_bad!r}"
-    )
+        if "corrupt_record" in names:
+            raise ValueError(
+                "on_bad='keep' reserves the column name corrupt_record "
+                "for the raw-line sink; rename the data field"
+            )
+        ddl = f"{ddl}, corrupt_record string"
+    reader = spark.read.schema(ddl).option("mode", modes[on_bad])
+    if on_bad == "keep":
+        reader = reader.option(
+            "columnNameOfCorruptRecord", "corrupt_record"
+        )
+    return reader.json(path)
 
 
 def read_sequences_jsonl(spark, path: str, on_bad: str = "error"):
@@ -212,7 +252,17 @@ def signature_duplicates(sigs_df, assume_sorted: bool = False):
     parquet table, whose file SPLITS can put equal neighbours in
     different read partitions). Returns DataFrame[sig long, n_dups
     long], count excluding the first occurrence — the rows an MPHF
-    build must salt-re-roll away."""
+    build must salt-re-roll away.
+
+    Cost shape: ``repartitionByRange`` runs RangePartitioner's boundary
+    SAMPLING pass over the upstream before the real exchange — two
+    evaluations of the input (persist upstream if it is expensive), the
+    same trade ``write_training_shards`` documents. The per-partition
+    duplicate dict holds one entry per DISTINCT duplicated sig, which is
+    tiny for the intended rare-collision signature audits; on
+    duplicate-HEAVY universes (pre-dedup id tables) prefer
+    ``groupBy(sig).count().filter("count > 1")`` — hash aggregation
+    spills, this kernel's dict does not."""
     import numpy as np
     import pandas as pd
 

@@ -128,3 +128,53 @@ def test_jsonl_feeds_an_mphf_build(spark, tmp_path):
         F.max("mphf_index").alias("hi"),
     ).collect()[0]
     assert (row["n"], row["d"], row["hi"]) == (n, n, n - 1)
+
+
+def test_keep_partial_results_detected_via_corrupt_record(spark, tmp_path):
+    """PERMISSIVE semantics Spark actually implements: a syntactically
+    valid line with ONE type-bad field keeps its parseable fields
+    (partial result, data fields NOT all null) — corruption must be
+    detected via corrupt_record, never 'data field is null'."""
+    path = _write_lines(
+        tmp_path,
+        [
+            '{"doc_id": 1, "lang": "en", "n": 7}',
+            '{"doc_id": 2, "lang": "de", "n": "oops"}',  # one bad field
+            "not json at all",  # whole-line failure
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in read_jsonl(spark, path, DOC_FIELDS, on_bad="keep").collect()
+    }
+    assert rows[1]["corrupt_record"] is None
+    # partial result: doc_id/lang survived, n is null, corrupt_record set
+    assert rows[2]["lang"] == "de" and rows[2]["n"] is None
+    assert rows[2]["corrupt_record"] is not None
+    # whole-line failure: all data fields null, raw line preserved
+    assert rows[None]["corrupt_record"] == "not json at all"
+
+
+def test_keep_refuses_corrupt_record_name_collision(spark, tmp_path):
+    path = _write_lines(tmp_path, ['{"doc_id": 1}'])
+    with pytest.raises(ValueError, match="reserves the column name"):
+        read_jsonl(
+            spark, path,
+            {"doc_id": "bigint", "corrupt_record": "string"},
+            on_bad="keep",
+        )
+
+
+def test_read_input_relative_dir_fallback(spark, tmp_path, monkeypatch):
+    """A bare relative directory name (no separator, no .parquet) must
+    fall back to the path probe when no catalog table matches, instead
+    of dying with TABLE_OR_VIEW_NOT_FOUND."""
+    import os
+
+    from recsplit_spark.io import read_input
+
+    spark.range(5).write.parquet(str(tmp_path / "mydump"))
+    monkeypatch.chdir(tmp_path)
+    assert read_input(spark, "mydump").count() == 5
+    with pytest.raises(ValueError, match="neither a catalog table"):
+        read_input(spark, "no_such_thing")
