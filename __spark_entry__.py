@@ -4212,16 +4212,64 @@ def _q_generation_sample_added(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Driver-window ordering (round 5): the driver certifies the FIRST
+    # ~50 entries only. Slots 1-30: queries never driver-checked through
+    # round 4; 31-41: driver-green in r01-r03 but outside the r04 window;
+    # 42-50: the load-bearing veterans (bijections + incremental stores).
+    # New queries go right after the never-checked block. Rotate per round
+    # until every query has at least one green CORRECTNESS row.
     return {
+        "sq8_adc_embeddings": _q_sq8_adc_embeddings,
+        "bpe_tokenizer_documents": _q_bpe_tokenizer_documents,
+        "dsir_importance_sequences": _q_dsir_importance_sequences,
+        "stratified_split_documents": _q_stratified_split_documents,
+        "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
+        "gopher_quality_documents": _q_gopher_quality_documents,
+        "repetition_documents": _q_repetition_documents,
+        "c4_pii_documents": _q_c4_pii_documents,
+        "mix_corpus_documents": _q_mix_corpus_documents,
+        "unigram_lm_documents": _q_unigram_lm_documents,
+        "bigram_lm_documents": _q_bigram_lm_documents,
+        "jsonl_ingest_documents": _q_jsonl_ingest_documents,
+        "frame_sample_media": _q_frame_sample_media,
+        "training_shards_documents": _q_training_shards_documents,
+        "image_near_dup_media": _q_image_near_dup_media,
+        "audio_near_dup_media": _q_audio_near_dup_media,
+        "video_near_dup_media": _q_video_near_dup_media,
+        "onepass_profile_documents": _q_onepass_profile_documents,
+        "ngram_profile_sequences": _q_ngram_profile_sequences,
+        "profile_by_source_sequences": _q_profile_by_source_sequences,
+        "theta_source_gram_overlap": _q_theta_source_gram_overlap,
+        "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
+        "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
+        "substring_dedup_sequences": _q_substring_dedup_sequences,
+        "decontaminate_sequences": _q_decontaminate_sequences,
+        "split_leakage_sequences": _q_split_leakage_sequences,
+        "pack_sequences": _q_pack_sequences,
+        "theta_generation_delta": _q_theta_generation_delta,
+        "cms_generation_delta": _q_cms_generation_delta,
+        "generation_sample_added": _q_generation_sample_added,
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "cosine_lsh_near_dup": _q_cosine_lsh_near_dup,
+        "quality_counts_documents": _q_quality_counts_documents,
+        "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
+        "lang_id_documents": _q_lang_id_documents,
+        "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "top_tokens": _q_top_tokens,
+        "events_running_window": _q_events_running_window,
+        "rollup_returnflag": _q_rollup_returnflag,
         "mphf_bijection_lineitem": _q_mphf_bijection_lineitem,
         "mphf_leaf12_bijection": _q_mphf_leaf12_bijection,
         "mphf_space_priority_bijection": _q_mphf_space_priority_bijection,
+        "mphf_blocked_bijection": _q_mphf_blocked_bijection,
         "incremental_mphf_bijection": _q_incremental_mphf_bijection,
         "incremental_mphf_compaction": _q_incremental_mphf_compaction,
-        "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "dedup_corpus_documents": _q_dedup_corpus_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
-        "mphf_blocked_bijection": _q_mphf_blocked_bijection,
+        "incremental_ann_search": _q_incremental_ann_search,
+        "theta_pairwise_priorities": _q_theta_pairwise_priorities,
         "bdz_bijection_orders": _q_bdz_bijection_orders,
         "mphf_filter_members": _q_mphf_filter_members,
         "xor_filter_members": _q_xor_filter_members,
@@ -4253,7 +4301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ann_bruteforce_top5": _q_ann_bruteforce_top5,
         "ann_ivf_recall": _q_ann_ivf_recall,
-        "incremental_ann_search": _q_incremental_ann_search,
         "forget_family_documents": _q_forget_family_documents,
         "profile_forget_documents": _q_profile_forget_documents,
         "incremental_ann_compact": _q_incremental_ann_compact,
@@ -4263,47 +4310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_recall": _q_ivfadc_recall,
         "ivfadc_residual_recall": _q_ivfadc_residual_recall,
         "opq_adc_embeddings": _q_opq_adc_embeddings,
-        "sq8_adc_embeddings": _q_sq8_adc_embeddings,
-        "bpe_tokenizer_documents": _q_bpe_tokenizer_documents,
-        "dsir_importance_sequences": _q_dsir_importance_sequences,
-        "stratified_split_documents": _q_stratified_split_documents,
-        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
-        "minhash_token_near_dup_pairs": _q_minhash_token_near_dup_pairs,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "cosine_lsh_near_dup": _q_cosine_lsh_near_dup,
-        "quality_counts_documents": _q_quality_counts_documents,
-        "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
-        "lang_id_documents": _q_lang_id_documents,
-        "gopher_quality_documents": _q_gopher_quality_documents,
-        "repetition_documents": _q_repetition_documents,
-        "c4_pii_documents": _q_c4_pii_documents,
-        "mix_corpus_documents": _q_mix_corpus_documents,
-        "unigram_lm_documents": _q_unigram_lm_documents,
-        "bigram_lm_documents": _q_bigram_lm_documents,
-        "sequences_tokens_roundtrip": _q_sequences_tokens_roundtrip,
-        "jsonl_ingest_documents": _q_jsonl_ingest_documents,
-        "frame_sample_media": _q_frame_sample_media,
-        "training_shards_documents": _q_training_shards_documents,
-        "image_near_dup_media": _q_image_near_dup_media,
-        "audio_near_dup_media": _q_audio_near_dup_media,
-        "video_near_dup_media": _q_video_near_dup_media,
-        "onepass_profile_documents": _q_onepass_profile_documents,
-        "ngram_profile_sequences": _q_ngram_profile_sequences,
-        "profile_by_source_sequences": _q_profile_by_source_sequences,
-        "theta_source_gram_overlap": _q_theta_source_gram_overlap,
-        "heavy_ngrams_sequences": _q_heavy_ngrams_sequences,
-        "heavy_ngrams_by_source": _q_heavy_ngrams_by_source,
-        "substring_dedup_sequences": _q_substring_dedup_sequences,
-        "decontaminate_sequences": _q_decontaminate_sequences,
-        "split_leakage_sequences": _q_split_leakage_sequences,
-        "pack_sequences": _q_pack_sequences,
-        "theta_generation_delta": _q_theta_generation_delta,
-        "cms_generation_delta": _q_cms_generation_delta,
-        "generation_sample_added": _q_generation_sample_added,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "top_tokens": _q_top_tokens,
-        "events_running_window": _q_events_running_window,
-        "rollup_returnflag": _q_rollup_returnflag,
     }
 
 
