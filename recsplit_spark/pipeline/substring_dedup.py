@@ -28,10 +28,15 @@ EXACT substring dedup — O(distinct windows) hash rows, the distributed
 analogue of the suffix array's O(total tokens) index (at ~24 B/window vs
 the paper's 8 B/suffix pointer, but partitioned instead of single-node).
 Passes B/C shuffle only duplicated occurrences and cut spans, which for
-real corpora are orders of magnitude smaller. The driver and each
-executor hold the duplicated-window set (16 B/entry); ``waves=R`` slices
-D by pmod(h1, R) and runs R locate scans so the broadcast stays bounded
-when duplication is heavy.
+real corpora are orders of magnitude smaller. The duplicated-window set
+D (16 B/entry) is never gathered whole: below ``driver_cap`` rows it is
+collected once and ``waves=R`` slices the *broadcast* by pmod(h1, R);
+above the cap D is spilled to parquet and each of the auto-derived waves
+loads ONLY its hash-range slice to the driver (≤ driver_cap rows at a
+time), broadcasts it, appends that wave's occurrences to a parquet
+spill, and destroys the broadcast before the next wave — so driver and
+executor memory stay bounded at Lee et al.'s own duplication rates
+(O(10^10+) duplicated windows at the 100 TB operating point).
 
 Collisions: a single 64-bit window hash collides with near-certainty at
 5x10^14 windows (birthday at ~2^32); keying on the independent pair makes
@@ -173,55 +178,138 @@ def duplicate_windows(df, col: str = "tokens", n: int = 50):
     )
 
 
+def _occ_scan_parts(df, id_col: str, col: str):
+    """Shared pass-B scan setup: (scan df, occurrence DDL schema)."""
+    from pyspark.sql import functions as F
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    occ_schema = f"h1 long, h2 long, __id {id_type}, pos long"
+    scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    return scan, occ_schema
+
+
+def _make_hits(b, n: int):
+    """Kernel for one locate wave: emit (h1, h2, __id, pos) for every
+    window occurrence whose hash pair is in the broadcast slice ``b``
+    (= (d1 sorted, d2 parallel, max_run))."""
+
+    def _hits(batches):
+        d1s_, d2s_, mr = b.value
+        for pdf in batches:
+            flat, lens = _series_to_flat(pdf["__arr"])
+            h1, pos = _flat_ngram_hashes_pos(flat, lens, n)
+            if len(h1) == 0:
+                continue
+            h2 = _second_window_hash(flat, pos, n)
+            hit = _pair_member_mask(h1, h2, d1s_, d2s_, mr)
+            if not hit.any():
+                continue
+            n_sh = np.maximum(
+                lens - n + 1, 0
+            )  # windows per doc, same layout the hash kernel emits
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            local = pos - doc_starts[doc_of]
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "h1": h1[hit].view(np.int64),
+                    "h2": h2[hit].view(np.int64),
+                    "__id": ids[doc_of[hit]],
+                    "pos": local[hit],
+                }
+            )
+
+    return _hits
+
+
 def _locate_occurrences(df, id_col: str, col: str, n: int, dups_pdf, waves: int):
-    """Pass B: DataFrame[h1, h2, <id_col>, pos] of every occurrence of a
-    duplicated window, one corpus scan per wave (D sliced by pmod(h1,
-    waves) so each broadcast slice stays bounded)."""
+    """Pass B, driver-resident probe set: DataFrame[h1, h2, <id_col>,
+    pos] of every occurrence of a duplicated window, one corpus scan per
+    wave (D sliced by pmod(h1, waves) so each broadcast slice stays
+    bounded). Also the probe engine of ``decontaminate`` (whose probe
+    side — the held-out benchmark — is naturally bounded)."""
     from functools import reduce
 
-    from pyspark.sql import DataFrame, functions as F
+    from pyspark.sql import DataFrame
 
     d1_all = dups_pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
     d2_all = dups_pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
     parts = []
     spark = df.sparkSession
-    id_type = df.schema[id_col].dataType.simpleString()
-    occ_schema = f"h1 long, h2 long, __id {id_type}, pos long"
-    scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    scan, occ_schema = _occ_scan_parts(df, id_col, col)
     for d1s, d2s, max_run in _wave_slices(d1_all, d2_all, waves):
         b = spark.sparkContext.broadcast((d1s, d2s, max_run))
-
-        def _hits(batches, _b=b):
-            d1s_, d2s_, mr = _b.value
-            for pdf in batches:
-                flat, lens = _series_to_flat(pdf["__arr"])
-                h1, pos = _flat_ngram_hashes_pos(flat, lens, n)
-                if len(h1) == 0:
-                    continue
-                h2 = _second_window_hash(flat, pos, n)
-                hit = _pair_member_mask(h1, h2, d1s_, d2s_, mr)
-                if not hit.any():
-                    continue
-                n_sh = np.maximum(
-                    lens - n + 1, 0
-                )  # windows per doc, same layout the hash kernel emits
-                doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
-                doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                local = pos - doc_starts[doc_of]
-                ids = pdf["__id"].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        "h1": h1[hit].view(np.int64),
-                        "h2": h2[hit].view(np.int64),
-                        "__id": ids[doc_of[hit]],
-                        "pos": local[hit],
-                    }
-                )
-
-        parts.append(scan.mapInPandas(_hits, schema=occ_schema))
+        parts.append(scan.mapInPandas(_make_hits(b, n), schema=occ_schema))
     if not parts:
         return spark.createDataFrame([], occ_schema)
     return reduce(DataFrame.union, parts)
+
+
+def _locate_occurrences_spilled(
+    df, id_col: str, col: str, n: int, dups, n_dups: int,
+    driver_cap: int, waves: int | None, spill_dir: str | None,
+):
+    """Pass B, distributed probe set: D stays in Spark. D is written to
+    ``<spill>/dups`` once; each wave loads only its pmod(h1, W) slice
+    (≤ ~driver_cap rows) to the driver, broadcasts it, appends that
+    wave's occurrences to ``<spill>/occ``, and destroys the broadcast
+    before the next wave. Returns the occurrence relation read back from
+    the spill (the spill must outlive consumption of the result — pass
+    ``spill_dir`` to control its lifecycle; the default temp dir is
+    removed at interpreter exit)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if spill_dir is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        spill_dir = tempfile.mkdtemp(prefix="recsplit-substr-")
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    dups_path = f"{spill_dir}/dups"
+    occ_path = f"{spill_dir}/occ"
+    dups.write.mode("overwrite").parquet(dups_path)
+    dups_on_disk = spark.read.parquet(dups_path)
+    w_auto = math.ceil(n_dups / max(driver_cap, 1))
+    n_waves = max(waves or 1, w_auto)
+    scan, occ_schema = _occ_scan_parts(df, id_col, col)
+    wrote = False
+    for w in range(n_waves):
+        # pmod on the signed int64 view is a valid (uniform) partition of
+        # D — the slice need not match _wave_slices' uint64 mod, only
+        # cover D exactly once across waves; the slice is re-lexsorted
+        # driver-side before broadcast.
+        sl = dups_on_disk.filter(
+            F.pmod(F.col("h1"), F.lit(n_waves)) == w
+        ).toPandas()
+        if len(sl) == 0:
+            continue
+        d1 = sl["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        d2 = sl["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        d1s, d2s, max_run = next(_wave_slices(d1, d2, 1))
+        del sl, d1, d2
+        b = spark.sparkContext.broadcast((d1s, d2s, max_run))
+        try:
+            scan.mapInPandas(_make_hits(b, n), schema=occ_schema).write.mode(
+                "append"
+            ).parquet(occ_path)
+            wrote = True
+        finally:
+            b.unpersist(blocking=False)
+            b.destroy()
+    if not wrote:
+        return spark.createDataFrame([], occ_schema)
+    return spark.read.schema(occ_schema).parquet(occ_path)
+
+
+# Above this many duplicated windows (512 MiB of 16 B pairs) the set is
+# spilled to parquet and loaded per-wave-slice instead of gathered whole
+# — the same size-dispatch discipline as pq._RERANK_IN_THRESHOLD.
+_DRIVER_CAP_ROWS = 1 << 25
 
 
 def duplicate_spans(
@@ -230,23 +318,48 @@ def duplicate_spans(
     col: str = "tokens",
     n: int = 50,
     keep: str = "first",
-    waves: int = 1,
+    waves: int | None = None,
+    driver_cap: int = _DRIVER_CAP_ROWS,
+    spill_dir: str | None = None,
 ):
     """Cut-span relation DataFrame[<id_col>, pos] — one row per n-token
     window occurrence to remove. ``keep='first'``: per duplicated window
     the globally first occurrence by (id, pos) survives; ``keep='none'``:
     every occurrence is cut (the conservative variant — a duplicated
-    window survives nowhere)."""
+    window survives nowhere).
+
+    ``waves=None`` auto-sizes the locate waves: 1 when the duplicated-
+    window set fits ``driver_cap`` rows, else ceil(|D| / driver_cap),
+    with D spilled to parquet and each wave gathering only its hash-range
+    slice (driver memory stays ≤ ~driver_cap·16 B regardless of |D|).
+    An explicit ``waves`` still slices the broadcast on the small path
+    and acts as a floor on the spilled path. ``spill_dir`` (big path
+    only) must outlive consumption of the returned DataFrame; default is
+    a temp dir removed at interpreter exit."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window, functions as F
 
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    if waves < 1:
+    if waves is not None and waves < 1:
         raise ValueError("waves must be >= 1")
-    # h1/h2 only: the driver-resident D set is 16 B/entry as documented —
-    # cnt would be 8 B/entry of pure waste at heavy duplication
-    dups_pdf = duplicate_windows(df, col, n).select("h1", "h2").toPandas()
-    occ = _locate_occurrences(df, id_col, col, n, dups_pdf, waves)
+    if driver_cap < 1:
+        raise ValueError("driver_cap must be >= 1")
+    # h1/h2 only: the D set is 16 B/entry as documented — cnt would be
+    # 8 B/entry of pure waste at heavy duplication
+    dups = duplicate_windows(df, col, n).select("h1", "h2")
+    dups = dups.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_dups = dups.count()
+        if n_dups <= driver_cap:
+            dups_pdf = dups.toPandas()
+            occ = _locate_occurrences(df, id_col, col, n, dups_pdf, waves or 1)
+        else:
+            occ = _locate_occurrences_spilled(
+                df, id_col, col, n, dups, n_dups, driver_cap, waves, spill_dir
+            )
+    finally:
+        dups.unpersist()
     if keep == "first":
         w = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
         occ = occ.withColumn("__rn", F.row_number().over(w)).filter(
@@ -261,21 +374,26 @@ def dedup_substrings(
     col: str = "tokens",
     n: int = 50,
     keep: str = "first",
-    waves: int = 1,
+    waves: int | None = None,
     len_col: str | None = None,
+    driver_cap: int = _DRIVER_CAP_ROWS,
+    spill_dir: str | None = None,
 ):
     """Exact substring dedup: returns ``df`` with every duplicated
     n-token span cut out of ``col`` (overlapping spans merged before
     cutting) plus a ``removed_tok int`` column. ``len_col``, if given,
     is refreshed to the new array length. The input is scanned 2 + waves
-    times — read it from storage or ``.cache()`` it first.
+    times — read it from storage or ``.cache()`` it first. See
+    ``duplicate_spans`` for the waves/driver_cap/spill_dir dispatch.
 
     Postcondition (``keep='first'``): of each duplicated window's
     original occurrences, at most one survives — exactly one unless the
     keeper itself was covered by a DIFFERENT duplicated window's cut
     span (the paper's semantics: spans are removed independently, the
     pass is not iterated)."""
-    spans = duplicate_spans(df, id_col, col, n, keep, waves)
+    spans = duplicate_spans(
+        df, id_col, col, n, keep, waves, driver_cap, spill_dir
+    )
     return cut_spans(df, spans, id_col, col, n, len_col)
 
 

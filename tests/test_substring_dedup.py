@@ -202,6 +202,56 @@ def test_surviving_occurrence_postcondition(spark):
     _run_and_compare(spark, docs, n=n)
 
 
+def test_spilled_locate_path_matches_reference(spark, tmp_path, monkeypatch):
+    """Above driver_cap the duplicated-window set must never be gathered
+    whole: D spills to parquet, each wave loads only its hash slice.
+    toPandas is patched to raise on any over-cap gather, and the output
+    must still equal the brute-force reference (and hence the in-memory
+    path, which the other tests pin to the same reference)."""
+    rng = np.random.default_rng(3)
+    n = 5
+    docs = {
+        f"d{i:03d}": rng.integers(0, 500, size=int(rng.integers(10, 40))).tolist()
+        for i in range(30)
+    }
+    span = rng.integers(7000, 8000, size=24).tolist()  # 20 dup windows at n=5
+    for i in range(0, 30, 2):
+        d = docs[f"d{i:03d}"]
+        at = int(rng.integers(0, len(d) + 1))
+        docs[f"d{i:03d}"] = d[:at] + span + d[at:]
+    docs["d001"] = docs["d001"] + span[:10]  # extra cross-doc dup region
+    df = _to_df(spark, docs).cache()
+    n_dups = duplicate_windows(df, "tokens", n=n).count()
+    cap = 4
+    assert n_dups > 3 * cap  # the whole-set gather WOULD trip the patch
+    cls = type(df)
+    orig = cls.toPandas
+    gathers = []
+
+    def capped(self):
+        out = orig(self)
+        gathers.append(len(out))
+        if len(out) > 3 * cap:  # slack: pmod slices are uniform, not exact
+            raise AssertionError(f"driver gather of {len(out)} rows")
+        return out
+
+    monkeypatch.setattr(cls, "toPandas", capped)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["removed_tok"])
+        for r in dedup_substrings(
+            df, n=n, driver_cap=cap, spill_dir=str(tmp_path / "spill")
+        ).collect()
+    }
+    monkeypatch.undo()
+    df.unpersist()
+    exp_toks, exp_removed, _ = _ref_dedup(docs, n)
+    for did in docs:
+        assert got[did] == (exp_toks[did], exp_removed[did]), did
+    assert (tmp_path / "spill" / "dups").exists()
+    assert (tmp_path / "spill" / "occ").exists()
+    assert gathers and max(gathers) <= 3 * cap
+
+
 def test_cut_spans_preserves_bigint_tokens(spark):
     """The declared output element type drives the kernel dtype — a
     bigint token >= 2^31 must round-trip, not wrap (int32 regression)."""
