@@ -330,7 +330,9 @@ def _q_quality_classifier_by_source(
         models, skipped = fit_by_key(
             df, ["u0", "u1", "u2"], "label", ["source"], ridge=1e-3
         )
-        assert not skipped, skipped
+        if skipped:  # not assert: must survive python -O, and a one-class
+            # group at another SF should fail loudly, not as a KeyError
+            raise ValueError(f"fit_by_key skipped groups: {skipped}")
         # score every row with ITS source's model in one Column expr
         expr = F.lit(None).cast("double")
         for (src,), m in models.items():

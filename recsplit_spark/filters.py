@@ -536,7 +536,14 @@ def prefiltered_anti_join(big, keys, key_col: str,
     native broadcast anti-join needs no prefilter at all. This operator
     earns its keep in the middle regime: key sets past the row
     broadcast threshold but within the filter budget (~1.2 B/key).
-    Persist/checkpoint ``big`` first to make it one scan.
+
+    Determinism REQUIREMENT (not just a cost trade): because ``big`` is
+    evaluated once per branch, a nondeterministic source — ``sample()``
+    without a seed, ``rand()`` columns, a table mutating between the two
+    scans — can make the branches disagree, dropping or duplicating rows
+    relative to the plain ``left_anti``. Persist/localCheckpoint ``big``
+    first in that case (the ``align_tombstone_ids`` precedent); for a
+    deterministic source it merely saves the second scan.
     """
     from pyspark.sql import functions as F
 

@@ -41,6 +41,17 @@ def read_input(spark, source: str):
     still wins that ambiguity — prefix the path with ``./`` to force
     the file reading of a shadowed name."""
     if "/" in source or source.endswith(".parquet"):
+        import os
+
+        # a scheme-less RELATIVE path resolves against the JVM working
+        # dir (pinned at session launch), not the Python cwd — qualify
+        # it when it exists locally, same probe as the bare-dir branch
+        if (
+            "://" not in source
+            and not os.path.isabs(source)
+            and os.path.exists(source)
+        ):
+            source = os.path.abspath(source)
         return spark.read.parquet(source)
     if spark.catalog.tableExists(source):
         return spark.table(source)

@@ -230,21 +230,28 @@ def with_gopher_quality(
 
 
 def _rename_aside(df, sig_cols):
-    """(renamed_df, collide): rename input columns that collide with the
-    signal names to ``__orig_<c>`` BEFORE a signal builder runs — the
-    builders ``withColumn``-replace fixed stat names (``n_chars`` on the
+    """(renamed_df, renames): rename input columns that collide with the
+    signal names aside BEFORE a signal builder runs — the builders
+    ``withColumn``-replace fixed stat names (``n_chars`` on the
     documents tables, e.g.), so without this a ``*_filter`` wrapper
-    would silently return recomputed values in place of user data."""
-    collide = [c for c in sig_cols if c in df.columns]
+    would silently return recomputed values in place of user data.
+    The aside name is underscore-prefixed until it is absent from the
+    frame (a literal ``__orig_<c>`` input column must not become a
+    duplicate name — same discipline as filters.py's ``__might_contain``)."""
     work = df
-    for c in collide:
-        work = work.withColumnRenamed(c, f"__orig_{c}")
-    return work, collide
+    renames = []
+    for c in [c for c in sig_cols if c in df.columns]:
+        aside = f"__orig_{c}"
+        while aside in work.columns:
+            aside = "_" + aside
+        work = work.withColumnRenamed(c, aside)
+        renames.append((c, aside))
+    return work, renames
 
 
-def _restore_aside(out, collide):
-    for c in collide:
-        out = out.withColumnRenamed(f"__orig_{c}", c)
+def _restore_aside(out, renames):
+    for c, aside in renames:
+        out = out.withColumnRenamed(aside, c)
     return out
 
 

@@ -378,8 +378,13 @@ def windowed_sketch(
             return
         st, n = _fold_into_state(sketch, ngram, state, pdf_iter)
         end = (
+            # ambiguous=False: a window end inside the DST fall-back
+            # repeated hour maps to the LATER (standard-time) instant, so
+            # the timeout can fire late by an hour once a year but never
+            # EARLY (early would finalize at/before the watermark while
+            # in-window rows can still arrive)
             win_end.tz_localize(
-                session_tz, ambiguous=True, nonexistent="shift_forward"
+                session_tz, ambiguous=False, nonexistent="shift_forward"
             )
             if win_end.tzinfo is None
             else win_end
