@@ -2882,6 +2882,46 @@ def _q_mphf_leaf12_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("space_ok", F.lit(bool(desc.bits_per_key <= 1.797)))
 
 
+def _q_mphf_gen3_space_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in extreme-space split rule (rule generation 3,
+    settings.GEN3_TIME_WEIGHT + raised trial cap, round 5): the
+    reference's leaf-14/512 operating point (1.614 bits/key,
+    RandomizedTest.java:207). Build the orders-key MPHF at leaf 14 /
+    bucket 512 under BOTH generation 2 and generation 3, round-trip the
+    gen-3 descriptor through bytes, verify the full bijection, and check
+    gen 3 is strictly smaller (measured 1.6125 b/k at 100k keys —
+    below the reference's 1.614; 1.5986 at bucket 2048)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import ship_package
+
+    ship_package(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    gen2 = RecSplitBuilder(
+        leaf_size=14, avg_bucket_size=512, space_priority=True
+    ).build(orders, "o_orderkey")
+    gen3 = RecSplitBuilder(
+        leaf_size=14, avg_bucket_size=512, space_priority="max"
+    ).build(orders, "o_orderkey")
+    rt = MPHFDescriptor.from_bytes(gen3.to_bytes())
+    out = rt.evaluate(orders, "o_orderkey")
+    return (
+        out.agg(
+            F.count("*").alias("n_keys"),
+            F.countDistinct("mphf_index").alias("distinct_idx"),
+            F.min("mphf_index").alias("min_idx"),
+            F.max("mphf_index").alias("max_idx"),
+        )
+        .withColumn("rule_gen_3", F.lit(bool(rt.rule_gen == 3)))
+        .withColumn(
+            "smaller_than_gen2",
+            F.lit(bool(gen3.bits_per_key < gen2.bits_per_key)),
+        )
+    )
+
+
+
 def _q_mphf_space_priority_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opt-in space-priority split rule (rule generation 2,
     settings.SPACE_TIME_WEIGHT): build the orders-key MPHF under BOTH the
@@ -4251,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_generation_delta": _q_theta_generation_delta,
         "cms_generation_delta": _q_cms_generation_delta,
         "generation_sample_added": _q_generation_sample_added,
+        "mphf_gen3_space_bijection": _q_mphf_gen3_space_bijection,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "cosine_lsh_near_dup": _q_cosine_lsh_near_dup,
@@ -4558,6 +4599,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS min_idx,"
             " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
             " TRUE AS space_ok FROM orders"
+        ),
+        "mphf_gen3_space_bijection": (
+            "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"
+            " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_idx,"
+            " CAST(0 AS BIGINT) AS min_idx,"
+            " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
+            " TRUE AS rule_gen_3, TRUE AS smaller_than_gen2 FROM orders"
         ),
         "mphf_space_priority_bijection": (
             "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"

@@ -363,7 +363,7 @@ class BlockedMPHFBuilder:
         max_salt_retries: int = 4,
         algo: str = "recsplit",
         checkpoint_waves: int = 1,
-        space_priority: bool = False,
+        space_priority: bool | str = False,
     ) -> None:
         """``checkpoint_waves`` > 1 splits the build into that many
         sequential block-range jobs, each committing its parquet before the
@@ -372,9 +372,10 @@ class BlockedMPHFBuilder:
         checkpointing). Cost: the key scan runs once per wave — use on
         long builds where input re-scan << lost work.
 
-        ``space_priority`` selects split-rule generation 2 (recsplit
-        only): ~0.06 bits/key smaller blocks for ~3x the kernel work —
-        see settings.SPACE_TIME_WEIGHT."""
+        ``space_priority`` selects split-rule generation 2 (True) or 3
+        ("max") — recsplit only: ~0.06 / ~0.11 bits/key smaller blocks
+        for ~3x / ~80x the kernel work; see settings.SPACE_TIME_WEIGHT
+        and settings.GEN3_TIME_WEIGHT."""
         if algo not in ("recsplit", "bdz"):
             raise ValueError("algo must be 'recsplit' or 'bdz'")
         if checkpoint_waves < 1:
@@ -396,7 +397,9 @@ class BlockedMPHFBuilder:
         # are smaller (review finding).
         if space_priority and algo == "bdz":
             raise ValueError("space_priority applies to algo='recsplit' only")
-        self.rule_gen = 2 if space_priority else RULE_GEN
+        from .mphf import _space_priority_gen
+
+        self.rule_gen = _space_priority_gen(space_priority)
 
     def build(self, df, key_col: str, path: str, n: int | None = None) -> BlockedMPHF:
         """Build (or resume) the blocked MPHF at ``path``.

@@ -243,7 +243,7 @@ class MPHFDescriptor:
         else:
             (rule_gen,) = struct.unpack_from("<B", data, off)
             off += 1
-        if rule_gen not in (0, 1, 2):
+        if rule_gen not in (0, 1, 2, 3):
             raise ValueError(f"unknown rule generation {rule_gen}")
         (l1,) = struct.unpack_from("<I", data, off)
         off += 4
@@ -503,6 +503,22 @@ def _range_membership_udf(spark, ranges: list[tuple[int, int]]):
     return _in_done
 
 
+def _space_priority_gen(space_priority: bool | str) -> int:
+    """Map the builder's ``space_priority`` flag to a rule generation:
+    False -> the default generation, True -> 2, "max" -> 3. Shared by
+    RecSplitBuilder and BlockedMPHFBuilder so the flag means the same
+    thing everywhere."""
+    if space_priority is False:
+        return RULE_GEN
+    if space_priority is True:
+        return 2
+    if space_priority == "max":
+        return 3
+    raise ValueError(
+        f"space_priority must be False, True, or 'max', got {space_priority!r}"
+    )
+
+
 def _make_kernel(leaf_size: int, avg_bucket_size: int, rule_gen: int = RULE_GEN):
     """Partition kernel closure. The Settings rule table is derived ONCE on
     the driver and shipped inside the closure (plain lists pickle fast);
@@ -555,7 +571,7 @@ class RecSplitBuilder:
         partitions: int | None = None,
         checkpoint_dir: str | None = None,
         max_salt_retries: int = 4,
-        space_priority: bool = False,
+        space_priority: bool | str = False,
     ) -> None:
         if not (1 <= leaf_size <= 20):
             raise ValueError("leaf_size must be in [1, 20]")
@@ -567,12 +583,15 @@ class RecSplitBuilder:
         self.partitions = partitions
         self.checkpoint_dir = checkpoint_dir
         self.max_salt_retries = max_salt_retries
-        # space_priority = rule generation 2 (settings.SPACE_TIME_WEIGHT):
-        # at leaf 12/256, 0.049 tree-bits/key smaller than the default
-        # rule for 4.8x the kernel work — opt-in because build time is
-        # the usual constraint; descriptors record the generation, so
-        # both kinds evaluate interchangeably
-        self.rule_gen = 2 if space_priority else RULE_GEN
+        # space_priority=True = rule generation 2 (SPACE_TIME_WEIGHT): at
+        # leaf 12/256, 0.049 tree-bits/key smaller than the default rule
+        # for 4.8x the kernel work. space_priority="max" = generation 3
+        # (GEN3_TIME_WEIGHT + raised trial cap): the reference's extreme-
+        # space regime — 1.5772 tree-bits/key at leaf 14/512 for ~27x the
+        # gen-2 work. Both opt-in because build time is the usual
+        # constraint; descriptors record the generation, so all kinds
+        # evaluate interchangeably
+        self.rule_gen = _space_priority_gen(space_priority)
 
     # -- public -------------------------------------------------------------
     def build(self, df, key_col: str, n: int | None = None) -> MPHFDescriptor:

@@ -1588,6 +1588,125 @@ def task_classifierscale(n_rows: int, cores: int, d: int = 8,
     }
 
 
+def task_gen3space(n: int, cores: int, bucket: int = 512) -> dict:
+    """Round-5 extreme-space rule (generation 3, space_priority='max'):
+    build + full bijection at n keys, leaf 14 / bucket ``bucket`` — the
+    reference's RandomizedTest.java:207 operating point (1.614 b/k)."""
+    from pyspark.sql import functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-gen3", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    keys = (
+        spark.range(0, n, 1, cores * 4)
+        .select(F.xxhash64("id").alias("key"))
+        .cache()
+    )
+    keys.count()
+    pb = host_probe_ms()
+    t0 = time.time()
+    desc = RecSplitBuilder(
+        leaf_size=14, avg_bucket_size=bucket, space_priority="max"
+    ).build(keys, "key", n=n)
+    build_s = time.time() - t0
+    blob = desc.to_bytes()
+    rt = MPHFDescriptor.from_bytes(blob)
+    t1 = time.time()
+    agg = (
+        rt.evaluate(keys, "key")
+        .agg(F.count("*").alias("n"), F.countDistinct("mphf_index").alias("d"))
+        .collect()[0]
+    )
+    eval_s = time.time() - t1
+    pa = host_probe_ms()
+    spark.stop()
+    return {
+        "task": "gen3space", "n": n, "bucket": bucket,
+        "build_sec": round(build_s, 1),
+        "build_keys_per_sec": round(n / build_s, 1),
+        "bits_per_key": round(len(blob) * 8 / n, 4),
+        "eval_sec": round(eval_s, 1),
+        "bijection": bool(agg["n"] == n and agg["d"] == n),
+        "rule_gen": rt.rule_gen,
+        "probe_before": pb, "probe_after": pa, "cores": cores,
+    }
+
+
+def task_substrscale(n_docs: int, cores: int, doc_len: int = 200,
+                     alpha: int = 32, n: int = 5, cap: int = 1 << 22) -> dict:
+    """Round-5 ExactSubstr at >= 10^7 duplicated windows THROUGH THE
+    SPILLED LOCATE PATH (driver_cap forces pmod(h1, W) wave slices; the
+    VERDICT r4 #2 scale evidence). Small token alphabet => dense window
+    reuse: 300K docs x 200 tokens over alpha=32 at n=5 yields ~1.8e7
+    distinct duplicated windows (~0.5 x alpha^n)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from recsplit_spark.pipeline.substring_dedup import (
+        dedup_substrings, duplicate_windows,
+    )
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-substr", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lo, hi = int(row["lo"]), int(row["hi"])
+                rng = np.random.default_rng(900_000 + lo)
+                m = hi - lo
+                toks = rng.integers(0, alpha, size=(m, doc_len), dtype=np.int32)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [f"d{j:09d}" for j in range(lo, hi)],
+                        "tokens": list(toks),
+                    }
+                )
+
+    parts = cores * 4
+    step = (n_docs + parts - 1) // parts
+    bounds = spark.createDataFrame(
+        [(i, min(i + step, n_docs)) for i in range(0, n_docs, step)],
+        "lo long, hi long",
+    ).repartition(parts, "lo")
+    docs = bounds.mapInPandas(
+        _gen, schema="doc_id string, tokens array<int>"
+    ).cache()
+    docs.count()
+    n_dups = duplicate_windows(docs, "tokens", n=n).count()
+    pb = host_probe_ms()
+    t0 = time.time()
+    out = dedup_substrings(
+        docs, "doc_id", "tokens", n=n, driver_cap=cap,
+        spill_dir="/root/repo/.scale_tmp/substr_spill",
+    )
+    agg = out.agg(
+        F.count("*").alias("rows"), F.sum("removed_tok").alias("removed")
+    ).collect()[0]
+    wall = time.time() - t0
+    pa = host_probe_ms()
+    spark.stop()
+    import shutil
+
+    shutil.rmtree("/root/repo/.scale_tmp/substr_spill", ignore_errors=True)
+    return {
+        "task": "substrscale", "n_docs": n_docs, "doc_len": doc_len,
+        "alpha": alpha, "ngram": n, "driver_cap": cap,
+        "n_dup_windows": int(n_dups),
+        "waves": -(-int(n_dups) // cap),
+        "dedup_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "rows_out": int(agg["rows"]), "removed_tok": int(agg["removed"]),
+        "probe_before": pb, "probe_after": pa, "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1596,14 +1715,18 @@ if __name__ == "__main__":
                  "smallrungs", "incmphf", "incmphf_compact", "incdedup",
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
                  "opqscale", "sq8scale", "dsirscale", "bpescale",
-                 "shardscale", "prefilterscale", "classifierscale"],
+                 "shardscale", "prefilterscale", "classifierscale",
+                 "gen3space", "substrscale"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
     ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--bucket", type=int, default=512)
     ap.add_argument("--dim", type=int, default=None)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r04.jsonl"))
+    # append-only per-round measurement file (VERDICT r4 #7: every
+    # BASELINE.md citation must resolve in the artifact it cites)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r05.jsonl"))
     ap.add_argument("--path", default="/root/repo/.scale_tmp/blocked_1e9")
     ap.add_argument("--max-wait-s", type=float, default=10800.0)
     args = ap.parse_args()
@@ -1647,6 +1770,10 @@ if __name__ == "__main__":
         res = task_prefilterscale(args.n or 20_000_000, args.cores)
     elif args.task == "classifierscale":
         res = task_classifierscale(args.n or 10_000_000, args.cores, d=args.dim or 8)
+    elif args.task == "gen3space":
+        res = task_gen3space(args.n or 1_000_000, args.cores, bucket=args.bucket)
+    elif args.task == "substrscale":
+        res = task_substrscale(args.n or 300_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate

@@ -170,6 +170,7 @@ def test_large_leaf_rule_space_and_invariance():
     strict12 = Settings.__new__(Settings)
     strict12.leaf_size = 12
     strict12.time_weight = 2e-4
+    strict12.max_expected_trials = 1 << 12
     strict12.parts = [()]
     strict12.rice_k = [0]
     strict12.exp_bits = [0.0]
@@ -341,10 +342,54 @@ def test_space_priority_rule_generation_2():
     import pytest
 
     with pytest.raises(ValueError, match="unknown rule generation"):
-        Settings(12, rule_gen=3)
+        Settings(12, rule_gen=4)
     blob = bytearray(d2.to_bytes())
     from recsplit_spark.mphf import _HDR
 
-    blob[_HDR.size] = 3  # the rule-generation byte
+    blob[_HDR.size] = 4  # the rule-generation byte
     with pytest.raises(ValueError, match="unknown rule generation"):
         MPHFDescriptor.from_bytes(bytes(blob))
+
+
+def test_extreme_space_rule_generation_3():
+    """Opt-in extreme-space rule (settings.GEN3_TIME_WEIGHT + raised
+    trial cap, generation 3, round 5): the reference's leaf-14/512
+    operating point (1.614 b/k, RandomizedTest.java:207) — measured
+    1.6125 bits/key at 100k keys distributed, 1.5772 expected tree-bits.
+    Wire-format: descriptor pins generation 3 and round-trips; the
+    raised trial cap rides the generation (gens 0-2 tables untouched)."""
+    from recsplit_spark.mphf import MPHFDescriptor, build_descriptor_from_sigs
+    from recsplit_spark.settings import (
+        GEN3_MAX_EXPECTED_TRIALS,
+        LARGE_LEAF,
+        MAX_EXPECTED_TRIALS,
+        Settings,
+        get_settings,
+    )
+
+    rng = np.random.default_rng(31)
+    sigs = np.unique(rng.integers(-(2**63), 2**63, 10_000, dtype=np.int64))
+    n = len(sigs)
+    st2 = get_settings(14, 2)
+    st3 = get_settings(14, 3)
+    assert st3.rule_gen == 3
+    assert st3.max_expected_trials == GEN3_MAX_EXPECTED_TRIALS
+    assert st2.max_expected_trials == MAX_EXPECTED_TRIALS
+    st2.ensure(1600), st3.ensure(1600)
+    assert st2.parts[:1600] != st3.parts[:1600]  # genuinely different rule
+    # gen 3 actually reaches the large-leaf regime the others refuse
+    assert any(14 in p for p in st3.parts[:1600])
+
+    d2 = build_descriptor_from_sigs(sigs, 14, 512, settings=st2)
+    d3 = build_descriptor_from_sigs(sigs, 14, 512, settings=st3)
+    assert d3.rule_gen == 3
+    assert d3.bits_per_key < d2.bits_per_key - 0.02
+    rt = MPHFDescriptor.from_bytes(d3.to_bytes())
+    assert rt.rule_gen == 3
+    assert sorted(rt.evaluate_array(sigs).tolist()) == list(range(n))
+
+    # below LARGE_LEAF every generation shares one table
+    a = Settings(8, initial_max=600, rule_gen=1)
+    c = Settings(8, initial_max=600, rule_gen=3)
+    assert a.parts == c.parts and a.rice_k == c.rice_k
+    assert LARGE_LEAF > 8

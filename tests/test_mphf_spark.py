@@ -336,3 +336,35 @@ def test_space_priority_builder_end_to_end(spark):
     assert (row["n"], row["d"], row["lo"], row["hi"]) == (
         60_000, 60_000, 0, 59_999,
     )
+
+
+def test_space_priority_max_builder_end_to_end(spark):
+    """RecSplitBuilder(space_priority='max'): distributed build stamps
+    rule generation 3 (the extreme-space leaf-14 regime), round-trips
+    through bytes, and the bijection holds through the normal evaluate
+    path. Kept small: gen 3 pays ~92K trial-elements/key by design."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+
+    df = sequences(spark, 8_000, partitions=4).select("doc_id")
+    desc = RecSplitBuilder(
+        leaf_size=14, avg_bucket_size=512, space_priority="max"
+    ).build(df, "doc_id")
+    assert desc.rule_gen == 3
+    rt = MPHFDescriptor.from_bytes(desc.to_bytes())
+    assert rt.rule_gen == 3
+    out = rt.evaluate(df, "doc_id")
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mphf_index").alias("d"),
+        F.min("mphf_index").alias("lo"),
+        F.max("mphf_index").alias("hi"),
+    ).collect()[0]
+    assert (row["n"], row["d"], row["lo"], row["hi"]) == (
+        8_000, 8_000, 0, 7_999,
+    )
+    with pytest.raises(ValueError, match="space_priority"):
+        RecSplitBuilder(space_priority="fastest")
