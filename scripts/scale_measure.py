@@ -1707,6 +1707,164 @@ def task_substrscale(n_docs: int, cores: int, doc_len: int = 200,
     }
 
 
+def task_gendepth(n_total: int, gens: int, cores: int, dim: int = 32) -> dict:
+    """Round-5 generation-depth consolidation parity (VERDICT r4 #6):
+    drive IncrementalANN and IncrementalDedup to ``gens`` generations
+    with small appends, record the early-vs-late append/search walls,
+    then consolidate (ANN: compact; dedup: consolidate) and measure the
+    same operations against the single-generation store — the small-files
+    story, measured the way compact cadence was for the MPHF."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.incremental_ann import IncrementalANN
+    from recsplit_spark.pipeline.incremental_dedup import IncrementalDedup
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-gendepth", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    os.makedirs("/root/repo/.scale_tmp", exist_ok=True)
+    probe_before = host_probe_ms()
+
+    # ---- ANN side --------------------------------------------------------
+    def _vecs(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            rng = np.random.default_rng(int(ids[0]) + 77)
+            x = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            yield pa.record_batch(
+                [b.column(0), pa.array(list(x), type=pa.list_(pa.float32()))],
+                names=["vec_id", "embedding"],
+            )
+
+    vec = (
+        spark.range(0, n_total, 1, cores * 2)
+        .mapInArrow(_vecs, schema="vec_id long, embedding array<float>")
+        .persist()
+    )
+    vec.count()
+    k = max(64, int(n_total ** 0.5))
+    idx = IVFIndex(n_centroids=k, nprobe=4, iters=5).fit(
+        vec, "embedding", sample_size=min(n_total, 40 * k), mode="auto"
+    )
+    q = [r["embedding"] for r in vec.limit(8).collect()]
+    ann_appends = []
+    tmp = tempfile.mkdtemp(dir="/root/repo/.scale_tmp")
+    try:
+        store = IncrementalANN(f"{tmp}/ann", index=idx)
+        for i in range(gens):
+            lo, hi = n_total * i // gens, n_total * (i + 1) // gens
+            m = store.append(
+                vec.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                "vec_id", "embedding",
+            )
+            ann_appends.append(round(m["wall_s"], 2))
+
+        def _search_wall(handle, reps=3):
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                for qv in q:
+                    handle.search(spark, qv, k=10).collect()
+                walls.append(time.time() - t0)
+            return round(min(walls) / len(q), 3)
+
+        search_deep = _search_wall(store)
+        t0 = time.time()
+        compacted = store.compact(spark, f"{tmp}/ann_c")
+        ann_compact_s = round(time.time() - t0, 1)
+        search_flat = _search_wall(compacted)
+        t0 = time.time()
+        m = compacted.append(
+            vec.filter(F.col("vec_id") < n_total // gens), "vec_id",
+            "embedding",
+        )
+        ann_append_flat = round(m["wall_s"], 2)
+
+        # ---- dedup side --------------------------------------------------
+        n_docs = n_total // 4
+        vocab = [f"w{i:04d}" for i in range(4000)]
+
+        def _docs(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                rng = np.random.default_rng(int(ids[0]) + 991)
+                rows = []
+                for i in ids:
+                    r = np.random.default_rng(int(i) * 13 + 5)
+                    words = [vocab[j] for j in r.integers(0, len(vocab), 40)]
+                    if i % 10 == 7 and i >= 100:  # near-dup of an earlier doc
+                        r2 = np.random.default_rng(int(i - 100) * 13 + 5)
+                        words = [
+                            vocab[j] for j in r2.integers(0, len(vocab), 40)
+                        ]
+                        words[rng.integers(0, 40)] = vocab[
+                            rng.integers(0, len(vocab))
+                        ]
+                    rows.append((f"d{i:09d}", " ".join(words)))
+                yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+        docs = (
+            spark.range(0, n_docs, 1, cores * 2)
+            .mapInPandas(_docs, schema="doc_id string, text string")
+            .withColumn("__id_num", F.expr("CAST(substring(doc_id, 2, 9) AS LONG)"))
+            .persist()
+        )
+        docs.count()
+        dd = IncrementalDedup(f"{tmp}/dd", threshold=0.8, num_hashes=64)
+        dd_appends = []
+        for i in range(gens):
+            lo, hi = n_docs * i // gens, n_docs * (i + 1) // gens
+            _, m = dd.append(
+                docs.filter(
+                    (F.col("__id_num") >= lo) & (F.col("__id_num") < hi)
+                ).drop("__id_num"),
+                "doc_id", "text",
+            )
+            dd_appends.append(round(m["wall_s"], 2))
+        t0 = time.time()
+        ddc = dd.consolidate(spark, f"{tmp}/dd_c")
+        dd_consolidate_s = round(time.time() - t0, 1)
+        _, m = ddc.append(
+            docs.filter(F.col("__id_num") < n_docs // gens).drop("__id_num"),
+            "doc_id", "text",
+        )
+        dd_append_flat = round(m["wall_s"], 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    probe_after = host_probe_ms()
+    vec.unpersist()
+    docs.unpersist()
+    spark.stop()
+
+    def _tail_mean(xs, k=5):
+        return round(sum(xs[-k:]) / min(k, len(xs)), 2)
+
+    return {
+        "task": "gendepth", "gens": gens, "n_vectors": n_total,
+        "n_docs": n_total // 4, "dim": dim, "k": k,
+        "ann_append_first5_mean_s": _tail_mean(ann_appends[:5]),
+        "ann_append_last5_mean_s": _tail_mean(ann_appends),
+        "ann_search_deep_s_per_q": search_deep,
+        "ann_compact_sec": ann_compact_s,
+        "ann_search_flat_s_per_q": search_flat,
+        "ann_append_flat_s": ann_append_flat,
+        "dd_append_first5_mean_s": _tail_mean(dd_appends[:5]),
+        "dd_append_last5_mean_s": _tail_mean(dd_appends),
+        "dd_consolidate_sec": dd_consolidate_s,
+        "dd_append_flat_s": dd_append_flat,
+        "probe_before": probe_before, "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1716,7 +1874,7 @@ if __name__ == "__main__":
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
                  "opqscale", "sq8scale", "dsirscale", "bpescale",
                  "shardscale", "prefilterscale", "classifierscale",
-                 "gen3space", "substrscale"],
+                 "gen3space", "substrscale", "gendepth"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1774,6 +1932,8 @@ if __name__ == "__main__":
         res = task_gen3space(args.n or 1_000_000, args.cores, bucket=args.bucket)
     elif args.task == "substrscale":
         res = task_substrscale(args.n or 300_000, args.cores)
+    elif args.task == "gendepth":
+        res = task_gendepth(args.n or 200_000, args.gens, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
