@@ -1778,7 +1778,7 @@ def task_gendepth(n_total: int, gens: int, cores: int, dim: int = 32) -> dict:
 
         search_deep = _search_wall(store)
         t0 = time.time()
-        compacted = store.compact(spark, f"{tmp}/ann_c")
+        compacted, _cm = store.compact(spark, f"{tmp}/ann_c")
         ann_compact_s = round(time.time() - t0, 1)
         search_flat = _search_wall(compacted)
         t0 = time.time()
@@ -1865,6 +1865,176 @@ def task_gendepth(n_total: int, gens: int, cores: int, dim: int = 32) -> dict:
     }
 
 
+def task_ingestscale10x(n_per_batch: int, cores: int, emb_dim: int = 16,
+                        planted_frac: float = 0.05) -> dict:
+    """Round-5 compose-at-scale rehearsal (VERDICT r4 #4): the full
+    ingest_job composition (PII scrub -> learned quality gate ->
+    incremental near-dedup -> stable ids -> SQ8 ANN append -> profile
+    fold -> BPE packing) at 10x the round-4 measured 100K docs/batch,
+    driven through the REAL deploy shape: spark-submit --py-files of
+    dist/recsplit_spark.zip, one submit per nightly batch plus a replay
+    of batch 2. Batch 2 plants ``planted_frac`` exact copies of batch-1
+    texts under new ids (cross-batch dedup hits against persisted
+    state)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from recsplit_spark.session import get_spark, ship_package
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    os.makedirs(os.path.join(repo, ".scale_tmp"), exist_ok=True)
+    root = tempfile.mkdtemp(dir=os.path.join(repo, ".scale_tmp"),
+                            prefix="ingest10x_")
+    vocab = [f"term{v:04d}" for v in range(2000)]
+
+    def _mk_rows(ids, copy_of=None):
+        """Deterministic doc text + embedding per id; text is a pure
+        function of ``copy_of`` (the source id), so a planted copy is an
+        exact near-dup while independent ids are Jaccard-disjoint with
+        overwhelming probability (40-100 words from a 2000-word vocab)."""
+        out_t, out_e = [], []
+        for i, src in zip(ids, copy_of if copy_of is not None else ids):
+            r = np.random.default_rng(int(src) * 9176 + 11)
+            n = 40 + int(r.integers(0, 60))
+            words = [vocab[j] for j in r.integers(0, len(vocab), n)]
+            if src % 3 == 0:
+                words[0] = words[0].upper()
+            sep = ". " if src % 4 == 0 else " "
+            out_t.append(sep.join(words) + ("." if src % 2 == 0 else ""))
+            out_e.append(np.array(
+                [(((i * 31 + j * 17) % 97) - 48) / 48.0 for j in range(emb_dim)],
+                dtype=np.float32,
+            ))
+        return out_t, out_e
+
+    spark = get_spark(app_name="scale-ingest10x-prep", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    def _batch_pdf_iter(lo_base, plant_from=None):
+        def _gen(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    lo, hi = int(row["lo"]), int(row["hi"])
+                    ids = np.arange(lo, hi)
+                    src = ids.copy()
+                    if plant_from is not None:
+                        planted = ids % int(1 / planted_frac) == 3
+                        src[planted] = plant_from + (ids[planted] % n_per_batch)
+                    texts, embs = _mk_rows(ids, src)
+                    yield pd.DataFrame({
+                        "doc_id": ids,
+                        "text": texts,
+                        "source": [f"src{int(i) % 3}" for i in ids],
+                        "embedding": embs,
+                    })
+        return _gen
+
+    schema = "doc_id long, text string, source string, embedding array<float>"
+    parts = cores * 4
+    step = (n_per_batch + parts - 1) // parts
+
+    def _write_batch(name, lo_base, plant_from=None):
+        bounds = spark.createDataFrame(
+            [(lo_base + i, lo_base + min(i + step, n_per_batch))
+             for i in range(0, n_per_batch, step)],
+            "lo long, hi long",
+        ).repartition(parts, "lo")
+        bounds.mapInPandas(
+            _batch_pdf_iter(lo_base, plant_from), schema=schema
+        ).write.parquet(f"{root}/{name}")
+
+    t0 = time.time()
+    _write_batch("batch1", 0)
+    _write_batch("batch2", 10_000_000, plant_from=0)
+    b1 = spark.read.parquet(f"{root}/batch1")
+
+    from recsplit_spark.pipeline.ann import IVFIndex
+    from recsplit_spark.pipeline.bpe import BPETokenizer
+    from recsplit_spark.pipeline.classifier import LogisticQualityModel
+    from recsplit_spark.pipeline.text import with_quality_stats
+
+    import pyspark.sql.functions as F
+
+    sample = b1.limit(40_000).cache()
+    tok = BPETokenizer.train(sample, "text", vocab_size=280)
+    open(f"{root}/bpe.blob", "wb").write(tok.to_bytes())
+    feats = with_quality_stats(sample, "text").withColumn(
+        "label", (F.length("text") > 500).cast("int")  # mid-distribution
+    )
+    model = LogisticQualityModel.fit(
+        feats, ["n_tokens", "avg_token_len", "punct_ratio"], "label",
+        max_iter=6,
+    )
+    open(f"{root}/quality.blob", "wb").write(model.to_bytes())
+    k = max(256, int((2 * n_per_batch) ** 0.5))
+    idx = IVFIndex(n_centroids=k, nprobe=4, iters=5).fit(
+        b1, "embedding", sample_size=min(n_per_batch, 40 * k), mode="auto"
+    )
+    idx.save(spark, f"{root}/ivf_index")
+    prep_s = round(time.time() - t0, 1)
+    spark.stop()
+
+    subprocess.run(
+        [sys.executable, os.path.join(here, "make_pyfiles_zip.py")],
+        check=True, cwd=repo, capture_output=True,
+    )
+
+    def _submit(batch, batch_id):
+        argv = [
+            "spark-submit", "--driver-memory", "48g",
+            "--master", f"local[{cores}]",
+            "--py-files", os.path.join(repo, "dist", "recsplit_spark.zip"),
+            os.path.join(here, "ingest_job.py"),
+            "--input", f"{root}/{batch}",
+            "--root", f"{root}/lake", "--out", f"{root}/clean",
+            "--id-col", "doc_id", "--text-col", "text", "--mode", "text",
+            "--batch-id", str(batch_id),
+            "--scrub-pii",
+            "--quality-model", f"{root}/quality.blob",
+            "--quality-threshold", "0.2",
+            "--vec-col", "embedding", "--ann-index", f"{root}/ivf_index",
+            "--pq", "sq8",
+            "--profile-spec", "docs=hll:doc_id",
+            "--profile-keys", "source",
+            "--pack-capacity", "256",
+            "--tokenizer", f"{root}/bpe.blob",
+            "--packed-out", f"{root}/packed",
+        ]
+        t0 = time.time()
+        r = subprocess.run(argv, capture_output=True, text=True, cwd=repo)
+        wall = time.time() - t0
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"ingest_job {batch} failed rc={r.returncode}:\n"
+                f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+            )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line), round(wall, 1)
+
+    probe_before = host_probe_ms()
+    m1, wall1 = _submit("batch1", 1)
+    m2, wall2 = _submit("batch2", 2)
+    mr, wallr = _submit("batch2", 2)  # replay: stage-level no-op
+    probe_after = host_probe_ms()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "task": "ingestscale10x", "n_docs_per_batch": n_per_batch,
+        "batches": 2, "emb_dim": emb_dim, "k_centroids": k,
+        "prep_sec": prep_s,
+        "wall_b1_s": wall1, "wall_b2_s": wall2, "wall_replay_s": wallr,
+        "job_b1": m1, "job_b2": m2, "job_replay": mr,
+        "docs_per_sec_two_batches": round(2 * n_per_batch / (wall1 + wall2), 1),
+        "probe_before": probe_before, "probe_after": probe_after,
+        "cores": cores,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -1874,7 +2044,7 @@ if __name__ == "__main__":
                  "incdedup_tokens", "semdedup", "pqscale", "residualscale",
                  "opqscale", "sq8scale", "dsirscale", "bpescale",
                  "shardscale", "prefilterscale", "classifierscale",
-                 "gen3space", "substrscale", "gendepth"],
+                 "gen3space", "substrscale", "gendepth", "ingestscale10x"],
     )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--gens", type=int, default=3)
@@ -1934,6 +2104,8 @@ if __name__ == "__main__":
         res = task_substrscale(args.n or 300_000, args.cores)
     elif args.task == "gendepth":
         res = task_gendepth(args.n or 200_000, args.gens, args.cores)
+    elif args.task == "ingestscale10x":
+        res = task_ingestscale10x(args.n or 1_000_000, args.cores)
     else:
         res = task_dedup01(args.cores)
     res["gate"] = gate
