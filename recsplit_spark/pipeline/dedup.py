@@ -284,6 +284,17 @@ def minhash_signature(text: str, num_hashes: int, shingle: int = 5) -> np.ndarra
     return mat.min(axis=0)
 
 
+def _id_out_type(df, id_col: str) -> str:
+    """Declared id type for signature outputs: integral ids keep the
+    historical widened ``long`` (persisted dedup state tables carry that
+    schema across generations), anything else passes through as its own
+    type — a hardcoded ``long`` made string ids die in Arrow
+    serialization with a spurious int64-target error (round-5 finding,
+    hit by IncrementalDedup over string doc ids)."""
+    t = df.schema[id_col].dataType.simpleString()
+    return "long" if t in ("tinyint", "smallint", "int", "bigint") else t
+
+
 def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: int = 5):
     """DataFrame[id, minhash array<long>] — signatures via mapInPandas."""
 
@@ -295,7 +306,7 @@ def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: 
             yield pd.DataFrame({id_col: pdf[id_col], "minhash": list(mat)})
 
     return df.select(id_col, text_col).mapInPandas(
-        _sig, schema=f"{id_col} long, minhash array<long>"
+        _sig, schema=f"{id_col} {_id_out_type(df, id_col)}, minhash array<long>"
     )
 
 
@@ -705,7 +716,7 @@ def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": vals})
 
     return df.select(id_col, text_col).mapInPandas(
-        _sh, schema=f"{id_col} long, simhash long"
+        _sh, schema=f"{id_col} {_id_out_type(df, id_col)}, simhash long"
     )
 
 

@@ -457,6 +457,26 @@ class IncrementalDedup:
             )
 
         # -- new-vs-old: batch band rows join the persisted bucket relation
+        # id-type discipline: empty relations below take the BATCH id
+        # type (a hardcoded long made string ids die in an implicit
+        # string->bigint join cast, round-5 finding), and a batch whose
+        # id type disagrees with the persisted state refuses loudly —
+        # mixed-type gen dirs would fail parquet schema merge later,
+        # far from the cause (refuse-don't-adapt, manifest discipline).
+        id_t = sig.schema["id"].dataType.simpleString()
+        committed = self._committed_paths(spark, "sigs")
+        if committed:
+            state_t = (
+                spark.read.parquet(committed[0]).schema["id"]
+                .dataType.simpleString()
+            )
+            if state_t != id_t:
+                sig.unpersist()
+                raise ValueError(
+                    f"batch id column {id_col!r} has type {id_t} but the "
+                    f"committed state at {self.path} holds {state_t} ids; "
+                    "appends must keep one id type per store"
+                )
         old_bands = self._state(spark, "bands")
         if old_bands is not None:
             batch_bands = _band_rows(sig, "id", self.num_hashes, self.bands)
@@ -489,7 +509,7 @@ class IncrementalDedup:
                 .persist()
             )
         else:
-            matched_old = spark.createDataFrame([], "id_a long").persist()
+            matched_old = spark.createDataFrame([], f"id_a {id_t}").persist()
         n_matched_old = matched_old.count()
 
         # -- new-vs-new: within-batch LSH + same verification
@@ -499,7 +519,9 @@ class IncrementalDedup:
         verified_new = self._verified(cand_new, sig, sig).persist()
         if verified_new.count() == 0:
             # clean-corpus common case: skip the CC driver loop entirely
-            clusters = spark.createDataFrame([], "id long, rep long").persist()
+            clusters = spark.createDataFrame(
+                [], f"id {id_t}, rep {id_t}"
+            ).persist()
             n_clusters = 0
         else:
             clusters = connected_components(verified_new).persist()

@@ -84,6 +84,49 @@ def test_dedups_within_and_across_batches(spark, tmp_path):
     assert [g["n_kept"] for g in gens] == [3, 2, 1]
 
 
+def test_string_doc_ids_supported(spark, tmp_path):
+    """Signature output schemas derive the id type from the input
+    (round-5 fix: a hardcoded ``long`` made string ids die in Arrow
+    serialization with a spurious int64-target error); integral ids
+    still widen to long, so persisted integer-id state schemas are
+    byte-unchanged."""
+    from recsplit_spark.pipeline.dedup import add_minhash, add_simhash
+
+    def _s(df):
+        return df.withColumn(
+            "doc_id", F.concat(F.lit("doc-"), F.format_string("%03d", "doc_id"))
+        )
+
+    inc = IncrementalDedup(f"{tmp_path}/dd", **CFG)
+    b0 = _df(spark, [_doc(0, "A", 0), _doc(1, "A", 1), _doc(2), _doc(3)])
+    kept0, m0 = inc.append(_s(b0), "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept0.collect()) == [
+        "doc-000", "doc-002", "doc-003",
+    ]
+    assert m0["n_kept"] == 3 and m0["n_clusters"] == 1
+    b1 = _df(spark, [_doc(10, "A", 2), _doc(13)])
+    kept1, m1 = inc.append(_s(b1), "doc_id", "text")
+    assert m1["n_matched_old"] == 1  # doc-010 hit the kept corpus state
+    assert [r["doc_id"] for r in kept1.collect()] == ["doc-013"]
+    # declared schema contract: strings pass through, integrals widen
+    assert (
+        add_minhash(_s(b0), "doc_id", "text").schema["doc_id"]
+        .dataType.simpleString() == "string"
+    )
+    assert (
+        add_minhash(b0, "doc_id", "text").schema["doc_id"]
+        .dataType.simpleString() == "bigint"
+    )
+    assert (
+        add_simhash(_s(b0), "doc_id", "text").schema["doc_id"]
+        .dataType.simpleString() == "string"
+    )
+    # mixed id types per store refuse loudly (parquet schema merge would
+    # otherwise fail generations later, far from the cause)
+    with pytest.raises(ValueError, match="one id type per store"):
+        inc.append(_df(spark, [_doc(40)]), "doc_id", "text")
+
+
 def test_matches_batch_dedup_corpus_on_id_ordered_batches(spark, tmp_path):
     """On a clique fixture (near-exact copies), feeding id-ordered batches
     reproduces the one-shot dedup_corpus kept set exactly: the earliest
