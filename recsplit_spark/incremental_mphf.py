@@ -254,6 +254,17 @@ class IncrementalMPHF:
         rows = self._lineage_rows(spark)
         return int(rows[-1]["offset"] + rows[-1]["n"]) if rows else 0
 
+    def should_compact(self, spark, max_exception_frac: float = 0.02) -> bool:
+        """The RUNBOOK §2b compact cadence rule as a predicate: True when
+        G x 2^-fp_bits exceeds ``2 * max_exception_frac`` — i.e. the
+        model (and SCALE_r05 `incmphf`, measured 9.0% at G=50/fp_bits=8
+        vs 9.8% predicted) says the cross-generation exception table has
+        grown past ``max_exception_frac`` of all keys. Exceeding the rule
+        costs space and append wall, never correctness, so this is a
+        planning signal for the nightly job, not a guard."""
+        g = len(self._lineage_rows(spark))
+        return g * 2.0 ** (-self.fp_bits) > 2.0 * max_exception_frac
+
     def last_stream_batch_id(self, spark) -> int:
         """Highest structured-streaming batch id committed via
         ``append(..., stream_batch_id=...)``; -1 if none. The id is

@@ -128,6 +128,21 @@ def test_exceptions_exact_at_fp_bits_1(spark, tmp_path):
         inc.evaluate(union, "k", "g", out_col="i_eval"), "k", out_col="i_route"
     )
     assert both.filter("i_eval <> i_route or i_route is null").count() == 0
+    # compact cadence predicate (RUNBOOK §2b): at fp_bits=1 the exception
+    # fraction model G/2 * 2^-1 blows past 2% from the first generations
+    assert inc.should_compact(spark)
+
+
+def test_should_compact_rule(spark, tmp_path):
+    """should_compact == the RUNBOOK G x 2^-fp_bits > 2*frac rule: far
+    below threshold at fp_bits=8 with a few generations, crossing at the
+    configured fraction."""
+    inc = IncrementalMPHF(f"{tmp_path}/inc", fp_bits=8)
+    inc.append(_batch(spark, 0, 500), "k")
+    inc.append(_batch(spark, 500, 900), "k")
+    assert not inc.should_compact(spark)            # G=2: 2/256 = 0.8%
+    assert inc.should_compact(spark, max_exception_frac=0.003)
+    assert not inc.should_compact(spark, max_exception_frac=0.004)
 
 
 def test_duplicate_storm_raises(spark, tmp_path):
