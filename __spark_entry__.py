@@ -2922,6 +2922,48 @@ def _q_mphf_gen3_space_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming sketch parity, driver-certified (the
+    streaming family previously had only pytest evidence): the documents
+    table is staged as three parquet files, drained as a file stream
+    (maxFilesPerTrigger=1 forces three micro-batches) through
+    StreamingSketch(HyperLogLog), and the final state must be
+    BYTE-IDENTICAL to the batch build over the same rows (monoid
+    order-independence) with the estimate inside the published bound.
+    n_docs is the exact cross-check the DuckDB oracle recomputes."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.session import ship_package
+    from recsplit_spark.sketches import HyperLogLog
+    from recsplit_spark.streaming import StreamingSketch
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    hll = HyperLogLog(p=12)
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.withColumn(
+            "__f", F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        ).repartition(3, "__f").drop("__f").write.parquet(f"{tmp}/src")
+        agg = StreamingSketch(hll, "doc_id")
+        q = agg.start(
+            spark.readStream.schema("doc_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q.awaitTermination(180)
+        batch_state = hll.build(spark.read.parquet(f"{tmp}/src"), "doc_id")
+        state_ok = hll.to_bytes(agg.state) == hll.to_bytes(batch_state)
+        est_ok = abs(agg.estimate() - n_docs) <= 3 * hll.relative_error * n_docs
+    return spark.createDataFrame(
+        [(n_docs, bool(state_ok), bool(est_ok))],
+        "n_docs bigint, state_equals_batch boolean, estimate_in_bound boolean",
+    )
+
+
+
 def _q_mphf_space_priority_bijection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opt-in space-priority split rule (rule generation 2,
     settings.SPACE_TIME_WEIGHT): build the orders-key MPHF under BOTH the
@@ -4292,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_generation_delta": _q_cms_generation_delta,
         "generation_sample_added": _q_generation_sample_added,
         "mphf_gen3_space_bijection": _q_mphf_gen3_space_bijection,
+        "streaming_sketch_parity": _q_streaming_sketch_parity,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "cosine_lsh_near_dup": _q_cosine_lsh_near_dup,
@@ -4606,6 +4649,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS min_idx,"
             " CAST(count(DISTINCT o_orderkey) - 1 AS BIGINT) AS max_idx,"
             " TRUE AS rule_gen_3, TRUE AS smaller_than_gen2 FROM orders"
+        ),
+        "streaming_sketch_parity": (
+            "SELECT CAST(count(doc_id) AS BIGINT) AS n_docs,"
+            " TRUE AS state_equals_batch, TRUE AS estimate_in_bound"
+            " FROM documents"
         ),
         "mphf_space_priority_bijection": (
             "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,"
