@@ -212,6 +212,30 @@ def test_blocked_verify_bijection_in_kernel(spark, seq20k, tmp_path):
     assert not res["ok"] and res["n_keys"] == 20_001
 
 
+def test_blocked_space_priority_max_gen3(spark, seq20k, tmp_path):
+    """Blocked build with space_priority='max' stamps rule generation 3
+    in every per-block descriptor and the bijection holds through
+    load+evaluate (round 5; kept small — gen 3 pays ~92K
+    trial-elements/key by design)."""
+    from recsplit_spark.blocked import BlockedMPHF, BlockedMPHFBuilder
+    from recsplit_spark.mphf import MPHFDescriptor
+
+    path = f"{tmp_path}/b3"
+    small = seq20k.limit(4_000).select("doc_id")
+    BlockedMPHFBuilder(
+        leaf_size=14, avg_bucket_size=512, block_log2=2, partitions=4,
+        space_priority="max",
+    ).build(small, "doc_id", path)
+    bm = BlockedMPHF.load(spark, path)
+    res = bm.verify_bijection(small, "doc_id")
+    assert res["ok"] and res["n_keys"] == 4_000
+    blob = (
+        spark.read.parquet(f"{path}/blocks/salt={bm.salt}")
+        .limit(1).collect()[0]["blob"]
+    )
+    assert MPHFDescriptor.from_bytes(bytes(blob)).rule_gen == 3
+
+
 def test_space_priority_rejected_for_bdz():
     """space_priority only affects the recsplit rule table; silently
     ignoring it for bdz would ship same-size blocks the caller believes
