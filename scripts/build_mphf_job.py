@@ -44,11 +44,15 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true", help="full bijection check after build")
     ap.add_argument(
         "--space-priority",
-        action="store_true",
+        nargs="?", const=True, default=False,
         help="rule generation 2: smaller descriptors (1.683 vs 1.743 "
-        "bits/key at leaf 12/256) for ~3x the build time",
+        "bits/key at leaf 12/256) for ~3x the build time. Pass "
+        "'--space-priority max' for generation 3 (1.605 b/k at leaf "
+        "14/512, ~80x the default build time — archive tier)",
     )
     args = ap.parse_args()
+    if args.space_priority not in (False, True, "max"):
+        ap.error("--space-priority takes no value or 'max'")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
