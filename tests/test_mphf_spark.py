@@ -338,6 +338,26 @@ def test_space_priority_builder_end_to_end(spark):
     )
 
 
+def test_skewed_input_layout_rebalanced(spark):
+    """P7 (similar-size repartition) direct exercise: a pathologically
+    skewed INPUT layout — every key in one partition — must still build
+    and biject, because the bucket scatter is a repartitionByRange on
+    bucket id (+ AQE), not the input partitioning."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.mphf import RecSplitBuilder
+
+    df = sequences(spark, 20_000, partitions=8).select("doc_id").coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(df, "doc_id")
+    out = desc.evaluate(df, "doc_id")
+    row = out.agg(
+        F.count("*").alias("n"), F.countDistinct("mphf_index").alias("d")
+    ).collect()[0]
+    assert (row["n"], row["d"]) == (20_000, 20_000)
+
+
 def test_space_priority_max_builder_end_to_end(spark):
     """RecSplitBuilder(space_priority='max'): distributed build stamps
     rule generation 3 (the extreme-space leaf-14 regime), round-trips
