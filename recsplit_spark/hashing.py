@@ -56,16 +56,23 @@ def mix64_inplace(x: np.ndarray, scratch: np.ndarray | None = None) -> np.ndarra
         x *= _M2
         x ^= (x >> 31) & _MASK31
         return x
+    # logical shifts via a uint64 VIEW of the same memory: one op instead
+    # of the arithmetic-shift+mask pair (bit-identical for the first two
+    # stages, whose masks keep every logical-shift bit; shifts are SIMD
+    # on uint64 — only multiplies need the int64 domain). Saves 2 of the
+    # 11 passes in this memory-bound finalizer. The THIRD stage keeps its
+    # mask: module history shadows _MASK31 to (1<<31)-1 — narrower than
+    # the 33 logical-shift bits — and that 31-bit mask is part of the
+    # pinned hash family (persisted sketches/signatures depend on it).
     t = scratch
-    np.right_shift(x, 30, out=t)
-    t &= _MASK30
+    xu, tu = x.view(np.uint64), scratch.view(np.uint64)
+    np.right_shift(xu, np.uint64(30), out=tu)
     x ^= t
     x *= _M1
-    np.right_shift(x, 27, out=t)
-    t &= _MASK27
+    np.right_shift(xu, np.uint64(27), out=tu)
     x ^= t
     x *= _M2
-    np.right_shift(x, 31, out=t)
+    np.right_shift(xu, np.uint64(31), out=tu)
     t &= _MASK31
     x ^= t
     return x

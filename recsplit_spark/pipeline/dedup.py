@@ -39,18 +39,20 @@ def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
 _CHUNK_DOCS = 256
 
 
-def _rolling_hash_batch(
+def _rolling_hash_windows(
     buf: np.ndarray, lens: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Shared rolling-hash core over ONE concatenated uint64 element
-    buffer: per-doc distinct mixed k-window polynomial hashes.
+    """ALL mixed k-window polynomial hashes (doc-contiguous, NOT
+    deduplicated) over one concatenated uint64 element buffer.
 
     ``buf`` holds every (already padded to >= k elements) doc
     back-to-back; ``lens`` the per-doc element counts. Returns
-    ``(hashes, offsets)`` with doc i's sorted distinct hashes at
-    ``hashes[offsets[i]:offsets[i+1]]``. Elements are bytes for the char
-    kernel and token ids for the token kernel — the window hash
-    ``sum(elem[j] * PRIME^j)`` + mix is element-agnostic."""
+    ``(hashes, offsets)`` with doc i's window hashes, in window order, at
+    ``hashes[offsets[i]:offsets[i+1]]``. The MinHash path consumes this
+    directly: min over the window multiset equals min over the distinct
+    set, so the per-doc lexsort+unique of ``_rolling_hash_batch`` is
+    provably unnecessary work there (round-6 measurement: the lexsort was
+    ~35% of the signature kernel)."""
     n_docs = len(lens)
     n_sh = lens - k + 1
     total = int(n_sh.sum())
@@ -64,6 +66,27 @@ def _rolling_hash_batch(
     for j in range(k):
         raw += buf[pos + j] * pows[j]
     h = mix64(raw)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=offsets[1:])
+    return h, offsets
+
+
+def _rolling_hash_batch(
+    buf: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared rolling-hash core over ONE concatenated uint64 element
+    buffer: per-doc distinct mixed k-window polynomial hashes.
+
+    ``buf`` holds every (already padded to >= k elements) doc
+    back-to-back; ``lens`` the per-doc element counts. Returns
+    ``(hashes, offsets)`` with doc i's sorted distinct hashes at
+    ``hashes[offsets[i]:offsets[i+1]]``. Elements are bytes for the char
+    kernel and token ids for the token kernel — the window hash
+    ``sum(elem[j] * PRIME^j)`` + mix is element-agnostic."""
+    n_docs = len(lens)
+    h, win_offsets = _rolling_hash_windows(buf, lens, k)
+    total = len(h)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(win_offsets))
     # per-doc distinct, sorted (np.unique order): one global lexsort
     order = np.lexsort((h, doc_of))
     hs, ds = h[order], doc_of[order]
@@ -118,12 +141,14 @@ def _token_shingle_hashes(tokens, k: int) -> np.ndarray:
 
 
 def _pad_flat_token_buf(
-    flat: np.ndarray, lens: np.ndarray, k: int
+    flat: np.ndarray, lens: np.ndarray, k: int, pad_val: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-pad every doc in a flat concatenated token buffer to >= k
+    """Pad every doc in a flat concatenated element buffer to >= k
     elements, WITHOUT a per-doc Python loop (vectorized scatter): returns
     the (possibly new) buffer and the padded lengths. No-op (zero copies)
-    when every doc already has >= k tokens — the common case."""
+    when every doc already has >= k elements — the common case.
+    ``pad_val`` is 0 for token docs and 32 (space) for the char kernel,
+    matching the respective per-doc reference kernels."""
     if len(lens) == 0 or (lens >= k).all():
         return np.ascontiguousarray(flat, dtype=np.uint64), lens
     out_lens = np.maximum(lens, k)
@@ -132,7 +157,7 @@ def _pad_flat_token_buf(
     ends = np.cumsum(lens)
     local = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
     new_starts = np.concatenate([[0], np.cumsum(out_lens)[:-1]])
-    buf = np.zeros(int(out_lens.sum()), dtype=np.uint64)
+    buf = np.full(int(out_lens.sum()), np.uint64(pad_val), dtype=np.uint64)
     buf[new_starts[doc_of] + local] = flat
     return buf, out_lens
 
@@ -177,23 +202,55 @@ def _minhash_seeds(num_hashes: int) -> np.ndarray:
     return mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)).view(np.int64)
 
 
+#: elements per cache-resident block of the MinHash seed loop — the loop
+#: makes len(seeds) (up to 128) xor+mix+reduceat passes over the hash array,
+#: so an array larger than the cache turns every pass into a DRAM walk under
+#: 32-way executor concurrency (this box's documented collapse mode).
+#: Measured on sf1.0-shaped batches: 2^16 (512 KB block + xor buf + scratch)
+#: beats 2^15 both single-core (2.22 vs 2.38 s) and at par8 (max 861 vs
+#: 935 ms) — the three hot buffers ride L2+L3 adjacency rather than pure L2.
+_MINHASH_BLOCK_ELEMS = 1 << 16
+
+
 def _minhash_rows(hu: np.ndarray, offsets: np.ndarray, seeds: np.ndarray) -> np.ndarray:
-    """(n_docs, len(seeds)) uint64 MinHash matrix from per-doc distinct
-    shingle hashes. int64 views + in-place mix with reused buffers:
-    xor/mix are bit-identical across signed/unsigned and the hot loop
-    allocates nothing (2.3x vs the mix64-with-copy variant on sf0.1
-    docs)."""
+    """(n_docs, len(seeds)) uint64 MinHash matrix from per-doc shingle
+    hashes (``hu[offsets[i]:offsets[i+1]]`` = doc i's hashes; duplicates
+    allowed — min is multiset-invariant). int64 views + in-place mix with
+    reused buffers: xor/mix are bit-identical across signed/unsigned and
+    the hot loop allocates nothing. The seed loop is BLOCKED over
+    ``_MINHASH_BLOCK_ELEMS``-sized slices of the hash array so all
+    len(seeds) passes run against an L2-resident block (value-identical:
+    a doc's min is the min of its per-block mins); unblocked, the 128
+    passes re-stream the whole array from DRAM each time (measured 2.4x
+    on 256-doc sf1.0 batches)."""
     n_docs = len(offsets) - 1
-    out = np.empty((n_docs, len(seeds)), dtype=np.uint64)
+    n_seeds = len(seeds)
+    total = len(hu)
+    # accumulate transposed: per (seed, block) the doc-min writes are then
+    # contiguous; one final transpose-copy hands back the row-major matrix
+    out_t = np.full((n_seeds, n_docs), np.uint64(0xFFFFFFFFFFFFFFFF))
     hi = hu.view(np.int64)
-    seg = offsets[:-1]  # every doc has >= 1 shingle (padding), so valid
-    buf = np.empty_like(hi)
-    scratch = np.empty_like(hi)
-    for i in range(len(seeds)):
-        np.bitwise_xor(hi, seeds[i], out=buf)
-        mix64_inplace(buf, scratch)
-        out[:, i] = np.minimum.reduceat(buf.view(np.uint64), seg)
-    return out
+    blk = min(total, _MINHASH_BLOCK_ELEMS) or 1
+    buf = np.empty(blk, dtype=np.int64)
+    scratch = np.empty(blk, dtype=np.int64)
+    for lo in range(0, total, blk):
+        hi_end = min(total, lo + blk)
+        block = hi[lo:hi_end]
+        # docs overlapping [lo, hi_end): d0..d1-1
+        d0 = int(np.searchsorted(offsets, lo, side="right")) - 1
+        d1 = int(np.searchsorted(offsets, hi_end, side="left"))
+        seg = np.clip(offsets[d0:d1], lo, hi_end) - lo  # starts within block
+        b = buf[: hi_end - lo]
+        s = scratch[: hi_end - lo]
+        bu = b.view(np.uint64)
+        for i in range(n_seeds):
+            np.bitwise_xor(block, seeds[i], out=b)
+            mix64_inplace(b, s)
+            row = out_t[i]
+            np.minimum(
+                row[d0:d1], np.minimum.reduceat(bu, seg), out=row[d0:d1]
+            )
+    return np.ascontiguousarray(out_t.T)
 
 
 def _minhash_batch(items, num_hashes: int, shingle: int, batch_hashes_fn) -> np.ndarray:
@@ -210,12 +267,19 @@ def _minhash_batch(items, num_hashes: int, shingle: int, batch_hashes_fn) -> np.
     return out
 
 
-def _token_minhash_from_flat(
-    flat: np.ndarray, lens: np.ndarray, num_hashes: int, shingle: int
+def _minhash_from_flat(
+    flat: np.ndarray,
+    lens: np.ndarray,
+    num_hashes: int,
+    shingle: int,
+    pad_val: int,
 ) -> np.ndarray:
-    """MinHash signatures straight from the Arrow list-column layout
-    (flat value buffer + per-doc lengths) — value-identical to
-    ``token_minhash_signatures_batch``, zero per-doc Python."""
+    """MinHash signatures straight from a flat concatenated element
+    buffer (uint64 values + per-doc lengths — the Arrow layout for both
+    token lists and UTF-8 string bytes). Skips the per-doc distinct pass
+    entirely: the signature min is multiset-invariant, so the raw window
+    hashes feed ``_minhash_rows`` directly. Value-identical to the
+    dedup'd per-doc reference kernels (tested); zero per-doc Python."""
     n_docs = len(lens)
     out = np.empty((n_docs, num_hashes), dtype=np.uint64)
     seeds = _minhash_seeds(num_hashes)
@@ -223,11 +287,45 @@ def _token_minhash_from_flat(
     np.cumsum(lens, out=starts[1:])
     for lo in range(0, n_docs, _CHUNK_DOCS):
         hi_doc = min(n_docs, lo + _CHUNK_DOCS)
-        hu, offsets = _flat_token_shingle_hashes(
-            flat[starts[lo] : starts[hi_doc]], lens[lo:hi_doc], shingle
+        buf, out_lens = _pad_flat_token_buf(
+            flat[starts[lo] : starts[hi_doc]], lens[lo:hi_doc], shingle,
+            pad_val,
         )
+        hu, offsets = _rolling_hash_windows(buf, out_lens, shingle)
         out[lo:hi_doc] = _minhash_rows(hu, offsets, seeds)
     return out
+
+
+def _token_minhash_from_flat(
+    flat: np.ndarray, lens: np.ndarray, num_hashes: int, shingle: int
+) -> np.ndarray:
+    """MinHash signatures straight from the Arrow list-column layout
+    (flat value buffer + per-doc lengths) — value-identical to
+    ``token_minhash_signatures_batch``, zero per-doc Python."""
+    return _minhash_from_flat(flat, lens, num_hashes, shingle, pad_val=0)
+
+
+def _string_col_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 byte values, per-doc byte lengths) for a pyarrow
+    String/LargeString array — the UTF-8 bytes Spark strings already are,
+    read straight from the Arrow buffers (no Python str materialization,
+    no re-encode). Null slots behave as empty docs, matching the pandas
+    path's ``None`` -> ``""`` contract."""
+    import pyarrow as pa
+
+    off_dt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    lens = np.diff(offs)
+    if col.null_count:
+        nulls = col.is_null().to_numpy(zero_copy_only=False)
+        if lens[nulls].any():  # defensive: nulls usually carry 0 bytes
+            flat = flat[np.repeat(~nulls, lens)]
+        lens = np.where(nulls, 0, lens)
+    return flat.astype(np.uint64), lens
 
 
 def minhash_signatures_batch(
@@ -296,17 +394,43 @@ def _id_out_type(df, id_col: str) -> str:
 
 
 def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: int = 5):
-    """DataFrame[id, minhash array<long>] — signatures via mapInPandas."""
+    """DataFrame[id, minhash array<long>] — signatures via mapInArrow.
+
+    Arrow-native end to end (round 6): a Spark string column crosses the
+    Python boundary as the contiguous UTF-8 byte buffer + offsets it
+    already is, which is exactly the flat layout the vectorized kernel
+    wants — the former pandas path materialized every text as a Python
+    str, re-encoded it to the same bytes, and joined them back into one
+    buffer (measured ~40% of the signature wall at sf1.0). Signature
+    values are identical to ``minhash_signature`` per doc (tested)."""
+    import pyarrow as pa
+
+    out_id_t = _id_out_type(df, id_col)
 
     def _sig(batches):
-        for pdf in batches:
-            mat = minhash_signatures_batch(
-                pdf[text_col].tolist(), num_hashes, shingle
-            ).view(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "minhash": list(mat)})
+        for b in batches:
+            ids = b.column(0)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):  # defensive; batches are flat
+                col = col.combine_chunks()
+            flat, lens = _string_col_to_flat(col)
+            mat = _minhash_from_flat(
+                flat, lens, num_hashes, shingle, pad_val=32
+            )
+            n = len(lens)
+            out_offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * np.int32(num_hashes)
+            )
+            values = pa.array(mat.reshape(-1).view(np.int64))
+            if out_id_t == "long":
+                ids = ids.cast(pa.int64())
+            yield pa.record_batch(
+                [ids, pa.ListArray.from_arrays(out_offsets, values)],
+                names=[id_col, "minhash"],
+            )
 
-    return df.select(id_col, text_col).mapInPandas(
-        _sig, schema=f"{id_col} {_id_out_type(df, id_col)}, minhash array<long>"
+    return df.select(id_col, text_col).mapInArrow(
+        _sig, schema=f"{id_col} {out_id_t}, minhash array<long>"
     )
 
 

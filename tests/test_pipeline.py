@@ -1003,6 +1003,62 @@ def test_flat_token_kernel_matches_batch_kernel():
     assert np.array_equal(mat_f, mat_b)
 
 
+def test_char_minhash_flat_kernel_matches_per_doc():
+    """The flat-bytes char kernel (round 6: no-dedup windows + blocked
+    seed loop, fed straight from Arrow string buffers) is value-identical
+    to the per-doc reference ``minhash_signature``, including empty,
+    shorter-than-shingle, repetitive, and multi-byte-UTF-8 docs."""
+    texts = [
+        "hello world this is a test", "", "ab",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaa",  # heavy duplicate shingles
+        "días soleados y café ☕ – naïve façade " * 8,  # multi-byte UTF-8
+        "the quick brown fox jumps over the lazy dog " * 20,
+    ]
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    mat = dedup._minhash_from_flat(flat, lens, 16, 5, pad_val=32)
+    for i, t in enumerate(texts):
+        assert np.array_equal(dedup.minhash_signature(t, 16, 5), mat[i]), i
+
+
+def test_add_minhash_arrow_path_values(spark):
+    """The mapInArrow char surface (round 6) emits exactly the per-doc
+    reference signatures — null text behaves as "", string ids pass
+    through, integral ids widen to long (the persisted-schema
+    contract)."""
+    texts = [
+        "some document body text here",
+        "días soleados y café ☕ repeated " * 6,
+        "", "ab", None,
+        "boilerplate " * 40,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(3)
+    out = dedup.add_minhash(df, "doc_id", "text", num_hashes=16)
+    assert dict(out.dtypes)["doc_id"] == "bigint"  # int widens to long
+    got = {
+        r["doc_id"]: np.array(r["minhash"], dtype=np.int64).view(np.uint64)
+        for r in out.collect()
+    }
+    for i, t in rows:
+        want = dedup.minhash_signature(t if t is not None else "", 16, 5)
+        assert np.array_equal(got[i], want), i
+    # string ids pass through unchanged
+    dfs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    outs = dedup.add_minhash(dfs, "doc_id", "text", num_hashes=16)
+    assert dict(outs.dtypes)["doc_id"] == "string"
+    gots = {
+        r["doc_id"]: np.array(r["minhash"], dtype=np.int64).view(np.uint64)
+        for r in outs.collect()
+    }
+    assert np.array_equal(
+        gots["d1"], dedup.minhash_signature(texts[1], 16, 5)
+    )
+
+
 def test_add_token_minhash_arrow_path_values(spark):
     """The mapInArrow Spark surface emits exactly the kernel signatures
     (incl. a null tokens row, which behaves as an empty doc)."""
