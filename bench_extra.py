@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py is FROZEN for measurement — this
+file carries the extra instrumentation the optimization guide asks for):
+
+  python bench_extra.py isolate   # noop-sink timings of the hot operators
+                                  # (guide §1.4: computation, not sink)
+  python bench_extra.py plans DIR # .explain("formatted") for every touched
+                                  # query -> DIR/<query>_after.txt (run it
+                                  # from the round-start tree for _before)
+
+Reads $SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS exactly like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _session(cores: int):
+    from recsplit_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name=f"recsplit-bench-extra-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    return spark
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _touched_frames(spark):
+    """(name, dataframe) for every query path touched this round — the
+    DataFrame whose plan/compute IS the timed operator (actions that
+    build a descriptor or collect driver metadata are timed separately
+    in ``isolate``)."""
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.mphf import MPHFDescriptor, RecSplitBuilder
+    from recsplit_spark.pipeline import dedup
+    from recsplit_spark.pipeline.bpe import BPETokenizer
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    li.count()
+    keys = (
+        li.select(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("pk")
+        )
+        .distinct()
+        .cache()
+    )
+    n_keys = keys.count()
+
+    frames = []
+    frames.append(
+        ("minhash_signatures", dedup.add_minhash(docs, "doc_id", "text", 128))
+    )
+    tok = BPETokenizer.train(docs, "text", vocab_size=320)
+    frames.append(("bpe_encode", tok.encode(docs, "text")))
+
+    desc = RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(
+        keys, "pk", n=n_keys
+    )
+    desc2 = MPHFDescriptor.from_bytes(desc.to_bytes())
+    frames.append(
+        ("mphf_eval", desc2.evaluate(keys, "pk", coalesce="auto"))
+    )
+    # the build is an action chain; its plan-bearing frame is the kernel
+    # input (exchange + MapInPandas)
+    builder = RecSplitBuilder(leaf_size=8, avg_bucket_size=128)
+    km = 1
+    from recsplit_spark.mphf import key_mode_for
+
+    km = key_mode_for(keys, "pk")
+    cast_t = "long" if km == 1 else "string"
+    kdf = keys.select(F.col("pk").cast(cast_t).alias("__key"))
+    blog2 = builder._bucket_log2(n_keys)
+    sig = F.xxhash64(F.col("__key"), F.lit(0))
+    sig_df = kdf.select(sig.alias("sig"))
+    bucket_expr = F.shiftrightunsigned(F.col("sig"), 64 - blog2)
+    nparts = max(
+        1,
+        min(
+            2 * spark.sparkContext.defaultParallelism,
+            max(1, n_keys // 32768),
+        ),
+    )
+    nparts = min(nparts, 1 << blog2)
+    try:  # round-6 shape: hash repartition on the bucket expression
+        parted = sig_df.repartition(nparts, bucket_expr).withColumn(
+            "bucket", bucket_expr
+        )
+    except Exception:  # round-start shape
+        parted = sig_df.withColumn("bucket", bucket_expr).repartitionByRange(
+            nparts, "bucket"
+        )
+    frames.append(("mphf_build_exchange", parted))
+    return frames, {"keys": keys, "docs": docs, "desc2": desc2, "n_keys": n_keys}
+
+
+def isolate(cores: int) -> dict:
+    import pyspark.sql.functions as F
+
+    spark = _session(cores)
+    frames, ctx = _touched_frames(spark)
+    out: dict[str, float] = {}
+
+    def timed(name, fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+
+    for name, df in frames:
+        spark.sparkContext.setJobDescription(f"r6-isolate: {name}")
+        timed(f"{name}_noop", lambda df=df: _noop(df))
+    # action-level timings the noop cannot see
+    from recsplit_spark.mphf import RecSplitBuilder
+
+    keys, n_keys = ctx["keys"], ctx["n_keys"]
+    spark.sparkContext.setJobDescription("r6-isolate: mphf_build_full")
+    timed(
+        "mphf_build_full",
+        lambda: RecSplitBuilder(leaf_size=8, avg_bucket_size=128).build(
+            keys, "pk", n=n_keys
+        ),
+    )
+    desc2 = ctx["desc2"]
+    spark.sparkContext.setJobDescription("r6-isolate: mphf_eval_agg")
+    timed(
+        "mphf_eval_agg",
+        lambda: desc2.evaluate(keys, "pk", coalesce="auto")
+        .agg(
+            F.countDistinct("mphf_index").alias("d"),
+            F.max("mphf_index").alias("mx"),
+        )
+        .collect(),
+    )
+    spark.sparkContext.setJobDescription(None)
+    res = {"sf_dir": SF_DIR, "cores": cores, "timings": out}
+    print(json.dumps(res))
+    spark.stop()
+    return res
+
+
+def plans(cores: int, out_dir: str, suffix: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    spark = _session(cores)
+    frames, _ctx = _touched_frames(spark)
+    for name, df in frames:
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        jvm = spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        txt = df._jdf.queryExecution().explainString(mode)
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    cores = CPUS
+    if "--cores" in args:
+        cores = int(args[args.index("--cores") + 1])
+    if args and args[0] == "isolate":
+        isolate(cores)
+    elif args and args[0] == "plans":
+        out_dir = args[1] if len(args) > 1 else "plans/r06"
+        suffix = args[2] if len(args) > 2 else "after"
+        plans(cores, out_dir, suffix)
+    else:
+        print("usage: bench_extra.py isolate | plans DIR [suffix]")

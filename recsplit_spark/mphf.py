@@ -13,11 +13,13 @@ Architecture (SURVEY §3.1 "Spark re-architecture"):
    salt)`` and a top-bits shift (``shiftrightunsigned``) — no Python touches
    raw keys (reference bucket assignment: ``FastGenerator.java:30-36``;
    salted hash family per the north rule).
-2. **Shuffle** ``repartitionByRange`` on bucket id + ``sortWithinPartitions``
-   replaces the reference's in-place counting-sort scatter
-   (``FastGenerator.sortIntoBuckets``, ``FastGenerator.java:56-114``) — each
-   bucket lands wholly inside one partition, partitions hold contiguous
-   bucket ranges.
+2. **Shuffle** on bucket id replaces the reference's in-place counting-sort
+   scatter (``FastGenerator.sortIntoBuckets``, ``FastGenerator.java:56-114``)
+   — each bucket lands wholly inside one partition. Plain builds HASH-
+   partition on the bucket id (no range-boundary sampling pass; the merge
+   scatters per bucket, so range contiguity is unnecessary); checkpointed
+   builds use ``repartitionByRange`` because resume membership is interval
+   arithmetic over contiguous bucket ranges.
 3. **Partition-parallel construction**: one Arrow-vectorized
    ``mapInPandas`` kernel per partition builds ALL its buckets (wavefront,
    see ``kernel.py``) and emits ONE row per partition: packed per-bucket
@@ -303,6 +305,26 @@ class MPHFDescriptor:
             object.__setattr__(self, "_ve", ve)
         return ve
 
+    def _broadcast_evaluator(self, spark):
+        """Broadcast of the decoded evaluator, memoized per Spark app.
+
+        ``evaluate``/``register_sql`` used to broadcast afresh on every
+        call: the decoded codes table (the dominant payload, ~2.3
+        bytes/key) was re-pickled driver-side and re-unpickled by every
+        Python worker each time. One descriptor evaluated repeatedly —
+        the steady-state serving pattern — now ships it once; PySpark's
+        worker-side broadcast registry then caches the unpickled value
+        across tasks for reused workers. Keyed by applicationId so a
+        stopped/restarted session transparently re-broadcasts."""
+        sc = spark.sparkContext
+        app = sc.applicationId
+        cached = getattr(self, "_ve_bcast", None)
+        if cached is not None and cached[0] == app:
+            return cached[1]
+        b = sc.broadcast(self._evaluator())
+        object.__setattr__(self, "_ve_bcast", (app, b))
+        return b
+
     def evaluate_array(self, sigs: np.ndarray) -> np.ndarray:
         """MPHF indices for int64 signatures (vectorized wavefront walk,
         see ``evaluate.VectorEvaluator``).
@@ -365,7 +387,7 @@ class MPHFDescriptor:
             coalesce = max(2, (3 * spark.sparkContext.defaultParallelism) // 2)
         if coalesce is not None:
             df = df.coalesce(int(coalesce))
-        bcast = spark.sparkContext.broadcast(self._evaluator())
+        bcast = self._broadcast_evaluator(spark)
         narrow = self.n <= (1 << 31)
 
         if narrow:
@@ -408,7 +430,7 @@ class MPHFDescriptor:
         from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import IntegerType, LongType
 
-        bcast = spark.sparkContext.broadcast(self._evaluator())
+        bcast = self._broadcast_evaluator(spark)
         narrow = self.n <= (1 << 31)
 
         if narrow:
@@ -664,22 +686,37 @@ class RecSplitBuilder:
         sig = F.xxhash64(F.col("__key"), F.lit(salt))
         sig_df = keys.select(sig.alias("sig"))
         if blog2 == 0:
-            sig_df = sig_df.withColumn("bucket", F.lit(0).cast("long"))
+            bucket_expr = F.lit(0).cast("long")
         else:
-            sig_df = sig_df.withColumn(
-                "bucket", F.shiftrightunsigned(F.col("sig"), 64 - blog2)
-            )
+            bucket_expr = F.shiftrightunsigned(F.col("sig"), 64 - blog2)
 
         kernel = _make_kernel(self.leaf_size, self.avg_bucket_size, self.rule_gen)
-        # range-partition on bucket (each bucket wholly in one partition,
-        # partitions = contiguous bucket ranges); no partition-local sort —
-        # the kernel groups by bucket itself (np.argsort on the batch)
-        parted = sig_df.repartitionByRange(nparts, "bucket")
-        blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
-
         if self.checkpoint_dir:
+            # checkpointed builds keep RANGE partitioning: resume
+            # membership is interval arithmetic over each block's
+            # [min_bucket, max_bucket], which requires partitions to be
+            # contiguous bucket ranges. Partition-local bucket order is
+            # irrelevant either way — the kernel groups by bucket itself
+            # (np.argsort on the batch).
+            sig_df = sig_df.withColumn("bucket", bucket_expr)
+            parted = sig_df.repartitionByRange(nparts, "bucket")
+            blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
             rows = self._run_with_checkpoint(spark, blocks_df, sig_df, salt, blog2)
         else:
+            # plain builds HASH-partition on the bucket id (round 6):
+            # _finalize scatters per bucket, so the only invariant is
+            # whole-bucket colocation, not range contiguity — and hash
+            # partitioning drops repartitionByRange's boundary-sampling
+            # pass (a full extra scan computing xxhash64 over the input).
+            # Bucket ids are top bits of xxhash64, so with bc >> nparts
+            # (bc = n/avg_bucket_size, nparts <= 2x cores) the hash
+            # spreads partitions evenly. The shuffle also carries ONLY
+            # the 8-byte sig — the bucket column is recomputed from it
+            # after the exchange (guide: shuffle fewer bytes).
+            parted = sig_df.repartition(nparts, bucket_expr).withColumn(
+                "bucket", bucket_expr
+            )
+            blocks_df = parted.mapInPandas(kernel, schema=_BLOCK_SCHEMA)
             rows = blocks_df.collect()
         return self._finalize(rows, n, salt, blog2, key_mode)
 

@@ -429,7 +429,9 @@ def add_minhash(df, id_col: str, text_col: str, num_hashes: int = 128, shingle: 
                 names=[id_col, "minhash"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInArrow(
         _sig, schema=f"{id_col} {out_id_t}, minhash array<long>"
     )
 
@@ -637,7 +639,9 @@ def add_token_minhash(
                 names=[id_col, "minhash"],
             )
 
-    return df.select(id_col, tokens_col).mapInArrow(
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, tokens_col)).mapInArrow(
         _sig, schema=f"{id_col} long, minhash array<long>"
     )
 
@@ -839,7 +843,9 @@ def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
             vals = simhash64_batch(pdf[text_col].tolist(), shingle).view(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": vals})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
         _sh, schema=f"{id_col} {_id_out_type(df, id_col)}, simhash long"
     )
 

@@ -26,6 +26,30 @@ def ship_package(spark) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Scale-adaptive parallelism floor for the Arrow-kernel operators.
+
+    A single-file parquet scan with one row group produces ONE partition
+    no matter how many cores the cluster has — Spark cannot split inside
+    a row group — and a ``.cache()`` of that scan pins the layout, so
+    every downstream ``mapInArrow``/``mapInPandas`` kernel runs as a
+    single task (measured: the whole sf1.0 bench corpus fold serialized
+    onto one of 32 cores). This floor round-robin-repartitions ONLY when
+    the input has fewer partitions than the session's default
+    parallelism; at real scale inputs have hundreds-to-millions of
+    partitions and it is a provable no-op, so the at-scale plan keeps
+    its shuffle-free shape. Streaming frames pass through untouched
+    (their micro-batch partitioning is the engine's business).
+    """
+    if getattr(df, "isStreaming", False):
+        return df
+    sc = df.sparkSession.sparkContext
+    t = int(target) if target else sc.defaultParallelism
+    if t <= 1 or df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t)
+
+
 def get_spark(
     app_name: str = "recsplit-spark",
     cores: int | str | None = None,

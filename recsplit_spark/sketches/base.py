@@ -241,6 +241,12 @@ class MergeableSketch(ABC):
                 rows["state"] = [_emit_cell(sk, cur) for cur in acc.values()]
                 yield pd.DataFrame(rows)
 
+        # NO parallelism floor here (round-6 measurement): a sketch fold
+        # is ~1 cheap numpy op per row, so round-robin-shuffling the rows
+        # to gain cores costs MORE than the whole single-task fold
+        # (6M-row lineitem: shuffle+fold 2.5 s vs 1.3 s fold alone).
+        # The floor lives only in the heavy-per-row kernels
+        # (minhash/BPE/ngram surfaces), where it measured 5-10x.
         return src.mapInPandas(_fold, schema=schema)
 
     def build(self, df, col: str, ngram: int | None = None):

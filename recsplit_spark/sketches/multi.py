@@ -287,7 +287,14 @@ def _stage1(df, specs: list[SketchSpec]):
                 }
             )
 
-    return src.mapInPandas(_fold, schema="name string, state binary")
+    # parallelism floor after the narrow projection (no-op at scale; see
+    # session.ensure_min_partitions) — the "ONE scan" contract is about
+    # scans of ``df``, which this does not add
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(src).mapInPandas(
+        _fold, schema="name string, state binary"
+    )
 
 
 def profile(df, specs: list[SketchSpec]) -> dict[str, object]:
@@ -372,7 +379,9 @@ def _stage1_by_key(df, keys: list[str], specs: list[SketchSpec]):
                 exprs.append(F.col(s.col).alias(alias))
         spec_alias.append(proj[pk])
 
-    src = df.select(*exprs)
+    from ..session import ensure_min_partitions
+
+    src = ensure_min_partitions(df.select(*exprs))
     sketches = [s.sketch for s in specs]
     names = [s.name for s in specs]
     ngrams = [s.ngram for s in specs]
@@ -590,8 +599,10 @@ def _resolve_gram_hashes(df, col: str, n: int, top_sorted: np.ndarray):
             ]
             yield pd.DataFrame({"gram_hash": uh, "gram": grams})
 
+    from ..session import ensure_min_partitions
+
     return (
-        df.select(F.col(col).alias("__arr"))
+        ensure_min_partitions(df.select(F.col(col).alias("__arr")))
         .mapInPandas(_resolve, schema="gram_hash long, gram array<int>")
         .dropDuplicates(["gram_hash"])  # grams agree per 64-bit hash
     )

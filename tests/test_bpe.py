@@ -138,15 +138,28 @@ def test_vocab_expansion():
 
 
 def test_encode_plan_has_no_shuffle(spark):
+    """At-scale shape: an input with >= defaultParallelism partitions
+    encodes with ZERO shuffle (the round-6 parallelism floor is a no-op
+    there); a single-partition local input gets exactly the one
+    round-robin exchange the floor adds, with identical row values."""
     df = _corpus(spark)
     tok = BPETokenizer(np.array([[97, 98]], dtype=np.int32))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wide = df.repartition(par).localCheckpoint()
     plan = (
-        tok.encode(df, "text")
+        tok.encode(wide, "text")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "Exchange" not in plan
+    narrow = df.coalesce(1).localCheckpoint()
+    enc = tok.encode(narrow, "text")
+    plan1 = enc._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Exchange") == (1 if par > 1 else 0)
+    a = {r["doc_id"]: r["tokens"] for r in enc.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in tok.encode(wide, "text").collect()}
+    assert a == b
 
 
 def test_train_wordcount_is_single_shuffle(spark):

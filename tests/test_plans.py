@@ -102,7 +102,10 @@ def test_mphf_build_is_single_shuffle(spark, sf_dir):
 
 def test_sketch_partials_single_scan_no_shuffle(spark, li):
     """Stage-1 sketch fold: one pruned scan -> project -> mapInPandas.
-    Zero exchanges — the shuffle (if any) belongs to the final merge."""
+    Zero exchanges — the shuffle (if any) belongs to the final merge.
+    (Round 6 kept partials floor-free on purpose: a sketch fold is ~1
+    cheap numpy op per row, so a parallelism-floor shuffle costs more
+    than the fold it parallelizes — measured on 6M-row lineitem.)"""
     from recsplit_spark.sketches import HyperLogLog
 
     plan = _formatted_plan(HyperLogLog(p=12).partials(li, "l_orderkey"))
@@ -322,17 +325,19 @@ def test_incremental_dedup_verification_is_jvm_side(spark, tmp_path_factory):
     sig.unpersist()
     # no executed Python stage in the verify plan: the batch signatures
     # come from the materialized cache (InMemoryTableScan — the lone
-    # MapInPandas node is the InMemoryRelation's cached-plan provenance,
-    # not an execution stage), the state side from parquet, and the
-    # agreement filter is Column exprs
-    n_py = (
-        _nodes(plan, "BatchEvalPython")
-        + _nodes(plan, "ArrowEvalPython")
+    # map node is the InMemoryRelation's cached-plan provenance, not an
+    # execution stage; round 6 moved the signature kernel from
+    # MapInPandas to mapInArrow, so the provenance node is now
+    # PythonMapInArrow), the state side from parquet, and the agreement
+    # filter is Column exprs
+    n_py = _nodes(plan, "BatchEvalPython") + _nodes(plan, "ArrowEvalPython")
+    assert n_py == 0, plan
+    n_prov = (
+        _nodes(plan, "MapInPandas")
         + _nodes(plan, "MapInArrow")
         + _nodes(plan, "PythonMapInArrow")
     )
-    assert n_py == 0, plan
-    assert _nodes(plan, "MapInPandas") <= 1, plan
+    assert n_prov <= 1, plan
     assert _nodes(plan, "InMemoryTableScan") >= 2
     # the persisted state side is a pure parquet scan feeding the joins
     assert _nodes(plan, "Scan parquet") >= 2
