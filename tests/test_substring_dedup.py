@@ -252,6 +252,63 @@ def test_spilled_locate_path_matches_reference(spark, tmp_path, monkeypatch):
     assert gathers and max(gathers) <= 3 * cap
 
 
+def test_spill_dir_reuse_is_clean(spark, tmp_path):
+    """A reused spill_dir must NOT mix stale occurrence rows from an
+    earlier call into the read-back (ADVICE r5, medium): the occ dir is
+    cleared before the wave loop, so a second dedup_substrings over a
+    DIFFERENT corpus through the same dir equals a fresh-dir run."""
+    rng = np.random.default_rng(11)
+    n = 5
+
+    def corpus(salt):
+        docs = {
+            f"d{i:03d}": rng.integers(0, 400, size=30).tolist()
+            for i in range(20)
+        }
+        span = [9000 + salt * 50 + j for j in range(12)]
+        for i in range(0, 20, 2):
+            docs[f"d{i:03d}"] = docs[f"d{i:03d}"] + span
+        return docs
+
+    spill = str(tmp_path / "spill")
+    docs_a, docs_b = corpus(1), corpus(2)
+    df_a, df_b = _to_df(spark, docs_a).cache(), _to_df(spark, docs_b).cache()
+    run = lambda df: {
+        r["doc_id"]: (list(r["tokens"]), r["removed_tok"])
+        for r in dedup_substrings(
+            df, n=n, driver_cap=4, spill_dir=spill
+        ).collect()
+    }
+    run(df_a)  # pollute the spill dir with corpus A's occurrences
+    got_b = run(df_b)
+    fresh_b = {
+        r["doc_id"]: (list(r["tokens"]), r["removed_tok"])
+        for r in dedup_substrings(
+            df_b, n=n, driver_cap=4, spill_dir=str(tmp_path / "fresh")
+        ).collect()
+    }
+    df_a.unpersist(); df_b.unpersist()
+    assert got_b == fresh_b
+
+
+def test_hot_window_straggler_guard(spark):
+    """One window duplicated 10^4 times (the LSH hot-bucket test's
+    shape): keep='first' must complete via the min-struct aggregation —
+    partial aggregation collapses the hot window map-side — and keep
+    exactly the lexicographically-first occurrence."""
+    n = 5
+    span = [7000 + j for j in range(n)]
+    docs = {f"d{i:05d}": list(span) for i in range(10_000)}
+    docs["d00000"] = [1, 2, 3] + span  # keeper doc, window at pos 3
+    df = _to_df(spark, docs)
+    spans = duplicate_spans(df, n=n, keep="first")
+    rows = spans.collect()
+    cut = {(r["doc_id"], r["pos"]) for r in rows}
+    assert ("d00000", 3) not in cut  # lexicographic first survives
+    assert len(cut) == 10_000 - 1
+    assert all(p == 0 for d, p in cut if d != "d00000")
+
+
 def test_cut_spans_preserves_bigint_tokens(spark):
     """The declared output element type drives the kernel dtype — a
     bigint token >= 2^31 must round-trip, not wrap (int32 regression)."""
