@@ -131,7 +131,14 @@ def _contam_counts(df, id_col, col, n, bench_pdf, waves):
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"__id {id_type}, __c long"
-    scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    # corpus-scan parallelism floor (round 6): window hashing + pair
+    # membership is heavy per row, so a single-row-group local input
+    # must not serialize the kernel onto one task; no-op at scale
+    from ..session import ensure_min_partitions
+
+    scan = ensure_min_partitions(
+        df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    )
     parts = []
     for d1s, d2s, max_run in _wave_slices(d1_all, d2_all, waves):
         b = spark.sparkContext.broadcast((d1s, d2s, max_run))

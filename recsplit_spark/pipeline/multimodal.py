@@ -260,7 +260,20 @@ def extract_features(
         for f in df.schema.fields
         if f.name != payload_col
     )
-    return df.mapInPandas(_feat, schema=f"{keep}, {out_col} array<float>")
+    return _floor(df).mapInPandas(
+        _feat, schema=f"{keep}, {out_col} array<float>"
+    )
+
+
+def _floor(df):
+    """Parallelism floor for the payload-decode kernels (round 6): media
+    decode is the heaviest per-row work in the repo, so a single-row-
+    group local input must not serialize it onto one task. No-op on
+    adequately-partitioned (at-scale) inputs — see
+    session.ensure_min_partitions."""
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(df)
 
 
 def frame_sample_plan(duration_s: float, fps: float, every_s: float) -> list[int]:
@@ -341,7 +354,7 @@ def resize_media(df, out_h: int, out_w: int, payload_col: str = "payload"):
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return df.mapInPandas(_rs, schema=schema)
+    return _floor(df).mapInPandas(_rs, schema=schema)
 
 
 def _id_type(df, id_col: str) -> str:
@@ -380,7 +393,7 @@ def _hash_media_col(df, id_col: str, payload_col: str, out_col: str, fn):
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _floor(df.select(id_col, payload_col)).mapInPandas(
         _h, schema=f"{id_col} {id_type}, {out_col} long"
     )
 
@@ -479,7 +492,7 @@ def resample_media(df, out_rate: int, payload_col: str = "payload"):
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return df.mapInPandas(_rs, schema=schema)
+    return _floor(df).mapInPandas(_rs, schema=schema)
 
 
 def audio_fingerprint(samples: np.ndarray) -> int:
@@ -638,7 +651,7 @@ def frame_sample(df, every_s: float, payload_col: str = "payload",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _floor(df.select(id_col, payload_col)).mapInPandas(
         _sample,
         schema=(
             f"{id_col} {id_type}, frame_idx int, t_s double,"
@@ -672,7 +685,7 @@ def with_frame_phash(df, every_s: float, id_col: str = "media_id",
                 }
             )
 
-    return frames.mapInPandas(
+    return _floor(frames).mapInPandas(
         _ph, schema=f"{id_col} {id_type}, frame_idx int, phash long"
     )
 

@@ -172,8 +172,10 @@ def duplicate_windows(df, col: str = "tokens", n: int = 50):
                 }
             )
 
+    from ..session import ensure_min_partitions
+
     return (
-        df.select(F.col(col).alias("__arr"))
+        ensure_min_partitions(df.select(F.col(col).alias("__arr")))
         .mapInPandas(_counts, schema="h1 long, h2 long, c long")
         .groupBy("h1", "h2")
         .agg(F.sum("c").alias("cnt"))
@@ -187,7 +189,13 @@ def _occ_scan_parts(df, id_col: str, col: str):
 
     id_type = df.schema[id_col].dataType.simpleString()
     occ_schema = f"h1 long, h2 long, __id {id_type}, pos long"
-    scan = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    # heavy-per-row kernel (window hashing + membership): parallelism
+    # floor; no-op on adequately-partitioned (at-scale) inputs
+    from ..session import ensure_min_partitions
+
+    scan = ensure_min_partitions(
+        df.select(F.col(id_col).alias("__id"), F.col(col).alias("__arr"))
+    )
     return scan, occ_schema
 
 

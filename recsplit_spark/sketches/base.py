@@ -140,6 +140,14 @@ class MergeableSketch(ABC):
         unknown (be conservative: pre-merge whenever P is non-trivial)."""
         return None
 
+    def approx_state_bytes_for(self, ngram: int | None) -> int | None:
+        """Feed-aware variant: some sketches can bound their state only
+        for specific feeds (Misra-Gries items are unbounded strings in
+        general, but the ``ngram`` feed's items are int64 window hashes
+        whose canonical decimal form is <= 20 bytes). Default: the
+        feed-independent estimate."""
+        return self.approx_state_bytes()
+
     # -- Spark plumbing ------------------------------------------------------
     def _input_expr(self, col: str, alias: str = "__in"):
         from pyspark.sql import functions as F
@@ -271,7 +279,7 @@ class MergeableSketch(ABC):
         parts = self.partials(df, col, ngram=ngram)
         p = parts.rdd.getNumPartitions()
         fan = math.isqrt(max(1, p))
-        nbytes = self.approx_state_bytes()
+        nbytes = self.approx_state_bytes_for(ngram)
         heavy = (
             p > 4 if nbytes is None else p * nbytes > (64 << 20)
         )

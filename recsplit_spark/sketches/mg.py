@@ -67,6 +67,16 @@ class MisraGries(MergeableSketch):
         # pre-merge decision conservative (pre-merge whenever P > 4).
         return None
 
+    def approx_state_bytes_for(self, ngram: int | None):
+        # The ngram feed's items are int64 window hashes, serialized as
+        # canonical decimal strings: <= 20 bytes + 12 framing per entry.
+        # A real bound here lets build() skip the distributed pre-merge
+        # stage for heavy_ngrams-sized states (round 6: the spurious
+        # pre-merge was ~25% of the heavy_ngrams wall at 20k docs).
+        if ngram is not None:
+            return _HDR.size + self.k * 32
+        return self.approx_state_bytes()
+
     # -- monoid ----------------------------------------------------------------
     def new_state(self) -> MGState:
         return MGState()
