@@ -72,18 +72,24 @@ def _touched_frames(spark):
         keys, "pk", n=n_keys
     )
     desc2 = MPHFDescriptor.from_bytes(desc.to_bytes())
+    # truncate the keys lineage (distinct -> 2 lineage exchanges) so the
+    # captured plan is the OPERATOR's shape, not the fixture's
+    keys_ck = keys.localCheckpoint()
     frames.append(
-        ("mphf_eval", desc2.evaluate(keys, "pk", coalesce="auto"))
+        ("mphf_eval", desc2.evaluate(keys_ck, "pk", coalesce="auto"))
     )
     # the build is an action chain; its plan-bearing frame is the kernel
-    # input (exchange + MapInPandas)
+    # input (exchange + MapInPandas). Reconstruct the exchange exactly as
+    # THIS TREE's builder does it (detected from its source), so before/
+    # after captures reflect the real shapes.
+    import inspect
+
     builder = RecSplitBuilder(leaf_size=8, avg_bucket_size=128)
-    km = 1
     from recsplit_spark.mphf import key_mode_for
 
     km = key_mode_for(keys, "pk")
     cast_t = "long" if km == 1 else "string"
-    kdf = keys.select(F.col("pk").cast(cast_t).alias("__key"))
+    kdf = keys_ck.select(F.col("pk").cast(cast_t).alias("__key"))
     blog2 = builder._bucket_log2(n_keys)
     sig = F.xxhash64(F.col("__key"), F.lit(0))
     sig_df = kdf.select(sig.alias("sig"))
@@ -96,15 +102,26 @@ def _touched_frames(spark):
         ),
     )
     nparts = min(nparts, 1 << blog2)
-    try:  # round-6 shape: hash repartition on the bucket expression
+    build_src = inspect.getsource(RecSplitBuilder._build_once)
+    if "sig_df.repartition(nparts, bucket_expr)" in build_src:
+        # round-6 shape: hash repartition on the bucket expression,
+        # bucket recomputed post-exchange (8 B/key shuffle)
         parted = sig_df.repartition(nparts, bucket_expr).withColumn(
             "bucket", bucket_expr
         )
-    except Exception:  # round-start shape
+    else:  # round-start shape: range partition, bucket rides the shuffle
         parted = sig_df.withColumn("bucket", bucket_expr).repartitionByRange(
             nparts, "bucket"
         )
     frames.append(("mphf_build_exchange", parted))
+
+    from recsplit_spark.data import sequences
+    from recsplit_spark.pipeline.substring_dedup import duplicate_spans
+
+    seq = sequences(spark, 2_000, partitions=8)
+    frames.append(
+        ("substring_duplicate_spans", duplicate_spans(seq, n=20, keep="first"))
+    )
     return frames, {"keys": keys, "docs": docs, "desc2": desc2, "n_keys": n_keys}
 
 
