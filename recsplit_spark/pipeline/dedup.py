@@ -347,28 +347,58 @@ def token_minhash_signatures_batch(
     )
 
 
+def _simhash_votes(hu: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs,) uint64 SimHash codes from per-doc DISTINCT hashes
+    (``hu[offsets[i]:offsets[i+1]]``) — the shared vote kernel of the
+    list-of-texts and flat-bytes batch paths."""
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    counts = np.diff(offsets)
+    # unpackbits(bitorder=little) column c == bit c of the uint64;
+    # int32 accumulation (reduceat sums in the input dtype — uint8/16
+    # would overflow on long docs)
+    bits = np.unpackbits(
+        hu.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    ones = np.add.reduceat(bits, offsets[:-1], axis=0)
+    votes = 2 * ones - counts[:, None]
+    return ((votes > 0) * weights[None, :]).sum(axis=1)
+
+
 def simhash64_batch(texts, shingle: int = 4) -> np.ndarray:
     """(n_docs,) uint64 SimHash codes for a batch — same values as
     ``simhash64`` per doc; bit votes via one 2-D ``add.reduceat``."""
     n_docs = len(texts)
     out = np.empty(n_docs, dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     # simhash chunks half the minhash size: the unpacked bit matrix is 64x
     # wider than the hash array (measured fastest at ~128 docs on sf0.1)
     step = max(1, _CHUNK_DOCS // 2)
     for lo in range(0, n_docs, step):
         chunk = texts[lo : lo + step]
         hu, offsets = _batch_shingle_hashes(chunk, shingle)
-        counts = np.diff(offsets)
-        # unpackbits(bitorder=little) column c == bit c of the uint64;
-        # int32 accumulation (reduceat sums in the input dtype — uint8/16
-        # would overflow on long docs)
-        bits = np.unpackbits(
-            hu.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
-        ones = np.add.reduceat(bits, offsets[:-1], axis=0)
-        votes = 2 * ones - counts[:, None]
-        out[lo : lo + len(chunk)] = ((votes > 0) * weights[None, :]).sum(axis=1)
+        out[lo : lo + len(chunk)] = _simhash_votes(hu, offsets)
+    return out
+
+
+def _simhash_from_flat(
+    flat: np.ndarray, lens: np.ndarray, shingle: int
+) -> np.ndarray:
+    """SimHash codes straight from a flat UTF-8 byte buffer (the Arrow
+    string-column layout) — value-identical to ``simhash64`` per doc
+    (tested). Unlike MinHash, SimHash votes over the DISTINCT shingle
+    set, so this path keeps the lexsort+unique; only the Python-str
+    materialization and per-doc re-encode are gone."""
+    n_docs = len(lens)
+    out = np.empty(n_docs, dtype=np.uint64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    step = max(1, _CHUNK_DOCS // 2)
+    for lo in range(0, n_docs, step):
+        hi = min(n_docs, lo + step)
+        buf, out_lens = _pad_flat_token_buf(
+            flat[starts[lo] : starts[hi]], lens[lo:hi], shingle, pad_val=32
+        )
+        hu, offsets = _rolling_hash_batch(buf, out_lens, shingle)
+        out[lo:hi] = _simhash_votes(hu, offsets)
     return out
 
 
@@ -838,15 +868,28 @@ def simhash64(text: str, shingle: int = 4) -> int:
 
 
 def add_simhash(df, id_col: str, text_col: str, shingle: int = 4):
+    """DataFrame[id, simhash long] — Arrow-native like ``add_minhash``:
+    the string column's UTF-8 buffers feed the kernel directly."""
+    import pyarrow as pa
+
+    out_id_t = _id_out_type(df, id_col)
+
     def _sh(batches):
-        for pdf in batches:
-            vals = simhash64_batch(pdf[text_col].tolist(), shingle).view(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": vals})
+        for b in batches:
+            ids = b.column(0)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):  # defensive; batches are flat
+                col = col.combine_chunks()
+            flat, lens = _string_col_to_flat(col)
+            vals = _simhash_from_flat(flat, lens, shingle).view(np.int64)
+            if out_id_t == "long":
+                ids = ids.cast(pa.int64())
+            yield pa.record_batch([ids, pa.array(vals)], names=[id_col, "simhash"])
 
     from ..session import ensure_min_partitions
 
-    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
-        _sh, schema=f"{id_col} {_id_out_type(df, id_col)}, simhash long"
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInArrow(
+        _sh, schema=f"{id_col} {out_id_t}, simhash long"
     )
 
 

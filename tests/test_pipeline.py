@@ -1059,6 +1059,26 @@ def test_add_minhash_arrow_path_values(spark):
     )
 
 
+def test_add_simhash_arrow_path_values(spark):
+    """The mapInArrow simhash surface (round 6) emits exactly the
+    per-doc reference codes — null text behaves as "", ids follow the
+    same widening contract as add_minhash."""
+    texts = [
+        "some document body text here",
+        "días soleados y café ☕ " * 5,
+        "", "ab", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    ).repartition(2)
+    out = dedup.add_simhash(df, "doc_id", "text")
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        want = dedup.simhash64(t if t is not None else "", 4)
+        assert got[i] == np.int64(np.uint64(want)).item() or np.uint64(got[i]).item() == want, i
+
+
 def test_add_token_minhash_arrow_path_values(spark):
     """The mapInArrow Spark surface emits exactly the kernel signatures
     (incl. a null tokens row, which behaves as an empty doc)."""
