@@ -7,6 +7,13 @@ file carries the extra instrumentation the optimization guide asks for):
   python bench_extra.py plans DIR # .explain("formatted") for every touched
                                   # query -> DIR/<query>_after.txt (run it
                                   # from the round-start tree for _before)
+  python bench_extra.py sketchfold  # the sketch-partials transport A/B:
+                                  # pandas fold vs a mapInArrow prototype vs
+                                  # the pure-crossing floor (the measurement
+                                  # behind OPTIMIZATION_r06.md's "fold
+                                  # Arrow-ization: measured dead" verdict).
+                                  # PROBE_DUP=k unions the input k times
+                                  # (sf0.1 x 10 = the sf1.0 row count).
 
 Reads $SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS exactly like bench.py.
 """
@@ -190,6 +197,115 @@ def plans(cores: int, out_dir: str, suffix: str) -> None:
     spark.stop()
 
 
+def sketchfold(cores: int) -> dict:
+    """Would Arrow-izing the sketch ``partials`` fold (base.py mapInPandas
+    -> mapInArrow) pay? Times, over the bench's cached lineitem (optionally
+    union'd PROBE_DUP times to reach the sf1.0 row count):
+
+      jvm_hash_noop    — scan + cast(string) + xxhash64, no Python (JVM floor)
+      cross_only_*     — mapInArrow that only counts rows: the pure
+                         JVM->Python crossing floor, at the input's native
+                         partitioning and split 4 ways
+      hll_pandas       — the shipped HyperLogLog.count_distinct (pandas fold)
+      hll_arrow_proto  — the identical fold via mapInArrow, zero-copy
+                         column -> numpy (what the library change would ship)
+      kll_pandas/arrow — same A/B for the value-feed KLL build (state
+                         byte-identity asserted: same Arrow batch boundaries)
+
+    Round-6 result (6M rows, 32 cores, healthy window): pandas ~= arrow on
+    both sketches (hll 0.876 vs 0.901, kll 1.177 vs 1.219), crossing floor
+    0.44-1.14 s (4+ tasks vs 1), JVM floor 0.12 s — the fold cost IS the
+    per-row crossing, which the transport choice does not touch, so the
+    library keeps the pandas fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from recsplit_spark.sketches.hll import HyperLogLog
+    from recsplit_spark.sketches.kll import KLL
+
+    spark = _session(cores)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dup = int(os.environ.get("PROBE_DUP", "1"))
+    for _ in range(dup - 1):
+        li = li.union(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+    li = li.cache()
+    n = li.count()
+    out: dict = {"rows": n, "parts": li.rdd.getNumPartitions(), "timings": {}}
+
+    def timed(name, fn, reps=3):
+        best, res = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            res = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out["timings"][name] = round(best, 3)
+        return res
+
+    hll, kll = HyperLogLog(p=14), KLL(k=256)
+    src = li.select(F.xxhash64(F.col("l_orderkey").cast("string")).alias("__in"))
+    vsrc = li.select(F.col("l_extendedprice").cast("double").alias("__in"))
+    spark.sparkContext.setJobDescription("r6-sketchfold")
+
+    timed("jvm_hash_noop", lambda: _noop(src))
+
+    def _cross_only(batches):
+        c = 0
+        for b in batches:
+            c += b.num_rows
+        yield pa.RecordBatch.from_arrays([pa.array([c], type=pa.int64())], ["c"])
+
+    timed(
+        "cross_only_native",
+        lambda: src.mapInArrow(_cross_only, "c long").agg(F.sum("c")).collect(),
+    )
+    timed(
+        "cross_only_p4",
+        lambda: src.coalesce(4)
+        .mapInArrow(_cross_only, "c long")
+        .agg(F.sum("c"))
+        .collect(),
+    )
+
+    def arrow_build(sk, src_df):
+        def _fold(batches):
+            st = None
+            for b in batches:
+                arr = b.column(0).to_numpy(zero_copy_only=False)
+                if st is None:
+                    st = sk.new_state()
+                sk.update(st, arr)
+            if st is not None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([sk.to_bytes(st)], type=pa.binary())], ["state"]
+                )
+
+        rows = src_df.mapInArrow(_fold, "state binary").collect()
+        st = sk.new_state()
+        for r in rows:
+            st = sk.merge(st, sk.from_bytes(bytes(r["state"])))
+        return st
+
+    est_pd = timed("hll_pandas", lambda: hll.count_distinct(li, "l_orderkey"))
+    st_ar = timed("hll_arrow_proto", lambda: arrow_build(hll, src))
+    out["hll_estimates_equal"] = bool(abs(est_pd - hll.estimate(st_ar)) < 1e-9)
+
+    ks_pd = timed("kll_pandas", lambda: kll.build(li, "l_extendedprice"))
+    ks_ar = timed("kll_arrow_proto", lambda: arrow_build(kll, vsrc))
+    out["kll_states_byte_equal"] = bool(kll.to_bytes(ks_pd) == kll.to_bytes(ks_ar))
+    out["kll_quantiles_equal"] = bool(
+        (
+            np.asarray(kll.quantile(ks_pd, [0.01, 0.5, 0.99]))
+            == np.asarray(kll.quantile(ks_ar, [0.01, 0.5, 0.99]))
+        ).all()
+    )
+    spark.sparkContext.setJobDescription(None)
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     cores = CPUS
@@ -201,5 +317,7 @@ if __name__ == "__main__":
         out_dir = args[1] if len(args) > 1 else "plans/r06"
         suffix = args[2] if len(args) > 2 else "after"
         plans(cores, out_dir, suffix)
+    elif args and args[0] == "sketchfold":
+        sketchfold(cores)
     else:
-        print("usage: bench_extra.py isolate | plans DIR [suffix]")
+        print("usage: bench_extra.py isolate | plans DIR [suffix] | sketchfold")
